@@ -1,0 +1,106 @@
+"""Aggregation operators: conditional counts, guarded ratios, overall
+rollups, avg-of-daily-ratios.
+
+Reference parity (SURVEY.md §2.4): the reference hand-rolled partial/final
+aggregation with per-chunk dict accumulators and HLL sketches
+(scripts/ads_passenger_travel_info_mi.py:244-344). On Spark, partial→final
+hash aggregation is built in; these helpers capture the *semantics* layer:
+  * A2/A4 conditional counts/sums (one pass, no self-join),
+  * A5 approx_count_distinct == reference's HyperLogLog(0.01),
+  * A9 'overall' rollup (grouping-sets, not a second scan),
+  * A11 avg-of-daily-ratios (the reference's hardest metric),
+  * A12 zero-guarded ratios.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def count_if(cond: Column) -> Column:
+    """Conditional count in one aggregation pass (A2).
+
+    Reference computed journey vs transfer counts by filtering twice and
+    joining (scripts/ads_ridership_…py:91-99); this is the single-pass
+    map-side-combinable form.
+    """
+    return F.sum(F.when(cond, 1).otherwise(0))
+
+
+def sum_if(cond: Column, value: Column) -> Column:
+    """Conditional sum (A4): reference's ``sum(qty * is_csc)``
+    (scripts/ads_csc_sales_revenue_region_mi.R:41)."""
+    return F.sum(F.when(cond, value).otherwise(F.lit(0)))
+
+
+def approx_users(col: str, rsd: float = 0.01) -> Column:
+    """Distinct-user estimate (A5): Spark HLL++ at the reference's 1% rsd
+    (scripts/ads_passenger_travel_info_mi.py:266)."""
+    return F.approx_count_distinct(col, rsd)
+
+
+def guarded_ratio(num: Column, den: Column) -> Column:
+    """num/den with den<=0 → 0 (A12):
+    reference scripts/ads_passenger_travel_info_mi.py:442-445."""
+    return F.when(den > 0, num / den).otherwise(F.lit(0.0))
+
+
+def rollup_overall(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    rollup_col: str,
+    aggs: Sequence[Column],
+    overall_label: str = "overall",
+) -> DataFrame:
+    """Aggregate by group_cols+rollup_col AND group_cols alone, with the
+    collapsed grain labeled `overall_label` (A9).
+
+    One shuffle via grouping sets — the reference recomputed the overall
+    grain in a second pass and unioned
+    (scripts/ads_passenger_travel_info_mi.py:469-516); Catalyst's Expand
+    produces both grains from a single scan.
+    """
+    sets = [tuple([*group_cols, rollup_col]), tuple(group_cols)]
+    gs = df.groupingSets(sets, *[F.col(c) for c in [*group_cols, rollup_col]])
+    out = gs.agg(*aggs)
+    return out.withColumn(
+        rollup_col, F.coalesce(F.col(rollup_col), F.lit(overall_label))
+    )
+
+
+def avg_daily_ratio_per_month(
+    df: DataFrame,
+    date_col: str,
+    month_col: str,
+    group_cols: Sequence[str],
+    num_agg: Column,
+    den_agg: Column,
+    out_col: str,
+) -> DataFrame:
+    """A11 avg-of-daily-ratios: Σ_days(daily_num/daily_den) ÷ calendar
+    days-in-month. Days with den==0 contribute 0; the divisor is calendar
+    days, NOT active days (reference semantics,
+    scripts/ads_passenger_travel_info_mi.py:415-436).
+
+    Two chained aggregations: daily grain first, then monthly. Both are
+    shuffle-partitioned on their group keys; the daily→monthly shuffle is
+    tiny (one row per day×group).
+    """
+    daily = df.groupBy(month_col, date_col, *group_cols).agg(
+        num_agg.alias("__num"), den_agg.alias("__den")
+    )
+    ratio = F.when(F.col("__den") > 0, F.col("__num") / F.col("__den")).otherwise(0.0)
+    monthly = (
+        daily.withColumn("__ratio", ratio)
+        .groupBy(month_col, *group_cols)
+        .agg(
+            (
+                F.sum("__ratio")
+                / F.dayofmonth(F.last_day(F.to_date(F.concat(F.col(month_col), F.lit("-01")))))
+            ).alias(out_col)
+        )
+    )
+    return monthly

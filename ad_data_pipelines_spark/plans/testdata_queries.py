@@ -1,0 +1,681 @@
+"""Operator-coverage queries over the driver testdata (TPC-H-ish tables).
+
+Each registered query is one SURVEY.md §2 operator (or a tight cluster)
+exercised on `/root/testdata/sf*` with an equivalent ANSI-SQL oracle that
+DuckDB runs on the same parquet files. Query keys are prefixed with the
+§2 operator ids they cover (a1_, w4_, j13_, …) so coverage is auditable.
+
+Cross-engine determinism rules (every query follows these):
+  * output columns: date / string / bigint / rounded double only;
+    timestamps are formatted to strings (timezone-proof),
+  * every aggregate/computed column aliased identically in Spark + SQL,
+  * float aggregates rounded (sum→2dp, avg/ratio→4-6dp) so double
+    summation order cannot flip the hash,
+  * window orderings use a unique key (no nondeterministic ties),
+  * exact count(distinct) in oracle-checked variants; the production
+    `approx_count_distinct` (HLL++, rsd=0.01 — the reference's
+    HyperLogLog(0.01)) is exposed as a separate rows-only query.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.functions import (
+    deep_clean,
+    minutes_between,
+    month_str,
+    prefix_map,
+    right_closed_bins,
+)
+from ad_data_pipelines_spark.operators.agg import count_if, guarded_ratio, sum_if
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one testdata table (S1). Column pruning and filter
+    pushdown happen in Catalyst — callers just select/filter.
+
+    `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read nanos-as-long and floor-truncate to a
+    microsecond timestamp (exactly what DuckDB's micro-precision read
+    does, so oracle comparisons stay bit-identical).
+
+    Session timezone is pinned to UTC here (runtime-settable) so
+    `to_date`/`date_trunc`/`date_format` agree with the oracle's naive
+    timestamps even if the caller's session was built with another TZ.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Scans / filters / projections / aggregation core
+# ---------------------------------------------------------------------------
+
+@register(
+    "a1_trips_daily",
+    oracle="""
+        SELECT CAST(l_shipdate AS DATE) AS ship_date,
+               l_returnflag, l_linestatus, COUNT(*) AS trips
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+        GROUP BY 1, 2, 3
+    """,
+    doc="S1+S2+P5+P17+A1: pushed time-range scan → daily count per key. "
+    "Flagship; analog of ads_route_passenger_trips_di (reference "
+    "scripts/ads_route_…py:79-94) with half-open interval policy "
+    "(SURVEY.md §4.4-1).",
+)
+def q_trips_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+        )
+        .groupBy(
+            F.to_date("l_shipdate").alias("ship_date"), "l_returnflag", "l_linestatus"
+        )
+        .agg(F.count("*").alias("trips"))
+    )
+
+
+@register(
+    "a3_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)                                AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2)                           AS sum_base,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)        AS sum_disc,
+               ROUND(AVG(l_quantity), 4)                                AS avg_qty,
+               COUNT(*)                                                 AS count_order
+        FROM lineitem
+        GROUP BY 1, 2
+    """,
+    doc="A3 sums per group (TPC-H Q1 shape). Reference: distance/time sums "
+    "scripts/ads_passenger_travel_info_mi.py:308-310.",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc"
+        ),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "a2_conditional_counts",
+    oracle="""
+        SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+               SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS journey_num,
+               SUM(CASE WHEN l_linenumber <> 1 THEN 1 ELSE 0 END) AS transfer_num
+        FROM lineitem
+        GROUP BY 1
+    """,
+    doc="A2 conditional counts in one pass (journeys vs transfers). "
+    "Reference: scripts/ads_passenger_travel_info_mi.py:306-307; the "
+    "filter-twice-then-join variant (ads_ridership_…py:91-99 = J4) is "
+    "deliberately collapsed to a single aggregation.",
+)
+def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(month_str("l_shipdate").alias("ship_month")).agg(
+        count_if(F.col("l_linenumber") == 1).alias("journey_num"),
+        count_if(F.col("l_linenumber") != 1).alias("transfer_num"),
+    )
+
+
+@register(
+    "a5_distinct_exact",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_suppkey) AS uniq_suppliers,
+               COUNT(*) AS trips
+        FROM lineitem
+        GROUP BY 1
+    """,
+    doc="A5 distinct-count (exact variant for the oracle; production path "
+    "is a5_distinct_approx with HLL++ rsd=0.01 == reference "
+    "hyperloglog.HyperLogLog(0.01), "
+    "scripts/ads_passenger_travel_info_mi.py:266).",
+)
+def q_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("uniq_suppliers"),
+        F.count("*").alias("trips"),
+    )
+
+
+@register(
+    "a5_distinct_approx",
+    oracle=None,  # ±1% approximation — rows-only check by design (§4.4-5)
+    doc="A5 production path: approx_count_distinct(rsd=0.01), Spark HLL++ "
+    "== reference HyperLogLog(0.01). Non-deterministic vs exact oracle; "
+    "accuracy asserted in tests/test_operators.py instead.",
+)
+def q_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", 0.01).alias("uniq_suppliers")
+    )
+
+
+@register(
+    "a9_rollup_overall",
+    oracle="""
+        SELECT COALESCE(n_name, 'overall') AS nation_name,
+               COUNT(*) AS customers,
+               ROUND(SUM(c_acctbal), 2) AS acctbal_sum
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), ())
+    """,
+    doc="A9 'overall' rollup via grouping sets — one scan, one shuffle "
+    "(reference recomputed + unioned: "
+    "scripts/ads_passenger_travel_info_mi.py:469-516).",
+)
+def q_rollup_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    return (
+        joined.rollup("n_name")
+        .agg(
+            F.count("*").alias("customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+        )
+        .withColumn("nation_name", F.coalesce(F.col("n_name"), F.lit("overall")))
+        .drop("n_name")
+    )
+
+
+@register(
+    "a8_adjacent_diff",
+    oracle="""
+        WITH hist AS (
+            SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                   l_linenumber AS leg,
+                   COUNT(*) AS cnt
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT ship_month, leg,
+               cnt - COALESCE(LEAD(cnt) OVER (PARTITION BY ship_month ORDER BY leg), 0)
+                   AS exactly_n
+        FROM hist
+        QUALIFY exactly_n >= 0
+    """,
+    doc="A7+A8: leg-count histogram then adjacent-difference via LEAD "
+    "(journeys with exactly k transfers), negatives dropped. Reference: "
+    "scripts/ads_passenger_transfer_count_di.py:189, 216-244.",
+)
+def q_adjacent_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        month_str("l_shipdate").alias("ship_month"), F.col("l_linenumber").alias("leg")
+    ).agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("ship_month").orderBy("leg")
+    return (
+        hist.withColumn(
+            "exactly_n", F.col("cnt") - F.coalesce(F.lead("cnt").over(w), F.lit(0))
+        )
+        .filter(F.col("exactly_n") >= 0)
+        .select("ship_month", "leg", "exactly_n")
+    )
+
+
+@register(
+    "a13_first_last_ordered",
+    oracle="""
+        SELECT l_orderkey,
+               MIN_BY(l_partkey, CAST(l_linenumber AS BIGINT) * 1000000000 + l_partkey)
+                   AS first_part,
+               MAX_BY(l_partkey, CAST(l_linenumber AS BIGINT) * 1000000000 + l_partkey)
+                   AS last_part,
+               COUNT(*) AS n_legs
+        FROM lineitem
+        GROUP BY 1
+    """,
+    doc="A13 first/last per ordered group (route endpoints). Reference: "
+    "arrange(SEQUENCE_NO) + first/last(POINT_NO), "
+    "scripts/dwd_bus_route_info_mf & other 2.R:185-192. min_by/max_by "
+    "avoid the sort entirely; the composite (linenumber, partkey) order "
+    "key makes ties deterministic (testdata linenumbers repeat per order).",
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    ord_key = F.col("l_linenumber").cast("long") * 1000000000 + F.col("l_partkey")
+    return li.groupBy("l_orderkey").agg(
+        F.min_by("l_partkey", ord_key).alias("first_part"),
+        F.max_by("l_partkey", ord_key).alias("last_part"),
+        F.count("*").alias("n_legs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins / set ops
+# ---------------------------------------------------------------------------
+
+@register(
+    "j1_broadcast_enrich",
+    oracle="""
+        SELECT p_brand,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS trips
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1
+    """,
+    doc="J1/J2 fact⋈dim broadcast equi-join then aggregate. Reference AFC⋈"
+    "VDV LINE join (scripts/ads_passenger_travel_info_mi.py:154-172). "
+    "Explicit broadcast() hint: dim is KB-scale even at 100TB fact.",
+)
+def q_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("trips"),
+        )
+    )
+
+
+@register(
+    "j8_full_outer_3way",
+    oracle="""
+        WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS m, COUNT(*) AS n_orders
+                   FROM orders GROUP BY 1),
+             l AS (SELECT strftime(l_shipdate, '%Y-%m') AS m, COUNT(*) AS n_ship
+                   FROM lineitem GROUP BY 1),
+             b AS (SELECT strftime(l_shipdate, '%Y-%m') AS m, COUNT(*) AS n_big
+                   FROM lineitem WHERE l_quantity > 40 GROUP BY 1)
+        SELECT COALESCE(o.m, l.m, b.m) AS month,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(n_ship, 0) AS n_ship,
+               COALESCE(n_big, 0) AS n_big
+        FROM o FULL OUTER JOIN l ON o.m = l.m
+               FULL OUTER JOIN b ON COALESCE(o.m, l.m) = b.m
+    """,
+    doc="J8 three-way full-outer join of aggregate branches + J4-style "
+    "zero-fill. Reference: trip/journey/transfer 3-way full join, "
+    "scripts/ads_passenger_travel_time_di.R:258-262.",
+)
+def q_full_outer_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    o = orders.groupBy(month_str("o_orderdate").alias("m")).agg(
+        F.count("*").alias("n_orders")
+    )
+    l = li.groupBy(month_str("l_shipdate").alias("m")).agg(F.count("*").alias("n_ship"))
+    b = (
+        li.filter(F.col("l_quantity") > 40)
+        .groupBy(month_str("l_shipdate").alias("m"))
+        .agg(F.count("*").alias("n_big"))
+    )
+    ol = o.join(l, "m", "full")
+    all3 = ol.join(b, "m", "full")
+    return all3.select(
+        F.col("m").alias("month"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_ship", F.lit(0)).alias("n_ship"),
+        F.coalesce("n_big", F.lit(0)).alias("n_big"),
+    )
+
+
+@register(
+    "j13_anti_join",
+    oracle="""
+        SELECT p_partkey, p_brand
+        FROM part p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 48
+        )
+    """,
+    doc="J13/O5 anti-join: keys on the left absent from the (filtered) "
+    "right. Reference diagnostic set-difference of route keys, "
+    "scripts/ads_passenger_transfer_count_di.py:131-137.",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    return part.join(
+        li, part.p_partkey == li.l_partkey, "left_anti"
+    ).select("p_partkey", "p_brand")
+
+
+@register(
+    "j14_match_rate",
+    oracle="""
+        SELECT COUNT(*) AS total,
+               SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS matched
+        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    """,
+    doc="J14 join match-rate metric (left join + notnull count). "
+    "Reference: scripts/ads_passenger_transfer_count_di.py:161-162.",
+)
+def q_match_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey, "left")
+    return joined.agg(
+        F.count("*").alias("total"),
+        count_if(F.col("o_orderkey").isNotNull()).alias("matched"),
+    )
+
+
+@register(
+    "o4_union_spine_j6",
+    oracle="""
+        WITH spine AS (
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            UNION
+            SELECT DISTINCT c_custkey FROM customer
+        ),
+        cnt AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+        big AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders
+                WHERE o_totalprice > 100000 GROUP BY 1)
+        SELECT s.custkey,
+               COALESCE(cnt.n_orders, 0) AS n_orders,
+               COALESCE(big.n_big, 0) AS n_big
+        FROM spine s
+        LEFT JOIN cnt ON s.custkey = cnt.o_custkey
+        LEFT JOIN big ON s.custkey = big.o_custkey
+    """,
+    doc="O4 union-distinct key spine + J6 chained left joins of "
+    "pre-aggregated counts + P6 zero-fill. Reference station spine: "
+    "scripts/ads_stop_…py:39-41, 77-81.",
+)
+def q_union_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    spine = (
+        orders.select(F.col("o_custkey").alias("custkey"))
+        .union(cust.select(F.col("c_custkey").alias("custkey")))
+        .distinct()
+    )
+    cnt = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    big = (
+        orders.filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    return (
+        spine.join(cnt, spine.custkey == cnt.o_custkey, "left")
+        .join(big, spine.custkey == big.o_custkey, "left")
+        .select(
+            "custkey",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_big", F.lit(0)).alias("n_big"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "w1_lead_gap",
+    oracle="""
+        SELECT event_id, user_id,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   - epoch_us(ts) AS gap_us
+        FROM events
+    """,
+    doc="W1 LEAD next-event time per user (transfer-time precursor). "
+    "Reference: pandas shift(-1) per journey, "
+    "scripts/ads_passenger_travel_info_mi.py:195-198. Unique order key "
+    "(ts, event_id) for shuffle determinism (SURVEY.md §4.4-6).",
+)
+def q_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id", "user_id", (F.lead(us).over(w) - us).alias("gap_us")
+    )
+
+
+@register(
+    "w4_keep_last",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+        FROM (
+            SELECT l_orderkey, l_linenumber, l_shipdate,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_shipdate DESC, l_linenumber DESC
+                   ) AS rn
+            FROM lineitem
+        ) WHERE rn = 1
+    """,
+    doc="W4/A16 keep-last-by-explicit-order (row_number desc == 1). "
+    "Reference: rank(ascending=False)==1, scripts/ads_stop_…py:62-65; "
+    "replaces order-dependent drop_duplicates(keep='first') "
+    "(SURVEY.md §4.4-6).",
+)
+def q_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").desc(), F.col("l_linenumber").desc()
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_orderkey", "l_linenumber", F.to_date("l_shipdate").alias("ship_date")
+        )
+    )
+
+
+@register(
+    "o7_topk_rank",
+    oracle="""
+        SELECT nation, suppkey, revenue, rk FROM (
+            SELECT s_nationkey AS nation, s_suppkey AS suppkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s_nationkey
+                       ORDER BY SUM(l_extendedprice * (1 - l_discount)) DESC, s_suppkey
+                   ) AS rk
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1, 2
+        ) WHERE rk <= 3
+    """,
+    doc="O7/W top-k per group (the glossary's planned Top5/Bottom5 KPI — "
+    "docs/data glossary.xlsx — which no reference script implements; "
+    "first-class here). suppkey tiebreak keeps ranking deterministic.",
+)
+def q_topk_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), F.col("s_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy(F.col("__rev").desc(), F.col("suppkey"))
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("nation", "suppkey", F.round("__rev", 2).alias("revenue"), "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-transform expressions (cleaning / mapping / binning)
+# ---------------------------------------------------------------------------
+
+@register(
+    "p7_p8_clean_map",
+    oracle="""
+        SELECT c_custkey,
+               UPPER(REGEXP_REPLACE(TRIM(c_name), '[^0-9A-Za-z]', '', 'g')) AS clean_key,
+               CASE WHEN c_mktsegment LIKE 'AUTO%' THEN 'Vehicles'
+                    WHEN c_mktsegment LIKE 'BUIL%' THEN 'Construction'
+                    WHEN c_mktsegment LIKE 'FURN%' THEN 'Furniture'
+                    ELSE 'Unknown' END AS segment_label
+        FROM customer
+    """,
+    doc="P7 deep_clean join-key scrub + P8 prefix→label map as pure column "
+    "exprs (reference row UDFs: "
+    "scripts/ads_passenger_travel_info_mi.py:121-151).",
+)
+def q_clean_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        deep_clean("c_name").alias("clean_key"),
+        prefix_map(
+            "c_mktsegment",
+            {"AUTO": "Vehicles", "BUIL": "Construction", "FURN": "Furniture"},
+        ).alias("segment_label"),
+    )
+
+
+@register(
+    "p15_binning",
+    oracle="""
+        SELECT CASE WHEN l_quantity <= 10 THEN '0-10'
+                    WHEN l_quantity <= 20 THEN '10-20'
+                    WHEN l_quantity <= 30 THEN '20-30'
+                    WHEN l_quantity <= 40 THEN '30-40'
+                    ELSE '40+' END AS qty_bin,
+               COUNT(*) AS trips,
+               ROUND(SUM(l_extendedprice), 2) AS price_sum
+        FROM lineitem
+        GROUP BY 1
+    """,
+    doc="P15/P16 right-closed distance-style binning (pd.cut semantics: "
+    "(lo,hi] + include-lowest; reference "
+    "scripts/ads_passenger_travel_distance_di.py:210-220).",
+)
+def q_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    bins = right_closed_bins(
+        "l_quantity",
+        [0, 10, 20, 30, 40, float("inf")],
+        ["0-10", "10-20", "20-30", "30-40", "40+"],
+    )
+    return li.groupBy(bins.alias("qty_bin")).agg(
+        F.count("*").alias("trips"),
+        F.round(F.sum("l_extendedprice"), 2).alias("price_sum"),
+    )
+
+
+@register(
+    "a12_guarded_ratio",
+    oracle="""
+        SELECT l_returnflag,
+               CASE WHEN SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) > 0
+                    THEN ROUND(SUM(l_quantity)
+                         / SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END), 4)
+                    ELSE 0 END AS qty_per_journey
+        FROM lineitem
+        GROUP BY 1
+    """,
+    doc="A12 zero-guarded ratio (avg per journey). Reference: "
+    "scripts/ads_passenger_travel_info_mi.py:442-445.",
+)
+def q_guarded_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("__qty"),
+        count_if(F.col("l_linenumber") == 1).alias("__journeys"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(
+            guarded_ratio(F.col("__qty"), F.col("__journeys")), 4
+        ).alias("qty_per_journey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events: time-bucket aggregates and JSON props (streaming-batch analog)
+# ---------------------------------------------------------------------------
+
+@register(
+    "t1_events_hourly",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 2) AS value_sum
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Tumbling-window (1h) aggregate — batch twin of the Structured "
+    "Streaming daily-aggregate pipeline (streaming/daily_aggs.py). "
+    "Beyond-reference: the reference is batch-only (SURVEY.md §2.9).",
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+@register(
+    "t2_events_json_props",
+    oracle="""
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1
+    """,
+    doc="JSON property extraction + aggregate (semi-structured side-input "
+    "path; beyond-reference — the reference had no JSON functions, "
+    "SURVEY.md §2.7).",
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_sum"),
+        F.count("*").alias("n_events"),
+    )

@@ -1,0 +1,83 @@
+"""Cross-engine parity harness: every oracle-checkable query in the
+registry must produce identical (column-sorted, row-sorted) results in
+Spark and DuckDB — mirroring the driver's CORRECTNESS gate.
+
+Floats are compared exactly: the queries themselves round aggregates so
+double-summation order cannot differ between engines. A failure here means
+the driver's hash-match would fail too.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+
+from ad_data_pipelines_spark.plans.testdata_queries import REGISTRY
+from tests.conftest import SF_MEDIUM, register_duck_views
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+def _norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / float drift that rounding already handled
+        return round(v, 9)
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+def _normalize(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
+    return [colnames[i] for i in order], out
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(name, spark, duck):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_MEDIUM)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    register_duck_views(duck, SF_MEDIUM)
+    res = duck.execute(spec.oracle)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column names differ spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    )
+    _, s_norm = _normalize(s_rows, s_cols)
+    _, d_norm = _normalize(d_rows, d_cols)
+    assert len(s_norm) == len(d_norm), (
+        f"{name}: row count spark={len(s_norm)} duck={len(d_norm)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_norm, d_norm)) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_queries_run(name, spark):
+    sdf = REGISTRY[name].fn(spark, SF_MEDIUM)
+    assert sdf.count() >= 0
+    assert len(sdf.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
