@@ -1,0 +1,294 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Beyond-reference (BASELINE.json north star): training-data pipeline
+operators over a `documents(doc_id, text, lang, source, n_chars)` table.
+All hashing uses the MD5-derived portable 60-bit hash
+(`functions.hashing.portable_hash64`) so every signature, band bucket and
+candidate pair is bit-reproducible in the DuckDB oracle; swap
+``fast=True`` (xxhash64) in production for ~2× hash throughput.
+
+Scale design (100 TB corpus):
+  * shingling explodes rows ~n_chars× — it is a narrow map + local
+    distinct, no shuffle until the per-doc signature aggregation;
+  * signatures are ONE row per doc (16 ints) — the LSH band join
+    shuffles only signatures, never text;
+  * band-bucket self-join is the classic O(candidates) LSH plan; skewed
+    buckets (boilerplate docs) are handled by AQE skew-join splitting;
+  * exact n-gram Jaccard is intentionally scoped (verification of
+    candidate pairs, or bounded samples) — the all-pairs form is
+    quadratic and must never run unscoped at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.functions.hashing import MERSENNE_31, portable_hash64
+
+#: (a, b) universal-hash constants for the 16 minhash permutations.
+#: Fixed so signatures are stable across runs and engines.
+PERMS: list[tuple[int, int]] = [
+    (387, 91), (1031, 557), (2053, 1117), (4099, 2237),
+    (8209, 4493), (16411, 8971), (32771, 17959), (65537, 35923),
+    (131101, 71917), (262147, 143843), (524309, 287731), (1048583, 575471),
+    (2097169, 1150963), (4194319, 2301947), (8388617, 4603891), (16777259, 9207803),
+]
+SHINGLE_K = 5
+N_BANDS = 4
+ROWS_PER_BAND = 4
+
+
+def char_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct k-character shingles per doc: (doc_id, shingle).
+
+    posexplode of a sequence + substring — pure built-ins, no UDF. The
+    `distinct` is per-(doc, shingle) and combines map-side.
+    """
+    n = F.greatest(F.length("text") - (k - 1), F.lit(1))
+    return (
+        docs.select("doc_id", F.explode(F.sequence(F.lit(1), n)).alias("i"), "text")
+        .select("doc_id", F.expr(f"substring(text, i, {k})").alias("shingle"))
+        .distinct()
+    )
+
+
+def shingle_h31(shingled: DataFrame) -> DataFrame:
+    """(doc_id, h31): shingle reduced to a 31-bit portable hash."""
+    return shingled.select(
+        "doc_id", (portable_hash64("shingle") % F.lit(MERSENNE_31)).alias("h31")
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """One row per doc: doc_id, mh0..mh15 minhash signature.
+
+    Each permutation is min((a*h31+b) mod P) over the doc's shingle set —
+    a single hash-aggregate, partial/final combined by Catalyst.
+    """
+    hashed = shingle_h31(char_shingles(docs, k))
+    aggs = [
+        F.min((F.col("h31") * a + b) % MERSENNE_31).alias(f"mh{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on ALL rows of ≥1 band.
+
+    Scale path: explode each signature into N_BANDS (band_idx, band_key)
+    rows and self-join on the band bucket — shuffle cost is
+    O(docs × bands), candidate cost O(true collisions). Returns
+    (doc_a, doc_b, n_eq) with n_eq = #equal signature components of 16
+    (estimated Jaccard = n_eq/16).
+    """
+    band_keys = [
+        F.concat_ws(
+            "_",
+            *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+    banded = sigs.select("doc_id", *[F.col(f"mh{i}") for i in range(16)], *band_keys)
+    bands_arr = F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])
+    exploded = banded.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(16)],
+        F.posexplode(bands_arr).alias("band_idx", "band_key"),
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            sum(
+                [
+                    F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
+                    for i in range(16)
+                ],
+                F.lit(0),
+            ).alias("n_eq"),
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, k: int = SHINGLE_K, min_jaccard: float = 0.25
+) -> DataFrame:
+    """Exact k-gram Jaccard similarity pairs ≥ threshold.
+
+    Quadratic in shared-shingle frequency — use on bounded scopes
+    (candidate verification, samples); the LSH pipeline is the scale
+    path. Returns (doc_a, doc_b, inter_n, jac).
+    """
+    sh = char_shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter_n"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter_n") / (F.col("sa.sz") + F.col("sb.sz") - F.col("inter_n"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "inter_n", F.round(jac, 4).alias("jac"))
+        .filter(F.col("jac") >= min_jaccard)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over whitespace tokens: (doc_id, simhash).
+
+    Each token contributes ±1 to each of `bits` bit positions by its
+    portable hash; the sign of the per-bit sum sets the output bit.
+    One explode + one aggregate — near-dup docs land within small
+    Hamming distance.
+    """
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    h = portable_hash64("w")
+    hashed = words.select("doc_id", h.alias("h"))
+    bit_sums = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    sim = sum(
+        [
+            F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(bits)
+        ],
+        F.lit(0),
+    )
+    return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content hash: (content_hash, n_docs, keeper_id).
+
+    Hash-groupBy on md5(text) — the keeper is min(doc_id), deterministic
+    (the reference's order-dependent keep='first' is replaced per
+    SURVEY.md §4.4-6).
+    """
+    return docs.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keeper_id")
+    )
+
+
+# --- DuckDB oracle generators (same constants, same algebra) -------------
+
+def _sql_h31(expr: str) -> str:
+    return f"(CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT) % {MERSENNE_31})"
+
+
+def minhash_sql(scope: str = "") -> str:
+    mins = ",\n               ".join(
+        f"MIN((h31 * {a} + {b}) % {MERSENNE_31}) AS mh{i}"
+        for i, (a, b) in enumerate(PERMS)
+    )
+    return f"""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, GREATEST(n_chars - {SHINGLE_K - 1}, 1))) AS i
+            FROM documents {scope}
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id, substr(text, i, {SHINGLE_K}) AS g FROM pos
+        ),
+        hashed AS (SELECT doc_id, {_sql_h31('g')} AS h31 FROM sh)
+        SELECT doc_id,
+               {mins}
+        FROM hashed GROUP BY doc_id
+    """
+
+
+def lsh_candidates_sql() -> str:
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh{b * ROWS_PER_BAND + r} = b.mh{b * ROWS_PER_BAND + r}"
+            for r in range(ROWS_PER_BAND)
+        )
+        + ")"
+        for b in range(N_BANDS)
+    )
+    n_eq = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+        WITH sig AS ({minhash_sql()})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {n_eq} AS n_eq
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE {band_eq}
+    """
+
+
+def ngram_jaccard_sql(max_doc_id: int, min_jaccard: float = 0.25) -> str:
+    return f"""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, GREATEST(n_chars - {SHINGLE_K - 1}, 1))) AS i
+            FROM documents WHERE doc_id < {max_doc_id}
+        ),
+        sh AS (SELECT DISTINCT doc_id, substr(text, i, {SHINGLE_K}) AS g FROM pos),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, inter_n,
+               ROUND(inter_n * 1.0 / (sa.sz + sb.sz - inter_n), 4) AS jac
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ROUND(inter_n * 1.0 / (sa.sz + sb.sz - inter_n), 4) >= {min_jaccard}
+    """
+
+
+def simhash_sql(bits: int = 32) -> str:
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    val = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(bits)
+    )
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+            FROM words
+        ),
+        bitsums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+        SELECT doc_id, {val} AS simhash FROM bitsums
+    """

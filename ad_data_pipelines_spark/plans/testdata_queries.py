@@ -679,3 +679,202 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("k_sum"),
         F.count("*").alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM training-data operators: dedup / similarity / text analysis /
+# multimodal (beyond-reference, BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+from ad_data_pipelines_spark.operators import dedup as _dedup  # noqa: E402
+from ad_data_pipelines_spark.operators import multimodal as _mm  # noqa: E402
+from ad_data_pipelines_spark.operators import similarity as _sim  # noqa: E402
+from ad_data_pipelines_spark.operators import textstats as _ts  # noqa: E402
+
+
+@register(
+    "llm_dedup_exact",
+    oracle="""
+        SELECT md5(text) AS content_hash,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS keeper_id
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="Exact dedup via content-hash groupBy; deterministic keeper "
+    "(min doc_id). operators/dedup.py:exact_dup_groups.",
+)
+def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.exact_dup_groups(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_minhash_sig",
+    oracle=_dedup.minhash_sql(),
+    doc="MinHash signatures (16 perms over 5-char shingles, md5-portable "
+    "hashing) — bit-identical to the SQL oracle. "
+    "operators/dedup.py:minhash_signatures.",
+)
+def q_llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.minhash_signatures(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_lsh_candidates",
+    oracle=_dedup.lsh_candidates_sql(),
+    doc="LSH band-bucket candidate pairs (4 bands × 4 rows) with "
+    "n_eq/16 estimated Jaccard. Scale path: explode-by-band self-join "
+    "shuffles signatures only, never text. "
+    "operators/dedup.py:lsh_candidate_pairs.",
+)
+def q_llm_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.lsh_candidate_pairs(
+        _dedup.minhash_signatures(t(spark, sf_dir, "documents"))
+    )
+
+
+@register(
+    "llm_ngram_jaccard",
+    oracle=_dedup.ngram_jaccard_sql(max_doc_id=150),
+    doc="Exact 5-gram Jaccard pairs ≥0.25 on a bounded scope (doc_id<150) "
+    "— the quadratic verifier for LSH candidates; never run unscoped at "
+    "scale. operators/dedup.py:ngram_jaccard_pairs.",
+)
+def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return _dedup.ngram_jaccard_pairs(docs, min_jaccard=0.25)
+
+
+@register(
+    "llm_simhash",
+    oracle=_dedup.simhash_sql(),
+    doc="32-bit SimHash over word tokens (±1 per bit, sign-of-sum) — "
+    "near-dups land within small Hamming distance. "
+    "operators/dedup.py:simhash.",
+)
+def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_token_stats",
+    oracle="""
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(AVG(len(regexp_split_to_array(trim(text), '\\s+'))), 4)
+                   AS avg_tokens,
+               ROUND(AVG(n_chars), 4) AS avg_chars
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="Token counting (whitespace tokenizer) aggregated per language. "
+    "operators/textstats.py:token_count.",
+)
+def q_llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(_ts.token_count("text")), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+@register(
+    "llm_quality",
+    oracle=_ts.quality_sql(),
+    doc="Per-doc quality features (token count, type-token ratio, mean "
+    "token length, length score) — Gopher-style filter ingredients. "
+    "operators/textstats.py:quality_features.",
+)
+def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.quality_features(t(spark, sf_dir, "documents"))
+
+
+def _lang_id_oracle() -> str:
+    scores = _ts.lang_scores_sql("text")
+    cols = ",\n               ".join(
+        f"{sql} AS score_{lang}" for lang, sql in scores.items()
+    )
+    langs = list(scores)
+    m = "GREATEST(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    case = " ".join(f"WHEN score_{la} = {m} THEN '{la}'" for la in langs)
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+               {cols}
+            FROM documents
+        )
+        SELECT doc_id, {", ".join("score_" + la for la in langs)},
+               CASE WHEN {m} > 0 THEN (CASE {case} END) ELSE 'und' END AS pred_lang
+        FROM scored
+    """
+
+
+@register(
+    "llm_lang_id",
+    oracle=_lang_id_oracle(),
+    doc="Language-ID marker scoring + argmax with fixed tie order. NOTE: "
+    "the synthetic corpus draws all langs from one vocabulary, so "
+    "accuracy vs the label column is meaningless by construction "
+    "(operators/textstats.py module docstring); the oracle checks the "
+    "scoring mechanics exactly.",
+)
+def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    scores = _ts.lang_scores("text")
+    return docs.select(
+        "doc_id",
+        *[s.alias(f"score_{lang}") for lang, s in scores.items()],
+        _ts.lang_id("text").alias("pred_lang"),
+    )
+
+
+@register(
+    "llm_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    """,
+    doc="Canonical content fingerprint: md5 of lowercased whitespace-"
+    "collapsed text. operators/textstats.py:fingerprint.",
+)
+def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return docs.select("doc_id", _ts.fingerprint("text").alias("fp"))
+
+
+@register(
+    "llm_cosine_topk",
+    oracle=_sim.cosine_topk_sql(max_query_id=25, k=5),
+    doc="Brute-force cosine top-5 (query side vec_id<25, broadcast; "
+    "corpus streamed, never shuffled). Double-precision zip_with/"
+    "aggregate dot product. operators/similarity.py:cosine_topk.",
+)
+def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return _sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 25), k=5)
+
+
+@register(
+    "llm_ann_lsh",
+    oracle=None,  # recall-based check in tests/test_operators.py instead
+    doc="Hyperplane-LSH ANN top-5 (8 planes → 256 buckets; search only "
+    "the query's bucket). Recall floor asserted in tests. "
+    "operators/similarity.py:lsh_topk.",
+)
+def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return _sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 25), k=5)
+
+
+@register(
+    "llm_mm_binary_meta",
+    oracle=_mm.BINARY_META_SQL,
+    doc="Multimodal plumbing: opaque binary payload + Arrow-batched "
+    "mapInPandas metadata extraction (byte length + checksum). The "
+    "decode stage proper is stubbed (no codecs in container) but this "
+    "proves schema/batching/UDF-signature end-to-end. "
+    "operators/multimodal.py:binary_meta.",
+)
+def q_llm_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mm.binary_meta(t(spark, sf_dir, "documents"))

@@ -1,0 +1,75 @@
+"""Behavioral tests that the oracle harness can't express: approximation
+accuracy (HLL, ANN recall) and property-style invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.operators import dedup, similarity
+from tests.conftest import SF_MEDIUM, SF_SMALL
+
+
+def test_hll_within_rsd(spark):
+    """approx_count_distinct(rsd=0.01) must sit within ~5σ of exact —
+    mirrors the reference's HyperLogLog(0.01) accuracy contract."""
+    li = spark.read.parquet(f"{SF_MEDIUM}/lineitem.parquet")
+    exact = li.agg(F.countDistinct("l_suppkey")).first()[0]
+    approx = li.agg(F.approx_count_distinct("l_suppkey", 0.01)).first()[0]
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_ann_recall_floor(spark):
+    """LSH-bucketed ANN must recover a reasonable fraction of brute-force
+    neighbors. 8 hyperplanes/256 buckets on 64-dim unit vectors: recall
+    is modest by design (single-probe), assert a floor not perfection."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.lsh_topk(emb, queries, k=5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+
+
+def test_lsh_candidates_superset_of_high_jaccard(spark):
+    """Property: every pair with high estimated signature agreement must
+    have been produced by the band join (banding can only *miss* pairs
+    whose bands all differ — 16/16 agreement implies all bands equal)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    sigs = dedup.minhash_signatures(docs).cache()
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    full_agree = pairs.filter(F.col("n_eq") == 16).count()
+    # all 16-equal pairs are trivially in the candidate set; sanity only
+    assert pairs.count() >= full_agree
+
+
+def test_minhash_estimates_track_true_jaccard(spark):
+    """MinHash n_eq/16 should correlate with true Jaccard on candidate
+    pairs: mean absolute error under ~2/sqrt(16)."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id") < 100
+    )
+    true_pairs = {
+        (r.doc_a, r.doc_b): r.jac
+        for r in dedup.ngram_jaccard_pairs(docs, min_jaccard=0.15).collect()
+    }
+    sigs = dedup.minhash_signatures(docs)
+    est_pairs = {
+        (r.doc_a, r.doc_b): r.n_eq / 16.0
+        for r in dedup.lsh_candidate_pairs(sigs).collect()
+    }
+    common = set(true_pairs) & set(est_pairs)
+    if common:
+        mae = sum(abs(true_pairs[p] - est_pairs[p]) for p in common) / len(common)
+        assert mae < 0.5
+
+
+def test_simhash_identical_docs_equal(spark):
+    """Identical texts must produce identical simhash values."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(5)
+    doubled = docs.union(docs)
+    out = dedup.simhash(doubled)
+    # union collapses per doc_id into the same hash → one distinct hash/doc
+    assert out.select("doc_id", "simhash").distinct().count() == 5
