@@ -1,0 +1,126 @@
+"""Geometry operators without a geo engine: ordered linestring/WKT
+assembly and point-in-polygon joins as pure column algebra.
+
+Reference parity (SURVEY.md §2.4 A14, §2.3 J12): the reference built
+`sf` LINESTRINGs from ordered per-link coordinates
+(dwd_bus_route_info_mf & other 2.R:109-119) and st_within-joined stops
+into region polygons (…:338-340). Here:
+
+  * A14: sort_array(collect_list(struct(seq, x, y))) → transform →
+    concat_ws — one aggregation, no UDF, emits WKT text exactly like the
+    reference's output layer (…:259, 349);
+  * J12: regions are FEW (3 in the reference) — each polygon becomes a
+    broadcast *column expression* (ray-casting unrolled over the
+    polygon's edges via `aggregate`), so the "spatial join" is a
+    when()-chain label assignment: zero shuffle, linear scan, exactly
+    what you want for a 100 TB point table against a handful of
+    polygons. Apache Sedona would replace this only for large polygon
+    sets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def linestring_wkt(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    seq_col: str,
+    x_col: str,
+    y_col: str,
+    out_col: str = "wkt",
+    fmt: str = "%.6f",
+) -> DataFrame:
+    """Per group: ordered points → 'LINESTRING(x y, x y, …)' (A14).
+
+    Coordinates are rendered with a fixed printf format so output is
+    reproducible across engines/locales.
+    """
+    pts = F.array_sort(
+        F.collect_list(F.struct(F.col(seq_col).alias("s"), F.col(x_col).alias("x"), F.col(y_col).alias("y")))
+    )
+    coords = F.transform(
+        pts,
+        lambda p: F.concat_ws(
+            " ",
+            F.format_string(fmt, p["x"]),
+            F.format_string(fmt, p["y"]),
+        ),
+    )
+    wkt = F.concat(F.lit("LINESTRING("), F.array_join(coords, ", "), F.lit(")"))
+    return df.groupBy(*group_cols).agg(wkt.alias(out_col))
+
+
+def point_in_polygon(
+    x: Column | str, y: Column | str, polygon: Sequence[tuple[float, float]]
+) -> Column:
+    """Ray-casting containment test against a FIXED polygon, as a pure
+    boolean column (J12 building block).
+
+    The polygon (small, driver-side — e.g. a region boundary) is
+    unrolled into an edge-crossing parity expression: odd number of
+    rightward edge crossings of the horizontal ray from (x, y) → inside.
+    Vertices on edges count per standard even-odd semantics.
+    """
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    crossings: Column = F.lit(0)
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses a horizontal ray
+        straddles = ((F.lit(y1) > yc) != (F.lit(y2) > yc))
+        x_at_y = F.lit(x1) + (yc - F.lit(y1)) * F.lit((x2 - x1) / (y2 - y1))
+        crossings = crossings + F.when(straddles & (xc < x_at_y), 1).otherwise(0)
+    return (crossings % 2) == 1
+
+
+def point_in_polygon_sql(
+    x_expr: str, y_expr: str, polygon: Sequence[tuple[float, float]]
+) -> str:
+    """DuckDB oracle twin of `point_in_polygon`: the identical unrolled
+    edge-crossing parity expression, term for term, so float evaluation
+    order matches Spark's exactly."""
+    terms = []
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        if y1 == y2:
+            continue
+        slope = (x2 - x1) / (y2 - y1)
+        terms.append(
+            f"(CASE WHEN (({y1} > {y_expr}) <> ({y2} > {y_expr})) "
+            f"AND ({x_expr} < {x1} + ({y_expr} - {y1}) * {slope!r}) "
+            f"THEN 1 ELSE 0 END)"
+        )
+    total = " + ".join(terms) if terms else "0"
+    return f"((({total}) % 2) = 1)"
+
+
+def label_by_polygons(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    polygons: dict[str, Sequence[tuple[float, float]]],
+    out_col: str = "region_id",
+    default: str = "Unknown",
+) -> DataFrame:
+    """Assign each point the first polygon label containing it (J12).
+
+    A broadcast-free 'spatial join': the polygon set is compiled into
+    one when()-chain over ray-cast expressions — a narrow map over the
+    point table, no shuffle at any scale.
+    """
+    expr: Column | None = None
+    for name, poly in polygons.items():
+        cond = point_in_polygon(x_col, y_col, poly)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    labeled = expr.otherwise(default) if expr is not None else F.lit(default)
+    return df.withColumn(out_col, labeled)

@@ -878,3 +878,222 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.binary_meta(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Geometry, coordinate, journey-grain and avg-of-daily-ratio operators
+# ---------------------------------------------------------------------------
+
+from ad_data_pipelines_spark.functions.geo import (  # noqa: E402
+    dddmmss_to_decimal,
+    dddmmss_to_decimal_sql,
+)
+from ad_data_pipelines_spark.functions.timeutil import (  # noqa: E402
+    clamp_outliers,
+    minutes_between,
+)
+from ad_data_pipelines_spark.operators import geo as _geo  # noqa: E402
+
+#: test polygons for the J12 point-in-polygon label join (grid units)
+_POLYGONS: dict[str, list[tuple[float, float]]] = {
+    "triangle": [(-80.0, -80.0), (0.0, 60.0), (80.0, -80.0)],
+    "box": [(-95.0, 65.0), (-35.0, 65.0), (-35.0, 95.0), (-95.0, 95.0)],
+}
+
+
+@register(
+    "p20_coord_convert",
+    oracle=f"""
+        SELECT p_partkey,
+               ((p_partkey * 7919) % 3600000000) - 1800000000 AS lon_raw,
+               {dddmmss_to_decimal_sql('(((p_partkey * 7919) % 3600000000) - 1800000000)')}
+                   AS lon_dec
+        FROM part
+    """,
+    doc="P20 signed DDDMMSSmmm→decimal-degree conversion as pure column "
+    "arithmetic (reference row fn "
+    "scripts/ads_passenger_travel_time_di.R:29-48). Input synthesized "
+    "deterministically from p_partkey.",
+)
+def q_coord_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    raw = (F.col("p_partkey") * 7919) % 3600000000 - 1800000000
+    return part.select(
+        "p_partkey",
+        raw.alias("lon_raw"),
+        dddmmss_to_decimal(raw).alias("lon_dec"),
+    )
+
+
+@register(
+    "w2_transfer_time",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(
+                 CASE WHEN gap_min < 0 OR gap_min > 240 THEN 0 ELSE gap_min END,
+               4) AS transfer_min
+        FROM (
+            SELECT event_id, user_id,
+                   (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)) / 60000000.0
+                       AS gap_min
+            FROM events
+        )
+    """,
+    doc="W2 LAG previous-event time + P13 minutes-diff + P14 outlier clamp "
+    "(<0 or >240 min → 0): the reference's transfer-time computation "
+    "(scripts/ads_passenger_travel_info_mi.py:195-205, "
+    "ads_passenger_travel_time_di.R:165-173) computed globally — no "
+    "chunk-boundary journey splits (SURVEY.md §4.4-3).",
+)
+def q_transfer_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 60_000_000.0
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(clamp_outliers(gap, 0, 240), 4).alias("transfer_min"),
+    )
+
+
+@register(
+    "a10_journey_reagg",
+    oracle="""
+        WITH journey AS (
+            SELECT l_orderkey, SUM(l_quantity) AS qty_sum, COUNT(*) AS n_legs
+            FROM lineitem GROUP BY 1
+        )
+        SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+               COUNT(*) AS journeys,
+               ROUND(AVG(n_legs), 4) AS avg_legs,
+               ROUND(SUM(qty_sum), 2) AS qty_total
+        FROM journey JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1
+    """,
+    doc="A10 two-level re-aggregation: legs→journey→month (reference "
+    "journey rollup scripts/ads_passenger_travel_time_di.R:200-222). "
+    "The leg→journey agg pre-shuffles on orderkey; the second agg is "
+    "tiny.",
+)
+def q_journey_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    journey = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("qty_sum"), F.count("*").alias("n_legs")
+    )
+    return (
+        journey.join(orders, journey.l_orderkey == orders.o_orderkey)
+        .groupBy(month_str("o_orderdate").alias("order_month"))
+        .agg(
+            F.count("*").alias("journeys"),
+            F.round(F.avg("n_legs"), 4).alias("avg_legs"),
+            F.round(F.sum("qty_sum"), 2).alias("qty_total"),
+        )
+    )
+
+
+@register(
+    "a11_avg_daily_ratio",
+    oracle="""
+        WITH daily AS (
+            SELECT strftime(ts, '%Y-%m') AS m, CAST(ts AS DATE) AS d, event_type,
+                   COUNT(*) AS trips, COUNT(DISTINCT user_id) AS users
+            FROM events GROUP BY 1, 2, 3
+        )
+        SELECT m AS month, event_type,
+               ROUND(SUM(CASE WHEN users > 0 THEN trips * 1.0 / users ELSE 0 END)
+                     / day(last_day(MIN(d))), 6) AS avg_daily_trips_per_user
+        FROM daily GROUP BY 1, 2
+    """,
+    doc="A11 avg-of-daily-ratios — the reference's hardest metric "
+    "(scripts/ads_passenger_travel_info_mi.py:415-436): "
+    "Σ_days(trips/users)÷calendar-days, zero-user days contribute 0, "
+    "divisor is calendar days not active days. Exact count(distinct) "
+    "here for the oracle; production swaps in approx_count_distinct.",
+)
+def q_avg_daily_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        month_str("ts").alias("month"),
+        F.to_date("ts").alias("d"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("trips"), F.countDistinct("user_id").alias("users")
+    )
+    ratio = F.when(F.col("users") > 0, F.col("trips") / F.col("users")).otherwise(0.0)
+    return (
+        daily.withColumn("ratio", ratio)
+        .groupBy("month", "event_type")
+        .agg(
+            F.round(
+                F.sum("ratio") / F.dayofmonth(F.last_day(F.min("d"))), 6
+            ).alias("avg_daily_trips_per_user")
+        )
+    )
+
+
+@register(
+    "a14_wkt_assembly",
+    oracle="""
+        SELECT l_orderkey,
+               'LINESTRING(' || string_agg(
+                   printf('%.6f %.6f', x, y), ', ' ORDER BY s, x, y
+               ) || ')' AS wkt
+        FROM (
+            SELECT l_orderkey, l_linenumber AS s,
+                   CAST(l_partkey % 100 AS DOUBLE) AS x,
+                   CAST(l_suppkey % 100 AS DOUBLE) AS y
+            FROM lineitem
+        )
+        GROUP BY 1
+    """,
+    doc="A14 ordered geometry assembly → WKT linestring text, no geo "
+    "engine: sort_array(collect_list(struct)) + transform + concat "
+    "(reference sf st_linestring + WKT out, "
+    "dwd_bus_route_info_mf & other 2.R:109-119, 259). Full-struct sort "
+    "keeps tied sequence numbers deterministic.",
+)
+def q_wkt_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_linenumber").alias("s"),
+        (F.col("l_partkey") % 100).cast("double").alias("x"),
+        (F.col("l_suppkey") % 100).cast("double").alias("y"),
+    )
+    return _geo.linestring_wkt(li, ["l_orderkey"], "s", "x", "y")
+
+
+def _j12_oracle() -> str:
+    x = "(((c_custkey * 37) % 200) - 100)"
+    y = "(((c_custkey * 73) % 200) - 100)"
+    tri = _geo.point_in_polygon_sql(x, y, _POLYGONS["triangle"])
+    box = _geo.point_in_polygon_sql(x, y, _POLYGONS["box"])
+    return f"""
+        SELECT CASE WHEN {tri} THEN 'triangle'
+                    WHEN {box} THEN 'box'
+                    ELSE 'Unknown' END AS region_id,
+               COUNT(*) AS n_points
+        FROM customer
+        GROUP BY 1
+    """
+
+
+@register(
+    "j12_point_in_polygon",
+    oracle=_j12_oracle(),
+    doc="J12 spatial containment as a zero-shuffle column expression: "
+    "ray-casting unrolled over each (broadcast, few) polygon's edges — "
+    "the reference's st_within stops⋈regions join "
+    "(dwd_bus_route_info_mf & other 2.R:338-340) for a handful of "
+    "polygons at any point-table scale. Points synthesized from "
+    "c_custkey.",
+)
+def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    pts = cust.select(
+        ((F.col("c_custkey") * 37) % 200 - 100).cast("double").alias("px"),
+        ((F.col("c_custkey") * 73) % 200 - 100).cast("double").alias("py"),
+    )
+    labeled = _geo.label_by_polygons(pts, "px", "py", _POLYGONS)
+    return labeled.groupBy("region_id").agg(F.count("*").alias("n_points"))
