@@ -1,0 +1,77 @@
+"""Shared transforms for the transit (reference-parity) pipelines:
+AFC⋈VDV enrichment chain, region mapping, audit columns.
+
+Reference parity: the join chain AFC ⟕ LINE ⟕ OPERATING_DEPARTMENT with
+deep-cleaned keys and prefix→region mapping is duplicated in three
+reference scripts (scripts/ads_passenger_travel_info_mi.py:121-172,
+ads_passenger_transfer_count_di.py:96-146,
+ads_passenger_travel_distance_di.py:137-176); here it is one function.
+
+Scale: LINE and OPERATING_DEPARTMENT are KB-sized → both joins broadcast;
+the fact table is never shuffled by enrichment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.functions import deep_clean, prefix_map
+
+#: OP_DEP_ABBR prefix → region label
+#: (reference scripts/ads_passenger_travel_info_mi.py:121-132)
+REGION_PREFIXES = {"AD": "Abu Dhabi", "ER": "Al Ain", "WR": "Al Dhafra"}
+
+#: abs(OP_DEP_NO) first digit → region
+#: (reference scripts/ads_passenger_travel_time_di.R:104-108)
+REGION_DIGITS = {"1": "Abu Dhabi", "2": "Al Ain", "3": "Al Dhafra"}
+
+
+def dedup_line(line: DataFrame) -> DataFrame:
+    """Keep one row per cleaned LINE_ABBR — deterministic keep-first by
+    (OP_DEP_NO, LINE_NO) order. Replaces the reference's file-order
+    drop_duplicates(keep='first')
+    (scripts/ads_passenger_travel_info_mi.py:142; SURVEY.md §4.4-6)."""
+    w = Window.partitionBy("line_key").orderBy("OP_DEP_NO", "LINE_NO")
+    return (
+        line.withColumn("line_key", deep_clean("LINE_ABBR"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def enrich_with_region(
+    afc: DataFrame, line: DataFrame, opdep: DataFrame
+) -> DataFrame:
+    """AFC ⟕ LINE (cleaned route key) ⟕ OPERATING_DEPARTMENT → region_id.
+
+    J1+J2+P7+P8 in one broadcast chain; rows with no match get region_id
+    'Unknown' (filtered or kept by callers per-pipeline, matching each
+    reference script's own policy)."""
+    line_d = dedup_line(line).select("line_key", "OP_DEP_NO", "LINE_NO", "LINE_ABBR")
+    op = opdep.select(
+        F.col("OP_DEP_NO").alias("__op_no"),
+        prefix_map("OP_DEP_ABBR", REGION_PREFIXES).alias("region_id"),
+    )
+    return (
+        afc.withColumn("route_key", deep_clean("route"))
+        .join(F.broadcast(line_d), F.col("route_key") == F.col("line_key"), "left")
+        .join(F.broadcast(op), F.col("OP_DEP_NO") == F.col("__op_no"), "left")
+        .drop("line_key", "__op_no")
+        .na.fill({"region_id": "Unknown"})
+    )
+
+
+def with_audit(
+    df: DataFrame, create_by: str = "system", update_by: str = "system"
+) -> DataFrame:
+    """Standard audit quartet (P22): reference
+    scripts/ads_passenger_travel_info_mi.py:462-465."""
+    now = F.current_timestamp()
+    return (
+        df.withColumn("create_by", F.lit(create_by))
+        .withColumn("update_by", F.lit(update_by))
+        .withColumn("create_time", now)
+        .withColumn("update_time", now)
+    )

@@ -1,0 +1,225 @@
+"""Pipeline-plan tests over the FIXTURES.md F1-F7 synthetic transit data
+(tests/transit_fixtures.py) — hand-computed expectations for the
+reference semantics, including the §4.4 quirk policies."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.plans import (
+    ads_revenue,
+    ads_route_trips,
+    ads_stop_trips,
+    ads_transfer_count,
+    ads_travel_distance,
+    ads_travel_info,
+    ads_travel_time,
+)
+from tests import transit_fixtures as fx
+
+D5 = dt.date(2025, 1, 5)
+D6 = dt.date(2025, 1, 6)
+
+
+@pytest.fixture(scope="module")
+def afc(spark):
+    return fx.afc_legs(spark).cache()
+
+
+@pytest.fixture(scope="module")
+def line(spark):
+    return fx.vdv_line(spark)
+
+
+@pytest.fixture(scope="module")
+def opdep(spark):
+    return fx.vdv_operating_department(spark)
+
+
+def test_route_trips_daily(afc, spark):
+    out = ads_route_trips.build(afc, start="2025-01-01", end="2025-02-01")
+    rows = {
+        (r.ope_date, r.route_no, r.direction): r.passenger_trips
+        for r in out.collect()
+    }
+    assert rows[(D5, "A1", 1)] == 2  # u1j1 leg1 + u2j3 leg1
+    assert rows[(D5, "a-1", 2)] == 1
+    assert rows[(dt.date(2025, 1, 31), "B2", 1)] == 1
+    # half-open window: feb leg excluded
+    assert (dt.date(2025, 2, 1), "B2", 1) not in rows
+
+
+def test_route_trips_halfopen_no_double_count(afc):
+    """§4.4-1 policy: adjacent windows partition rows exactly."""
+    jan_a = ads_route_trips.build(afc, "2025-01-01", "2025-01-08")
+    jan_b = ads_route_trips.build(afc, "2025-01-08", "2025-02-01")
+    total = ads_route_trips.build(afc, "2025-01-01", "2025-02-01")
+    a = jan_a.agg(F.sum("passenger_trips")).first()[0]
+    b = jan_b.agg(F.sum("passenger_trips")).first()[0]
+    t = total.agg(F.sum("passenger_trips")).first()[0]
+    assert a + b == t
+
+
+def test_stop_trips(afc, spark):
+    out = ads_stop_trips.build(afc, fx.avm_day_types(spark))
+    rows = {(r.ope_date, r.station_no): r for r in out.collect()}
+    r101 = rows[(D5, "101")]
+    assert r101.boarding_num == 2  # u1j1 leg1, u2j3 leg1
+    assert r101.alighting_num == 1  # u1j2 end
+    assert r101.first_boarding_num == 2
+    # last_alighting at 101: u1j2 single-leg journey's (only) leg ends 101
+    assert r101.last_alighting_num == 1
+    assert r101.day_type == "weekend"  # dedup kept first by DAY_TYPE order
+    # '-' stations never become spine rows
+    assert (D5, "-") not in rows
+    # u2j3 leg3 (105 → '-') is dropped entirely (both-sides filter): no
+    # boarding at 105; the journey's last *valid* leg (ends 105) becomes
+    # its alighting leg — reference rank-after-filter semantics
+    r105 = rows[(D5, "105")]
+    assert r105.boarding_num == 0
+    assert r105.alighting_num == 1 and r105.last_alighting_num == 1
+
+
+def test_transfer_count_adjacent_difference(afc, line, opdep):
+    out = ads_transfer_count.build(afc, line, opdep)
+    rows = {
+        (r.ope_date, r.region_id, r.transfer_count): r.journey_num
+        for r in out.collect()
+    }
+    # D5 overall: journeys j1(2 legs), j2(1), j3(3) →
+    # h(1)=3 h(2)=2 h(3)=1 → exactly0=1, exactly1=1, exactly2=1
+    assert rows[(D5, "overall", 0)] == 1
+    assert rows[(D5, "overall", 1)] == 1
+    assert rows[(D5, "overall", 2)] == 1
+    # property: Σ journeys with exactly k transfers == #journeys (h(1))
+    total_j = sum(v for (d, rg, k), v in rows.items() if rg == "overall" and d == D5)
+    assert total_j == 3
+
+
+def test_transfer_count_python_oracle(afc, line, opdep):
+    """Independent mini-oracle: recompute the adjacent-difference table in
+    plain Python from the per-leg histogram (the reference's exact rules:
+    per-leg (date, region) keys, ≥6 floor, negatives dropped) and compare
+    the full pipeline output."""
+    from collections import Counter
+
+    from ad_data_pipelines_spark.plans.transit_common import enrich_with_region
+
+    legs = enrich_with_region(afc, line, opdep).select(
+        F.to_date("start_time").alias("d"), "region_id", "leg_id"
+    ).collect()
+    hist: Counter = Counter()
+    for r in legs:
+        leg = min(int(r.leg_id), ads_transfer_count.MAX_LEG)
+        hist[(r.d, r.region_id, leg)] += 1
+        hist[(r.d, "overall", leg)] += 1
+    expect = {}
+    for (d, rg, leg), cnt in hist.items():
+        if leg == ads_transfer_count.MAX_LEG:
+            jn = cnt
+        else:
+            jn = cnt - hist.get((d, rg, leg + 1), 0)
+        if jn >= 0:
+            expect[(d, rg, leg - 1)] = jn
+    out = ads_transfer_count.build(afc, line, opdep)
+    got = {
+        (r.ope_date, r.region_id, r.transfer_count): r.journey_num
+        for r in out.collect()
+    }
+    assert got == expect
+
+
+def test_travel_distance_bins(afc, line, opdep):
+    out = ads_travel_distance.build(afc, line, opdep)
+    rows = {
+        (r.ope_date, r.region_id, r.distance_range): r.passenger_trips
+        for r in out.collect()
+    }
+    # right-closed at 5km: u1j1l1 5000m + u1j1l2 3000m ('a-1' deep-cleans
+    # to A1 → Abu Dhabi) + u2j3l1 4000m
+    assert rows[(D5, "Abu Dhabi", "0-5km")] == 3
+    assert rows[(D6, "Unknown", "20km+")] == 1  # ZZ unmatched, 22km → 20km+
+    # overall rollup consistency for D5
+    per_region = sum(
+        v for (d, rg, b), v in rows.items() if d == D5 and rg != "overall"
+    )
+    overall = sum(v for (d, rg, b), v in rows.items() if d == D5 and rg == "overall")
+    assert per_region == overall
+
+
+def test_travel_time_branches(afc, line):
+    out = ads_travel_time.build(afc, line)
+    rows = {
+        (str(r.ope_date), r.time_range_type, r.region_id): (
+            r.passenger_trips, r.journey_num, r.transfer_num,
+        )
+        for r in out.collect()
+    }
+    # u1 j1 leg2: 20min travel → trips bin 10-20, region Abu Dhabi (A1→11→'1'→AD)
+    assert rows[("2025-01-05", "10-20", "Abu Dhabi")][0] >= 1
+    # transfer u1 j1: wait 08:30→08:40 = 10min → bin 0-10 (default semantics)
+    d5_transfers = sum(
+        v[2] for (d, b, rg), v in rows.items() if d == "2025-01-05" and rg != "Overall"
+    )
+    assert d5_transfers >= 1
+    # Overall equals sum of regions for every (date, bin)
+    for (d, b, rg), v in rows.items():
+        if rg == "Overall":
+            per = [
+                rows[k]
+                for k in rows
+                if k[0] == d and k[1] == b and k[2] != "Overall"
+            ]
+            assert v[0] == sum(p[0] for p in per)
+
+
+def test_travel_time_bug_compat_differs(afc, line):
+    default = ads_travel_time.build(afc, line)
+    compat = ads_travel_time.build(afc, line, bug_compat=True)
+    d = default.select("ope_date", "time_range_type", "region_id", "transfer_num")
+    c = compat.select("ope_date", "time_range_type", "region_id", "transfer_num")
+    # The u2 j3 transfer waits (270min→clamped? no—travel_time path bins by
+    # leg travel) make the two modes disagree somewhere:
+    assert d.exceptAll(c).count() > 0
+
+
+def test_travel_info_monthly(afc, line, opdep):
+    out = ads_travel_info.build(afc, line, opdep)
+    rows = {(r.ope_month, r.region_id): r for r in out.collect()}
+    jan_all = rows[("2025-01", "overall")]
+    # legs in Jan with known region: 9 of 10 minus unknown ZZ leg = 8... but
+    # Unknown-region legs are filtered pre-agg: count = 8
+    assert jan_all.passenger_trips == 8
+    assert jan_all.journey_num == 5  # j1 j2 j3 j5 j6 (leg_id==1, known region)
+    assert jan_all.transfer_num == 3  # j1l2, j3l2, j3l3
+    assert jan_all.unique_passengers == 3  # u1 u2 u4
+    # guarded averages finite & consistent
+    assert jan_all.avg_travel_time == pytest.approx(
+        jan_all.travel_time_minutes / jan_all.passenger_trips, abs=1e-4
+    )
+    # regions present
+    assert ("2025-01", "Abu Dhabi") in rows and ("2025-02", "overall") in rows
+
+
+def test_travel_info_a11_value(afc, line, opdep):
+    """Hand-check A11 for Abu Dhabi Jan: days 05 (3 trips / 2 users) and
+    08 (1/1) → (1.5 + 1.0)/31."""
+    out = ads_travel_info.build(afc, line, opdep)
+    r = out.filter(
+        (F.col("ope_month") == "2025-01") & (F.col("region_id") == "Abu Dhabi")
+    ).first()
+    assert r.avg_daily_trips_per_passenger == pytest.approx((1.5 + 1.0) / 31, abs=1e-6)
+
+
+def test_revenue(spark):
+    out = ads_revenue.build(fx.sales(spark))
+    rows = {(r.ope_month, r.region_id): r for r in out.collect()}
+    ad = rows[("202501", "Abu Dhabi")]
+    assert ad.tickets_num == 15 and ad.revenue == 125.0
+    assert ad.contactless_smart_tickets_num == 10
+    assert ad.contactless_revenue == 100.0
+    aa = rows[("202501", "Al Ain")]
+    assert aa.contactless_smart_tickets_num == 2
