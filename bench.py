@@ -26,8 +26,15 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
 
-    # JVM/codegen warmup so query #1 doesn't pay session startup.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # JVM/codegen/writer warmup so query #1 doesn't pay session startup:
+    # exercises the noop sink and the nanos-timestamp parquet path on the
+    # smallest SF (does not touch the benchmarked directory's data).
+    spark.range(1_000_000).selectExpr("sum(id) AS s").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    REGISTRY["t1_events_hourly"].fn(spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):

@@ -1,0 +1,98 @@
+"""Sink / ingestion / streaming tests: manifest incremental import
+(idempotence + schema cache), first-seen merge, CSV NA policy, swap DDL,
+and the Structured Streaming daily aggregate vs its batch twin."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.sources import firstseen, manifest, writers
+from ad_data_pipelines_spark.streaming import daily_aggs
+from tests.conftest import SF_SMALL
+
+
+def _write_csv(path, rows, header="id,name,v"):
+    path.write_text("\n".join([header] + rows) + "\n")
+
+
+def test_import_folder_incremental_and_idempotent(spark, tmp_path):
+    root = tmp_path / "feeds"
+    wh = tmp_path / "warehouse"
+    t1 = root / "trips"
+    t1.mkdir(parents=True)
+    _write_csv(t1 / "a.csv", ["1,x,1.5", "2,y,2.5"])
+    _write_csv(t1 / "b.csv", ["3,z,3.5"])
+
+    n1 = manifest.import_folder(spark, str(root), str(wh))
+    assert n1 == {"trips": 2}
+    assert spark.read.parquet(f"{wh}/trips").count() == 3
+
+    # re-run: markers skip everything (reference .imported semantics)
+    n2 = manifest.import_folder(spark, str(root), str(wh))
+    assert n2 == {"trips": 0}
+    assert spark.read.parquet(f"{wh}/trips").count() == 3
+
+    # new file: only it is imported, using the CACHED schema
+    _write_csv(t1 / "c.csv", ["4,w,4.5"])
+    n3 = manifest.import_folder(spark, str(root), str(wh))
+    assert n3 == {"trips": 1}
+    df = spark.read.parquet(f"{wh}/trips")
+    assert df.count() == 4
+    assert dict(df.dtypes)["id"] == "int"  # full-file inference, cached
+    assert manifest.load_schema_cache(str(t1)) is not None
+
+
+def test_first_seen_merge(spark):
+    prev = spark.createDataFrame(
+        [("k1", dt.datetime(2025, 1, 1, 12, 0, 0), 10)],
+        "k string, create_time timestamp, v int",
+    )
+    cur = spark.createDataFrame([("k1", 99), ("k2", 7)], "k string, v int")
+    out = firstseen.merge_first_seen(cur, prev, ["k"])
+    rows = {r.k: r for r in out.collect()}
+    assert rows["k1"].create_time == dt.datetime(2025, 1, 1, 12, 0, 0)  # preserved
+    assert rows["k1"].v == 99  # value refreshed
+    assert rows["k2"].create_time is not None  # new key stamped now
+
+
+def test_swap_ddl_sequence():
+    ddl = writers.swap_ddl("ads_x", "ads_x__staging")
+    assert ddl[0] == "BEGIN" and ddl[-1] == "COMMIT"
+    assert 'DROP TABLE IF EXISTS "ads_x"' in ddl
+    assert 'ALTER TABLE "ads_x__staging" RENAME TO "ads_x"' in ddl
+
+
+def test_csv_na_policy(spark, tmp_path):
+    p = tmp_path / "na.csv"
+    p.write_text("id,v\n1,\n2,ok\n")
+    df = manifest.read_csv_typed(spark, str(p))
+    rows = {r.id: r.v for r in df.collect()}
+    assert rows[1] is None and rows[2] == "ok"
+
+
+def test_streaming_daily_aggs_match_batch(spark, tmp_path):
+    """AvailableNow streaming drain == batch aggregation of the same data
+    (counts and sums exactly; approx_users within HLL tolerance)."""
+    # re-write events with micro timestamps (stream source can't read nanos)
+    src = tmp_path / "events_src"
+    ck = tmp_path / "ck"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    ev.write.parquet(str(src))
+
+    daily_aggs.run_available_now(spark, str(src), str(ck), sink_table="t_daily")
+    got = {
+        (r.ope_date, r.event_type): (r.n_events, r.value_sum)
+        for r in spark.sql("select * from t_daily").collect()
+    }
+    batch = (
+        ev.groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    )
+    expect = {(r.d, r.event_type): (r.n, r.s) for r in batch}
+    assert got == expect
