@@ -1097,3 +1097,49 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labeled = _geo.label_by_polygons(pts, "px", "py", _POLYGONS)
     return labeled.groupBy("region_id").agg(F.count("*").alias("n_points"))
+
+
+# ---------------------------------------------------------------------------
+# Sessionization + remaining conditional-sum coverage
+# ---------------------------------------------------------------------------
+
+from ad_data_pipelines_spark.operators.sessionize import (  # noqa: E402
+    sessionize,
+    sessionize_sql,
+)
+
+
+@register(
+    "t3_sessionize",
+    oracle=sessionize_sql(timeout_min=30.0),
+    doc="Gap-based sessionization (30-min timeout): lag-gap flag + "
+    "running-sum session ids + per-session aggregate, one shuffle. "
+    "Streaming twin = session_window(ts, '30 minutes'). "
+    "operators/sessionize.py.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(t(spark, sf_dir, "events"), timeout_min=30.0)
+
+
+@register(
+    "a4_conditional_sum",
+    oracle="""
+        SELECT p_brand,
+               ROUND(SUM(CASE WHEN p_type LIKE '%BRASS%'
+                              THEN p_retailprice ELSE 0 END), 2) AS brass_value,
+               ROUND(SUM(p_retailprice), 2) AS total_value
+        FROM part
+        GROUP BY 1
+    """,
+    doc="A4+P21 conditional sum over a substring-match flag — the "
+    "reference's contactless-ticket revenue split "
+    "(scripts/ads_csc_sales_revenue_region_mi.R:36-41).",
+)
+def q_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.round(
+            sum_if(F.col("p_type").contains("BRASS"), F.col("p_retailprice")), 2
+        ).alias("brass_value"),
+        F.round(F.sum("p_retailprice"), 2).alias("total_value"),
+    )
