@@ -13,9 +13,12 @@ Scale design (100 TB / billions of vectors):
     search only the query's bucket (optionally multi-probe neighboring
     buckets). Bucket assignment is a narrow map; the bucketed join
     shuffles vectors once by bucket id.
-  * an IVF variant would k-means the corpus and probe nearest
-    centroids; hyperplane LSH is chosen here because it is stateless
-    (no training pass) and fully expressible as column algebra.
+  * the IVF variant (`ivf_topk`) partitions the corpus into K cells by
+    nearest centroid and probes the query's nprobe nearest cells —
+    assignment is an O(N×K) broadcast pass, the probed join shuffles by
+    cell id only. Centroids here are deterministic seed vectors (the K
+    lowest vec_ids) so the oracle reproduces them; production would run
+    k-means (Spark ML) and broadcast the trained centroids identically.
 """
 
 from __future__ import annotations
@@ -163,6 +166,118 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "sim", "rk")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    n_cells: int = 4,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN top-k: corpus vectors live in their single nearest
+    cell; each query probes its `nprobe` nearest cells.
+
+    Centroids = the `n_cells` lowest-id vectors (deterministic seed
+    stand-in for a k-means pass — swap in Spark ML KMeans centroids for
+    production; the plan shape is unchanged). Cell assignment ranks
+    dot(vec, centroid) with row_number over a deterministic order, so
+    corpus cost is O(N × n_cells) map-side (centroids broadcast) and the
+    search join shuffles on cell_id only. Returns
+    (query_id, neighbor_id, sim, rk); recall < 1.0 by construction.
+    """
+    cent = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col("embedding").alias("cent_emb")
+    )
+
+    def cells(side: DataFrame, out_id: str, emb_out: str, n_keep: int) -> DataFrame:
+        scored = side.select(
+            F.col(id_col).alias(out_id), F.col("embedding").alias(emb_out)
+        ).join(F.broadcast(cent), F.lit(True)).select(
+            out_id,
+            emb_out,
+            "cell_id",
+            F.round(dot(F.col(emb_out), F.col("cent_emb")), 4).alias("cscore"),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("cscore").desc(), F.col("cell_id"))
+        return (
+            scored.withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= n_keep)
+            .select(out_id, "cell_id", emb_out)
+        )
+
+    corpus_cells = cells(embeddings, "neighbor_id", "c_emb", 1)
+    query_cells = cells(queries, "query_id", "q_emb", nprobe)
+    sims = (
+        corpus_cells.join(F.broadcast(query_cells), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot(F.col("q_emb"), F.col("c_emb")), 4).alias("sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def ivf_topk_sql(
+    max_query_id: int, k: int = 5, n_cells: int = 4, nprobe: int = 2
+) -> str:
+    """DuckDB oracle for ivf_topk — same centroids, same ranking."""
+    dot_ab = (
+        "list_sum(list_transform(list_zip({a}.embedding, {b}.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cell_id, embedding FROM embeddings
+            WHERE vec_id < {n_cells}
+        ),
+        corpus_cells AS (
+            SELECT neighbor_id, cell_id FROM (
+                SELECT v.vec_id AS neighbor_id, cent.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ROUND({dot_ab.format(a='v', b='cent')}, 4) DESC,
+                                    cent.cell_id
+                       ) AS crk
+                FROM embeddings v CROSS JOIN cent
+            ) WHERE crk <= 1
+        ),
+        query_cells AS (
+            SELECT query_id, cell_id FROM (
+                SELECT v.vec_id AS query_id, cent.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ROUND({dot_ab.format(a='v', b='cent')}, 4) DESC,
+                                    cent.cell_id
+                       ) AS crk
+                FROM embeddings v CROSS JOIN cent
+                WHERE v.vec_id < {max_query_id}
+            ) WHERE crk <= {nprobe}
+        ),
+        sims AS (
+            SELECT DISTINCT qc.query_id, cc.neighbor_id,
+                   ROUND({dot_ab.format(a='q', b='c')}, 4) AS sim
+            FROM query_cells qc
+            JOIN corpus_cells cc ON qc.cell_id = cc.cell_id
+            JOIN embeddings q ON q.vec_id = qc.query_id
+            JOIN embeddings c ON c.vec_id = cc.neighbor_id
+            WHERE qc.query_id <> cc.neighbor_id
+        )
+        SELECT query_id, neighbor_id, sim, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+            ) AS rk FROM sims
+        ) WHERE rk <= {k}
+    """
 
 
 def cosine_topk_sql(max_query_id: int, k: int = 5) -> str:

@@ -1122,6 +1122,267 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j7_dedup_then_join",
+    oracle="""
+        WITH latest AS (
+            SELECT o_custkey, o_totalprice FROM (
+                SELECT o_custkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC
+                       ) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_customers,
+               SUM(CASE WHEN l.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_with_order,
+               ROUND(SUM(COALESCE(l.o_totalprice, 0)), 2) AS latest_value
+        FROM customer c LEFT JOIN latest l ON c.c_custkey = l.o_custkey
+        GROUP BY 1
+    """,
+    doc="J7+A16: dedup the right side to one row per key (deterministic "
+    "keep-latest via row_number — SURVEY.md §4.4-6 replaces the "
+    "reference's order-dependent keep='first', "
+    "scripts/ads_stop_…py:84-85) then left join + null-guarded counts.",
+)
+def q_dedup_then_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_totalprice")
+    )
+    return (
+        cust.join(latest, cust.c_custkey == latest.o_custkey, "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            sum_if(F.col("o_custkey").isNotNull(), F.lit(1)).alias("n_with_order"),
+            F.round(F.sum(F.coalesce("o_totalprice", F.lit(0.0))), 2).alias(
+                "latest_value"
+            ),
+        )
+    )
+
+
+@register(
+    "p9_p10_p11_mapping",
+    oracle="""
+        WITH mapped AS (
+            SELECT CASE substr(CAST(ABS(p_size) AS VARCHAR), 1, 1)
+                       WHEN '1' THEN 'band1' WHEN '2' THEN 'band2'
+                       WHEN '3' THEN 'band3' ELSE 'Unknown' END AS size_band,
+                   p_type, p_brand
+            FROM part
+        ),
+        labeled AS (
+            SELECT size_band,
+                   CASE WHEN p_brand = 'Brand#55' THEN 'VIP'
+                        WHEN size_band = 'band1' AND p_type LIKE 'STANDARD%'
+                            THEN 'std-small'
+                        WHEN size_band = 'band1' AND p_type LIKE 'PROMO%'
+                            THEN 'promo-small'
+                        WHEN size_band = 'band2' AND p_type LIKE 'STANDARD%'
+                            THEN 'std-mid'
+                        ELSE 'Other' END AS service_label
+            FROM mapped
+        )
+        SELECT size_band, service_label, COUNT(*) AS n_parts
+        FROM labeled GROUP BY 1, 2
+    """,
+    doc="P9+P10+P11: first-digit bucket mapping "
+    "(scripts/ads_passenger_travel_time_di.R:104-108), two-key CASE "
+    "service-type labeling (scripts/ads_ridership_…py:129-148) and a "
+    "manual row patch override (…py:124-125) — all as when() chains, "
+    "no UDF.",
+)
+def q_mapping_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    digit = F.substring(F.abs(F.col("p_size")).cast("string"), 1, 1)
+    size_band = (
+        F.when(digit == "1", "band1")
+        .when(digit == "2", "band2")
+        .when(digit == "3", "band3")
+        .otherwise("Unknown")
+    )
+    mapped = part.select(
+        size_band.alias("size_band"), "p_type", "p_brand"
+    )
+    service_label = (
+        F.when(F.col("p_brand") == "Brand#55", "VIP")
+        .when(
+            (F.col("size_band") == "band1") & F.col("p_type").startswith("STANDARD"),
+            "std-small",
+        )
+        .when(
+            (F.col("size_band") == "band1") & F.col("p_type").startswith("PROMO"),
+            "promo-small",
+        )
+        .when(
+            (F.col("size_band") == "band2") & F.col("p_type").startswith("STANDARD"),
+            "std-mid",
+        )
+        .otherwise("Other")
+    )
+    return (
+        mapped.withColumn("service_label", service_label)
+        .groupBy("size_band", "service_label")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@register(
+    "w3_group_max_flag",
+    oracle="""
+        WITH flagged AS (
+            SELECT l_returnflag, l_extendedprice,
+                   CASE WHEN l_shipdate = MAX(l_shipdate)
+                            OVER (PARTITION BY l_orderkey)
+                        THEN 1 ELSE 0 END AS is_last
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               SUM(is_last) AS n_last,
+               ROUND(SUM(CASE WHEN is_last = 1 THEN l_extendedprice
+                              ELSE 0 END), 2) AS last_value
+        FROM flagged GROUP BY 1
+    """,
+    doc="W3: group-max flag — mark the final leg(s) of each journey by "
+    "comparing against max() over the journey window "
+    "(scripts/ads_passenger_travel_info_mi.py:209-210). Flag semantics "
+    "(not row_number) so shipdate ties all count as last, "
+    "deterministically.",
+)
+def q_group_max_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    is_last = F.when(
+        F.col("l_shipdate")
+        == F.max("l_shipdate").over(Window.partitionBy("l_orderkey")),
+        1,
+    ).otherwise(0)
+    return (
+        li.withColumn("is_last", is_last)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("is_last").alias("n_last"),
+            F.round(
+                sum_if(F.col("is_last") == 1, F.col("l_extendedprice")), 2
+            ).alias("last_value"),
+        )
+    )
+
+
+@register(
+    "p18_p19_days_in_month",
+    oracle="""
+        WITH monthly AS (
+            SELECT strftime(ts, '%Y-%m') AS month, COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT month, n_events,
+               date_part('day', last_day(CAST(month || '-01' AS DATE)))
+                   AS days_in_month,
+               ROUND(n_events * 1.0 /
+                     date_part('day', last_day(CAST(month || '-01' AS DATE))), 4)
+                   AS events_per_day
+        FROM monthly
+    """,
+    doc="P18+P19: month extraction + days-in-month via last_day — the "
+    "calendar-day divisor of the reference's monthly KPIs "
+    "(scripts/ads_passenger_travel_info_mi.py:346-361 computes it by "
+    "hand; Spark's dayofmonth(last_day()) replaces 16 lines).",
+)
+def q_days_in_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    monthly = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month")
+    ).agg(F.count("*").alias("n_events"))
+    dim = F.dayofmonth(F.last_day(F.to_date(F.concat(F.col("month"), F.lit("-01")))))
+    return monthly.select(
+        "month",
+        "n_events",
+        dim.alias("days_in_month"),
+        F.round(F.col("n_events") / dim, 4).alias("events_per_day"),
+    )
+
+
+@register(
+    "s13_first_seen",
+    oracle="""
+        WITH cur AS (
+            SELECT o_orderpriority, COUNT(*) AS n_orders FROM orders GROUP BY 1
+        ),
+        prev AS (
+            SELECT o_orderpriority,
+                   TIMESTAMP '1995-06-30 00:00:00' AS create_time
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '1996-01-01'
+              AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+            GROUP BY 1
+        )
+        SELECT cur.o_orderpriority, cur.n_orders,
+               strftime(COALESCE(prev.create_time,
+                                 TIMESTAMP '1996-07-01 00:00:00'),
+                        '%Y-%m-%d %H:%M:%S') AS create_time
+        FROM cur LEFT JOIN prev USING (o_orderpriority)
+    """,
+    doc="S13: first-seen create_time preservation — the reference's "
+    "SQLite key-value store "
+    "(scripts/ads_passenger_travel_distance_di.py:9-52) replaced by "
+    "coalesce(prev.create_time, now) over a broadcast left join with "
+    "the previous snapshot (sources/firstseen.py). Literal 'now' here "
+    "for oracle determinism; production passes current_timestamp.",
+)
+def q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ad_data_pipelines_spark.sources.firstseen import merge_first_seen
+
+    orders = t(spark, sf_dir, "orders")
+    cur = orders.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+    prev = (
+        orders.filter(
+            (F.col("o_orderdate") < "1996-01-01")
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.lit("1995-06-30 00:00:00").cast("timestamp").alias("create_time"))
+    )
+    merged = merge_first_seen(
+        cur,
+        prev,
+        ["o_orderpriority"],
+        now=F.lit("1996-07-01 00:00:00").cast("timestamp"),
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.date_format("create_time", "yyyy-MM-dd HH:mm:ss").alias("create_time"),
+    )
+
+
+@register(
+    "llm_ann_ivf",
+    oracle=_sim.ivf_topk_sql(max_query_id=25, k=5),
+    doc="IVF-style ANN top-5: corpus assigned to nearest of 4 "
+    "deterministic seed centroids (stand-in for a k-means pass — same "
+    "plan shape), queries probe their 2 nearest cells; the search join "
+    "shuffles on cell_id only. operators/similarity.py:ivf_topk.",
+)
+def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return _sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 25), k=5, n_cells=4, nprobe=2
+    )
+
+
+@register(
     "a4_conditional_sum",
     oracle="""
         SELECT p_brand,

@@ -25,17 +25,21 @@ def merge_first_seen(
     previous: DataFrame | None,
     keys: Sequence[str],
     time_col: str = "create_time",
+    now: "F.Column | None" = None,
 ) -> DataFrame:
     """Current output rows with `time_col` inherited from the previous
-    snapshot where the key existed, else now()."""
+    snapshot where the key existed, else `now` (default
+    current_timestamp; pass a literal for deterministic tests/backfills)."""
+    if now is None:
+        now = F.current_timestamp()
     if previous is None:
-        return current.withColumn(time_col, F.current_timestamp())
+        return current.withColumn(time_col, now)
     prev = previous.select(*keys, F.col(time_col).alias("__prev_time"))
     cur = current.drop(time_col) if time_col in current.columns else current
     return (
         cur.join(F.broadcast(prev), list(keys), "left")
         .withColumn(
-            time_col, F.coalesce(F.col("__prev_time"), F.current_timestamp())
+            time_col, F.coalesce(F.col("__prev_time"), now)
         )
         .drop("__prev_time")
     )
