@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -84,9 +86,166 @@ def decode_image(docs_with_payload: DataFrame) -> DataFrame:
     )
 
 
+#: Fake-decode output schema — what a real image decoder would emit
+#: (minus the pixel buffer, which stays in the batch in real pipelines).
+DECODED_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def decode_fake(docs: DataFrame) -> DataFrame:
+    """DETERMINISTIC-FAKE decode: (width, height, n_frames) derived from
+    the payload's md5 — a stand-in with the exact stage signature of a
+    real decoder (mapInPandas, explicit schema, one Arrow crossing).
+    Being md5-arithmetic, it is fully oracle-checkable (DECODE_FAKE_SQL).
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": digests.map(lambda d: 16 + int(d[:4], 16) % 240),
+                    "height": digests.map(lambda d: 16 + int(d[4:8], 16) % 240),
+                    "n_frames": digests.map(lambda d: 1 + int(d[8:12], 16) % 32),
+                }
+            )
+
+    return with_payload(docs).mapInPandas(decode, DECODED_META_SCHEMA)
+
+
+def resize_meta(decoded: DataFrame, target: int = 64) -> DataFrame:
+    """Resize planning stage: longest side → `target`, aspect preserved,
+    floor semantics, minimum 1px. Pure column algebra (the pixel resample
+    itself belongs in the decode batch body) — no UDF, codegen'd."""
+    scale = F.lit(float(target)) / F.greatest("width", "height")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.floor(F.col("width") * scale), F.lit(1))
+        .cast("long")
+        .alias("new_width"),
+        F.greatest(F.floor(F.col("height") * scale), F.lit(1))
+        .cast("long")
+        .alias("new_height"),
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_len", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def frame_sample(
+    docs: DataFrame, frame_chars: int = 64, stride: int = 2
+) -> DataFrame:
+    """Frame-sampling stage: treat each document's text as a fake video
+    of fixed `frame_chars`-character frames and keep every `stride`-th
+    frame — one OUTPUT ROW PER SAMPLED FRAME (mapInPandas changing batch
+    row count, the shape a real video frame-sampler has). Emits length +
+    checksum per kept frame; a real decoder would emit the frame tensor.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                frames = [
+                    text[i : i + frame_chars]
+                    for i in range(0, len(text), frame_chars)
+                ]
+                for fi in range(0, len(frames), stride):
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    lens.append(len(frames[fi]))
+                    sums.append(hashlib.md5(frames[fi].encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                    "frame_md5": pd.Series(sums, dtype="object"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(sample, FRAME_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def byte_histogram_features(docs: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature-extraction stage: L1-normalized `dim`-bin byte histogram
+    of the payload — a genuine (if simple) content feature with the same
+    stage shape a CNN/audio embedder plugs into. Vectorized numpy per
+    Arrow batch; output is an `array<double>` column ready for the
+    similarity operators (operators/similarity.py)."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                hist = np.bincount(arr // (256 // dim), minlength=dim).astype(float)
+                feats.append((hist / hist.sum()).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return with_payload(docs).mapInPandas(extract, FEATURES_SCHEMA)
+
+
 BINARY_META_SQL = """
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
            md5(text) AS checksum
     FROM documents
 """
+
+DECODE_FAKE_SQL = """
+    SELECT doc_id,
+           16 + CAST('0x' || substr(md5(text), 1, 4) AS BIGINT) % 240 AS width,
+           16 + CAST('0x' || substr(md5(text), 5, 4) AS BIGINT) % 240 AS height,
+           1 + CAST('0x' || substr(md5(text), 9, 4) AS BIGINT) % 32 AS n_frames
+    FROM documents
+"""
+
+
+def frame_sample_sql(frame_chars: int = 64, stride: int = 2) -> str:
+    return f"""
+        WITH frames AS (
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS frame_idx,
+                   substr(text, i * {frame_chars} + 1, {frame_chars}) AS frame
+            FROM documents,
+                 LATERAL unnest(generate_series(
+                     0, CAST(CEIL(n_chars * 1.0 / {frame_chars}) AS BIGINT) - 1
+                 )) AS t(i)
+        )
+        SELECT doc_id, frame_idx,
+               length(frame) AS frame_len,
+               md5(frame) AS frame_md5
+        FROM frames
+        WHERE frame_idx % {stride} = 0 AND length(frame) > 0
+    """

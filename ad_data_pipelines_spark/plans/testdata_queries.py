@@ -1404,3 +1404,36 @@ def q_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("brass_value"),
         F.round(F.sum("p_retailprice"), 2).alias("total_value"),
     )
+
+
+@register(
+    "llm_mm_decode_resize",
+    oracle=f"""
+        WITH decoded AS ({_mm.DECODE_FAKE_SQL})
+        SELECT doc_id, width, height,
+               GREATEST(CAST(FLOOR(width * (64.0 / GREATEST(width, height)))
+                             AS BIGINT), 1) AS new_width,
+               GREATEST(CAST(FLOOR(height * (64.0 / GREATEST(width, height)))
+                             AS BIGINT), 1) AS new_height
+        FROM decoded
+    """,
+    doc="Multimodal decode→resize stages: deterministic-fake decoder "
+    "(mapInPandas with a real decoder's signature/schema — md5-derived "
+    "dims stand in for codec output) feeding a pure-column resize plan "
+    "(longest side → 64, aspect kept, floor, min 1px). "
+    "operators/multimodal.py:decode_fake,resize_meta.",
+)
+def q_llm_mm_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mm.resize_meta(_mm.decode_fake(t(spark, sf_dir, "documents")), 64)
+
+
+@register(
+    "llm_mm_frame_sample",
+    oracle=_mm.frame_sample_sql(frame_chars=64, stride=2),
+    doc="Multimodal frame-sampling stage: fake video = 64-char frames of "
+    "text, keep every 2nd — mapInPandas emitting one row per sampled "
+    "frame (row-count-changing batch transform, the real video sampler's "
+    "shape). operators/multimodal.py:frame_sample.",
+)
+def q_llm_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mm.frame_sample(t(spark, sf_dir, "documents"), frame_chars=64, stride=2)

@@ -1,0 +1,97 @@
+"""Streaming sessionization + custom stateful operator tests.
+
+session_window is validated by cross-checking the batch form against the
+independent lag/running-sum sessionize operator — two different
+algorithms, identical session boundaries. The stateful operator runs as
+a real AvailableNow stream into a memory sink and must equal the batch
+groupBy totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.operators.sessionize import sessionize
+from ad_data_pipelines_spark.streaming import sessions
+from tests.conftest import SF_SMALL
+
+
+def _events(spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def test_session_window_matches_batch_sessionize(spark):
+    """Built-in session_window (batch mode) and the lag/running-sum
+    operator must agree on every session: same (user, start) keys, same
+    event counts and value sums."""
+    ev = _events(spark)
+    sw = {
+        (r.user_id, r.session_start): (r.n_events, r.value_sum)
+        for r in sessions.session_window_aggs(ev, "30 minutes", watermark=None)
+        .collect()
+    }
+    ops = {
+        (r.user_id, r.session_start): (r.n_events, r.value_sum)
+        for r in sessionize(ev, timeout_min=30.0).collect()
+    }
+    assert sw == ops
+
+
+def test_running_user_totals_stream(spark, tmp_path):
+    """applyInPandasWithState over an AvailableNow stream: final per-user
+    cumulative rows equal the batch aggregate."""
+    src = tmp_path / "ev_src"
+    ck = tmp_path / "ck_state"
+    ev = _events(spark)
+    ev.write.parquet(str(src))
+
+    stream = sessions.running_user_totals(
+        spark.readStream.schema(ev.schema).parquet(str(src))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_running")
+        .outputMode("update")
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # keep the LAST update per user (cumulative rows supersede earlier ones)
+    got = {
+        r.user_id: (r.n_events, r.value_sum)
+        for r in spark.sql(
+            """
+            select user_id, n_events, value_sum from (
+                select *, row_number() over (
+                    partition by user_id order by n_events desc
+                ) rk from t_running
+            ) where rk = 1
+            """
+        ).collect()
+    }
+    expect = {
+        r.user_id: (r.n, r.s)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("s"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+def test_byte_histogram_features(spark):
+    from ad_data_pipelines_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(50)
+    rows = mm.byte_histogram_features(docs).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.features) == mm.FEATURE_DIM
+        assert abs(sum(r.features) - 1.0) < 1e-9
