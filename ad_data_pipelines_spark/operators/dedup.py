@@ -78,12 +78,23 @@ def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ALL rows of ≥1 band.
 
-    Scale path: explode each signature into N_BANDS (band_idx, band_key)
-    rows and self-join on the band bucket — shuffle cost is
-    O(docs × bands), candidate cost O(true collisions). Returns
-    (doc_a, doc_b, n_eq) with n_eq = #equal signature components of 16
-    (estimated Jaccard = n_eq/16).
+    Scale path, in three narrow stages (what survives a 100 TB corpus):
+      1. explode each signature into N_BANDS (band_idx, band_key) rows —
+         the self-join shuffles ONLY these 3 columns, never the 16-int
+         signatures (a 6× narrower shuffle than joining the wide rows);
+      2. dedup (doc_a, doc_b) BEFORE touching signatures, so pairs that
+         collide in several bands are scored once;
+      3. join the 1-row-per-doc signature table back onto each side to
+         count agreeing components.
+    Returns (doc_a, doc_b, n_eq); estimated Jaccard = n_eq/16. Skewed
+    buckets (boilerplate docs) are split by AQE skew-join handling.
+
+    `sigs` is referenced by three plan branches (both explode sides +
+    the score join), so it is persisted MEMORY_AND_DISK here — one
+    shingle/hash pass instead of three; callers may unpersist after
+    their action completes.
     """
+    sigs = sigs.persist()
     band_keys = [
         F.concat_ws(
             "_",
@@ -91,36 +102,36 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(N_BANDS)
     ]
-    banded = sigs.select("doc_id", *[F.col(f"mh{i}") for i in range(16)], *band_keys)
-    bands_arr = F.array(*[F.col(f"band{b}") for b in range(N_BANDS)])
-    exploded = banded.select(
-        "doc_id",
-        *[F.col(f"mh{i}") for i in range(16)],
-        F.posexplode(bands_arr).alias("band_idx", "band_key"),
+    bands_arr = F.array(*[k for k in band_keys])
+    exploded = sigs.select(
+        "doc_id", F.posexplode(bands_arr).alias("band_idx", "band_key")
     )
     a = exploded.alias("a")
     b = exploded.alias("b")
-    pairs = (
+    pair_keys = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            sum(
-                [
-                    F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0)
-                    for i in range(16)
-                ],
-                F.lit(0),
-            ).alias("n_eq"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    return pairs
+    sa = sigs.alias("sa")
+    sb = sigs.alias("sb")
+    n_eq = sum(
+        [
+            F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
+            for i in range(16)
+        ],
+        F.lit(0),
+    )
+    return (
+        pair_keys.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", n_eq.alias("n_eq"))
+    )
 
 
 def ngram_jaccard_pairs(
