@@ -66,6 +66,84 @@ def route_geometry(route_seq: DataFrame, stop: DataFrame) -> DataFrame:
     return geom.join(ends, ["LINE_NO", "ROUTE_ABBR"])
 
 
+def build_route_stop_info(
+    route_seq: DataFrame,
+    routes: DataFrame,
+    create_by: str = "system",
+) -> DataFrame:
+    """dwd_bus_route_stop_info_mf: one row per (line, route, stop_index)
+    with travel direction from the routes dim.
+
+    Reference: scripts/dwd_bus_route_info_mf & other 2.R:287-313 —
+    select/rename route_sequence + left join routes + output ordering.
+    The reference joins its renamed route_no (= ROUTE_ABBR) against the
+    routes dim's numeric ROUTE_NO, which only resolves when abbrs are
+    numeric strings; route_sequence carries an explicit ROUTE_NO, so we
+    join on that unambiguous key instead (documented divergence).
+    Broadcast join (routes is KB-sized); the orderBy is a presentation
+    sort on the final output, not a shuffle of the fact path.
+    """
+    lkp = routes.select(
+        F.col("LINE_NO").alias("line_no"),
+        F.col("ROUTE_NO").alias("__route_key"),
+        F.col("DIRECTION").alias("direction"),
+    ).distinct()
+    out = (
+        route_seq.select(
+            F.col("ROUTE_ABBR").alias("route_no"),
+            F.col("ROUTE_NO").alias("__route_key"),
+            F.col("BASE_VERSION").alias("version"),
+            F.col("POINT_NO").alias("stop_no"),
+            F.col("SEQUENCE_NO").alias("stop_index"),
+            F.col("LINE_NO").alias("line_no"),
+        )
+        .join(F.broadcast(lkp), ["line_no", "__route_key"], "left")
+        .drop("__route_key")
+    )
+    return with_audit(out, create_by, create_by).orderBy(
+        "line_no", "route_no", "stop_index"
+    )
+
+
+def build_stop_info(
+    stop: DataFrame,
+    polygons: dict,
+    create_by: str = "system",
+) -> DataFrame:
+    """dwd_bus_stop_info_mf: stops with decimal WGS84 coords, POINT WKT
+    geometry and point-in-polygon region label.
+
+    Reference: scripts/dwd_bus_route_info_mf & other 2.R:326-355 —
+    st_join(stops, regions, st_within) + st_as_text(geometry). Here the
+    spatial join is the ray-cast when()-chain over broadcast polygon
+    literals (operators/geo.py:label_by_polygons) — a narrow map, no
+    shuffle at any corpus size; attribute columns the reference fills
+    with NA (is_afc, bay_size, …) are left to the writer's schema
+    alignment.
+    """
+    from ad_data_pipelines_spark.operators.geo import label_by_polygons
+
+    stops = stops_decimal(stop).select(
+        F.col("BASE_VERSION").alias("version"),
+        F.col("POINT_NO").cast("string").alias("stop_no"),
+        F.col("STOP_DESC").alias("stop_name"),
+        F.round("lon", 6).alias("longitude"),
+        F.round("lat", 6).alias("latitude"),
+    )
+    labeled = label_by_polygons(stops, "longitude", "latitude", polygons)
+    out = labeled.withColumn(
+        "geom",
+        F.concat(
+            F.lit("POINT ("),
+            F.col("longitude").cast("string"),
+            F.lit(" "),
+            F.col("latitude").cast("string"),
+            F.lit(")"),
+        ),
+    )
+    return with_audit(out, create_by, create_by)
+
+
 def build_route_info(
     route_seq: DataFrame,
     stop: DataFrame,

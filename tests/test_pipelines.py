@@ -223,3 +223,58 @@ def test_revenue(spark):
     assert ad.contactless_revenue == 100.0
     aa = rows[("202501", "Al Ain")]
     assert aa.contactless_smart_tickets_num == 2
+
+
+def test_ridership_service_types(afc, line, spark):
+    """Hand-computed daily service-type rollup, including the single-pass
+    conditional leg1 count (A2 replacing J4) and the ADL/Unknown paths."""
+    from ad_data_pipelines_spark.plans import ads_ridership
+
+    out = ads_ridership.build(afc, line, fx.service_types(spark))
+    rows = {
+        (r.service_type, r.region_id, r.t_date): (
+            r.passenger_trips_num,
+            r.journey_num,
+            r.transfer_num,
+        )
+        for r in out.collect()
+    }
+    assert rows[("AD Local", "Abu Dhabi", "2025-01-05")] == (2, 2, 0)
+    assert rows[("AA Regional", "Al Ain", "2025-01-05")] == (2, 1, 1)
+    assert rows[("DH Local", "Al Dhafra", "2025-01-05")] == (1, 0, 1)
+    # raw route 'a-1' does not match the lookup (reference joins raw route)
+    assert rows[("Unknown", None, "2025-01-05")] == (1, 0, 1)
+    assert rows[("Unknown", None, "2025-01-06")] == (1, 1, 0)
+    assert rows[("AD Local", "Abu Dhabi", "2025-01-08")] == (1, 1, 0)
+    assert rows[("AA Regional", "Al Ain", "2025-02-01")] == (1, 0, 1)
+    assert len(rows) == 8
+
+
+def test_dwd_route_stop_info(spark):
+    from ad_data_pipelines_spark.plans import dwd_bus_route
+
+    out = dwd_bus_route.build_route_stop_info(
+        fx.route_sequence(spark), fx.routes_dim(spark)
+    )
+    rows = out.collect()
+    assert [(r.line_no, r.route_no, r.stop_index, r.stop_no) for r in rows] == [
+        (10, "A1-OUT", 1, 101),
+        (10, "A1-OUT", 2, 102),
+        (10, "A1-OUT", 3, 103),
+        (20, "B2-OUT", 1, 103),
+        (20, "B2-OUT", 2, 101),
+    ]
+    assert all(r.direction == "OUTBOUND" for r in rows)
+    assert all(r.create_by == "system" for r in rows)
+
+
+def test_dwd_stop_info_point_in_polygon(spark):
+    from ad_data_pipelines_spark.plans import dwd_bus_route
+
+    out = dwd_bus_route.build_stop_info(fx.vdv_stops(spark), fx.TEST_POLYGONS)
+    rows = {r.stop_no: r for r in out.collect()}
+    assert rows["101"].region_id == "west"      # (54.5, 24.5)
+    assert rows["102"].region_id == "east"      # (55.0, 24.0)
+    assert rows["103"].region_id == "Unknown"   # (56.0, 25.0)
+    assert rows["101"].geom == "POINT (54.5 24.5)"
+    assert rows["101"].stop_name == "Central"

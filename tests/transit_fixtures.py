@@ -86,4 +86,58 @@ def sales(spark: SparkSession):
     )
 
 
+def service_types(spark: SparkSession):
+    """Excel service-type lookup (S8): Route → (Region, Service Type).
+    ADL deliberately wrong/missing so the manual patch (P11) must fix it."""
+    rows = [
+        ("A1", "Abu Dhabi", "Local"),
+        ("B2", "Al Ain", "Regional"),
+        ("C9", "Al Dhafra", "Local"),
+        ("ADL", None, None),  # patched to (Abu Dhabi, Link)
+    ]
+    return spark.createDataFrame(
+        rows, "Route string, Region string, ServiceType string"
+    )
+
+
+def route_sequence(spark: SparkSession):
+    from ad_data_pipelines_spark.schemas import VDV_ROUTE_SEQUENCE
+
+    rows = [
+        # BASE_VERSION, LINE_NO, ROUTE_ABBR, ROUTE_NO, SEQUENCE_NO, POINT_NO, POINT_TYPE
+        (1, 10, "A1-OUT", 1, 1, 101, 1),
+        (1, 10, "A1-OUT", 1, 2, 102, 1),
+        (1, 10, "A1-OUT", 1, 3, 103, 1),
+        (1, 20, "B2-OUT", 1, 1, 103, 1),
+        (1, 20, "B2-OUT", 1, 2, 101, 1),
+    ]
+    return spark.createDataFrame(rows, VDV_ROUTE_SEQUENCE)
+
+
+def routes_dim(spark: SparkSession):
+    rows = [(10, 1, "OUTBOUND"), (20, 1, "OUTBOUND")]
+    return spark.createDataFrame(
+        rows, "LINE_NO int, ROUTE_NO int, DIRECTION string"
+    )
+
+
+def vdv_stops(spark: SparkSession):
+    from ad_data_pipelines_spark.schemas import VDV_STOP
+
+    rows = [
+        # DDDMMSSmmm coords: 543000000 = 54.5°E, 243000000 = 24.5°N
+        (1, 101, 1, 543000000, 243000000, "Central"),     # inside 'west' square
+        (1, 102, 1, 550000000, 240000000, "Mid"),          # 55.0, 24.0 'east'
+        (1, 103, 1, 560000000, 250000000, "Far"),          # 56.0, 25.0 outside
+    ]
+    return spark.createDataFrame(rows, VDV_STOP)
+
+
+#: Two square test regions (lon, lat rings).
+TEST_POLYGONS = {
+    "west": [(54.0, 24.2), (54.8, 24.2), (54.8, 24.8), (54.0, 24.8)],
+    "east": [(54.8, 23.8), (55.5, 23.8), (55.5, 24.4), (54.8, 24.4)],
+}
+
+
 REGION_PREFIXES = {"AD": "Abu Dhabi", "ER": "Al Ain", "WR": "Al Dhafra"}
