@@ -1,0 +1,75 @@
+"""Shuffle-elimination utilities for the 100 TB path: bucketed
+co-located joins and deterministic skew salting.
+
+The reference never needed these (single-process pandas), but they are
+what makes the same logical plans survive a 1000-executor cluster:
+
+  * **Bucketing** — the AFC fact joined to another fact-sized table
+    (e.g. legs ⋈ journeys, or fact ⋈ fact-sized first-seen snapshots)
+    shuffles both sides on every run. Writing both sides bucketed by
+    the join key makes the join a zero-exchange sort-merge: each task
+    reads matching bucket files. Verified by plan assertion in
+    tests/test_partitioning.py (no `Exchange` above the join).
+  * **Salting** — broadcast handles small dims; AQE splits skewed
+    *shuffle* partitions; but a hot key joined against a
+    non-broadcastable side still funnels into one task. `salted_join`
+    spreads each hot key over `n_salts` sub-keys deterministically
+    (hash of the fact row, not rand() — stable under task retries,
+    which matters: a retried task re-emitting different salts breaks
+    exactly-once sinks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    keys: Sequence[str],
+    n_buckets: int = 32,
+    sort_by: Sequence[str] | None = None,
+) -> None:
+    """Persist `df` bucketed (and bucket-sorted) by `keys` as an
+    external table at `path`. Join/agg on `keys` between tables with
+    the SAME bucket count then needs no Exchange; sortBy additionally
+    removes the Sort under sort-merge joins."""
+    w = (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *keys)
+    )
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
+def salted_join(
+    facts: DataFrame,
+    skewed_side: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join `facts ⋈ skewed_side` on `key`, spreading each key over
+    `n_salts` sub-partitions.
+
+    The fact side gets a deterministic salt from a hash of the whole
+    row (xxhash64 — stable across retries, no rand()); the other side
+    is exploded ×n_salts so every (key, salt) pair finds its match.
+    Use when the right side is too big to broadcast AND key skew
+    defeats AQE (e.g. a null-heavy or boilerplate-heavy key).
+    Output columns = facts.* + skewed_side.* minus its join key.
+    """
+    salt = F.pmod(F.xxhash64(*facts.columns), F.lit(n_salts))
+    f = facts.withColumn("__salt", salt)
+    s = skewed_side.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    joined = f.join(s, [key, "__salt"], how)
+    return joined.drop("__salt")

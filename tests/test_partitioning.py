@@ -1,0 +1,89 @@
+"""Plan-level assertions for the shuffle-elimination utilities: the
+point is not the result rows (also checked) but the PHYSICAL PLAN —
+bucketed joins must run without an Exchange, salted joins must produce
+identical results to the plain join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.operators.partitioning import (
+    salted_join,
+    write_bucketed,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    write_bucketed(
+        li, "b_lineitem", str(tmp_path / "b_li"), ["l_orderkey"], 8,
+        sort_by=["l_orderkey"],
+    )
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "b_orders", str(tmp_path / "b_ord"), ["l_orderkey"], 8,
+        sort_by=["l_orderkey"],
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bl = spark.table("b_lineitem")
+        bo = spark.table("b_orders")
+        joined = bl.join(bo, "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # same result as the plain parquet join
+        plain = (
+            spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+            .join(
+                spark.read.parquet(f"{SF_SMALL}/orders.parquet"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == plain
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    salted = salted_join(li, orders, "l_orderkey", n_salts=4)
+    plain = li.join(orders, "l_orderkey")
+    assert salted.count() == plain.count()
+    # aggregate equivalence (order-insensitive)
+    a = {
+        r.o_orderpriority: (r.n, r.q)
+        for r in salted.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+        .collect()
+    }
+    b = {
+        r.o_orderpriority: (r.n, r.q)
+        for r in plain.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("q"))
+        .collect()
+    }
+    assert a == b
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    # dim missing most keys → left join must keep all fact rows
+    dim = spark.createDataFrame([(1, "x")], "l_orderkey long, tag string")
+    out = salted_join(li, dim, "l_orderkey", n_salts=4, how="left")
+    assert out.count() == li.count()
