@@ -227,6 +227,59 @@ def ivf_topk(
     )
 
 
+def lsh_topk_sql(
+    max_query_id: int, k: int = 5, n_planes: int = 4, multiprobe: int = 1
+) -> str:
+    """DuckDB oracle for lsh_topk — identical hyperplane literals,
+    bucket arithmetic, multi-probe expansion and ranking. The planes are
+    deterministic module constants, so both engines compute bit-equal
+    bucket ids (same IEEE double dot products, same sign tests)."""
+
+    def dot_lit(vec_expr: str, plane: list[float]) -> str:
+        arr = "[" + ", ".join(repr(v) for v in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({vec_expr}, {arr}), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {dot_lit('embedding', HYPERPLANES[j])} > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(n_planes)
+    )
+    probes = ", ".join(
+        ["bucket_id"]
+        + [f"xor(bucket_id, {1 << j})" for j in range(n_planes)]
+    )
+    dot_qc = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    return f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding, ({bucket}) AS bucket_id FROM embeddings
+        ),
+        probed AS (
+            SELECT vec_id AS query_id, unnest([{probes}]) AS bucket_id
+            FROM bucketed WHERE vec_id < {max_query_id}
+        ),
+        sims AS (
+            SELECT p.query_id, cb.vec_id AS neighbor_id,
+                   ROUND({dot_qc}, 4) AS sim
+            FROM probed p
+            JOIN bucketed cb ON p.bucket_id = cb.bucket_id
+            JOIN embeddings q ON q.vec_id = p.query_id
+            JOIN embeddings c ON c.vec_id = cb.vec_id
+            WHERE p.query_id <> cb.vec_id
+        )
+        SELECT query_id, neighbor_id, sim, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+            ) AS rk FROM sims
+        ) WHERE rk <= {k}
+    """
+
+
 def cosine_near_dup(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -857,10 +857,11 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_ann_lsh",
-    oracle=None,  # recall-based check in tests/test_operators.py instead
-    doc="Hyperplane-LSH ANN top-5 (8 planes → 256 buckets; search only "
-    "the query's bucket). Recall floor asserted in tests. "
-    "operators/similarity.py:lsh_topk.",
+    oracle=_sim.lsh_topk_sql(max_query_id=25, k=5, n_planes=4, multiprobe=1),
+    doc="Hyperplane-LSH ANN top-5 (4 deterministic planes → 16 buckets, "
+    "multi-probe Hamming-1): bucket ids are literal-plane sign tests so "
+    "DuckDB reproduces them bit-for-bit. Recall floor additionally "
+    "asserted in tests. operators/similarity.py:lsh_topk.",
 )
 def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
