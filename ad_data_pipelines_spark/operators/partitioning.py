@@ -49,6 +49,34 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    grain: str = "month",
+    partition_col: str | None = None,
+) -> str:
+    """Write `df` as parquet hive-partitioned by a time grain of
+    `ts_col` (month → `p_month=yyyy-MM`, day → `p_date=yyyy-MM-dd`).
+
+    This is the storage layout that makes the reference's quarter-month
+    re-scan loops unnecessary: a `.filter` on the grain column prunes
+    directories at planning time (`PartitionFilters` in explain), so a
+    one-month query over a 100 TB / multi-year fact reads one month of
+    files. Returns the partition column name.
+    """
+    if grain == "month":
+        part = partition_col or "p_month"
+        val = F.date_format(ts_col, "yyyy-MM")
+    elif grain == "day":
+        part = partition_col or "p_date"
+        val = F.date_format(ts_col, "yyyy-MM-dd")
+    else:
+        raise ValueError(f"unsupported grain: {grain}")
+    df.withColumn(part, val).write.mode("overwrite").partitionBy(part).parquet(path)
+    return part
+
+
 def salted_join(
     facts: DataFrame,
     skewed_side: DataFrame,

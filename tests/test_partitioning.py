@@ -87,3 +87,20 @@ def test_salted_join_left_keeps_unmatched(spark):
     dim = spark.createDataFrame([(1, "x")], "l_orderkey long, tag string")
     out = salted_join(li, dim, "l_orderkey", n_salts=4, how="left")
     assert out.count() == li.count()
+
+
+def test_time_partitioned_layout_prunes(spark, tmp_path):
+    from ad_data_pipelines_spark.operators.partitioning import (
+        write_time_partitioned,
+    )
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate", "l_quantity"
+    )
+    part = write_time_partitioned(li, str(tmp_path / "li_part"), "l_shipdate")
+    back = spark.read.parquet(str(tmp_path / "li_part"))
+    one_month = back.filter(F.col(part) == "1995-06")
+    plan = one_month._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "1995-06" in plan, plan
+    expect = li.filter(F.date_format("l_shipdate", "yyyy-MM") == "1995-06").count()
+    assert one_month.count() == expect
