@@ -1408,6 +1408,59 @@ def q_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p16_threshold_bins",
+    oracle="""
+        SELECT CASE WHEN l_quantity <= 10 THEN '0-10'
+                    WHEN l_quantity <= 20 THEN '10-20'
+                    WHEN l_quantity <= 30 THEN '20-30'
+                    ELSE '>30' END AS qty_bin,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY 1
+    """,
+    doc="P16: case_when ≤-threshold chain — the reference's 9-bucket "
+    "travel-time bins (scripts/ads_passenger_travel_time_di.R:140-151) "
+    "as one shared helper. functions/binning.py:threshold_bins.",
+)
+def q_threshold_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ad_data_pipelines_spark.functions.binning import threshold_bins
+
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "qty_bin",
+            threshold_bins("l_quantity", [10, 20, 30], ["0-10", "10-20", "20-30", ">30"]),
+        )
+        .groupBy("qty_bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "a7_histogram",
+    oracle="""
+        SELECT CAST(o_orderdate AS DATE) AS ope_date,
+               o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1995-04-01'
+        GROUP BY 1, 2
+    """,
+    doc="A7: value-histogram per group — value_counts() of a category "
+    "per day (reference scripts/ads_passenger_transfer_count_di.py:189, "
+    "leg-count histograms per (date, region)); the input stage of the "
+    "A8 adjacent-difference.",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderdate") < "1995-04-01")
+        .groupBy(
+            F.to_date("o_orderdate").alias("ope_date"), "o_orderpriority"
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
     "llm_cosine_near_dup",
     oracle=_sim.cosine_near_dup_sql(threshold=0.35, scope_max_id=100),
     doc="Embedding-cosine near-dup pairs ≥ 0.35 (left side scoped to "

@@ -33,6 +33,19 @@ def test_ann_recall_floor(spark):
     assert recall >= 0.2, f"ANN recall collapsed: {recall}"
 
 
+def test_ivf_recall_floor(spark):
+    """IVF cell-probe ANN (4 cells, nprobe=2 → ~half the corpus probed)
+    must recover a healthy fraction of brute-force neighbors."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, n_cells=4, nprobe=2)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+
+
 def test_lsh_candidates_superset_of_high_jaccard(spark):
     """Property: every pair with high estimated signature agreement must
     have been produced by the band join (banding can only *miss* pairs
