@@ -43,15 +43,19 @@ ROWS_PER_BAND = 4
 def char_shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """Distinct k-character shingles per doc: (doc_id, shingle).
 
-    posexplode of a sequence + substring — pure built-ins, no UDF. The
-    `distinct` is per-(doc, shingle) and combines map-side.
+    Pure built-ins, no UDF — and NO SHUFFLE: dedup is per-document, so
+    `array_distinct` runs on the in-row shingle array BEFORE explode
+    (a global `.distinct()` here would shuffle ~n_chars rows per doc —
+    at 100 TB that is the single largest avoidable exchange in the
+    dedup pipeline; the downstream per-doc aggregate then combines
+    entirely map-side).
     """
-    n = F.greatest(F.length("text") - (k - 1), F.lit(1))
-    return (
-        docs.select("doc_id", F.explode(F.sequence(F.lit(1), n)).alias("i"), "text")
-        .select("doc_id", F.expr(f"substring(text, i, {k})").alias("shingle"))
-        .distinct()
+    shingles = F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length(text) - {k - 1}, 1)), "
+        f"i -> substring(text, i, {k})))"
     )
+    return docs.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 def shingle_h31(shingled: DataFrame) -> DataFrame:
