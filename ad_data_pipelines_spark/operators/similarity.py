@@ -217,8 +217,10 @@ def ivf_topk(
             "neighbor_id",
             F.round(dot(F.col("q_emb"), F.col("c_emb")), 4).alias("sim"),
         )
-        .distinct()
     )
+    # no distinct: each corpus vector lives in exactly ONE cell and probe
+    # cells are distinct, so (query, neighbor) pairs are already unique —
+    # a distinct here would add a full exchange of the similarity rows.
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         sims.withColumn("rk", F.row_number().over(w))

@@ -37,12 +37,20 @@ def _bins(col):
 
 def build(afc: DataFrame, line: DataFrame, bug_compat: bool = False) -> DataFrame:
     # region via abs(OP_DEP_NO) first digit (this script's convention, P9)
+    # deterministic one-region-per-line (dropDuplicates keeps an arbitrary
+    # row under shuffle when duplicate LINE_ABBRs disagree — §4.4-6):
+    # resolve by the lowest OP_DEP_NO, matching transit_common.dedup_line.
     route_region = (
         line.select(
             deep_clean("LINE_ABBR").alias("line_key"),
+            "OP_DEP_NO",
+        )
+        .groupBy("line_key")
+        .agg(F.min("OP_DEP_NO").alias("OP_DEP_NO"))
+        .select(
+            "line_key",
             first_digit_map("OP_DEP_NO", REGION_DIGITS).alias("region_id"),
         )
-        .dropDuplicates(["line_key"])
     )
     legs = (
         afc.withColumn("route_key", deep_clean("route"))
