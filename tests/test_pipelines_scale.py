@@ -1,0 +1,131 @@
+"""Volume smoke for the transit pipelines: the fixture tests prove exact
+semantics on 10 rows; this file proves the same plans run end-to-end on
+~60k derived legs (sf0.01 events reshaped into AFC form) with sane
+physical plans — no Python eval, broadcast joins for dims, non-empty
+output at every grain.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_MEDIUM
+
+
+@pytest.fixture(scope="module")
+def afc_volume(spark):
+    """events → AFC legs: user sessions become journeys (30-min gap),
+    events become legs, event_type maps onto a small route set."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_MEDIUM}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ) / 60.0
+    new_j = F.when(gap_min.isNull() | (gap_min > 30), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    legs = (
+        ev.withColumn("jid", F.sum(new_j).over(run))
+        .withColumn("leg_id", F.row_number().over(
+            Window.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+        ))
+        .select(
+            F.col("user_id").cast("string").alias("uid"),
+            F.concat_ws("-", "user_id", "jid").alias("journey_id"),
+            F.col("leg_id").cast("byte").alias("leg_id"),
+            F.col("ts").alias("start_time"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_time"),
+            F.concat(F.lit("R"), (F.col("event_id") % 4).cast("string")).alias(
+                "route"
+            ),
+            (F.coalesce("value", F.lit(0.0)) * 100).cast("float").alias("distance"),
+            (F.col("event_id") % 2).cast("int").alias("tripdir"),
+            (F.col("event_id") % 50).cast("string").alias("start_station_no"),
+            ((F.col("event_id") + 1) % 50).cast("string").alias("end_station_no"),
+            F.lit(1).alias("boarding"),
+            F.when(F.count("*").over(
+                Window.partitionBy("user_id", "jid")
+            ) > 1, 1).otherwise(0).alias("is_multi_leg_journey_leg"),
+        )
+    )
+    legs = legs.cache()
+    legs.count()
+    return legs
+
+
+@pytest.fixture(scope="module")
+def line_dim(spark):
+    from ad_data_pipelines_spark.schemas import VDV_LINE
+
+    rows = [(1, 10 + i, f"R{i}", 11 if i < 2 else 22, f"Route {i}") for i in range(4)]
+    return spark.createDataFrame(rows, VDV_LINE)
+
+
+@pytest.fixture(scope="module")
+def opdep_dim(spark):
+    from ad_data_pipelines_spark.schemas import VDV_OPERATING_DEPARTMENT
+
+    return spark.createDataFrame([(11, "AD-X"), (22, "ER-Y")], VDV_OPERATING_DEPARTMENT)
+
+
+def _no_python_eval(df):
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    return plan
+
+
+def test_travel_info_volume(afc_volume, line_dim, opdep_dim):
+    from ad_data_pipelines_spark.plans import ads_travel_info
+
+    out = ads_travel_info.build(afc_volume, line_dim, opdep_dim)
+    plan = _no_python_eval(out)
+    assert "BroadcastHashJoin" in plan
+    rows = out.collect()
+    assert len(rows) > 0
+    months = {r.ope_month for r in rows}
+    assert len(months) >= 1
+    # overall rollup present and consistent at month grain
+    assert any(r.region_id == "overall" for r in rows)
+
+
+def test_travel_time_volume(afc_volume, line_dim):
+    from ad_data_pipelines_spark.plans import ads_travel_time
+
+    out = ads_travel_time.build(afc_volume, line_dim)
+    _no_python_eval(out)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert any(r.region_id == "Overall" for r in rows)
+
+
+def test_transfer_count_volume(afc_volume, line_dim, opdep_dim):
+    from ad_data_pipelines_spark.plans import ads_transfer_count
+
+    out = ads_transfer_count.build(afc_volume, line_dim, opdep_dim)
+    _no_python_eval(out)
+    rows = out.collect()
+    assert len(rows) > 0
+    # transfer-count identity: non-negative counts everywhere
+    assert all(r.journey_num >= 0 for r in rows)
+    assert all(r.transfer_count >= 0 for r in rows)
+
+
+def test_ridership_volume(afc_volume, line_dim, spark):
+    from ad_data_pipelines_spark.plans import ads_ridership
+
+    svc = spark.createDataFrame(
+        [("R0", "Abu Dhabi", "Local"), ("R1", "Abu Dhabi", "Regional"),
+         ("R2", "Al Ain", "Local"), ("R3", "Al Dhafra", "Regional")],
+        "Route string, Region string, ServiceType string",
+    )
+    out = ads_ridership.build(afc_volume, line_dim, svc)
+    _no_python_eval(out)
+    rows = out.collect()
+    assert len(rows) > 0
+    # conservation: passenger trips == journeys + transfers per row
+    for r in rows:
+        assert r.passenger_trips_num == r.journey_num + r.transfer_num

@@ -86,6 +86,39 @@ def test_running_user_totals_stream(spark, tmp_path):
     assert got == expect
 
 
+def test_session_window_as_real_stream(spark, tmp_path):
+    """session_window through an actual AvailableNow streaming query must
+    produce the same closed sessions as the batch form (complete mode —
+    every session emitted once the stream drains)."""
+    src = tmp_path / "ev_sw"
+    ck = tmp_path / "ck_sw"
+    ev = _events(spark)
+    ev.write.parquet(str(src))
+
+    stream = sessions.session_window_aggs(
+        spark.readStream.schema(ev.schema).parquet(str(src)), "30 minutes"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.value_sum)
+        for r in spark.sql("select * from t_sessions").collect()
+    }
+    expect = {
+        (r.user_id, r.session_start): (r.n_events, r.value_sum)
+        for r in sessions.session_window_aggs(ev, "30 minutes", watermark=None)
+        .collect()
+    }
+    assert got == expect
+
+
 def test_byte_histogram_features(spark):
     from ad_data_pipelines_spark.operators import multimodal as mm
 
