@@ -1504,3 +1504,252 @@ def q_llm_mm_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.frame_sample(t(spark, sf_dir, "documents"), frame_chars=64, stride=2)
+
+# ---------------------------------------------------------------------------
+# Composite-key joins, sequence windows, set ops, top-N (W5/J9-J11/O3/O6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "w5_seq_lead",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_partkey,
+               LEAD(l_partkey) OVER (
+                   PARTITION BY l_orderkey ORDER BY l_linenumber
+               ) AS to_partkey
+        FROM lineitem
+        WHERE l_orderkey < 5000
+    """,
+    doc="W5 lead over an ordered sequence — TO_POINT_NO = lead(POINT_NO) "
+    "per route (reference scripts/dwd_bus_route_info_mf & other "
+    "2.R:160-165). Order key (l_linenumber) is unique within the "
+    "partition, so the window is deterministic.",
+)
+def q_seq_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 5000)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.lead("l_partkey").over(w).alias("to_partkey"),
+    )
+
+
+@register(
+    "j9_j10_composite_join",
+    oracle="""
+        WITH links AS (
+            SELECT l_partkey, l_suppkey,
+                   ROUND(AVG(l_quantity), 4) AS link_avg_qty
+            FROM lineitem GROUP BY 1, 2
+        )
+        SELECT l_returnflag,
+               COUNT(*) AS n_legs,
+               ROUND(SUM(l_quantity - link_avg_qty), 2) AS dev_sum
+        FROM lineitem JOIN links USING (l_partkey, l_suppkey)
+        GROUP BY 1
+    """,
+    doc="J9/J10/J11 composite-key equi join — the reference's "
+    "(BASE_VERSION, POINT_NO, POINT_TYPE) multi-column joins "
+    "(scripts/dwd_bus_route_info_mf & other 2.R:97-101, 123-125). "
+    "Scale: both sides shuffle once on the same composite key, so AQE "
+    "plans a single co-partitioned sort-merge/shuffled-hash join; the "
+    "derived link table reuses the fact's partitioning.",
+)
+def q_composite_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    links = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg("l_quantity"), 4).alias("link_avg_qty")
+    )
+    return (
+        li.join(links, ["l_partkey", "l_suppkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_legs"),
+            F.round(F.sum(F.col("l_quantity") - F.col("link_avg_qty")), 2).alias(
+                "dev_sum"
+            ),
+        )
+    )
+
+
+@register(
+    "o3_union_slices",
+    oracle="""
+        SELECT 'p1' AS slice, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1995-02-15'
+        GROUP BY 2
+        UNION ALL
+        SELECT 'p2' AS slice, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-02-15'
+          AND o_orderdate <  TIMESTAMP '1995-04-01'
+        GROUP BY 2
+    """,
+    doc="O3 UNION ALL of per-slice aggregates — the reference's "
+    "quarter-month concat (pd.concat at scripts/ads_route_…py:136) with "
+    "half-open slice boundaries so no row is double-counted "
+    "(SURVEY.md §4.4-1).",
+)
+def q_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+
+    def slice_counts(tag: str, lo: str, hi: str) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            )
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .select(F.lit(tag).alias("slice"), "o_orderpriority", "n")
+        )
+
+    return slice_counts("p1", "1995-01-01", "1995-02-15").unionByName(
+        slice_counts("p2", "1995-02-15", "1995-04-01")
+    )
+
+
+@register(
+    "o6_topn_revenue",
+    oracle="""
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    doc="O2+O6 global sort + limit over a 3-way join (TPC-H Q3 shape) — "
+    "the glossary's planned Top-N ridership KPIs as a fact-sized query. "
+    "Deterministic: ties broken on unique o_orderkey. Scale: Spark "
+    "plans TakeOrderedAndProject (per-partition top-10 then merge), "
+    "never a global sort; customer-filter side is broadcastable.",
+)
+def q_topn_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "j5_regional_volume",
+    oracle="""
+        SELECT n_name AS nation_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_legs
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND s_nationkey = c_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+        GROUP BY 1
+    """,
+    doc="J2/J5 multi-dimension join chain (TPC-H Q5 shape): fact joined "
+    "through orders/customer/supplier up to broadcast nation/region "
+    "dims, with the local-supplier condition s_nationkey = c_nationkey. "
+    "Scale: nation/region/supplier broadcast; only the "
+    "lineitem⋈orders⋈customer chain shuffles, and AQE reorders it.",
+)
+def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1996-01-01")
+    )
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    nat = t(spark, sf_dir, "nation")
+    reg = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (supp.s_nationkey == cust.c_nationkey),
+        )
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_legs"),
+        )
+    )
+
+
+@register(
+    "llm_quality_quantile",
+    oracle="""
+        WITH tok AS (
+            SELECT lang,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        ),
+        pct AS (
+            SELECT lang,
+                   ROUND(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+                   ROUND(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens
+            FROM tok GROUP BY 1
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               MIN(p50_tokens) AS p50_tokens,
+               MIN(p90_tokens) AS p90_tokens,
+               SUM(CASE WHEN n_tokens >= p50_tokens THEN 1 ELSE 0 END) AS n_kept
+        FROM tok JOIN pct USING (lang)
+        GROUP BY 1
+    """,
+    doc="Quantile-threshold quality filter: per-language token-count "
+    "percentiles (Spark exact `percentile` == DuckDB quantile_cont, "
+    "linear interpolation) joined back as a broadcast threshold; docs "
+    "below the median are cut. Production path at corpus scale swaps "
+    "percentile → approx_percentile (t-digest, mergeable, one pass) — "
+    "same plan shape, documented divergence like A5's HLL.",
+)
+def q_llm_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("lang", _ts.token_count("text").alias("n_tokens"))
+    pct = tok.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
+    )
+    return (
+        tok.join(F.broadcast(pct), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("p50_tokens").alias("p50_tokens"),
+            F.min("p90_tokens").alias("p90_tokens"),
+            count_if(F.col("n_tokens") >= F.col("p50_tokens")).alias("n_kept"),
+        )
+    )
