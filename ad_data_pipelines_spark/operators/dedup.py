@@ -307,3 +307,103 @@ def simhash_sql(bits: int = 32) -> str:
         bitsums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
         SELECT doc_id, {val} AS simhash FROM bitsums
     """
+
+
+# --- duplicate-group resolution (connected components) -------------------
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """Label-propagation connected components over an undirected edge
+    list: returns (doc_id, component) where component = min doc_id
+    reachable — the canonical keeper of each duplicate cluster.
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels. Rounds needed = graph
+    diameter; near-dup clusters are shallow (pairs/triangles around a
+    template), so convergence is fast. Labels only ever decrease, so
+    `sum(component)` is a strictly-decreasing convergence metric — equal
+    sums ⇒ fixed point, stop.
+
+    Scale notes: each round is one shuffle on doc_id (edge list and
+    labels co-partition after round 1); `localCheckpoint` truncates the
+    growing lineage each round (on a cluster, prefer reliable
+    `checkpoint` so executor loss doesn't recompute the whole chain).
+    The pure-Spark alternating large-star/small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce") drops in here
+    if diameters ever get deep; for dedup clusters this simple loop is
+    the right cost.
+    """
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        prop = (
+            sym.join(labels, sym.u == labels.doc_id)
+            .select(F.col("v").alias("doc_id"), "component")
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("doc_id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels
+
+
+def dup_components(docs: DataFrame, min_eq: int = 8) -> DataFrame:
+    """End of the MinHash dedup pipeline: LSH candidates with ≥ min_eq
+    agreeing signature components (estimated Jaccard ≥ min_eq/16) are
+    merged into duplicate clusters. Returns (doc_id, component,
+    is_keeper) for every doc in a cluster; docs absent from the output
+    have no near-duplicate and are kept implicitly.
+    """
+    pairs = lsh_candidate_pairs(minhash_signatures(docs)).filter(
+        F.col("n_eq") >= min_eq
+    )
+    cc = connected_components(pairs)
+    return cc.select(
+        "doc_id",
+        "component",
+        F.when(F.col("doc_id") == F.col("component"), 1)
+        .otherwise(0)
+        .alias("is_keeper"),
+    )
+
+
+def dup_components_sql(min_eq: int = 8) -> str:
+    """Oracle: transitive closure via recursive CTE, component = min
+    reachable doc_id. Quadratic-ish — fine at oracle scale, never the
+    production path (that's `connected_components`)."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+            SELECT doc_a, doc_b FROM ({lsh_candidates_sql()}) WHERE n_eq >= {min_eq}
+        ),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL
+            SELECT doc_b AS u, doc_a AS v FROM pairs
+        ),
+        reach(src, dst) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+        )
+        SELECT src AS doc_id,
+               MIN(dst) AS component,
+               CASE WHEN src = MIN(dst) THEN 1 ELSE 0 END AS is_keeper
+        FROM reach GROUP BY src
+    """

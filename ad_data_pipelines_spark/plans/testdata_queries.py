@@ -688,6 +688,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from ad_data_pipelines_spark.operators import dedup as _dedup  # noqa: E402
 from ad_data_pipelines_spark.operators import multimodal as _mm  # noqa: E402
+from ad_data_pipelines_spark.operators import sampling as _sampling  # noqa: E402
 from ad_data_pipelines_spark.operators import similarity as _sim  # noqa: E402
 from ad_data_pipelines_spark.operators import textstats as _ts  # noqa: E402
 
@@ -1753,3 +1754,40 @@ def q_llm_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             count_if(F.col("n_tokens") >= F.col("p50_tokens")).alias("n_kept"),
         )
     )
+
+
+@register(
+    "llm_dedup_groups",
+    oracle=_dedup.dup_components_sql(min_eq=8),
+    doc="End of the MinHash dedup pipeline: LSH candidate pairs with "
+    "n_eq≥8 (est. Jaccard ≥ 0.5) merged into duplicate clusters via "
+    "iterative min-label connected components; keeper = min doc_id per "
+    "cluster. Oracle is a recursive-CTE transitive closure — same "
+    "components, different algorithm. operators/dedup.py:"
+    "connected_components,dup_components.",
+)
+def q_llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.dup_components(t(spark, sf_dir, "documents"), min_eq=8)
+
+
+@register(
+    "llm_hash_split",
+    oracle=f"""
+        SELECT {_sampling.hash_split_sql(
+            "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        )} AS split,
+               lang, COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test split (80/10/10) by md5-bucket of "
+    "doc_id — row-keyed, so assignment survives repartitions, reruns "
+    "and engine changes (df.sample() does not). Narrow map-only "
+    "transform. operators/sampling.py:hash_split.",
+)
+def q_llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    split = _sampling.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))

@@ -86,3 +86,64 @@ def test_simhash_identical_docs_equal(spark):
     out = dedup.simhash(doubled)
     # union collapses per doc_id into the same hash → one distinct hash/doc
     assert out.select("doc_id", "simhash").distinct().count() == 5
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, and disjoint pair must each collapse to min-id
+    components; iteration count must cover the chain's diameter."""
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5, triangle 10-11-12 (+ redundant edge), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (11, 12), (10, 12),
+         (20, 21)],
+        "doc_a INT, doc_b INT",
+    )
+    got = {
+        (r.doc_id, r.component)
+        for r in dedup.connected_components(edges).collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
+            (10, 10), (11, 10), (12, 10),
+            (20, 20), (21, 20)}
+    assert got == want
+
+
+def test_dup_components_partitions_cluster_docs(spark):
+    """Every doc in the output belongs to exactly one cluster, the keeper
+    is the min doc_id of its cluster, and clusters are closed under the
+    strong-pair edge set."""
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    comp = dedup.dup_components(docs, min_eq=8).collect()
+    by_comp: dict[int, list[int]] = {}
+    for r in comp:
+        by_comp.setdefault(r.component, []).append(r.doc_id)
+        assert r.is_keeper == (1 if r.doc_id == r.component else 0)
+    for c, members in by_comp.items():
+        assert min(members) == c
+    # doc appears once
+    ids = [r.doc_id for r in comp]
+    assert len(ids) == len(set(ids))
+
+
+def test_hash_split_deterministic_across_partitioning(spark):
+    """Split assignment must be identical regardless of partition layout
+    (the property df.sample() lacks), and fractions must land near the
+    requested 80/10/10."""
+    from ad_data_pipelines_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    a = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    b = hash_split(
+        docs.repartition(17, "lang"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    ma = {r.doc_id: r.split for r in a.select("doc_id", "split").collect()}
+    mb = {r.doc_id: r.split for r in b.select("doc_id", "split").collect()}
+    assert ma == mb
+    n = len(ma)
+    from collections import Counter
+
+    frac = {k: v / n for k, v in Counter(ma.values()).items()}
+    assert abs(frac.get("train", 0) - 0.8) < 0.08
+    assert set(frac) == {"train", "val", "test"}
