@@ -128,3 +128,41 @@ def test_byte_histogram_features(spark):
     for r in rows:
         assert len(r.features) == mm.FEATURE_DIM
         assert abs(sum(r.features) - 1.0) < 1e-9
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    """Duplicate event_ids arriving in later files inside the watermark
+    horizon must be suppressed; the first arrival's row survives."""
+    import os
+
+    from ad_data_pipelines_spark.streaming.daily_aggs import read_events_stream
+    from ad_data_pipelines_spark.streaming.dedup import dedup_within_watermark
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows1 = [(1, "2025-01-01 10:00:00", 7, "click", 1.0, "{}"),
+             (2, "2025-01-01 10:01:00", 7, "click", 2.0, "{}")]
+    rows2 = [(1, "2025-01-01 10:05:00", 7, "click", 99.0, "{}"),  # dup id
+             (3, "2025-01-01 10:06:00", 8, "view", 3.0, "{}")]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    for i, rows in enumerate([rows1, rows2]):
+        (spark.createDataFrame(rows, cols)
+         .withColumn("ts", F.to_timestamp("ts"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    deduped = dedup_within_watermark(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        ["event_id"],
+    )
+    q = (deduped.writeStream.format("memory").queryName("dedup_sink")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r.event_id: r.value for r in spark.sql(
+        "select * from dedup_sink").collect()}
+    assert set(got) == {1, 2, 3}
+    # exactly one row per id — the duplicate (value 99.0) dropped OR kept
+    # depending on file arrival order within the same micro-batch; with
+    # maxFilesPerTrigger=1 arrival order is file order, so 1.0 wins.
+    assert got[1] == 1.0
