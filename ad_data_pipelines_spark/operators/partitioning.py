@@ -101,3 +101,33 @@ def salted_join(
     )
     joined = f.join(s, [key, "__salt"], how)
     return joined.drop("__salt")
+
+
+def partitions_for_target_size(df: DataFrame, target_mb: int = 256) -> int:
+    """Partition count that lands output files near `target_mb`,
+    from Catalyst's optimized-plan size estimate.
+
+    The small-files problem is the quiet killer of 100 TB warehouses: a
+    1000-task job writing a 10 GB result produces 1000×10 MB files, and
+    every later scan pays 1000 opens + footer reads. Catalyst already
+    carries a size estimate for every plan (`sizeInBytes` — column
+    stats when available, else scan-size propagation); using it costs
+    nothing at runtime. The estimate is in-memory-row-oriented and
+    typically 2-4× the on-disk parquet size, so files land *under*
+    target_mb — the safe side of the tradeoff (fewer, larger files).
+    """
+    raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    size_bytes = int(str(raw))  # scala BigInt → python int
+    return max(1, -(-size_bytes // (target_mb * 1024 * 1024)))
+
+
+def write_sized(
+    df: DataFrame, path: str, target_mb: int = 256, mode: str = "overwrite"
+) -> int:
+    """Write parquet with stat-derived output partitioning: repartition
+    to `partitions_for_target_size` (a round-robin exchange — use
+    `write_bucketed`/`write_time_partitioned` when the layout should
+    carry join/prune structure instead). Returns the partition count."""
+    n = partitions_for_target_size(df, target_mb)
+    df.repartition(n).write.mode(mode).parquet(path)
+    return n

@@ -1791,3 +1791,105 @@ def q_llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
     )
     return split.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "t4_funnel_conversion",
+    oracle="""
+        WITH nextp AS (
+            SELECT event_id, ts, event_type,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS next_purchase_ts
+            FROM events
+        )
+        SELECT CAST(ts AS DATE) AS click_date,
+               COUNT(*) AS n_clicks,
+               SUM(CASE WHEN next_purchase_ts IS NOT NULL
+                         AND next_purchase_ts <= ts + INTERVAL 1 HOUR
+                        THEN 1 ELSE 0 END) AS n_converted
+        FROM nextp
+        WHERE event_type = 'click'
+        GROUP BY 1
+    """,
+    doc="Funnel conversion (click → purchase within 1h) WITHOUT a range "
+    "join: next-purchase timestamp via conditional min over the "
+    "forward window frame — one shuffle on user_id, ordered by the "
+    "unique (ts, event_id) pair. The naive clicks⋈purchases interval "
+    "self-join is quadratic in events-per-user at 100 TB; this is the "
+    "plan that scales.",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nextp = ev.withColumn(
+        "next_purchase_ts",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(w),
+    )
+    return (
+        nextp.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("click_date"))
+        .agg(
+            F.count("*").alias("n_clicks"),
+            count_if(
+                F.col("next_purchase_ts").isNotNull()
+                & (
+                    F.col("next_purchase_ts")
+                    <= F.col("ts") + F.expr("INTERVAL 1 HOUR")
+                )
+            ).alias("n_converted"),
+        )
+    )
+
+
+@register(
+    "t5_cohort_retention",
+    oracle="""
+        WITH cohorts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY 1
+        ),
+        activity AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS active_week
+            FROM events
+        )
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT)
+                   AS week_offset,
+               COUNT(*) AS n_users
+        FROM activity JOIN cohorts USING (user_id)
+        GROUP BY cohort_week, active_week
+    """,
+    doc="Weekly cohort retention: cohort = ISO week of a user's first "
+    "event, counted again in each later active week. Two aggregates on "
+    "user_id + one join (broadcast when the cohort side is small, else "
+    "co-partitioned on user_id); Monday-start date_trunc('week') agrees "
+    "across engines.",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    cohorts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("active_week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+            "n_users",
+        )
+    )

@@ -11,7 +11,7 @@ from ad_data_pipelines_spark.operators.partitioning import (
     salted_join,
     write_bucketed,
 )
-from tests.conftest import SF_SMALL
+from tests.conftest import SF_MEDIUM, SF_SMALL
 
 
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
@@ -104,3 +104,26 @@ def test_time_partitioned_layout_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "1995-06" in plan, plan
     expect = li.filter(F.date_format("l_shipdate", "yyyy-MM") == "1995-06").count()
     assert one_month.count() == expect
+
+
+def test_write_sized_bounds_file_count(spark, tmp_path):
+    """Stat-based sizing must produce few, large files for a small
+    result (1 file here), not one file per shuffle partition."""
+    from ad_data_pipelines_spark.operators.partitioning import (
+        partitions_for_target_size,
+        write_sized,
+    )
+
+    li = spark.read.parquet(f"{SF_MEDIUM}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag", "l_linestatus").count()
+    assert partitions_for_target_size(agg, target_mb=256) == 1
+    out = str(tmp_path / "sized")
+    n = write_sized(agg, out, target_mb=256)
+    assert n == 1
+    import glob
+
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == 1
+    # a big scan estimate must ask for >1 partition at a small target
+    big = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    assert partitions_for_target_size(big, target_mb=1) > 1
