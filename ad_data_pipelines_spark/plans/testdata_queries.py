@@ -1893,3 +1893,34 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+@register(
+    "llm_dedup_corpus",
+    oracle=f"""
+        WITH comp AS ({_dedup.dup_components_sql(min_eq=8)})
+        SELECT lang, COUNT(*) AS n_kept,
+               ROUND(SUM(n_chars) / 1.0, 2) AS kept_chars
+        FROM documents d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM comp c
+            WHERE c.doc_id = d.doc_id AND c.is_keeper = 0
+        )
+        GROUP BY 1
+    """,
+    doc="The deduplicated corpus itself: documents minus non-keeper "
+    "cluster members (left anti join against the connected-components "
+    "output), counted per language. This is the filter a training-data "
+    "pipeline actually ships; the anti join shuffles only doc_ids.",
+)
+def q_llm_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    losers = _dedup.dup_components(docs, min_eq=8).filter(F.col("is_keeper") == 0)
+    return (
+        docs.join(losers.select("doc_id"), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.sum("n_chars") / 1.0, 2).alias("kept_chars"),
+        )
+    )
