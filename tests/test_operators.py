@@ -88,9 +88,11 @@ def test_simhash_identical_docs_equal(spark):
     assert out.select("doc_id", "simhash").distinct().count() == 5
 
 
-def test_connected_components_shapes(spark):
+@pytest.mark.parametrize("driver_threshold", [5_000_000, 0])
+def test_connected_components_shapes(spark, driver_threshold):
     """Chain, triangle, and disjoint pair must each collapse to min-id
-    components; iteration count must cover the chain's diameter."""
+    components — identically on the driver union-find path (default)
+    and the distributed label-propagation path (threshold=0)."""
     edges = spark.createDataFrame(
         # chain 1-2-3-4-5, triangle 10-11-12 (+ redundant edge), pair 20-21
         [(1, 2), (2, 3), (3, 4), (4, 5),
@@ -100,7 +102,9 @@ def test_connected_components_shapes(spark):
     )
     got = {
         (r.doc_id, r.component)
-        for r in dedup.connected_components(edges).collect()
+        for r in dedup.connected_components(
+            edges, driver_threshold=driver_threshold
+        ).collect()
     }
     want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),
             (10, 10), (11, 10), (12, 10),
