@@ -1924,3 +1924,31 @@ def q_llm_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_chars") / 1.0, 2).alias("kept_chars"),
         )
     )
+
+
+@register(
+    "llm_quality_quantile_approx",
+    oracle=None,  # t-digest approximation — rows-only check (like a5_approx)
+    doc="Production path of llm_quality_quantile: approx_percentile "
+    "(t-digest sketch, mergeable, one pass over 100 TB) in place of the "
+    "exact sort-based percentile. Accuracy vs exact is asserted in "
+    "tests/test_operators.py; the oracle-checked twin is "
+    "llm_quality_quantile.",
+)
+def q_llm_quality_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("lang", _ts.token_count("text").alias("n_tokens"))
+    pct = tok.groupBy("lang").agg(
+        F.expr("approx_percentile(n_tokens, 0.5, 10000)").alias("p50_tokens"),
+        F.expr("approx_percentile(n_tokens, 0.9, 10000)").alias("p90_tokens"),
+    )
+    return (
+        tok.join(F.broadcast(pct), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("p50_tokens").alias("p50_tokens"),
+            F.min("p90_tokens").alias("p90_tokens"),
+            count_if(F.col("n_tokens") >= F.col("p50_tokens")).alias("n_kept"),
+        )
+    )

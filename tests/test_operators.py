@@ -151,3 +151,18 @@ def test_hash_split_deterministic_across_partitioning(spark):
     frac = {k: v / n for k, v in Counter(ma.values()).items()}
     assert abs(frac.get("train", 0) - 0.8) < 0.08
     assert set(frac) == {"train", "val", "test"}
+
+
+def test_approx_percentile_near_exact(spark):
+    """approx_percentile(…, 10000) must land within 2% of the exact
+    percentile on the token-count distribution (the accuracy contract
+    behind llm_quality_quantile_approx)."""
+    from ad_data_pipelines_spark.operators import textstats as ts
+
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    tok = docs.select(ts.token_count("text").alias("n"))
+    row = tok.agg(
+        F.expr("percentile(n, 0.5)").alias("exact"),
+        F.expr("approx_percentile(n, 0.5, 10000)").alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / max(row.exact, 1) < 0.02

@@ -144,3 +144,58 @@ def test_rollup_overall_additivity(spark, rows):
     per_region = sum(r.sv for r in out if r.region != "overall")
     overall = next(r.sv for r in out if r.region == "overall")
     assert per_region == overall
+
+
+edge_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=40),
+    ).filter(lambda t: t[0] != t[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(edge_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_paths_agree(spark, raw_edges):
+    """Driver union-find and distributed label propagation must produce
+    identical min-root labelings on arbitrary graphs (self-loops
+    excluded), and each labeling must be a valid partition: every
+    node's component is the min id of its transitive closure."""
+    from ad_data_pipelines_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in raw_edges], "doc_a INT, doc_b INT"
+    )
+    fast = {
+        (r.doc_id, r.component)
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r.doc_id, r.component)
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert fast == dist
+
+    # python-oracle: BFS closure
+    adj: dict[int, set[int]] = {}
+    for a, b in raw_edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for start in adj:
+        seen = {start}
+        stack = [start]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        want[start] = min(seen)
+    assert fast == {(n, c) for n, c in want.items()}
