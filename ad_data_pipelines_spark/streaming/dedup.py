@@ -47,3 +47,41 @@ def content_key(stream: DataFrame, text_col: str = "text") -> DataFrame:
     """Add a 16-byte `content_hash` for payload dedup — state never
     stores text (the batch pipeline's md5 groupBy, streamified)."""
     return stream.withColumn("content_hash", F.md5(F.col(text_col)))
+
+
+# --- exactly-once micro-batch sink ---------------------------------------
+
+def foreach_batch_idempotent(write_batch, ledger_path: str):
+    """Wrap a micro-batch writer with batch-id idempotence for
+    `writeStream.foreachBatch`.
+
+    Structured Streaming's checkpoint guarantees each batch_id is
+    *delivered* at least once — after a crash between sink commit and
+    checkpoint commit, the batch replays. For sinks without their own
+    transactional dedup (JDBC staging loads, object-store copies), the
+    standard recipe is a per-batch ledger: skip the write when the
+    batch_id is already recorded, record it after a successful write.
+    The marker write is a rename-free single-file put, same idea as the
+    reference's `.imported` markers (data_ingestion/folder_import.R:69-91)
+    and our batch manifest (sources/manifest.py), applied per micro-batch.
+
+    `write_batch(df, batch_id)` does the real work (e.g.
+    `write_jdbc_staged`); the returned function plugs into
+    `stream.writeStream.foreachBatch(...)`. foreachBatch executes on
+    the driver, so the ledger uses plain file I/O — point it at storage
+    that survives driver restarts (the checkpoint volume); swap in the
+    Hadoop FS API for object stores.
+    """
+    import os
+
+    os.makedirs(ledger_path, exist_ok=True)
+
+    def _apply(df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(ledger_path, f"batch-{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        write_batch(df, batch_id)
+        with open(marker, "w") as fh:
+            fh.write(str(batch_id))
+
+    return _apply

@@ -166,3 +166,21 @@ def test_dedup_within_watermark_stream(spark, tmp_path):
     # depending on file arrival order within the same micro-batch; with
     # maxFilesPerTrigger=1 arrival order is file order, so 1.0 wins.
     assert got[1] == 1.0
+
+
+def test_foreach_batch_idempotent_skips_replayed_batches(spark, tmp_path):
+    """A replayed batch_id must not be written twice; a new batch_id
+    must be. (Crash-replay simulation: call the wrapper directly with
+    repeated ids — exactly what a restarted stream does.)"""
+    from ad_data_pipelines_spark.streaming.dedup import foreach_batch_idempotent
+
+    written = []
+    sink = foreach_batch_idempotent(
+        lambda df, bid: written.append((bid, df.count())),
+        str(tmp_path / "ledger"),
+    )
+    df = spark.range(5)
+    sink(df, 0)
+    sink(df, 0)  # replay after simulated crash
+    sink(df, 1)
+    assert [b for b, _ in written] == [0, 1]
