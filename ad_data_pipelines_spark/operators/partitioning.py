@@ -131,3 +131,27 @@ def write_sized(
     n = partitions_for_target_size(df, target_mb)
     df.repartition(n).write.mode(mode).parquet(path)
     return n
+
+
+def write_range_sorted(
+    df: DataFrame, path: str, order_col: str, n_files: int, mode: str = "overwrite"
+) -> None:
+    """Write parquet range-partitioned AND sorted on `order_col`:
+    `repartitionByRange` gives non-overlapping value ranges per file,
+    `sortWithinPartitions` orders rows inside each.
+
+    Why at 100 TB: parquet keeps min/max statistics per row group; when
+    file ranges don't overlap, a predicate on `order_col` (the time
+    filter every daily pipeline starts with) skips whole files and row
+    groups at scan time — the same effect as directory partitioning but
+    at sub-partition granularity, and it composes with
+    `write_time_partitioned` (partition dirs prune months, sorted row
+    groups prune days). The range exchange samples the column to pick
+    balanced boundaries, so skewed timestamps still give even files.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -127,3 +127,32 @@ def test_write_sized_bounds_file_count(spark, tmp_path):
     # a big scan estimate must ask for >1 partition at a small target
     big = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
     assert partitions_for_target_size(big, target_mb=1) > 1
+
+
+def test_write_range_sorted_nonoverlapping_files(spark, tmp_path):
+    """Files produced by write_range_sorted must carry disjoint
+    [min, max] ranges of the order column — the property parquet
+    min/max pruning needs."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ad_data_pipelines_spark.operators.partitioning import write_range_sorted
+
+    li = spark.read.parquet(f"{SF_MEDIUM}/lineitem.parquet")
+    out = str(tmp_path / "sorted")
+    write_range_sorted(li, out, "l_shipdate", n_files=4)
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {hi1} > {lo2}"
