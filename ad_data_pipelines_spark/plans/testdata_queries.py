@@ -1952,3 +1952,38 @@ def q_llm_quality_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame
             count_if(F.col("n_tokens") >= F.col("p50_tokens")).alias("n_kept"),
         )
     )
+
+
+@register(
+    "llm_boilerplate_ngrams",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, GREATEST(n_chars - 4, 1))) AS i
+            FROM documents
+        ),
+        sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM pos),
+        freq AS (
+            SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY 1
+        )
+        SELECT shingle, n_docs FROM freq
+        ORDER BY n_docs DESC, shingle
+        LIMIT 20
+    """,
+    doc="Boilerplate heavy hitters: the 20 character-5-grams present in "
+    "the most documents (distinct-per-doc, so repeats inside one doc "
+    "don't inflate). Doubly useful at corpus scale: candidates for "
+    "boilerplate stripping, AND the exact keys that skew LSH band "
+    "buckets (feed them to salted_join / AQE diagnostics). Plan: "
+    "narrow shingle explode → one count shuffle → TakeOrderedAndProject "
+    "(per-partition top-20, no global sort). Ties broken on the shingle "
+    "value for cross-engine determinism.",
+)
+def q_llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _dedup.char_shingles(t(spark, sf_dir, "documents"), k=5)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), "shingle")
+        .limit(20)
+    )
