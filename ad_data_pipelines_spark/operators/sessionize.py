@@ -56,10 +56,10 @@ def sessionize_sql(timeout_min: float = 30.0) -> str:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         ids AS (
-            SELECT *, SUM(new_session) OVER (
+            SELECT *, CAST(SUM(new_session) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING
-            ) AS session_idx
+            ) AS BIGINT) AS session_idx
             FROM flagged
         )
         SELECT user_id, session_idx, COUNT(*) AS n_events,

@@ -141,8 +141,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a2_conditional_counts",
     oracle="""
         SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
-               SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS journey_num,
-               SUM(CASE WHEN l_linenumber <> 1 THEN 1 ELSE 0 END) AS transfer_num
+               CAST(SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END) AS BIGINT) AS journey_num,
+               CAST(SUM(CASE WHEN l_linenumber <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS transfer_num
         FROM lineitem
         GROUP BY 1
     """,
@@ -385,7 +385,8 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j14_match_rate",
     oracle="""
         SELECT COUNT(*) AS total,
-               SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS matched
+               CAST(SUM(CASE WHEN o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS matched
         FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
     """,
     doc="J14 join match-rate metric (left join + notnull count). "
@@ -664,7 +665,8 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "t2_events_json_props",
     oracle="""
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS k_sum,
                COUNT(*) AS n_events
         FROM events
         GROUP BY 1
@@ -1138,8 +1140,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c_mktsegment,
                COUNT(*) AS n_customers,
-               SUM(CASE WHEN l.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
-                   AS n_with_order,
+               CAST(SUM(CASE WHEN l.o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_with_order,
                ROUND(SUM(COALESCE(l.o_totalprice, 0)), 2) AS latest_value
         FROM customer c LEFT JOIN latest l ON c.c_custkey = l.o_custkey
         GROUP BY 1
@@ -1251,7 +1253,7 @@ def q_mapping_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT l_returnflag,
                COUNT(*) AS n_rows,
-               SUM(is_last) AS n_last,
+               CAST(SUM(is_last) AS BIGINT) AS n_last,
                ROUND(SUM(CASE WHEN is_last = 1 THEN l_extendedprice
                               ELSE 0 END), 2) AS last_value
         FROM flagged GROUP BY 1
@@ -1726,7 +1728,8 @@ def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_docs,
                MIN(p50_tokens) AS p50_tokens,
                MIN(p90_tokens) AS p90_tokens,
-               SUM(CASE WHEN n_tokens >= p50_tokens THEN 1 ELSE 0 END) AS n_kept
+               CAST(SUM(CASE WHEN n_tokens >= p50_tokens THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept
         FROM tok JOIN pct USING (lang)
         GROUP BY 1
     """,
@@ -1806,9 +1809,9 @@ def q_llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(ts AS DATE) AS click_date,
                COUNT(*) AS n_clicks,
-               SUM(CASE WHEN next_purchase_ts IS NOT NULL
-                         AND next_purchase_ts <= ts + INTERVAL 1 HOUR
-                        THEN 1 ELSE 0 END) AS n_converted
+               CAST(SUM(CASE WHEN next_purchase_ts IS NOT NULL
+                              AND next_purchase_ts <= ts + INTERVAL 1 HOUR
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         FROM nextp
         WHERE event_type = 'click'
         GROUP BY 1
@@ -1987,3 +1990,43 @@ def q_llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "shingle")
         .limit(20)
     )
+
+
+# --- Gate-priority ordering -------------------------------------------------
+# The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order and
+# has a finite budget (round 1 stopped after 50 of 65 entries, leaving the
+# file-order tail unverified). Re-insert in explicit priority order:
+#   tier 1 — queries that have never received a CORRECTNESS row,
+#   tier 2 — queries whose oracles were just fixed (need a fresh verdict),
+#   tier 3 — long-verified greens, cheapest to lose if the budget truncates.
+_GATE_PRIORITY = [
+    # tier 1: ungated in CORRECTNESS_r01 (driver truncation)
+    "llm_mm_decode_resize",
+    "llm_mm_frame_sample",
+    "w5_seq_lead",
+    "j9_j10_composite_join",
+    "o3_union_slices",
+    "o6_topn_revenue",
+    "j5_regional_volume",
+    "llm_quality_quantile",
+    "llm_dedup_groups",
+    "llm_hash_split",
+    "t4_funnel_conversion",
+    "t5_cohort_retention",
+    "llm_dedup_corpus",
+    "llm_quality_quantile_approx",
+    "llm_boilerplate_ngrams",
+    # tier 2: hash_match=false in round 1 (HUGEINT oracle bug, now CAST)
+    "a2_conditional_counts",
+    "j14_match_rate",
+    "t2_events_json_props",
+    "t3_sessionize",
+    "j7_dedup_then_join",
+    "w3_group_max_flag",
+]
+_missing = [n for n in _GATE_PRIORITY if n not in REGISTRY]
+assert not _missing, f"gate-priority names drifted from registry: {_missing}"
+_ordered = {n: REGISTRY[n] for n in _GATE_PRIORITY}
+_ordered.update((n, s) for n, s in REGISTRY.items() if n not in _ordered)
+REGISTRY.clear()
+REGISTRY.update(_ordered)

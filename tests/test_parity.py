@@ -2,14 +2,23 @@
 registry must produce identical (column-sorted, row-sorted) results in
 Spark and DuckDB — mirroring the driver's CORRECTNESS gate.
 
-Floats are compared exactly: the queries themselves round aggregates so
-double-summation order cannot differ between engines. A failure here means
-the driver's hash-match would fail too.
+Comparison is TYPE-TAGGED: a DuckDB HUGEINT (``SUM(integer)`` widens to
+it, and it surfaces through Arrow as decimal128) is NOT equal to a Spark
+bigint even when the numeric values agree, because the driver's value
+hash distinguishes them. The oracle result is therefore fetched through
+Arrow (``fetch_arrow_table``), not ``fetchall`` — the DBAPI path coerces
+HUGEINT to Python int and hides exactly the class of bug the driver's
+gate catches (round-1 failure mode).
+
+Floats are compared after 9dp rounding only: the queries themselves
+round aggregates so double-summation order cannot differ between engines.
+A failure here means the driver's hash-match would fail too.
 """
 
 from __future__ import annotations
 
 import datetime
+import decimal
 import math
 
 import pytest
@@ -22,16 +31,33 @@ ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
 
 def _norm_cell(v):
+    """Normalize to a (type_tag, value) pair so cross-type numeric equality
+    (Decimal(5) == 5 == 5.0 in Python) cannot mask a cross-engine type
+    mismatch that the driver's hash would flag."""
+    if v is None:
+        return ("null", None)
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "NaN"
+            return ("float", "NaN")
         # collapse -0.0 / float drift that rounding already handled
-        return round(v, 9)
+        return ("float", round(v, 9))
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
+        return ("timestamp", v.isoformat())
     if isinstance(v, datetime.date):
-        return v.isoformat()
-    return v
+        return ("date", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return ("array", tuple(_norm_cell(x) for x in v))
+    if isinstance(v, bytes):
+        return ("binary", v)
+    if isinstance(v, str):
+        return ("str", v)
+    return (type(v).__name__, str(v))
 
 
 def _normalize(rows, colnames):
@@ -49,9 +75,10 @@ def test_oracle_parity(name, spark, duck):
     s_rows = [tuple(r) for r in sdf.collect()]
 
     register_duck_views(duck, SF_MEDIUM)
-    res = duck.execute(spec.oracle)
-    d_cols = [d[0] for d in res.description]
-    d_rows = res.fetchall()
+    tbl = duck.execute(spec.oracle).fetch_arrow_table()
+    d_cols = tbl.column_names
+    cols_py = [c.to_pylist() for c in tbl.columns]
+    d_rows = list(zip(*cols_py)) if cols_py else []
 
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column names differ spark={sorted(s_cols)} duck={sorted(d_cols)}"
