@@ -65,10 +65,16 @@ def rollup_overall(
     """
     sets = [tuple([*group_cols, rollup_col]), tuple(group_cols)]
     gs = df.groupingSets(sets, *[F.col(c) for c in [*group_cols, rollup_col]])
-    out = gs.agg(*aggs)
+    # grouping() (not NULL-coalesce) identifies the collapsed grain, so
+    # detail rows whose rollup_col is genuinely NULL are never relabeled
+    # into — and double-counted under — the overall bucket.
+    out = gs.agg(*aggs, F.grouping(rollup_col).alias("__is_rollup"))
     return out.withColumn(
-        rollup_col, F.coalesce(F.col(rollup_col), F.lit(overall_label))
-    )
+        rollup_col,
+        F.when(F.col("__is_rollup") == 1, F.lit(overall_label)).otherwise(
+            F.col(rollup_col)
+        ),
+    ).drop("__is_rollup")
 
 
 def avg_daily_ratio_per_month(

@@ -88,13 +88,29 @@ def salted_join(
     `n_salts` sub-partitions.
 
     The fact side gets a deterministic salt from a hash of the whole
-    row (xxhash64 — stable across retries, no rand()); the other side
+    row plus its partition id (no rand(); the partition component also
+    spreads rows that are byte-identical duplicates — common for
+    boilerplate/null-heavy hot keys — across salts when they sit in
+    different input partitions; identical rows co-resident in one
+    partition still share a salt, the remaining caveat). The other side
     is exploded ×n_salts so every (key, salt) pair finds its match.
     Use when the right side is too big to broadcast AND key skew
     defeats AQE (e.g. a null-heavy or boilerplate-heavy key).
     Output columns = facts.* + skewed_side.* minus its join key.
+
+    Only `inner` and `left` are accepted: under right/full outer an
+    unmatched skewed_side row exists once per salt copy and would emit
+    n_salts duplicate outputs.
     """
-    salt = F.pmod(F.xxhash64(*facts.columns), F.lit(n_salts))
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "right/full outer would duplicate unmatched exploded rows "
+            "n_salts times"
+        )
+    salt = F.pmod(
+        F.xxhash64(F.spark_partition_id(), *facts.columns), F.lit(n_salts)
+    )
     f = facts.withColumn("__salt", salt)
     s = skewed_side.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

@@ -198,7 +198,8 @@ def q_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a9_rollup_overall",
     oracle="""
-        SELECT COALESCE(n_name, 'overall') AS nation_name,
+        SELECT CASE WHEN GROUPING(n_name) = 1 THEN 'overall'
+                    ELSE n_name END AS nation_name,
                COUNT(*) AS customers,
                ROUND(SUM(c_acctbal), 2) AS acctbal_sum
         FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -217,9 +218,15 @@ def q_rollup_overall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("customers"),
             F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+            F.grouping("n_name").alias("__is_rollup"),
         )
-        .withColumn("nation_name", F.coalesce(F.col("n_name"), F.lit("overall")))
-        .drop("n_name")
+        .withColumn(
+            "nation_name",
+            F.when(F.col("__is_rollup") == 1, F.lit("overall")).otherwise(
+                F.col("n_name")
+            ),
+        )
+        .drop("n_name", "__is_rollup")
     )
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 from pathlib import Path
+from urllib.parse import quote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -86,9 +87,18 @@ def import_folder(
     warehouse: str,
     file_ext: str = ".csv",
 ) -> dict[str, int]:
-    """Incremental import: `<root>/<table>/*.csv` → parquet warehouse
-    append, skipping files already in the manifest (idempotent re-runs —
-    the reference's `.imported` markers, folder_import.R:69-91).
+    """Incremental import: `<root>/<table>/*.csv` → parquet warehouse,
+    skipping files already in the manifest (idempotent re-runs — the
+    reference's `.imported` markers, folder_import.R:69-91).
+
+    Each source file lands in its own `source_file=<name>` partition
+    directory, written with mode("overwrite"). That makes the
+    write+marker pair crash-safe end-to-end: a crash between the
+    parquet write and the manifest save re-runs the file on the next
+    import as an overwrite of the same directory — no duplicate rows,
+    unlike a top-level append. Readers of `<warehouse>/<table>` see
+    `source_file` as a string partition column (provenance for free,
+    and per-file partition pruning).
 
     Returns {table: files_imported_this_run}.
     """
@@ -114,9 +124,12 @@ def import_folder(
             if schema is None:  # first file of the feed defines the schema
                 schema = df.schema
                 save_schema_cache(str(table_dir), schema)
-            df.write.mode("append").parquet(f"{warehouse}/{table}")
+            part = quote(fname, safe="")  # partition values are URL-coded
+            df.write.mode("overwrite").parquet(
+                f"{warehouse}/{table}/source_file={part}"
+            )
             done.add(fname)
-            _save_manifest(table_dir, done)  # per-file marker: crash-safe
+            _save_manifest(table_dir, done)  # marker after idempotent write
             n += 1
         imported[table] = n
     return imported

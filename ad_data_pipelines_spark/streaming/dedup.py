@@ -61,9 +61,19 @@ def foreach_batch_idempotent(write_batch, ledger_path: str):
     transactional dedup (JDBC staging loads, object-store copies), the
     standard recipe is a per-batch ledger: skip the write when the
     batch_id is already recorded, record it after a successful write.
-    The marker write is a rename-free single-file put, same idea as the
-    reference's `.imported` markers (data_ingestion/folder_import.R:69-91)
-    and our batch manifest (sources/manifest.py), applied per micro-batch.
+    Same idea as the reference's `.imported` markers
+    (data_ingestion/folder_import.R:69-91) and our batch manifest
+    (sources/manifest.py), applied per micro-batch.
+
+    GUARANTEE, precisely: this narrows the duplicate window to a crash
+    BETWEEN `write_batch` returning and the marker landing — it does
+    NOT close it. The ledger upgrades the sink to exactly-once only
+    when `write_batch` is itself idempotent for a given batch_id
+    (overwrite-by-batch_id partition, staged table swap keyed on
+    batch_id, MERGE on a batch key); for a blind append the composite
+    remains at-least-once with a much smaller window. The marker itself
+    is written tmp + os.replace (atomic on POSIX), so a crash mid-write
+    can never leave a half-written marker that skips an unwritten batch.
 
     `write_batch(df, batch_id)` does the real work (e.g.
     `write_jdbc_staged`); the returned function plugs into
@@ -81,7 +91,9 @@ def foreach_batch_idempotent(write_batch, ledger_path: str):
         if os.path.exists(marker):
             return
         write_batch(df, batch_id)
-        with open(marker, "w") as fh:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
             fh.write(str(batch_id))
+        os.replace(tmp, marker)
 
     return _apply

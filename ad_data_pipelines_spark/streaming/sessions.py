@@ -76,22 +76,32 @@ RUNNING_TOTALS_SCHEMA = StructType(
 )
 
 
-def running_user_totals(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
-    """Custom stateful operator: per-user running totals kept in an
-    explicit GroupState across micro-batches.
-
-    State is one (count, sum) pair per user — O(users), not O(events);
-    set a processing-time timeout (timeout_ms>0) to expire idle users on
-    unbounded key spaces. Each micro-batch emits the user's updated
-    cumulative row (update output mode).
-    """
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+def make_running_totals_update(timeout_ms: int = 0):
+    """The GroupState update function behind `running_user_totals`,
+    exposed at module scope so the timeout path is unit-testable
+    without a wall-clock streaming harness."""
 
     def update(
         key: tuple[Any, ...],
         batches: Iterator[pd.DataFrame],
-        state: GroupState,
+        state,
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # Timeout invocation: the batch iterator is empty. Drop the
+            # idle user's state WITHOUT re-arming the timeout — updating
+            # here would re-register the key and state would grow
+            # O(all users ever seen), never expiring. Emit the final
+            # cumulative row so downstreams see the last value.
+            n, total = state.get if state.exists else (0, 0.0)
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_sum": [round(total, 2)],
+                }
+            )
+            return
         n, total = state.get if state.exists else (0, 0.0)
         for pdf in batches:
             n += len(pdf)
@@ -107,13 +117,28 @@ def running_user_totals(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
             }
         )
 
+    return update
+
+
+def running_user_totals(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator: per-user running totals kept in an
+    explicit GroupState across micro-batches.
+
+    State is one (count, sum) pair per user — O(users), not O(events);
+    set a processing-time timeout (timeout_ms>0) to expire idle users on
+    unbounded key spaces (state is removed, not re-armed, when the
+    timeout fires). Each micro-batch emits the user's updated cumulative
+    row (update output mode).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
         if timeout_ms > 0
         else GroupStateTimeout.NoTimeout
     )
     return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
-        update,
+        make_running_totals_update(timeout_ms),
         outputStructType=RUNNING_TOTALS_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",

@@ -193,3 +193,15 @@ def test_dup_components_table_bucketed_anti_join(spark, tmp_path):
         assert kept.count() == docs.count() - n_losers
     finally:
         spark.sql("DROP TABLE IF EXISTS dup_components")
+
+
+def test_salted_join_rejects_outer_sides(spark):
+    """right/full outer would emit n_salts duplicates for unmatched
+    exploded rows — the operator must refuse."""
+    import pytest
+
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").limit(10)
+    dim = li.select(F.col("l_orderkey")).distinct()
+    for how in ("right", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(li, dim, "l_orderkey", how=how)

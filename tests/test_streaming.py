@@ -184,3 +184,68 @@ def test_foreach_batch_idempotent_skips_replayed_batches(spark, tmp_path):
     sink(df, 0)  # replay after simulated crash
     sink(df, 1)
     assert [b for b, _ in written] == [0, 1]
+
+
+def test_running_totals_timeout_removes_state():
+    """When the processing-time timeout fires (empty batch iterator),
+    the update function must remove the idle user's state and must NOT
+    re-arm the timeout — otherwise idle-key state grows forever."""
+    import pandas as pd
+
+    from ad_data_pipelines_spark.streaming.sessions import (
+        make_running_totals_update,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.hasTimedOut = True
+            self.exists = True
+            self.get = (7, 21.5)
+            self.removed = False
+            self.updated = False
+            self.rearmed = False
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = True
+
+        def setTimeoutDuration(self, ms):
+            self.rearmed = True
+
+    update = make_running_totals_update(timeout_ms=1000)
+    state = FakeState()
+    out = list(update((42,), iter([]), state))
+    assert state.removed and not state.updated and not state.rearmed
+    # final cumulative row still emitted
+    assert len(out) == 1 and out[0]["n_events"][0] == 7
+    assert out[0]["value_sum"][0] == 21.5
+
+    # normal path still accumulates and re-arms
+    state2 = FakeState()
+    state2.hasTimedOut = False
+    state2.get = (1, 1.0)
+    out2 = list(update((42,), iter([pd.DataFrame({"value": [2.0]})]), state2))
+    assert state2.updated and state2.rearmed and not state2.removed
+    assert out2[0]["n_events"][0] == 2
+
+
+def test_foreach_batch_marker_is_atomic(tmp_path):
+    """No .tmp ledger residue after a successful batch, and the marker
+    content is the batch id (written via tmp + os.replace)."""
+    import os
+
+    from ad_data_pipelines_spark.streaming.dedup import foreach_batch_idempotent
+
+    calls = []
+    sink = foreach_batch_idempotent(
+        lambda df, bid: calls.append(bid), str(tmp_path / "ledger")
+    )
+    sink(None, 3)
+    sink(None, 3)  # replay: skipped
+    assert calls == [3]
+    ledger = tmp_path / "ledger"
+    assert sorted(p.name for p in ledger.iterdir()) == ["batch-3.done"]
+    assert (ledger / "batch-3.done").read_text() == "3"
+    assert not any(p.suffix == ".tmp" for p in ledger.iterdir())
