@@ -49,45 +49,82 @@ class JdbcTarget:
         return opts
 
 
-def swap_ddl(table: str, staging: str) -> list[str]:
-    """The atomic-swap statement sequence (reference
-    data_ingestion/pg_import.R:288-313): executed in one transaction so
-    readers never observe a half-loaded table."""
-    return [
-        "BEGIN",
-        f'DROP TABLE IF EXISTS "{table}"',
-        f'ALTER TABLE "{staging}" RENAME TO "{table}"',
-        "COMMIT",
-    ]
+def swap_ddl(
+    table: str,
+    staging: str,
+    dialect: str = "postgres",
+    table_exists: bool = True,
+) -> list[str]:
+    """The atomic-swap DDL sequence (reference
+    data_ingestion/pg_import.R:288-313). Transaction control is NOT in
+    the statement list — `write_jdbc_staged` runs the sequence on one
+    connection with autocommit off and commits once, the JDBC-idiomatic
+    equivalent of the reference's BEGIN…COMMIT, so readers never observe
+    a half-loaded table.
+
+    `dialect='derby'` emits Derby's spelling (no DROP IF EXISTS — pass
+    `table_exists` from a probe — and RENAME TABLE instead of ALTER),
+    which is what the in-process end-to-end test runs against."""
+    if dialect == "postgres":
+        return [
+            f'DROP TABLE IF EXISTS "{table}"',
+            f'ALTER TABLE "{staging}" RENAME TO "{table}"',
+        ]
+    if dialect == "derby":
+        drops = [f'DROP TABLE "{table}"'] if table_exists else []
+        return drops + [f'RENAME TABLE "{staging}" TO "{table}"']
+    raise ValueError(f"unknown jdbc dialect {dialect!r}")
 
 
-def write_jdbc_staged(df: DataFrame, target: JdbcTarget) -> None:
+def _table_exists(conn, table: str) -> bool:
+    """Probe with a zero-row select — dialect-neutral, run with
+    autocommit ON so a failed probe can't poison the swap transaction."""
+    try:
+        stmt = conn.createStatement()
+        try:
+            rs = stmt.executeQuery(f'SELECT 1 FROM "{table}" WHERE 1=0')
+            rs.close()
+            return True
+        finally:
+            stmt.close()
+    except Exception:
+        return False
+
+
+def write_jdbc_staged(
+    df: DataFrame, target: JdbcTarget, dialect: str = "postgres"
+) -> None:
     """Write to `<table>__staging` with parallel batched inserts, then
-    atomically swap it into place.
+    atomically swap it into place (one transaction: drop old + rename
+    staging). Re-running is idempotent — the staging write is
+    mode('overwrite') and the swap replaces the previous table.
 
-    Requires the JDBC driver jar on the classpath and a live database —
-    statement generation (`swap_ddl`) is unit-tested; this function is
-    exercised in integration environments only.
+    Exercised end-to-end in tests against embedded Derby (on the Spark
+    classpath); the postgres dialect is the production path and differs
+    only in the DDL spelling from `swap_ddl`.
     """
     staging = f"{target.table}__staging"
     (
         df.write.format("jdbc")
         .options(**target.options())
-        .option("dbtable", staging)
+        .option("dbtable", f'"{staging}"')
         .mode("overwrite")
         .save()
     )
-    # driver-side swap through the same JDBC connection
-    jvm_spark = df.sparkSession
-    props = jvm_spark._sc._jvm.java.util.Properties()
+    # driver-side swap through one JDBC connection, one transaction
+    jvm = df.sparkSession._sc._jvm
+    props = jvm.java.util.Properties()
     for k, v in target.options().items():
         if k not in ("url", "batchsize", "numPartitions"):
             props.setProperty(k, v)
-    conn = jvm_spark._sc._jvm.java.sql.DriverManager.getConnection(target.url, props)
+    conn = jvm.java.sql.DriverManager.getConnection(target.url, props)
     try:
+        exists = _table_exists(conn, target.table)
+        conn.setAutoCommit(False)
         stmt = conn.createStatement()
-        for sql in swap_ddl(target.table, staging):
+        for sql in swap_ddl(target.table, staging, dialect, exists):
             stmt.execute(sql)
         stmt.close()
+        conn.commit()
     finally:
         conn.close()

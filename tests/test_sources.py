@@ -59,9 +59,57 @@ def test_first_seen_merge(spark):
 
 def test_swap_ddl_sequence():
     ddl = writers.swap_ddl("ads_x", "ads_x__staging")
-    assert ddl[0] == "BEGIN" and ddl[-1] == "COMMIT"
-    assert 'DROP TABLE IF EXISTS "ads_x"' in ddl
-    assert 'ALTER TABLE "ads_x__staging" RENAME TO "ads_x"' in ddl
+    assert ddl == [
+        'DROP TABLE IF EXISTS "ads_x"',
+        'ALTER TABLE "ads_x__staging" RENAME TO "ads_x"',
+    ]
+    assert writers.swap_ddl("t", "s", dialect="derby", table_exists=False) == [
+        'RENAME TABLE "s" TO "t"'
+    ]
+    assert writers.swap_ddl("t", "s", dialect="derby", table_exists=True)[0] == (
+        'DROP TABLE "t"'
+    )
+
+
+def test_jdbc_staged_swap_end_to_end(spark, tmp_path):
+    """The full S11 lifecycle against embedded Derby (a real JDBC
+    database on the Spark classpath): staged write → atomic swap →
+    idempotent re-run replacing the table → no staging residue.
+    Reference behavior: data_ingestion/pg_import.R:230-313."""
+    url = f"jdbc:derby:{tmp_path}/swapdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    target = writers.JdbcTarget(
+        url=url, table="ads_x", driver=driver, batchsize=1000, num_partitions=1
+    )
+
+    def read_back(table):
+        return (
+            spark.read.format("jdbc")
+            .options(url=url, driver=driver, dbtable=f'"{table}"')
+            .load()
+        )
+
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    writers.write_jdbc_staged(df1, target, dialect="derby")
+    assert {(r.id, r.name) for r in read_back("ads_x").collect()} == {
+        (1, "a"), (2, "b"),
+    }
+
+    # re-run with different data: swap replaces the table atomically
+    df2 = spark.createDataFrame(
+        [(3, "c"), (4, "d"), (5, "e")], "id int, name string"
+    )
+    writers.write_jdbc_staged(df2, target, dialect="derby")
+    assert {(r.id, r.name) for r in read_back("ads_x").collect()} == {
+        (3, "c"), (4, "d"), (5, "e"),
+    }
+
+    # staging table is gone after the swap
+    import py4j.protocol
+    import pytest
+
+    with pytest.raises(py4j.protocol.Py4JJavaError):
+        read_back("ads_x__staging").collect()
 
 
 def test_csv_na_policy(spark, tmp_path):
