@@ -2,6 +2,11 @@
 """Benchmark: run every registry query end-to-end at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) and print ONE JSON line.
 
+Each query runs `--n` times (default 3, also settable via
+$SPARK_GRAFT_BENCH_N) and reports the per-query MEDIAN — single-shot
+numbers on a shared sandbox are machine-noise roulette (round 1's
+driver run read 148 s where a clean rerun gave 64 s).
+
 Execution is forced with the `noop` datasource write (full computation,
 zero serialization/collect cost), which is what a real pipeline's sink
 would look like minus the I/O — so the numbers measure plan execution,
@@ -10,8 +15,10 @@ not driver marshalling.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -22,6 +29,14 @@ from ad_data_pipelines_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--n",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_N", "3")),
+        help="runs per query; the reported time is the median",
+    )
+    args = ap.parse_args()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
@@ -38,10 +53,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        runs = []
+        for _ in range(max(1, args.n)):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(runs), 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -52,6 +70,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs_per_query": max(1, args.n),
             }
         )
     )

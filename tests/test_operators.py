@@ -166,3 +166,53 @@ def test_approx_percentile_near_exact(spark):
         F.expr("approx_percentile(n, 0.5, 10000)").alias("approx"),
     ).first()
     assert abs(row.approx - row.exact) / max(row.exact, 1) < 0.02
+
+
+def test_asof_join_semantics(spark):
+    """Backward match at-or-before, NULL-payload rows still match (the
+    struct carries the match, not the bare column), tolerance nulls out
+    stale matches, and right-name collisions are rejected."""
+    import datetime as dt
+
+    import pytest
+
+    from ad_data_pipelines_spark.operators.asof import asof_join
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, T(2025, 1, 1, 10, 0), "a"),
+         (1, T(2025, 1, 1, 12, 0), "b"),
+         (2, T(2025, 1, 1, 9, 0), "c")],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, T(2025, 1, 1, 9, 30), 10.0),
+         (1, T(2025, 1, 1, 11, 0), None),   # NULL payload must still win
+         (1, T(2025, 1, 1, 12, 0), 30.0)],  # tie with left @12:00 matches
+        "k int, rts timestamp, v double",
+    )
+    out = {
+        (r.k, r.ts): (r.asof_ts, r.v)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols=["v"],
+        ).collect()
+    }
+    assert out[(1, T(2025, 1, 1, 10, 0))] == (T(2025, 1, 1, 9, 30), 10.0)
+    # 11:00 row matched even though its payload is NULL — not skipped to 9:30
+    assert out[(1, T(2025, 1, 1, 12, 0))] == (T(2025, 1, 1, 12, 0), 30.0)
+    assert out[(2, T(2025, 1, 1, 9, 0))] == (None, None)
+
+    tol = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts",
+        right_cols=["v"], tolerance=F.expr("INTERVAL 20 MINUTES"),
+    )
+    got = {(r.k, r.ts): r.asof_ts for r in tol.collect()}
+    assert got[(1, T(2025, 1, 1, 10, 0))] is None  # 9:30 is 30 min stale
+    assert got[(1, T(2025, 1, 1, 12, 0))] == T(2025, 1, 1, 12, 0)
+
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left, right.withColumnRenamed("v", "tag"),
+            on=["k"], left_ts="ts", right_ts="rts", right_cols=["tag"],
+        )
