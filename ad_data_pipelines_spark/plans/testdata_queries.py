@@ -717,6 +717,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal (beyond-reference, BASELINE.json north star)
 # ---------------------------------------------------------------------------
 
+from ad_data_pipelines_spark.operators import chunking as _chunking  # noqa: E402
 from ad_data_pipelines_spark.operators import dedup as _dedup  # noqa: E402
 from ad_data_pipelines_spark.operators import multimodal as _mm  # noqa: E402
 from ad_data_pipelines_spark.operators import sampling as _sampling  # noqa: E402
@@ -2102,6 +2103,31 @@ def q_j15_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_chunking",
+    oracle=f"""
+        SELECT doc_id, chunk_idx, chunk_id,
+               length(chunk_text) AS n_chunk_chars
+        FROM ({_chunking.chunk_documents_sql(chunk_chars=256, overlap=64)})
+    """,
+    doc="Document chunking for RAG/embedding prep: 256-char windows "
+    "with 64-char overlap, deterministic chunk ids (md5 of "
+    "doc_id:chunk_idx). sequence()+explode keeps the whole stage in "
+    "codegen — the explode is the only row-multiplying step "
+    "(operators/chunking.py). Beyond-reference.",
+)
+def q_llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = _chunking.chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_chars=256, overlap=64
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_id",
+        F.length("chunk_text").alias("n_chunk_chars"),
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order and
 # has a finite budget (round 1 stopped after 50 of 65 entries, leaving the
@@ -2127,6 +2153,7 @@ _GATE_PRIORITY = [
     "llm_quality_quantile_approx",
     "llm_boilerplate_ngrams",
     "j15_asof_enrich",  # new in round 2 — never gated
+    "llm_chunking",  # new in round 2 — never gated
     # tier 2: hash_match=false in round 1 (HUGEINT oracle bug, now CAST)
     "a2_conditional_counts",
     "j14_match_rate",

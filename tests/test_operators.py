@@ -216,3 +216,35 @@ def test_asof_join_semantics(spark):
             left, right.withColumnRenamed("v", "tag"),
             on=["k"], left_ts="ts", right_ts="rts", right_cols=["tag"],
         )
+
+
+def test_chunk_documents_window_math(spark):
+    """Chunk boundaries: overlap honored, last chunk short, tiny/empty
+    docs yield exactly one chunk, ids deterministic."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import chunking
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 500), (2, "b" * 10), (3, ""), (4, None)],
+        "doc_id bigint, text string",
+    )
+    out = chunking.chunk_documents(docs, chunk_chars=256, overlap=64)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: ceil((500-64)/192) = 3 chunks at starts 1, 193, 385
+    assert {k[1] for k in rows if k[0] == 1} == {0, 1, 2}
+    assert len(rows[(1, 0)].chunk_text) == 256
+    assert len(rows[(1, 1)].chunk_text) == 256
+    assert len(rows[(1, 2)].chunk_text) == 500 - 384  # short tail
+    # consecutive chunks overlap by 64 chars
+    assert rows[(1, 0)].chunk_text[-64:] == rows[(1, 1)].chunk_text[:64]
+    # tiny/empty/null docs: exactly one chunk each
+    assert {k[1] for k in rows if k[0] == 2} == {0}
+    assert rows[(3, 0)].chunk_text == ""
+    assert rows[(4, 0)].chunk_text is None
+    # deterministic id
+    a = chunking.chunk_documents(docs).select("chunk_id").collect()
+    b = chunking.chunk_documents(docs.repartition(7)).select("chunk_id").collect()
+    assert sorted(r.chunk_id for r in a) == sorted(r.chunk_id for r in b)
+    with pytest.raises(ValueError, match="overlap"):
+        chunking.chunk_documents(docs, chunk_chars=64, overlap=64)
