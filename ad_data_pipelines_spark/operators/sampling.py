@@ -80,3 +80,93 @@ def hash_split_sql(expr: str, splits: Mapping[str, float], salt: str = "split") 
         acc += splits[name]
         cases.append(f"WHEN {bucket} < {round(acc * N_BUCKETS)} THEN '{name}'")
     return "CASE " + " ".join(cases) + f" ELSE '{names[-1]}' END"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    key: str,
+    default: float = 0.0,
+    salt: str = "strat",
+    *,
+    fast: bool = False,
+) -> DataFrame:
+    """Keep a per-stratum fraction of rows, deterministically: a row
+    survives iff hash_bucket(key) < fraction(stratum) — the data-mix
+    rebalancing step of corpus assembly (e.g. downsample boilerplate
+    languages, keep all of a rare one).
+
+    Map-only like `hash_split` (no shuffle, no state); strata not in
+    `fractions` fall back to `default`. Because the decision is keyed
+    to the row, overlapping runs agree: the 20% sample is a superset
+    of the 10% sample with the same salt.
+    """
+    bucket = hash_bucket(key, salt, fast=fast)
+    thresh = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        val = F.lit(round(frac * N_BUCKETS))
+        thresh = F.when(cond, val) if thresh is None else thresh.when(cond, val)
+    thresh = (
+        F.lit(round(default * N_BUCKETS))
+        if thresh is None
+        else thresh.otherwise(F.lit(round(default * N_BUCKETS)))
+    )
+    return df.filter(bucket < thresh)
+
+
+def stratified_sample_sql(
+    strata_expr: str,
+    fractions: Mapping[str, float],
+    key_expr: str,
+    default: float = 0.0,
+    salt: str = "strat",
+) -> str:
+    """DuckDB WHERE-clause twin of `stratified_sample`."""
+    bucket = hash_bucket_sql(key_expr, salt)
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{name}' THEN {round(frac * N_BUCKETS)}"
+        for name, frac in fractions.items()
+    )
+    return f"{bucket} < (CASE {cases} ELSE {round(default * N_BUCKETS)} END)"
+
+
+def stratified_topk(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key: str,
+    salt: str = "topk",
+    *,
+    fast: bool = False,
+) -> DataFrame:
+    """Exactly min(k, stratum size) rows per stratum, chosen by hash
+    rank — a deterministic reservoir sample (balanced eval sets,
+    per-cluster representatives). ONE window shuffle on the strata
+    key; the hash order is uniform so the pick is unbiased, and the
+    (hash, key) order key is unique so reruns and engines agree."""
+    from pyspark.sql import Window
+
+    h = portable_hash64(
+        F.concat(F.col(key).cast("string"), F.lit("#" + salt)), fast=fast
+    )
+    w = Window.partitionBy(*strata_cols).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def stratified_topk_sql(
+    strata_exprs: str, key_expr: str, salt: str = "topk"
+) -> str:
+    """DuckDB twin: the same hash-rank window, as a qualify-style rank
+    expression — embed in ROW_NUMBER() OVER (...) <= k."""
+    keyed = f"(CAST({key_expr} AS VARCHAR) || '#{salt}')"
+    h = f"CAST('0x' || substr(md5({keyed}), 1, 15) AS BIGINT)"
+    return (
+        f"ROW_NUMBER() OVER (PARTITION BY {strata_exprs} "
+        f"ORDER BY {h}, {key_expr})"
+    )

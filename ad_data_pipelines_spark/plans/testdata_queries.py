@@ -2128,6 +2128,59 @@ def q_llm_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STRAT_FRACS = {"en": 0.25, "zh": 1.0, "de": 0.5}
+
+
+@register(
+    "llm_stratified_sample",
+    oracle=f"""
+        SELECT lang, COUNT(*) AS n_sampled,
+               CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM documents
+        WHERE {_sampling.stratified_sample_sql(
+            "lang", _STRAT_FRACS, "doc_id", default=0.1
+        )}
+        GROUP BY 1
+    """,
+    doc="Data-mix rebalancing: per-language keep fractions (downsample "
+    "dominant en to 25%, keep all zh, default 10%) decided by a "
+    "row-keyed hash — map-only, no shuffle, stable across runs and "
+    "partitionings, and the 25% sample is a superset of a 10% one. "
+    "id_sum is the witness that the exact same rows survive in both "
+    "engines. operators/sampling.py:stratified_sample.",
+)
+def q_llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    kept = _sampling.stratified_sample(
+        docs, "lang", _STRAT_FRACS, key="doc_id", default=0.1
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
+@register(
+    "llm_stratified_topk",
+    oracle=f"""
+        SELECT lang, doc_id FROM (
+            SELECT lang, doc_id,
+                   {_sampling.stratified_topk_sql("lang", "doc_id")} AS rk
+            FROM documents
+        ) WHERE rk <= 20
+    """,
+    doc="Deterministic reservoir: exactly min(20, |stratum|) docs per "
+    "language by hash rank — balanced eval-set assembly with ONE "
+    "window shuffle; (hash, doc_id) order key is unique so engines "
+    "and reruns agree. operators/sampling.py:stratified_topk.",
+)
+def q_llm_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return _sampling.stratified_topk(docs, ["lang"], 20, key="doc_id").select(
+        "lang", "doc_id"
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order and
 # has a finite budget (round 1 stopped after 50 of 65 entries, leaving the
@@ -2154,6 +2207,8 @@ _GATE_PRIORITY = [
     "llm_boilerplate_ngrams",
     "j15_asof_enrich",  # new in round 2 — never gated
     "llm_chunking",  # new in round 2 — never gated
+    "llm_stratified_sample",  # new in round 2 — never gated
+    "llm_stratified_topk",  # new in round 2 — never gated
     # tier 2: hash_match=false in round 1 (HUGEINT oracle bug, now CAST)
     "a2_conditional_counts",
     "j14_match_rate",

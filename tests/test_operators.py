@@ -248,3 +248,52 @@ def test_chunk_documents_window_math(spark):
     assert sorted(r.chunk_id for r in a) == sorted(r.chunk_id for r in b)
     with pytest.raises(ValueError, match="overlap"):
         chunking.chunk_documents(docs, chunk_chars=64, overlap=64)
+
+
+def test_stratified_sample_properties(spark):
+    """Nested fractions are supersets (same salt), assignment is
+    partition-independent, and unknown strata use the default."""
+    from ad_data_pipelines_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    s10 = sampling.stratified_sample(
+        docs, "lang", {"en": 0.1}, key="doc_id", default=0.0
+    )
+    s20 = sampling.stratified_sample(
+        docs, "lang", {"en": 0.2}, key="doc_id", default=0.0
+    )
+    ids10 = {r.doc_id for r in s10.select("doc_id").collect()}
+    ids20 = {r.doc_id for r in s20.select("doc_id").collect()}
+    assert ids10 <= ids20 and len(ids10) < len(ids20)
+    # only the named stratum survives with default=0
+    assert {r.lang for r in s10.select("lang").distinct().collect()} == {"en"}
+    # partition-layout independence
+    ids10b = {
+        r.doc_id
+        for r in sampling.stratified_sample(
+            docs.repartition(13, "lang"), "lang", {"en": 0.1},
+            key="doc_id", default=0.0,
+        ).select("doc_id").collect()
+    }
+    assert ids10b == ids10
+
+
+def test_stratified_topk_exact_counts(spark):
+    """Exactly min(k, |stratum|) rows per stratum; deterministic."""
+    from ad_data_pipelines_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    out = sampling.stratified_topk(docs, ["lang"], 50, key="doc_id")
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert got == {lang: min(50, n) for lang, n in sizes.items()}
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in sampling.stratified_topk(
+            docs.repartition(7), ["lang"], 50, key="doc_id"
+        ).select("doc_id").collect()
+    )
+    assert a == b
