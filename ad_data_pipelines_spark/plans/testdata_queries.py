@@ -721,6 +721,7 @@ from ad_data_pipelines_spark.operators import chunking as _chunking  # noqa: E40
 from ad_data_pipelines_spark.operators import dedup as _dedup  # noqa: E402
 from ad_data_pipelines_spark.operators import multimodal as _mm  # noqa: E402
 from ad_data_pipelines_spark.operators import sampling as _sampling  # noqa: E402
+from ad_data_pipelines_spark.operators import scd as _scd  # noqa: E402
 from ad_data_pipelines_spark.operators import similarity as _sim  # noqa: E402
 from ad_data_pipelines_spark.operators import textstats as _ts  # noqa: E402
 
@@ -2181,6 +2182,49 @@ def q_llm_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "s14_scd2_history",
+    oracle=f"""
+        {_scd.scd2_history_sql(
+            keys="o_custkey",
+            attrs="o_orderpriority",
+            order_col="o_orderdate",
+            source='''(
+                SELECT o_custkey, o_orderdate, o_orderpriority FROM (
+                    SELECT o_custkey, o_orderdate, o_orderpriority,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY o_custkey, o_orderdate
+                               ORDER BY o_orderkey DESC
+                           ) AS drn
+                    FROM orders
+                ) WHERE drn = 1
+            ) snap''',
+        )}
+    """,
+    doc="S14 (beyond-reference): SCD Type-2 history — per-customer "
+    "order-priority intervals [valid_from, valid_to) collapsed from "
+    "daily snapshots via gaps-and-islands (operators/scd.py). "
+    "Generalizes the reference's first-seen store "
+    "(data_processing/first_seen.R = S13) to full history. Snapshot "
+    "dedup keeps max o_orderkey per (custkey, date) — deterministic "
+    "(SURVEY §4.4-6). One repartition(key), zero further exchanges.",
+)
+def q_s14_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").repartition(F.col("o_custkey"))
+    dw = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    snap = (
+        orders.withColumn("drn", F.row_number().over(dw))
+        .filter(F.col("drn") == 1)
+        .select("o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    return _scd.scd2_history(
+        snap, keys=["o_custkey"], attrs=["o_orderpriority"],
+        order_col="o_orderdate",
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order and
 # has a finite budget (round 1 stopped after 50 of 65 entries, leaving the
@@ -2209,6 +2253,7 @@ _GATE_PRIORITY = [
     "llm_chunking",  # new in round 2 — never gated
     "llm_stratified_sample",  # new in round 2 — never gated
     "llm_stratified_topk",  # new in round 2 — never gated
+    "s14_scd2_history",  # new in round 2 — never gated
     # tier 2: hash_match=false in round 1 (HUGEINT oracle bug, now CAST)
     "a2_conditional_counts",
     "j14_match_rate",

@@ -297,3 +297,37 @@ def test_stratified_topk_exact_counts(spark):
         ).select("doc_id").collect()
     )
     assert a == b
+
+
+def test_scd2_history_intervals(spark):
+    """Runs collapse to right-open intervals, NULL<->value transitions
+    open new intervals, last interval stays open (valid_to NULL)."""
+    import datetime as dt
+
+    from ad_data_pipelines_spark.operators.scd import scd2_history
+
+    D = dt.date
+    snaps = spark.createDataFrame(
+        [(1, D(2025, 1, 1), "gold"),
+         (1, D(2025, 1, 2), "gold"),
+         (1, D(2025, 1, 3), "silver"),
+         (1, D(2025, 1, 4), None),
+         (1, D(2025, 1, 5), None),
+         (1, D(2025, 1, 6), "gold"),
+         (2, D(2025, 1, 1), "basic")],
+        "k int, snap date, tier string",
+    )
+    out = sorted(
+        (r.k, r.valid_from, r.valid_to, r.tier)
+        for r in scd2_history(
+            snaps.repartition(F.col("k")), keys=["k"], attrs=["tier"],
+            order_col="snap",
+        ).collect()
+    )
+    assert out == [
+        (1, D(2025, 1, 1), D(2025, 1, 3), "gold"),
+        (1, D(2025, 1, 3), D(2025, 1, 4), "silver"),
+        (1, D(2025, 1, 4), D(2025, 1, 6), None),
+        (1, D(2025, 1, 6), None, "gold"),
+        (2, D(2025, 1, 1), None, "basic"),
+    ]
