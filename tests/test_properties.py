@@ -199,3 +199,97 @@ def test_connected_components_paths_agree(spark, raw_edges):
                     stack.append(y)
         want[start] = min(seen)
     assert fast == {(n, c) for n, c in want.items()}
+
+
+# --- as-of join vs naive reference ----------------------------------------
+
+asof_strategy = st.tuples(
+    st.lists(  # left: (key, ts offset)
+        st.tuples(st.integers(0, 2), st.integers(0, 100)),
+        min_size=1, max_size=12,
+    ),
+    st.lists(  # right: (key, ts offset, value)
+        st.tuples(st.integers(0, 2), st.integers(0, 100),
+                  st.sampled_from([1.0, 2.0, None])),
+        min_size=0, max_size=12,
+    ),
+)
+
+
+@given(asof_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_asof_join_matches_naive_reference(spark, data):
+    """asof_join == driver-side brute force: per left row, the right row
+    with the max rts <= ts (ties broken by max tiebreak), including
+    NULL payloads and duplicate timestamps on both sides."""
+    from ad_data_pipelines_spark.operators.asof import asof_join
+
+    lrows, rrows = data
+    left = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(minutes=off))
+         for i, (k, off) in enumerate(lrows)],
+        "lid long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(i, k, BASE + dt.timedelta(minutes=off), v)
+         for i, (k, off, v) in enumerate(rrows)],
+        "rid long, k long, rts timestamp, v double",
+    )
+    got = {
+        r.lid: (r.asof_ts, r.v)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="rts",
+            right_cols=["v"], right_tiebreak=["rid"],
+        ).collect()
+    }
+    rref = [(k, BASE + dt.timedelta(minutes=off), v, i)
+            for i, (k, off, v) in enumerate(rrows)]
+    for i, (k, off) in enumerate(lrows):
+        ts = BASE + dt.timedelta(minutes=off)
+        cands = [(rts, rid, v) for rk, rts, v, rid in rref
+                 if rk == k and rts <= ts]
+        want = (None, None)
+        if cands:
+            rts, _rid, v = max(cands)  # max (rts, rid) = latest, tie→max rid
+            want = (rts, v)
+        assert got[i] == want, (i, got[i], want)
+
+
+# --- chunking reconstructs the document -----------------------------------
+
+@given(st.lists(st.text(alphabet="abTÜ😀 ", max_size=40), max_size=6))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunking_reconstructs_text(spark, texts):
+    """Dropping each chunk's overlap prefix (except chunk 0) and
+    concatenating in chunk_idx order reproduces the original text —
+    so chunking never loses or duplicates characters."""
+    from ad_data_pipelines_spark.operators.chunking import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "doc_id long, text string"
+    )
+    chunk_chars, overlap = 16, 4
+    step = chunk_chars - overlap
+    out = chunk_documents(docs, chunk_chars=chunk_chars, overlap=overlap)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    for i, s in enumerate(texts):
+        chunks = [c for _, c in sorted(by_doc[i])]
+        rebuilt = chunks[0] + "".join(c[overlap:] for c in chunks[1:])
+        assert rebuilt == s, (i, s, chunks)
+        # every chunk except possibly the last is full-size
+        assert all(len(c) == chunk_chars for c in chunks[:-1])
+        # starts advance by `step`: no gaps even for short tails
+        assert all(
+            s[idx * step: idx * step + chunk_chars] == c
+            for idx, c in sorted(by_doc[i])
+        )
