@@ -343,15 +343,13 @@ def connected_components(
 
     Both paths produce identical min-root labelings.
     """
-    sym = edges.select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = sym.persist()
-    n_edges = sym.count() // 2
+    pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    n_edges = pairs.count()
     if n_edges <= driver_threshold:
-        pair_rows = (
-            sym.filter(F.col("u") < F.col("v")).distinct().collect()
-        )
+        # Driver path never symmetrizes: union-find is orientation-
+        # agnostic, so collect the raw (deduped) pairs directly — one
+        # action on the input instead of union+persist+count+filter.
+        pair_rows = pairs.distinct().collect()
         parent: dict = {}
 
         def find(x):
@@ -370,14 +368,15 @@ def connected_components(
                 parent[hi] = lo
         nodes = {x for r in pair_rows for x in (r.u, r.v)}
         spark = edges.sparkSession
-        out = spark.createDataFrame(
+        return spark.createDataFrame(
             [(n, find(n)) for n in sorted(nodes)],
-            schema=sym.select(
+            schema=pairs.select(
                 F.col("u").alias("doc_id"), F.col("v").alias("component")
             ).schema,
         )
-        sym.unpersist()
-        return out
+    sym = pairs.unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).persist()
     labels = (
         sym.select(F.col("u").alias("doc_id"))
         .distinct()
@@ -423,6 +422,13 @@ def dup_components(docs: DataFrame, min_eq: int = 8) -> DataFrame:
     pairs = lsh_candidate_pairs(minhash_signatures(docs)).filter(
         F.col("n_eq") >= min_eq
     )
+    return dup_components_from_pairs(pairs)
+
+
+def dup_components_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Cluster resolution over pre-thresholded candidate pairs — split
+    out so pipelines that already materialized/persisted the pair table
+    (the expensive stage) don't recompute it per consumer."""
     cc = connected_components(pairs)
     return cc.select(
         "doc_id",

