@@ -487,3 +487,81 @@ def dup_components_sql(min_eq: int = 8) -> str:
                CASE WHEN src = MIN(dst) THEN 1 ELSE 0 END AS is_keeper
         FROM reach GROUP BY src
     """
+
+
+# --- eval-set contamination ------------------------------------------------
+
+def word_ngram_hashes(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Distinct word-n-gram hashes per doc: (doc_id, gh). Same
+    shuffle-free shape as `char_shingles` (in-row distinct before
+    explode); the hash is md5-portable so oracles reproduce it.
+    Docs with fewer than n words emit nothing — a short doc can't
+    carry a full n-gram."""
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not an
+    # empty array — short docs need the explicit size guard.
+    grams = F.expr(
+        f"if(size(w) < {n}, array(), "
+        "array_distinct(transform("
+        f"sequence(1, size(w) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {n})))))"
+    )
+    return (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", portable_hash64("g").alias("gh"))
+    )
+
+
+def contamination_check(
+    docs: DataFrame,
+    eval_pred,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark-decontamination scan: which corpus docs share at least
+    one word-n-gram with the held-out eval set (`eval_pred` a boolean
+    Column selecting eval docs)?  Returns (doc_id, n_shared_ngrams)
+    for contaminated corpus docs.
+
+    Scale shape: the eval side is tiny (a benchmark), so its distinct
+    gram-hash set BROADCASTS — the corpus grams stream map-side through
+    the broadcast hash join and only (doc_id, gh) matches reach the
+    count aggregation. Corpus text never shuffles; 16-byte hashes do.
+    """
+    evals = docs.filter(eval_pred)
+    corpus = docs.filter(~eval_pred)
+    eval_grams = word_ngram_hashes(evals, n).select("gh").distinct()
+    hits = word_ngram_hashes(corpus, n).join(F.broadcast(eval_grams), "gh")
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shared_ngrams")
+    )
+
+
+def contamination_sql(eval_pred_sql: str, n: int = 8) -> str:
+    """DuckDB oracle twin of `contamination_check`."""
+    grams = f"""
+        SELECT doc_id,
+               CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+        FROM (
+            SELECT doc_id,
+                   array_to_string(w[i:i+{n - 1}], ' ') AS g
+            FROM (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents
+            ), UNNEST(generate_series(1, GREATEST(len(w) - {n - 1}, 0))) AS t(i)
+        )
+        GROUP BY 1, 2
+    """
+    return f"""
+        WITH grams AS ({grams}),
+        eval_grams AS (
+            SELECT DISTINCT gh FROM grams
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE {eval_pred_sql})
+        )
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+        FROM grams g
+        JOIN eval_grams e USING (gh)
+        WHERE g.doc_id NOT IN (
+            SELECT doc_id FROM documents WHERE {eval_pred_sql}
+        )
+        GROUP BY 1
+    """

@@ -722,6 +722,7 @@ from ad_data_pipelines_spark.operators import dedup as _dedup  # noqa: E402
 from ad_data_pipelines_spark.operators import multimodal as _mm  # noqa: E402
 from ad_data_pipelines_spark.operators import sampling as _sampling  # noqa: E402
 from ad_data_pipelines_spark.operators import scd as _scd  # noqa: E402
+from ad_data_pipelines_spark.operators import scrub as _scrub  # noqa: E402
 from ad_data_pipelines_spark.operators import similarity as _sim  # noqa: E402
 from ad_data_pipelines_spark.operators import textstats as _ts  # noqa: E402
 
@@ -2245,6 +2246,61 @@ def q_s14_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_contamination",
+    oracle=_dedup.contamination_sql("doc_id < 25", n=8),
+    doc="Benchmark decontamination: corpus docs sharing ≥1 word-8-gram "
+    "with a held-out eval set (doc_id<25 stands in for the benchmark). "
+    "Eval gram-hashes broadcast (a benchmark is tiny); corpus grams "
+    "stream map-side through the broadcast join, so corpus text never "
+    "shuffles — only 8-byte hashes reach the count. The testdata's "
+    "seeded near-dups make the result non-trivial. "
+    "operators/dedup.py:contamination_check.",
+)
+def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return _dedup.contamination_check(docs, F.col("doc_id") < 25, n=8)
+
+
+@register(
+    "llm_pii_scrub",
+    oracle=f"""
+        SELECT lang,
+               CAST(SUM({_scrub.pii_counts_sql("text")["email"]})
+                    AS BIGINT) AS n_email,
+               CAST(SUM({_scrub.pii_counts_sql("text")["url"]})
+                    AS BIGINT) AS n_url,
+               CAST(SUM({_scrub.pii_counts_sql("text")["ipv4"]})
+                    AS BIGINT) AS n_ipv4,
+               CAST(SUM({_scrub.pii_counts_sql("text")["longnum"]})
+                    AS BIGINT) AS n_longnum,
+               CAST(SUM(CASE WHEN {_scrub.pii_redact_sql("text")} <> text
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_redacted
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="PII scrub pass: per-language counts of email/URL/IPv4/long-"
+    "digit matches plus how many docs redaction would change. The "
+    "synthetic corpus is clean (all zeros) — the crafted-row "
+    "cross-engine regex parity lives in "
+    "tests/test_operators.py::test_pii_scrub_cross_engine; this entry "
+    "verifies the patterns compile and agree over real text at the "
+    "gate. Map-only regexp columns, no UDFs. operators/scrub.py.",
+)
+def q_llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    counts = _scrub.pii_counts("text")
+    return docs.groupBy("lang").agg(
+        F.sum(counts["email"]).cast("bigint").alias("n_email"),
+        F.sum(counts["url"]).cast("bigint").alias("n_url"),
+        F.sum(counts["ipv4"]).cast("bigint").alias("n_ipv4"),
+        F.sum(counts["longnum"]).cast("bigint").alias("n_longnum"),
+        F.sum(
+            (_scrub.pii_redact("text") != F.col("text")).cast("int")
+        ).cast("bigint").alias("n_redacted"),
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order and
 # has a finite budget (round 1 stopped after 50 of 65 entries, leaving the
@@ -2274,6 +2330,7 @@ _GATE_PRIORITY = [
     "llm_stratified_sample",  # new in round 2 — never gated
     "llm_stratified_topk",  # new in round 2 — never gated
     "s14_scd2_history",  # new in round 2 — never gated
+    "llm_contamination",  # new in round 2 — never gated
     # tier 2: hash_match=false in round 1 (HUGEINT oracle bug, now CAST)
     "a2_conditional_counts",
     "j14_match_rate",

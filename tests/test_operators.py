@@ -331,3 +331,63 @@ def test_scd2_history_intervals(spark):
         (1, D(2025, 1, 6), None, "gold"),
         (2, D(2025, 1, 1), None, "basic"),
     ]
+
+
+def test_pii_scrub_cross_engine(spark, duck):
+    """The PII patterns live in the Java-regex ∩ RE2 common subset:
+    counts and redacted text must agree byte-for-byte between Spark and
+    DuckDB on crafted rows (the synthetic corpus is PII-free, so the
+    registry entry alone can't prove the regexes agree)."""
+    import pandas as pd
+
+    from ad_data_pipelines_spark.operators import scrub
+
+    texts = [
+        "contact john.doe+spam@example.co.uk or visit https://a.b/c?x=1 now",
+        "server at 192.168.0.1 and 10.0.0.255, card 1234567890123456",
+        "no pii here, just words and short numbers 12345678",
+        "two mails: a@b.io c.d@e-f.org and http://plain.example",
+        "",
+    ]
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                "doc_id long, text string")
+    flagged = {r.doc_id: r for r in scrub.flag_pii(sdf).collect()}
+
+    duck.register("pii_docs", pd.DataFrame({"doc_id": range(len(texts)),
+                                            "text": texts}))
+    counts_sql = scrub.pii_counts_sql("text")
+    sel = ", ".join(f"{expr} AS n_{k}" for k, expr in counts_sql.items())
+    drows = duck.execute(
+        f"SELECT doc_id, {sel}, {scrub.pii_redact_sql('text')} AS red "
+        "FROM pii_docs"
+    ).fetchall()
+    for doc_id, n_email, n_url, n_ipv4, n_longnum, red in drows:
+        s = flagged[doc_id]
+        assert (s.n_email, s.n_url, s.n_ipv4, s.n_longnum) == (
+            n_email, n_url, n_ipv4, n_longnum), (doc_id, s)
+        assert s.text_redacted == red, (doc_id, s.text_redacted, red)
+    # sanity: the crafted rows actually exercise every pattern
+    assert flagged[0].n_email == 1 and flagged[0].n_url == 1
+    assert flagged[1].n_ipv4 == 2 and flagged[1].n_longnum == 1
+    assert flagged[2].has_pii == 0 and flagged[3].n_email == 2
+    assert "<EMAIL>" in flagged[0].text_redacted
+    assert "<IPV4>" in flagged[1].text_redacted
+
+
+def test_word_ngram_hashes_short_doc_guard(spark):
+    """Docs with fewer than n words emit NO grams (Spark's
+    sequence(1,0) is descending, not empty — the operator must guard),
+    and gram hashes are position-distinct within a doc."""
+    from ad_data_pipelines_spark.operators.dedup import word_ngram_hashes
+
+    docs = spark.createDataFrame(
+        [(1, "only three words"),
+         (2, "a b c d e f g h i"),   # 9 words → 2 distinct 8-grams
+         (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = word_ngram_hashes(docs, n=8).collect()
+    by_doc: dict[int, int] = {}
+    for r in rows:
+        by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + 1
+    assert by_doc == {2: 2}
