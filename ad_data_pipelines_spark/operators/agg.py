@@ -110,3 +110,38 @@ def avg_daily_ratio_per_month(
         )
     )
     return monthly
+
+
+def sketch_distinct(
+    df: DataFrame,
+    value_col: str,
+    grain_cols: Sequence[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-grain Datasketches HLL sketches: (grain_cols..., sketch).
+
+    The 100 TB distinct-count pattern that `approx_count_distinct`
+    alone can't give you: a COUNT(DISTINCT user) per day can never be
+    re-aggregated to months (distincts don't sum), so every new grain
+    means a full rescan. Sketches are MERGEABLE state — materialize the
+    fine grain once, then `merge_sketches` rolls up to any coarser
+    grain (or a what-if region grouping) by unioning kilobyte-sized
+    binaries instead of rescanning the fact table. The reference kept
+    per-chunk HLL accumulators in memory for exactly this reason
+    (scripts/ads_passenger_travel_info_mi.py:244-344); Spark's
+    `hll_sketch_agg` is the distributed, persistable form.
+    """
+    return df.groupBy(*grain_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch")
+    )
+
+
+def merge_sketches(
+    sketches: DataFrame, rollup_cols: Sequence[str]
+) -> DataFrame:
+    """Roll sketches up to a coarser grain: (rollup_cols...,
+    distinct_est). Input is `sketch_distinct` output (or a table of it
+    read back from parquet — sketches are plain binary columns)."""
+    return sketches.groupBy(*rollup_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_est")
+    )

@@ -391,3 +391,44 @@ def test_word_ngram_hashes_short_doc_guard(spark):
     for r in rows:
         by_doc[r.doc_id] = by_doc.get(r.doc_id, 0) + 1
     assert by_doc == {2: 2}
+
+
+def test_sketch_rollup_matches_exact_distinct(spark, tmp_path):
+    """Daily HLL sketches merged to month/overall estimate the exact
+    distinct counts within HLL error, INCLUDING after a parquet
+    round-trip — the property that makes sketches materializable state
+    (per-day sketches stored once, any coarser rollup without
+    rescanning the facts)."""
+    from ad_data_pipelines_spark.operators.agg import (
+        merge_sketches,
+        sketch_distinct,
+    )
+
+    orders = spark.read.parquet(f"{SF_MEDIUM}/orders.parquet").select(
+        F.col("o_custkey").alias("user"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    daily = sketch_distinct(orders, "user", ["month", "day"])
+    daily.write.mode("overwrite").parquet(str(tmp_path / "sketches"))
+    stored = spark.read.parquet(str(tmp_path / "sketches"))
+
+    monthly = {
+        r.month: r.distinct_est
+        for r in merge_sketches(stored, ["month"]).collect()
+    }
+    exact = {
+        r.month: r.n
+        for r in orders.groupBy("month")
+        .agg(F.countDistinct("user").alias("n"))
+        .collect()
+    }
+    assert set(monthly) == set(exact)
+    for m, n in exact.items():
+        assert abs(monthly[m] - n) / n < 0.05, (m, monthly[m], n)
+    # overall rollup from the same stored sketches
+    overall = merge_sketches(
+        stored.withColumn("all", F.lit(1)), ["all"]
+    ).collect()[0].distinct_est
+    exact_all = orders.select("user").distinct().count()
+    assert abs(overall - exact_all) / exact_all < 0.05
