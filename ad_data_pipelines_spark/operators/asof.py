@@ -66,6 +66,8 @@ def asof_join(
     """
     clash = (set(right_cols) | {"asof_ts"}) & set(left.columns)
     if clash:
+        # NB: `on` ⊆ left.columns, so this also rejects join keys
+        # passed in right_cols (they're already in the output).
         raise ValueError(
             f"output columns collide with left columns: {sorted(clash)}"
         )

@@ -1799,6 +1799,11 @@ def _shared(spark: SparkSession, sf_dir: str, what: str, build) -> DataFrame:
     of five different queries; each layer is computed once per
     (session, sf_dir) — the in-session twin of materializing the same
     intermediates bucketed on disk (`dedup.dup_components_table`)."""
+    # Entries are per-doc signature/pair/component tables — kilobytes to
+    # low megabytes at test SFs, MEMORY_AND_DISK so an over-budget entry
+    # spills rather than evicting executors. A long-lived session over
+    # many sf_dirs can call _SHARED_CACHE[k].unpersist() per dir; the
+    # registry's driver/test sessions touch one or two dirs.
     key = (spark.sparkContext.applicationId, sf_dir, what)
     if key not in _SHARED_CACHE:
         _SHARED_CACHE[key] = build().persist()
