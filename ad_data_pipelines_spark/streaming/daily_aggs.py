@@ -92,3 +92,18 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream(
+    stream: DataFrame, dim: DataFrame, key: str, how: str = "left"
+) -> DataFrame:
+    """Stream-static broadcast enrichment: the streaming twin of the
+    batch J1/J2 dimension chain (plans/transit_common.py).
+
+    Stream-static joins need no watermark and keep NO state: each
+    micro-batch hash-joins against the static side, and broadcasting
+    the dim means the stream never shuffles for enrichment — the same
+    invariant the batch pipelines hold (CLAUDE.md). The static side is
+    re-read per micro-batch, so a dim refreshed in place is picked up
+    without restarting the query."""
+    return stream.join(F.broadcast(dim), key, how)

@@ -249,3 +249,41 @@ def test_foreach_batch_marker_is_atomic(tmp_path):
     assert sorted(p.name for p in ledger.iterdir()) == ["batch-3.done"]
     assert (ledger / "batch-3.done").read_text() == "3"
     assert not any(p.suffix == ".tmp" for p in ledger.iterdir())
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static broadcast join: streamed events enriched with a
+    static user dim equal the batch join, and unmatched keys survive
+    the left join."""
+    from ad_data_pipelines_spark.streaming import daily_aggs as da
+
+    src = tmp_path / "ev_src2"
+    ev = _events(spark)
+    ev.write.parquet(str(src))
+    dim = spark.createDataFrame(
+        [(u, f"seg{u % 2}") for u in range(0, 3)],
+        "user_id long, segment string",
+    )
+    enriched = da.enrich_stream(
+        spark.readStream.schema(ev.schema).parquet(str(src)), dim, "user_id"
+    )
+    q = (
+        enriched.groupBy("segment")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("t_enriched")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.segment: r.n for r in spark.sql("select * from t_enriched").collect()}
+    want = {
+        r.segment: r.n
+        for r in ev.join(F.broadcast(dim), "user_id", "left")
+        .groupBy("segment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) >= 2
