@@ -108,3 +108,19 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
+
+
+def test_norm_cell_is_type_tagged():
+    """Regression pin for the round-1 gate failure: DuckDB HUGEINT
+    surfaces as Decimal through Arrow, and Python's cross-type numeric
+    equality (Decimal(5) == 5 == 5.0, True == 1) must NOT make the
+    harness call that a match — the driver's value-hash doesn't."""
+    import decimal
+
+    assert _norm_cell(decimal.Decimal(5)) != _norm_cell(5)
+    assert _norm_cell(5) != _norm_cell(5.0)
+    assert _norm_cell(True) != _norm_cell(1)
+    assert _norm_cell(None) != _norm_cell("None")
+    # while equal values of the SAME type still match
+    assert _norm_cell(decimal.Decimal(5)) == _norm_cell(decimal.Decimal(5))
+    assert _norm_cell(0.1 + 0.2) == _norm_cell(0.3)  # 9dp float rounding
