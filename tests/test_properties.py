@@ -293,3 +293,61 @@ def test_chunking_reconstructs_text(spark, texts):
             s[idx * step: idx * step + chunk_chars] == c
             for idx, c in sorted(by_doc[i])
         )
+
+
+# --- SCD2 reconstructs the snapshots ---------------------------------------
+
+scd_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),                 # key
+        st.integers(0, 8),                 # day offset (dedup'd below)
+        st.sampled_from(["a", "b", None]),  # attr (None = NULL run)
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(scd_strategy)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_intervals_reconstruct_snapshots(spark, snaps):
+    """Intervals tile each key's timeline with no gaps/overlaps
+    (valid_to of run i == valid_from of run i+1, last one open), attrs
+    differ across every boundary, and looking up any original snapshot
+    date inside the intervals returns that snapshot's attr."""
+    from ad_data_pipelines_spark.operators.scd import scd2_history
+
+    # unique per (key, date): keep the last generated value
+    dedup = {}
+    for k, off, a in snaps:
+        dedup[(k, off)] = a
+    rows = [
+        (k, dt.date(2025, 1, 1 + off), a) for (k, off), a in dedup.items()
+    ]
+    df = spark.createDataFrame(rows, "k int, snap date, attr string")
+    hist = scd2_history(
+        df.repartition(F.col("k")), keys=["k"], attrs=["attr"],
+        order_col="snap",
+    ).collect()
+
+    by_key: dict[int, list] = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append((r.valid_from, r.valid_to, r.attr))
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda iv: iv[0])
+        for (f1, t1, a1), (f2, t2, a2) in zip(ivs, ivs[1:]):
+            assert t1 == f2, (k, ivs)       # contiguous tiling
+            assert a1 != a2, (k, ivs)       # real change at boundary
+        assert ivs[-1][1] is None           # last interval open
+    # point-in-time lookup returns the original snapshot attr
+    for (k, off), want in dedup.items():
+        d = dt.date(2025, 1, 1 + off)
+        hits = [
+            a for f, t_, a in by_key[k]
+            if f <= d and (t_ is None or d < t_)
+        ]
+        assert len(hits) == 1 and hits[0] == want, (k, d, want, by_key[k])
