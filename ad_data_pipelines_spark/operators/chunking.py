@@ -83,3 +83,89 @@ def chunk_documents_sql(chunk_chars: int = 256, overlap: int = 64) -> str:
             FROM documents
         )
     """
+
+
+def chunk_by_tokens(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-granularity chunking: windows of `chunk_tokens` whitespace
+    tokens with `overlap` tokens shared — context windows are counted
+    in tokens, so this is the variant an embedding/training pipeline
+    actually schedules. Same codegen-only shape as `chunk_documents`
+    (sequence+explode over a word array; slice+rejoin instead of
+    substring); empty/null docs yield one empty chunk.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})"
+        )
+    step = chunk_tokens - overlap
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    # split('') yields [''] — treat as zero tokens
+    n = F.when(
+        (F.size(words) == 1) & (F.element_at(words, 1) == ""), 0
+    ).otherwise(F.size(words))
+    n_chunks = F.greatest(
+        F.lit(1), (n - F.lit(overlap) + F.lit(step - 1)) / F.lit(step)
+    ).cast("bigint")
+    return (
+        docs.withColumn("__w", words)
+        .withColumn(
+            "chunk_idx",
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)),
+        )
+        .withColumn(
+            "chunk_text",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("__w"),
+                    (F.col("chunk_idx") * step + 1).cast("int"),
+                    chunk_tokens,
+                ),
+            ),
+        )
+        .withColumn("n_chunk_tokens",
+                    F.least(F.lit(chunk_tokens),
+                            (n - F.col("chunk_idx") * step).cast("bigint")))
+        .withColumn(
+            "chunk_id",
+            F.md5(F.concat_ws(":", F.col(id_col), F.col("chunk_idx"))),
+        )
+        .drop("__w")
+    )
+
+
+def chunk_by_tokens_sql(chunk_tokens: int = 64, overlap: int = 16) -> str:
+    """Oracle twin (DuckDB)."""
+    step = chunk_tokens - overlap
+    return f"""
+        SELECT doc_id, chunk_idx,
+               md5(doc_id || ':' || chunk_idx) AS chunk_id,
+               array_to_string(
+                   w[CAST(chunk_idx * {step} + 1 AS INT)
+                     :CAST(chunk_idx * {step} + {chunk_tokens} AS INT)],
+                   ' ') AS chunk_text,
+               LEAST({chunk_tokens}, n - chunk_idx * {step})
+                   AS n_chunk_tokens
+        FROM (
+            SELECT doc_id, w, n,
+                   unnest(generate_series(
+                       0, GREATEST(1, (n - {overlap} + {step - 1})
+                                      // {step}) - 1)) AS chunk_idx
+            FROM (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(coalesce(text, '')),
+                                             '\\s+') AS w,
+                       CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                            ELSE len(regexp_split_to_array(
+                                trim(coalesce(text, '')), '\\s+'))
+                       END AS n
+                FROM documents
+            )
+        )
+    """

@@ -432,3 +432,32 @@ def test_sketch_rollup_matches_exact_distinct(spark, tmp_path):
     ).collect()[0].distinct_est
     exact_all = orders.select("user").distinct().count()
     assert abs(overall - exact_all) / exact_all < 0.05
+
+
+def test_chunk_by_tokens_window_math(spark):
+    """Token windows: overlap in tokens, short tail, guard rejects
+    overlap >= chunk size, token counts exact."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import chunking
+
+    text = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, ""), (4, None)],
+        "doc_id bigint, text string",
+    )
+    out = chunking.chunk_by_tokens(docs, chunk_tokens=64, overlap=16)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # doc 1: ceil((100-16)/48) = 2 chunks; tokens 1-64 then 49-100
+    assert {k[1] for k in rows if k[0] == 1} == {0, 1}
+    assert rows[(1, 0)].n_chunk_tokens == 64
+    assert rows[(1, 1)].n_chunk_tokens == 100 - 48
+    w0 = rows[(1, 0)].chunk_text.split(" ")
+    w1 = rows[(1, 1)].chunk_text.split(" ")
+    assert w0[-16:] == w1[:16]  # 16-token overlap
+    assert w0[0] == "w0" and w1[-1] == "w99"
+    assert rows[(2, 0)].n_chunk_tokens == 3
+    assert rows[(3, 0)].n_chunk_tokens == 0
+    assert rows[(4, 0)].chunk_text == ""
+    with pytest.raises(ValueError, match="overlap"):
+        chunking.chunk_by_tokens(docs, chunk_tokens=16, overlap=16)
