@@ -136,3 +136,43 @@ def quality_sql() -> str:
                ROUND(LEAST(n_tokens / 100.0, 1.0), 4) AS len_score
         FROM per_doc
     """
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """Per-doc character Shannon entropy (bits/char) — the
+    Gopher/C4-style signal that separates natural text (~4 bits) from
+    repeated boilerplate (→0) and random noise (→log2 alphabet).
+
+    Uses the identity H = log2(T) - Σ n·log2(n) / T over per-character
+    counts, so one (doc_id, char) count and one per-doc aggregate
+    suffice — no per-doc total join, both aggregations partial/final
+    combinable. Empty/NULL docs emit no row (entropy undefined).
+    """
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    ).filter(F.col("c") != "")
+    counts = chars.groupBy("doc_id", "c").agg(F.count("*").alias("n"))
+    t = F.sum("n")
+    n_log = F.sum(F.col("n") * F.log2("n"))
+    return counts.groupBy("doc_id").agg(
+        F.round(F.log2(t) - n_log / t, 4).alias("char_entropy")
+    )
+
+
+def char_entropy_sql() -> str:
+    """DuckDB twin (same identity; SUM(n) widens to HUGEINT but only
+    feeds LOG2/division, never the output)."""
+    return """
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents
+        ),
+        cnt AS (
+            SELECT doc_id, c, COUNT(*) AS n
+            FROM ch WHERE c <> '' GROUP BY 1, 2
+        )
+        SELECT doc_id,
+               ROUND(LOG2(SUM(n)) - SUM(n * LOG2(n)) / SUM(n), 4)
+                   AS char_entropy
+        FROM cnt GROUP BY 1
+    """

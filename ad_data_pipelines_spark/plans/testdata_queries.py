@@ -2448,6 +2448,19 @@ def q_o9_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_entropy",
+    oracle=_ts.char_entropy_sql(),
+    doc="Per-doc character Shannon entropy (bits/char) — boilerplate "
+    "repeats →0, natural text ~4, noise →log2(alphabet); the "
+    "Gopher/C4 quality signal. H = log2(T) - Σ n·log2(n)/T over "
+    "(doc, char) counts: two partial-aggregable shuffles, no per-doc "
+    "total join. operators/textstats.py:char_entropy.",
+)
+def q_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.char_entropy(t(spark, sf_dir, "documents"))
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order and
 # has a finite budget (round 1 stopped after 50 of 65 entries, leaving the

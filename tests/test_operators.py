@@ -461,3 +461,21 @@ def test_chunk_by_tokens_window_math(spark):
     assert rows[(4, 0)].chunk_text == ""
     with pytest.raises(ValueError, match="overlap"):
         chunking.chunk_by_tokens(docs, chunk_tokens=16, overlap=16)
+
+
+def test_char_entropy_known_values(spark):
+    """Entropy anchors: single repeated char = 0 bits, uniform 4-char
+    alphabet = 2 bits, empty/null docs emit no row."""
+    import math
+
+    from ad_data_pipelines_spark.operators.textstats import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abcdabcd"), (3, "ab"), (4, ""), (5, None)],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.char_entropy for r in char_entropy(docs).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 2.0
+    assert math.isclose(got[3], 1.0)
+    assert set(got) == {1, 2, 3}
