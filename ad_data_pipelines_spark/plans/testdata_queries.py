@@ -2469,28 +2469,27 @@ def q_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   tier 2 — queries whose oracles were just fixed (need a fresh verdict),
 #   tier 3 — long-verified greens, cheapest to lose if the budget truncates.
 _GATE_PRIORITY = [
-    # tier 1: ungated in CORRECTNESS_r01 (driver truncation)
-    "llm_mm_decode_resize",
-    "llm_mm_frame_sample",
+    # tier 1a: ungated in CORRECTNESS_r01 (driver truncation), cheap —
+    # sequenced before anything expensive so a time-capped gate rows as
+    # many never-verified entries as possible before the big spends
     "w5_seq_lead",
     "j9_j10_composite_join",
     "o3_union_slices",
     "o6_topn_revenue",
     "j5_regional_volume",
-    "llm_quality_quantile",
-    "llm_dedup_groups",
     "llm_hash_split",
     "t4_funnel_conversion",
     "t5_cohort_retention",
-    "llm_dedup_corpus",
+    "llm_quality_quantile",
     "llm_quality_quantile_approx",
     "llm_boilerplate_ngrams",
-    "j15_asof_enrich",  # new in round 2 — never gated
-    "llm_chunking",  # new in round 2 — never gated
-    "llm_stratified_sample",  # new in round 2 — never gated
-    "llm_stratified_topk",  # new in round 2 — never gated
-    "s14_scd2_history",  # new in round 2 — never gated
-    "llm_contamination",  # new in round 2 — never gated
+    # tier 1b: new in round 2 — never gated, cheap
+    "j15_asof_enrich",
+    "llm_chunking",
+    "llm_stratified_sample",
+    "llm_stratified_topk",
+    "s14_scd2_history",
+    "llm_contamination",
     # tier 2: hash_match=false in round 1 (HUGEINT oracle bug, now CAST)
     "a2_conditional_counts",
     "j14_match_rate",
@@ -2498,6 +2497,12 @@ _GATE_PRIORITY = [
     "t3_sessionize",
     "j7_dedup_then_join",
     "w3_group_max_flag",
+    # tier 1c: never gated but expensive (Python-worker spawn ~6s,
+    # dedup chain ~9s cold) — after the cheap fleet, before the greens
+    "llm_mm_decode_resize",
+    "llm_mm_frame_sample",
+    "llm_dedup_groups",
+    "llm_dedup_corpus",
 ]
 _missing = [n for n in _GATE_PRIORITY if n not in REGISTRY]
 assert not _missing, f"gate-priority names drifted from registry: {_missing}"
