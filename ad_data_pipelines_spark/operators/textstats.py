@@ -30,11 +30,31 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 TOKEN_SEP = r"\s+"
 
+#: BPE-style pre-tokenizer (GPT-2 family): letter runs, digit runs and
+#: punctuation runs are separate tokens, each optionally absorbing one
+#: leading space. Deliberately restricted to the Java-regex ∩ RE2
+#: subset (the real GPT-2 pattern's \s+(?!\S) lookahead is not RE2-
+#: expressible) so the DuckDB oracle counts identically.
+BPE_TOKEN_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
 
 def token_count(text: Column | str) -> Column:
-    """Whitespace token count (BPE-ish regex split)."""
+    """Whitespace token count (word-level)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.size(F.split(F.trim(c), TOKEN_SEP))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish pre-token count — the budget a subword tokenizer sees
+    (letters/digits/punctuation split apart), upper-bounded by the real
+    BPE vocab merge count. Pure regexp_count, codegen'd."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    """DuckDB twin of `bpe_token_count`."""
+    return f"len(regexp_extract_all({expr}, '{BPE_TOKEN_RE}'))"
 
 
 def occurrences(text: Column | str, marker: str) -> Column:

@@ -2461,6 +2461,36 @@ def q_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts.char_entropy(t(spark, sf_dir, "documents"))
 
 
+@register(
+    "llm_token_stats_bpe",
+    oracle=f"""
+        SELECT lang, COUNT(*) AS n_docs,
+               ROUND(AVG({_ts.bpe_token_count_sql("text")}), 4)
+                   AS avg_bpe_tokens,
+               ROUND(AVG({_ts.bpe_token_count_sql("text")} * 1.0
+                         / len(regexp_split_to_array(trim(text), '\\s+'))),
+                     4) AS bpe_per_word
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="BPE-ish token budget per language: GPT-2-style pre-token "
+    "counts (letter/digit/punct runs, leading-space absorbed) and "
+    "their ratio to whitespace words — the fertility estimate a "
+    "training pipeline budgets context windows with. Lookahead-free "
+    "pattern keeps Spark and DuckDB regex counts identical. "
+    "operators/textstats.py:bpe_token_count.",
+)
+def q_llm_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bpe = _ts.bpe_token_count("text")
+    words = _ts.token_count("text")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(bpe), 4).alias("avg_bpe_tokens"),
+        F.round(F.avg(bpe * F.lit(1.0) / words), 4).alias("bpe_per_word"),
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order and
 # has a finite budget (round 1 stopped after 50 of 65 entries, leaving the

@@ -479,3 +479,33 @@ def test_char_entropy_known_values(spark):
     assert got[2] == 2.0
     assert math.isclose(got[3], 1.0)
     assert set(got) == {1, 2, 3}
+
+
+def test_bpe_token_count_segmentation(spark, duck):
+    """BPE-ish pre-tokens: letters/digits/punct split apart, leading
+    space absorbed; counts agree with DuckDB on mixed text."""
+    import pandas as pd
+
+    from ad_data_pipelines_spark.operators.textstats import (
+        bpe_token_count,
+        bpe_token_count_sql,
+    )
+
+    texts = [
+        "hello world",        # 2
+        "it's 2024!",         # it + ' + s + 2024 + ! = 5
+        "a1b2",               # a 1 b 2 = 4
+        "  spaced  out ",     # spaced, out = 2
+        "中文 text",           # 中文, text = 2
+    ]
+    sdf = spark.createDataFrame([(i, s) for i, s in enumerate(texts)],
+                                "i long, text string")
+    got = {r.i: r.n for r in sdf.select(
+        "i", bpe_token_count("text").alias("n")).collect()}
+    assert got == {0: 2, 1: 5, 2: 4, 3: 2, 4: 2}
+    duck.register("bpe_docs", pd.DataFrame({"i": range(len(texts)),
+                                            "text": texts}))
+    drows = dict(duck.execute(
+        f"SELECT i, {bpe_token_count_sql('text')} FROM bpe_docs"
+    ).fetchall())
+    assert drows == got
