@@ -119,6 +119,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     n_planes: int = 4,
     multiprobe: int = 1,
+    corpus_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k searching the query's LSH bucket (+ optional multi-probe).
 
@@ -127,6 +128,13 @@ def lsh_topk(
     the standard recall/cost dial. Cost is O(Q × occupancy × probes)
     vs brute force O(Q×N); recall < 1.0 by construction (floor asserted
     in tests).
+
+    `corpus_buckets` injects a pre-computed (and typically persisted /
+    disk-bucketed) `lsh_bucket(embeddings, ...)` output so many searches
+    share ONE corpus assignment pass — at scale the bucketed corpus is a
+    materialized table, not something rebuilt per query (the sign-test
+    expression tree is n_planes × dim literals, so reuse also keeps
+    analysis time flat).
     """
     qb0 = lsh_bucket(queries, id_col, n_planes).select(
         F.col(id_col).alias("query_id"),
@@ -146,7 +154,9 @@ def lsh_topk(
         )
     else:
         qb = qb0
-    cb = lsh_bucket(embeddings, id_col, n_planes).select(
+    if corpus_buckets is None:
+        corpus_buckets = lsh_bucket(embeddings, id_col, n_planes)
+    cb = corpus_buckets.select(
         F.col(id_col).alias("neighbor_id"),
         F.col("bucket_id"),
         F.col("embedding").alias("c_emb"),
@@ -168,6 +178,46 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame, id_col: str = "vec_id", n_cells: int = 4
+) -> DataFrame:
+    """Deterministic seed centroids: the `n_cells` lowest-id vectors.
+
+    Stand-in for a k-means pass (swap in Spark ML KMeans centroids for
+    production; the plan shape downstream is unchanged) — deterministic
+    so the DuckDB oracle reproduces them.
+    """
+    return embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cell_id"), F.col("embedding").alias("cent_emb")
+    )
+
+
+def ivf_cells(
+    side: DataFrame,
+    centroids: DataFrame,
+    out_id: str,
+    emb_out: str,
+    n_keep: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each vector its `n_keep` nearest cells (centroids
+    broadcast, O(N × n_cells) map-side + one per-vector window)."""
+    scored = side.select(
+        F.col(id_col).alias(out_id), F.col("embedding").alias(emb_out)
+    ).join(F.broadcast(centroids), F.lit(True)).select(
+        out_id,
+        emb_out,
+        "cell_id",
+        F.round(dot(F.col(emb_out), F.col("cent_emb")), 4).alias("cscore"),
+    )
+    w = Window.partitionBy(out_id).orderBy(F.col("cscore").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") <= n_keep)
+        .select(out_id, "cell_id", emb_out)
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -175,40 +225,27 @@ def ivf_topk(
     id_col: str = "vec_id",
     n_cells: int = 4,
     nprobe: int = 2,
+    corpus_cells: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: corpus vectors live in their single nearest
     cell; each query probes its `nprobe` nearest cells.
 
-    Centroids = the `n_cells` lowest-id vectors (deterministic seed
-    stand-in for a k-means pass — swap in Spark ML KMeans centroids for
-    production; the plan shape is unchanged). Cell assignment ranks
-    dot(vec, centroid) with row_number over a deterministic order, so
-    corpus cost is O(N × n_cells) map-side (centroids broadcast) and the
-    search join shuffles on cell_id only. Returns
-    (query_id, neighbor_id, sim, rk); recall < 1.0 by construction.
+    Centroids come from `ivf_centroids` (deterministic seed vectors).
+    Cell assignment ranks dot(vec, centroid) with row_number over a
+    deterministic order, so corpus cost is O(N × n_cells) map-side
+    (centroids broadcast) and the search join shuffles on cell_id only.
+    Returns (query_id, neighbor_id, sim, rk); recall < 1.0 by
+    construction.
+
+    `corpus_cells` injects a pre-computed `ivf_cells(embeddings, ...,
+    "neighbor_id", "c_emb", 1)` output so many searches share ONE
+    corpus assignment pass — at scale that is a materialized table
+    partitioned by cell_id, rebuilt only when centroids move.
     """
-    cent = embeddings.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cell_id"), F.col("embedding").alias("cent_emb")
-    )
-
-    def cells(side: DataFrame, out_id: str, emb_out: str, n_keep: int) -> DataFrame:
-        scored = side.select(
-            F.col(id_col).alias(out_id), F.col("embedding").alias(emb_out)
-        ).join(F.broadcast(cent), F.lit(True)).select(
-            out_id,
-            emb_out,
-            "cell_id",
-            F.round(dot(F.col(emb_out), F.col("cent_emb")), 4).alias("cscore"),
-        )
-        w = Window.partitionBy(out_id).orderBy(F.col("cscore").desc(), F.col("cell_id"))
-        return (
-            scored.withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") <= n_keep)
-            .select(out_id, "cell_id", emb_out)
-        )
-
-    corpus_cells = cells(embeddings, "neighbor_id", "c_emb", 1)
-    query_cells = cells(queries, "query_id", "q_emb", nprobe)
+    cent = ivf_centroids(embeddings, id_col, n_cells)
+    if corpus_cells is None:
+        corpus_cells = ivf_cells(embeddings, cent, "neighbor_id", "c_emb", 1, id_col)
+    query_cells = ivf_cells(queries, cent, "query_id", "q_emb", nprobe, id_col)
     sims = (
         corpus_cells.join(F.broadcast(query_cells), "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -1,0 +1,33 @@
+"""Regression tripwire for the driver's CORRECTNESS-gate coverage.
+
+The driver walks REGISTRY in dict-insertion order with a finite (~50-row)
+budget, so a query that never reaches the front of the order never gets a
+hard-gate verdict (rounds 1-2 each left a tail unverified).  These tests
+fail the suite the moment a commit registers a query without sequencing it,
+or lets a rows-only (no-oracle) query consume a verifiable slot.
+"""
+
+from ad_data_pipelines_spark.plans import testdata_queries as tq
+
+
+def test_every_registered_query_is_sequenced():
+    # The module-level assert already enforces this at import time; assert
+    # here too so the invariant shows up as a named test, not an
+    # ImportError, when it breaks.
+    assert set(tq._GATE_PRIORITY) == set(tq.REGISTRY)
+    assert len(tq._GATE_PRIORITY) == len(set(tq._GATE_PRIORITY))
+
+
+def test_registry_iterates_in_gate_priority_order():
+    # The driver consumes dict-insertion order — the reorder must have
+    # actually been applied, not just declared.
+    assert list(tq.REGISTRY) == tq._GATE_PRIORITY
+
+
+def test_rows_only_queries_sort_dead_last():
+    # Queries with no oracle can never turn green; they must not sit ahead
+    # of any verifiable query in the budget.
+    no_oracle = [n for n, spec in tq.REGISTRY.items() if spec.oracle is None]
+    assert sorted(no_oracle) == sorted(tq._GATE_TAIL_ROWS_ONLY)
+    tail = tq._GATE_PRIORITY[-len(tq._GATE_TAIL_ROWS_ONLY):]
+    assert sorted(tail) == sorted(tq._GATE_TAIL_ROWS_ONLY)

@@ -8,6 +8,8 @@ output at every grain.
 from __future__ import annotations
 
 import pytest
+
+from ad_data_pipelines_spark.plans import testdata_queries as tq
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -18,10 +20,7 @@ from tests.conftest import SF_MEDIUM
 def afc_volume(spark):
     """events → AFC legs: user sessions become journeys (30-min gap),
     events become legs, event_type maps onto a small route set."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF_MEDIUM}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = tq.t(spark, SF_MEDIUM, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_min = (
         F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))

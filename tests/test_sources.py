@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ad_data_pipelines_spark.sources import firstseen, manifest, writers
 from ad_data_pipelines_spark.streaming import daily_aggs
+from ad_data_pipelines_spark.plans import testdata_queries as tq
 from tests.conftest import SF_SMALL
 
 
@@ -126,10 +127,7 @@ def test_streaming_daily_aggs_match_batch(spark, tmp_path):
     # re-write events with micro timestamps (stream source can't read nanos)
     src = tmp_path / "events_src"
     ck = tmp_path / "ck"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ev = tq.t(spark, SF_SMALL, "events")
     ev.write.parquet(str(src))
 
     daily_aggs.run_available_now(spark, str(src), str(ck), sink_table="t_daily")

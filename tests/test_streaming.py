@@ -14,13 +14,13 @@ from pyspark.sql import functions as F
 from ad_data_pipelines_spark.operators.sessionize import sessionize
 from ad_data_pipelines_spark.streaming import sessions
 from tests.conftest import SF_SMALL
+from ad_data_pipelines_spark.plans import testdata_queries as tq
 
 
 def _events(spark):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{SF_SMALL}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    # registry loader normalizes whichever physical ts type the driver
+    # generated (nanos-as-long or micros NTZ) to a UTC timestamp
+    return tq.t(spark, SF_SMALL, "events")
 
 
 def test_session_window_matches_batch_sessionize(spark):
