@@ -8,10 +8,11 @@ Arrow batch crosses the JVM↔Python boundary once and the expensive codec
 work is vectorized per batch.
 
 The actual codecs (PIL/librosa/av) are NOT in this container, so
-`decode_image` raises NotImplementedError by design; `binary_meta` is the
-same plumbing with a deterministic metadata extractor (byte length +
-md5), which IS oracle-checkable — proving schema, batching and UDF
-signature are correct end-to-end.
+`decode_image` is import-gated: it runs a real Pillow decode where the
+runtime provides one, and raises NotImplementedError here; `binary_meta`
+is the same plumbing with a deterministic metadata extractor (byte
+length + md5), which IS oracle-checkable — proving schema, batching and
+UDF signature are correct end-to-end.
 
 Scale notes: mapInPandas streams batches (no per-row pickling); payload
 columns should be read with `spark.sql.parquet.enableVectorizedReader`
@@ -76,14 +77,73 @@ def binary_meta(docs: DataFrame) -> DataFrame:
     return with_payload(docs).mapInPandas(extract, BINARY_META_SCHEMA)
 
 
+def pillow_available() -> bool:
+    """True when a real image codec (Pillow) is importable at runtime."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+#: Real-decode output schema: dimensions + mode from the actual codec.
+IMAGE_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mode", StringType()),
+    ]
+)
+
+
 def decode_image(docs_with_payload: DataFrame) -> DataFrame:
-    """Image decode stage — STUB: codec libraries (PIL et al.) are not
-    available in this container. The mapInPandas wiring is identical to
-    `binary_meta`; only the batch body differs."""
-    raise NotImplementedError(
-        "image decode requires a codec-enabled runtime; see binary_meta for "
-        "the working mapInPandas plumbing this stage plugs into"
-    )
+    """Image decode stage — import-gated on Pillow.
+
+    Where a codec-enabled runtime provides Pillow, each Arrow batch's
+    payloads are decoded executor-side (`PIL.Image.open` on the raw
+    bytes) and (width, height, mode) emitted per image; payloads that
+    are not valid images yield a NULL-dims row rather than failing the
+    batch (a 100 TB corpus always contains corrupt blobs). In THIS
+    container Pillow is absent, so calling it raises NotImplementedError
+    — `decode_fake` is the deterministic, oracle-checked twin proving
+    the identical mapInPandas plumbing.
+    """
+    if not pillow_available():
+        raise NotImplementedError(
+            "image decode requires a codec-enabled runtime (Pillow not "
+            "importable); see decode_fake/binary_meta for the working "
+            "mapInPandas plumbing this stage plugs into"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import PIL.Image
+
+        for pdf in batches:
+            ids, ws, hs, modes = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                ids.append(doc_id)
+                try:
+                    with PIL.Image.open(io.BytesIO(bytes(payload))) as im:
+                        ws.append(im.width)
+                        hs.append(im.height)
+                        modes.append(im.mode)
+                except Exception:
+                    ws.append(None)
+                    hs.append(None)
+                    modes.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="Int64"),
+                    "height": pd.Series(hs, dtype="Int64"),
+                    "mode": pd.Series(modes, dtype="object"),
+                }
+            )
+
+    return docs_with_payload.mapInPandas(decode, IMAGE_META_SCHEMA)
 
 
 #: Fake-decode output schema — what a real image decoder would emit

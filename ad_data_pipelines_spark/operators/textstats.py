@@ -2,9 +2,10 @@
 scoring, document fingerprinting.
 
 Beyond-reference (BASELINE.json north star). Everything is pure column
-algebra (no UDFs); marker-occurrence counting uses the replace-and-diff
-idiom so Spark and the SQL oracle count identically without depending on
-regex-engine quirks.
+algebra (no UDFs); marker-occurrence counting uses one literal-alternation
+regexp pass per language — Java regex and RE2 share leftmost-first
+alternation semantics for metachar-free literals, so Spark and the SQL
+oracle count identically.
 
 Note on lang-ID in this corpus: the driver's synthetic `documents.lang`
 labels are independent of the text (all languages draw from one shared
@@ -57,29 +58,42 @@ def bpe_token_count_sql(expr: str) -> str:
     return f"len(regexp_extract_all({expr}, '{BPE_TOKEN_RE}'))"
 
 
-def occurrences(text: Column | str, marker: str) -> Column:
-    """#occurrences of a literal marker: (len(x) - len(replace(x,m,''))) / len(m).
-    Portable: identical in any SQL engine, no regex semantics involved."""
-    c = F.col(text) if isinstance(text, str) else text
-    return (F.length(c) - F.length(F.replace(c, F.lit(marker), F.lit("")))) / F.lit(
-        len(marker)
-    )
+def _marker_pattern(markers: list[str]) -> str:
+    """Literal alternation pattern for one language's marker list.
+
+    Both Java regex (Spark) and RE2 (DuckDB) use leftmost-first
+    alternation with non-overlapping scan resumption, so counts are
+    engine-identical — but only for metachar-free literals, hence the
+    assert."""
+    for m in markers:
+        assert not set(m) & set(r".^$*+?()[]{}|\\"), f"marker needs escaping: {m!r}"
+    return "|".join(markers)
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:
-    """Marker-occurrence score per language, normalized by text length."""
+    """Per-language marker score: non-overlapping any-marker occurrence
+    count (ONE regexp pass per language over the raw text), normalized
+    per 1000 chars.
+
+    One alternation scan replaces the per-marker replace-and-diff idiom
+    (3 replace scans + 2 length scans + a full string copy per marker —
+    15 scans/row for 5 languages); on a 100 TB corpus the marker scan
+    is pure streaming compute, so the constant factor IS the cost."""
     c = F.col(text) if isinstance(text, str) else text
     out: dict[str, Column] = {}
     for lang, markers in LANG_MARKERS.items():
-        total = sum([occurrences(c, m) for m in markers], F.lit(0.0))
-        out[lang] = F.round(total * 1000.0 / F.greatest(F.length(c), F.lit(1)), 4)
+        n = F.regexp_count(c, F.lit(_marker_pattern(markers)))
+        out[lang] = F.round(n * 1000.0 / F.greatest(F.length(c), F.lit(1)), 4)
     return out
 
 
-def lang_id(text: Column | str, default: str = "und") -> Column:
-    """argmax of lang_scores with fixed tie order (dict order wins ties);
-    all-zero scores → `default`."""
-    scores = lang_scores(text)
+def lang_id_from_scores(
+    scores: dict[str, Column], default: str = "und"
+) -> Column:
+    """argmax of precomputed score columns with fixed tie order (dict
+    order wins ties); all-zero scores → `default`. Take the SAME column
+    objects used for the score projection so codegen's subexpression
+    elimination computes each score once."""
     best_lang = F.lit(default)
     best_score = F.lit(0.0)
     # iterate in reverse so earlier languages win ties
@@ -88,6 +102,11 @@ def lang_id(text: Column | str, default: str = "und") -> Column:
         best_lang = F.when(s >= best_score, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(s >= best_score, s).otherwise(best_score)
     return F.when(best_score > 0, best_lang).otherwise(F.lit(default))
+
+
+def lang_id(text: Column | str, default: str = "und") -> Column:
+    """argmax of lang_scores over `text` (see lang_id_from_scores)."""
+    return lang_id_from_scores(lang_scores(text), default)
 
 
 def quality_features(docs: DataFrame) -> DataFrame:
@@ -123,18 +142,14 @@ def fingerprint(text: Column | str) -> Column:
 
 # --- oracle SQL ----------------------------------------------------------
 
-def occurrences_sql(expr: str, marker: str) -> str:
-    m = marker.replace("'", "''")
-    return (
-        f"((length({expr}) - length(replace({expr}, '{m}', ''))) / {len(marker)}.0)"
-    )
-
-
 def lang_scores_sql(expr: str = "text") -> dict[str, str]:
+    """DuckDB twin of lang_scores — same alternation pattern, RE2's
+    leftmost-first matching counts identically to Java regex."""
     out = {}
     for lang, markers in LANG_MARKERS.items():
-        total = " + ".join(occurrences_sql(expr, m) for m in markers)
-        out[lang] = f"ROUND(({total}) * 1000.0 / GREATEST(length({expr}), 1), 4)"
+        pat = _marker_pattern(markers).replace("'", "''")
+        n = f"len(regexp_extract_all({expr}, '{pat}'))"
+        out[lang] = f"ROUND({n} * 1000.0 / GREATEST(length({expr}), 1), 4)"
     return out
 
 

@@ -863,10 +863,12 @@ def _lang_id_oracle() -> str:
 def q_llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     scores = _ts.lang_scores("text")
+    # reuse the same score column objects for the argmax — codegen CSE
+    # then evaluates each language's regexp scan once per row
     return docs.select(
         "doc_id",
         *[s.alias(f"score_{lang}") for lang, s in scores.items()],
-        _ts.lang_id("text").alias("pred_lang"),
+        _ts.lang_id_from_scores(scores).alias("pred_lang"),
     )
 
 
