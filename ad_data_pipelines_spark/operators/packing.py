@@ -1,0 +1,108 @@
+"""Sequence packing: map documents onto fixed-token-budget training
+sequences (GPT-style concat-and-chunk).
+
+Beyond-reference (BASELINE.json north star): the final step of an LLM
+training-data pipeline — concatenate the corpus in a canonical order and
+cut it into `seq_tokens`-token sequences; each document then spans
+sequences [first_seq, last_seq]. The interesting part at 100 TB is the
+GLOBAL prefix sum of token counts, which must NOT be a single-partition
+window (`Window.orderBy(...)` with no partitionBy collapses the whole
+corpus into one task). Implemented as the classic two-phase scan:
+
+  1. range-shard on the order key (shard = order_key div shard_span —
+     monotonic, so shard order preserves global order),
+  2. within-shard exclusive running sum (bounded window partitions),
+  3. per-shard totals (tiny agg) → exclusive shard offsets (window over
+     n_shards rows, the only single-partition step — kilobytes),
+  4. broadcast-join offsets back; global offset = shard_offset + within.
+
+Token counts use the whitespace tokenizer (operators/textstats) so the
+budget agrees with the rest of the registry; swap in bpe_token_count for
+subword budgets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.operators.textstats import token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_tokens: int = 2048,
+    order_col: str = "doc_id",
+    shard_span: int = 1000,
+) -> DataFrame:
+    """Assign each doc its global token offset and the training-sequence
+    range it lands in after concat-and-chunk at `seq_tokens`.
+
+    Returns (doc_id, n_tokens, tok_offset, first_seq, last_seq) —
+    deterministic in the canonical `order_col` order, independent of
+    partitioning; `shard_span` only tunes window-partition size.
+    """
+    toks = docs.select(
+        F.col(order_col),
+        token_count("text").cast("bigint").alias("n_tokens"),
+        F.floor(F.col(order_col) / shard_span).alias("shard"),
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+    shard_totals = toks.groupBy("shard").agg(F.sum("n_tokens").alias("sh_toks"))
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    shard_offsets = shard_totals.select(
+        "shard",
+        F.coalesce(F.sum("sh_toks").over(w_sh), F.lit(0)).alias("sh_offset"),
+    )
+    out = (
+        toks.withColumn("within", within)
+        .join(F.broadcast(shard_offsets), "shard")
+        .select(
+            order_col,
+            "n_tokens",
+            (F.col("sh_offset") + F.col("within")).alias("tok_offset"),
+        )
+    )
+    b = float(seq_tokens)
+    return out.select(
+        order_col,
+        "n_tokens",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / b).cast("bigint").alias("first_seq"),
+        F.floor((F.col("tok_offset") + F.col("n_tokens") - 1) / b)
+        .cast("bigint")
+        .alias("last_seq"),
+    )
+
+
+def pack_sequences_sql(seq_tokens: int = 2048) -> str:
+    """DuckDB twin: the two-phase scan reduces to one running sum over
+    the same canonical order (range sharding is order-preserving, so
+    results are identical by construction)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS tok_offset
+            FROM toks
+        )
+        SELECT doc_id, n_tokens, tok_offset,
+               CAST(FLOOR(tok_offset * 1.0 / {seq_tokens}) AS BIGINT)
+                   AS first_seq,
+               CAST(FLOOR((tok_offset + n_tokens - 1) * 1.0 / {seq_tokens})
+                   AS BIGINT) AS last_seq
+        FROM c
+    """

@@ -170,3 +170,51 @@ def stratified_topk_sql(
         f"ROW_NUMBER() OVER (PARTITION BY {strata_exprs} "
         f"ORDER BY {h}, {key_expr})"
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key: str,
+    n_buckets: int = 64,
+    salt: str = "shuffle",
+    *,
+    fast: bool = False,
+) -> DataFrame:
+    """Reproducible global shuffle order for training-data serving:
+    every row gets (shuffle_bucket, shuffle_rank), where global order =
+    bucket-major, rank-minor. `orderBy(rand())` is neither reproducible
+    nor resumable; keying the order to a row hash makes the epoch-0
+    data order a pure function of the corpus — re-runs, engine changes
+    and partition layouts all serve identical batches.
+
+    One shuffle: rows hash-route to `n_buckets` window partitions
+    (corpus/n_buckets rows each — size buckets so one fits an executor
+    task), rank is a within-bucket window ordered by (hash, key); a
+    writer then emits one sorted file per bucket and readers stream
+    buckets in order (or round-robin them for approximate interleave).
+    """
+    c = F.col(key)
+    h = portable_hash64(
+        F.concat(c.cast("string"), F.lit("#" + salt)), fast=fast
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shuffle_bucket").orderBy("h", key)
+    return (
+        df.withColumn("h", h)
+        .withColumn("shuffle_bucket", (F.col("h") % n_buckets).cast("int"))
+        .withColumn("shuffle_rank", F.row_number().over(w))
+        .drop("h")
+    )
+
+
+def deterministic_shuffle_sql(
+    expr: str, n_buckets: int = 64, salt: str = "shuffle"
+) -> str:
+    """DuckDB twin of `deterministic_shuffle`'s (bucket, rank) pair."""
+    h = f"CAST('0x' || substr(md5(CAST({expr} AS VARCHAR) || '#{salt}'), 1, 15) AS BIGINT)"
+    return (
+        f"CAST({h} % {n_buckets} AS INT) AS shuffle_bucket, "
+        f"ROW_NUMBER() OVER (PARTITION BY {h} % {n_buckets} "
+        f"ORDER BY {h}, {expr}) AS shuffle_rank"
+    )

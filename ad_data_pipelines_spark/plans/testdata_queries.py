@@ -729,6 +729,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ad_data_pipelines_spark.operators import chunking as _chunking  # noqa: E402
 from ad_data_pipelines_spark.operators import dedup as _dedup  # noqa: E402
 from ad_data_pipelines_spark.operators import multimodal as _mm  # noqa: E402
+from ad_data_pipelines_spark.operators import packing as _packing  # noqa: E402
 from ad_data_pipelines_spark.operators import sampling as _sampling  # noqa: E402
 from ad_data_pipelines_spark.operators import scd as _scd  # noqa: E402
 from ad_data_pipelines_spark.operators import scrub as _scrub  # noqa: E402
@@ -2508,6 +2509,115 @@ def q_llm_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_repetition",
+    oracle=_ts.repetition_signals_sql(),
+    doc="Gopher-style repetition quality signals (Rae et al. 2021, "
+    "table A1): per-doc top word-2/3-gram character coverage and "
+    "duplicate-5-gram character fraction. Each signal is one explode → "
+    "partial-agg (doc_id, gram) count → per-doc combine; no stage "
+    "materializes a whole doc's grams in one row. "
+    "operators/textstats.py:repetition_signals.",
+)
+def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.repetition_signals(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_quality_filter",
+    oracle=f"""
+        WITH q AS ({_ts.quality_sql()}),
+        e AS ({_ts.char_entropy_sql()}),
+        r AS ({_ts.repetition_signals_sql()})
+        SELECT d.doc_id,
+               COALESCE(q.n_tokens BETWEEN 50 AND 100000, FALSE) AS ok_len,
+               COALESCE(q.mean_tok_len BETWEEN 3 AND 10, FALSE) AS ok_tok,
+               COALESCE(e.char_entropy >= 2.0, FALSE) AS ok_entropy,
+               COALESCE(r.top2_frac <= 0.2 AND r.dup5_frac <= 0.3, FALSE)
+                   AS ok_rep,
+               COALESCE(q.n_tokens BETWEEN 50 AND 100000, FALSE)
+                   AND COALESCE(q.mean_tok_len BETWEEN 3 AND 10, FALSE)
+                   AND COALESCE(e.char_entropy >= 2.0, FALSE)
+                   AND COALESCE(r.top2_frac <= 0.2 AND r.dup5_frac <= 0.3,
+                                FALSE) AS pass
+        FROM documents d
+        LEFT JOIN q ON q.doc_id = d.doc_id
+        LEFT JOIN e ON e.doc_id = d.doc_id
+        LEFT JOIN r ON r.doc_id = d.doc_id
+    """,
+    doc="Composite Gopher/C4-style keep-or-drop verdict per doc: length "
+    "band, mean-token-length band, char-entropy floor, repetition "
+    "ceilings — each rule a transparent boolean column, pass = AND. "
+    "Every input signal partial-aggs to hash(doc_id) partitioning, so "
+    "the rule joins chain without re-exchanging the signal tables. "
+    "Missing signals (empty docs) fail conservatively, never null.",
+)
+def q_llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    q = _ts.quality_features(docs)
+    e = _ts.char_entropy(docs)
+    r = _ts.repetition_signals(docs)
+    ok_len = F.coalesce(
+        F.col("n_tokens").between(50, 100000), F.lit(False)
+    ).alias("ok_len")
+    ok_tok = F.coalesce(
+        F.col("mean_tok_len").between(3, 10), F.lit(False)
+    ).alias("ok_tok")
+    ok_entropy = F.coalesce(
+        F.col("char_entropy") >= 2.0, F.lit(False)
+    ).alias("ok_entropy")
+    ok_rep = F.coalesce(
+        (F.col("top2_frac") <= 0.2) & (F.col("dup5_frac") <= 0.3),
+        F.lit(False),
+    ).alias("ok_rep")
+    out = (
+        docs.select("doc_id")
+        .join(q, "doc_id", "left")
+        .join(e, "doc_id", "left")
+        .join(r, "doc_id", "left")
+        .select("doc_id", ok_len, ok_tok, ok_entropy, ok_rep)
+    )
+    return out.withColumn(
+        "pass",
+        F.col("ok_len")
+        & F.col("ok_tok")
+        & F.col("ok_entropy")
+        & F.col("ok_rep"),
+    )
+
+
+@register(
+    "llm_pack_sequences",
+    oracle=_packing.pack_sequences_sql(seq_tokens=2048),
+    doc="GPT-style concat-and-chunk sequence packing: each doc's global "
+    "token offset and the [first_seq, last_seq] training-sequence range "
+    "it spans at a 2048-token budget. The global prefix sum is a "
+    "two-phase scan (range shards → within-shard window → broadcast "
+    "shard offsets), NEVER a single-partition global window. "
+    "operators/packing.py:pack_sequences.",
+)
+def q_llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _packing.pack_sequences(t(spark, sf_dir, "documents"), seq_tokens=2048)
+
+
+@register(
+    "llm_det_shuffle",
+    oracle=f"""
+        SELECT doc_id, {_sampling.deterministic_shuffle_sql("doc_id", n_buckets=16)}
+        FROM documents
+    """,
+    doc="Reproducible global shuffle order for training serving: "
+    "(bucket, rank) keyed to the row hash — epoch order is a pure "
+    "function of the corpus, unlike orderBy(rand()). One bounded "
+    "window shuffle. operators/sampling.py:deterministic_shuffle.",
+)
+def q_llm_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return _sampling.deterministic_shuffle(
+        docs.select("doc_id"), "doc_id", n_buckets=16
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -2531,7 +2641,12 @@ _GATE_TAIL_ROWS_ONLY = [
 ]
 _GATE_PRIORITY = [
     # tier 1: never gated in r1 or r2 (registered after f7e1b's list),
-    # cheap-first by r2 bench medians (0.27–1.7 s at sf0.1)
+    # cheap-first by r2 bench medians (0.27–1.7 s at sf0.1), plus
+    # operators newly registered in round 3 (standing rule)
+    "llm_repetition",
+    "llm_pack_sequences",
+    "llm_det_shuffle",
+    "llm_quality_filter",
     "w6_rolling_window",
     "llm_token_stats_bpe",
     "o8_pivot_matrix",

@@ -22,12 +22,85 @@ from pathlib import Path
 from urllib.parse import quote
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ad_data_pipelines_spark.functions.cleaning import NA_STRINGS
 
 MANIFEST_NAME = "_import_manifest.json"
 SCHEMA_SUFFIX = ".schema.json"
+
+#: ISO-date shape: distinguishes true date columns from timestamp columns
+#: (Spark's string→date CAST would happily truncate '2024-01-01 10:00:00').
+_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+
+
+def infer_types_full(
+    spark: SparkSession,
+    path: str,
+    na_strings: list[str] = NA_STRINGS,
+    **options,
+) -> StructType:
+    """Whole-file type inference with an NA-string list — the semantics
+    of the reference's `readr::type_convert` pass
+    (/root/reference/data_ingestion/pg_import.R:76-102): every row of
+    every column votes, NA strings are excluded from voting, and a
+    column is only typed T when ALL its non-NA values parse as T.
+
+    Unlike readr (whole file in driver memory), the vote is ONE
+    distributed aggregate over try_cast/rlike indicator columns —
+    partial+final combinable, so a 1 TB CSV feed infers with a single
+    streaming pass and O(n_cols) driver state. Type priority mirrors
+    readr: boolean → integer (int32 when the observed range fits,
+    else bigint) → double → date → timestamp → string; all-NA columns
+    stay string.
+    """
+    reader = spark.read.option("header", True)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.csv(path)
+
+    aggs = []
+    for c in raw.columns:
+        v = F.trim(F.col(c))
+        v = F.when(v.isin(na_strings), F.lit(None)).otherwise(v)
+        qc = c.replace("`", "")
+        aggs += [
+            F.count(v).alias(f"{qc}__n"),
+            F.count(F.when(F.lower(v).isin("true", "false"), 1)).alias(f"{qc}__bool"),
+            F.count(v.try_cast("bigint")).alias(f"{qc}__long"),
+            F.min(v.try_cast("bigint")).alias(f"{qc}__min"),
+            F.max(v.try_cast("bigint")).alias(f"{qc}__max"),
+            F.count(v.try_cast("double")).alias(f"{qc}__dbl"),
+            F.count(F.when(v.rlike(_DATE_RE), 1)).alias(f"{qc}__date"),
+            F.count(v.try_cast("timestamp")).alias(f"{qc}__ts"),
+        ]
+    stats = raw.agg(*aggs).collect()[0].asDict()
+
+    fields = []
+    for c in raw.columns:
+        qc = c.replace("`", "")
+        n = stats[f"{qc}__n"]
+        if n == 0:
+            typ = "string"
+        elif stats[f"{qc}__bool"] == n:
+            typ = "boolean"
+        elif stats[f"{qc}__long"] == n:
+            in32 = (
+                stats[f"{qc}__min"] >= -(2**31)
+                and stats[f"{qc}__max"] < 2**31
+            )
+            typ = "int" if in32 else "bigint"
+        elif stats[f"{qc}__dbl"] == n:
+            typ = "double"
+        elif stats[f"{qc}__date"] == n:
+            typ = "date"
+        elif stats[f"{qc}__ts"] == n:
+            typ = "timestamp"
+        else:
+            typ = "string"
+        fields.append(f"`{qc}` {typ}")
+    return StructType.fromDDL(", ".join(fields))
 
 
 def read_csv_typed(
@@ -37,21 +110,28 @@ def read_csv_typed(
     infer_full: bool = True,
     **options,
 ) -> DataFrame:
-    """Typed CSV scan (S3/S4) with the reference's NA-string policy."""
+    """Typed CSV scan (S3/S4) with the reference's NA-string policy.
+
+    With no schema: whole-file inference via `infer_types_full` when
+    `infer_full` (the reference inferred from the whole file
+    deliberately — README_APPROACH.md:60-75 — sampling breaks
+    mixed-type columns), else Spark's sampled engine inference. The
+    typed read is PERMISSIVE, so NA strings in numeric columns land as
+    NULL — the reference's `na =` semantics (pg_import.R:83).
+    """
     reader = (
         spark.read.option("header", True)
         .option("nullValue", "")
         .option("emptyValue", "")
     )
-    # the reference normalized this NA-string list to NULL (pg_import.R:83);
-    # Spark's csv reader takes one nullValue, so the rest are normalized
-    # post-read by sources.manifest._nullify below when no schema is given.
     for k, v in options.items():
         reader = reader.option(k, v)
+    if schema is None and infer_full:
+        schema = infer_types_full(spark, path, **options)
     if schema is not None:
         return reader.schema(schema).csv(path)
     return reader.option("inferSchema", True).option(
-        "samplingRatio", 1.0 if infer_full else 0.1
+        "samplingRatio", 0.1
     ).csv(path)
 
 

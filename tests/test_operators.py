@@ -509,3 +509,79 @@ def test_bpe_token_count_segmentation(spark, duck):
         f"SELECT i, {bpe_token_count_sql('text')} FROM bpe_docs"
     ).fetchall())
     assert drows == got
+
+
+def test_repetition_signals_known_values(spark):
+    """Gopher repetition anchors: alternating bigram text maxes top2,
+    3-gram ties break lexicographically, heavy 5-gram repeats cap at
+    1.0, short docs score 0.0 everywhere."""
+    from ad_data_pipelines_spark.operators.textstats import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b", 11),
+            (2, "x y z w v x y z w v x y z w v", 29),
+            (3, "hello", 5),
+        ],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    # "a b" occurs 3x, len 3, 11 chars -> 0.8182
+    assert rows[1].top2_frac == pytest.approx(0.8182)
+    # 3-grams "a b a"(2) and "b a b"(2) tie -> lexicographic "a b a"
+    assert rows[1].top3_frac == pytest.approx(0.9091)
+    assert rows[1].dup5_frac == 0.0  # both 5-grams unique
+    # 3*9 + 4*2*9 = 99 chars of duplicated 5-grams > 29 -> capped
+    assert rows[2].dup5_frac == 1.0
+    assert (rows[3].top2_frac, rows[3].top3_frac, rows[3].dup5_frac) == (
+        0.0, 0.0, 0.0,
+    )
+
+
+def test_pack_sequences_contiguous_offsets(spark):
+    """Concat-and-chunk invariants: offsets are the exclusive prefix sum
+    in canonical doc_id order regardless of partitioning/shard span, and
+    [first_seq, last_seq] is the floor-range of the doc's token span."""
+    from ad_data_pipelines_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 13)))
+         for i in range(200)],
+        "doc_id bigint, text string",
+    ).repartition(7)
+    rows = sorted(
+        pack_sequences(docs, seq_tokens=16, shard_span=25).collect(),
+        key=lambda r: r.doc_id,
+    )
+    off = 0
+    for r in rows:
+        assert r.tok_offset == off
+        assert r.first_seq == off // 16
+        assert r.last_seq == (off + r.n_tokens - 1) // 16
+        off += r.n_tokens
+    # shard span must not change the assignment, only window sizing
+    alt = sorted(
+        pack_sequences(docs, seq_tokens=16, shard_span=3).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert [tuple(r) for r in alt] == [tuple(r) for r in rows]
+
+
+def test_deterministic_shuffle_stability(spark):
+    """The (bucket, rank) pair is a pure function of the key: identical
+    across partition layouts, and ranks are dense 1..n per bucket."""
+    from ad_data_pipelines_spark.operators.sampling import deterministic_shuffle
+
+    docs = spark.range(500).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: (r.shuffle_bucket, r.shuffle_rank)
+         for r in deterministic_shuffle(docs, "doc_id", n_buckets=8).collect()}
+    b = {r.doc_id: (r.shuffle_bucket, r.shuffle_rank)
+         for r in deterministic_shuffle(
+             docs.repartition(13), "doc_id", n_buckets=8).collect()}
+    assert a == b
+    from collections import Counter
+    per_bucket = Counter(bu for bu, _ in a.values())
+    ranks = Counter()
+    for bu, rk in a.values():
+        ranks[bu] = max(ranks[bu], rk)
+    assert ranks == per_bucket  # dense 1..n

@@ -142,3 +142,31 @@ def test_streaming_daily_aggs_match_batch(spark, tmp_path):
     )
     expect = {(r.d, r.event_type): (r.n, r.s) for r in batch}
     assert got == expect
+
+
+def test_infer_types_full_readr_semantics(spark, tmp_path):
+    """Whole-file inference with the NA-string list: NA tokens don't
+    vote, so a numeric column polluted with 'NA' still types numeric
+    (Spark's engine inference calls it string — the exact gap the
+    reference's readr::type_convert pass closes); every row votes, so
+    a late mixed value demotes to string (sampled inference misses it)."""
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "i,big,d,b,dt,ts,mixed,allna,s\n"
+        "1,3000000000,1.5,true,2024-01-01,2024-01-01 10:00:00,1,NA,x\n"
+        "NA,4000000000,N/A,false,2024-02-03,2024-02-03 00:00:01,2,#N/A,y\n"
+        "3,5000000000,2.25,true,2024-03-04,2024-03-04 23:59:59,oops,NULL,z\n"
+    )
+    sch = {f.name: f.dataType.simpleString()
+           for f in manifest.infer_types_full(spark, str(p))}
+    assert sch == {
+        "i": "int", "big": "bigint", "d": "double", "b": "boolean",
+        "dt": "date", "ts": "timestamp", "mixed": "string",
+        "allna": "string", "s": "string",
+    }
+    df = manifest.read_csv_typed(spark, str(p))
+    rows = df.orderBy("big").collect()
+    assert rows[0].i == 1 and rows[1].i is None  # NA -> NULL, still int
+    assert rows[1].d is None and rows[2].d == 2.25
+    assert rows[0].dt == dt.date(2024, 1, 1)
+    assert rows[2].ts == dt.datetime(2024, 3, 4, 23, 59, 59)
