@@ -192,6 +192,41 @@ def ivf_centroids(
     )
 
 
+def ivf_train_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 4,
+    seed: int = 7,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Production centroid path: Spark ML KMeans over the embedding
+    column (array → ml Vector via `array_to_vector`, distributed
+    Lloyd iterations, centers collected driver-side — K × dim doubles,
+    kilobytes). Output schema matches `ivf_centroids`'s
+    (cell_id, cent_emb) contract, so `ivf_cells`/`ivf_topk` consume
+    either interchangeably; the seed-centroid variant exists for
+    cross-engine oracle checks (KMeans has no SQL twin), this one for
+    real recall. Unit-tested recall floor in tests/test_operators.py.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ds = embeddings.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        )
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(ds)
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cell_id bigint, cent_emb array<double>",
+    )
+
+
 def ivf_cells(
     side: DataFrame,
     centroids: DataFrame,
@@ -226,6 +261,7 @@ def ivf_topk(
     n_cells: int = 4,
     nprobe: int = 2,
     corpus_cells: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: corpus vectors live in their single nearest
     cell; each query probes its `nprobe` nearest cells.
@@ -241,8 +277,14 @@ def ivf_topk(
     "neighbor_id", "c_emb", 1)` output so many searches share ONE
     corpus assignment pass — at scale that is a materialized table
     partitioned by cell_id, rebuilt only when centroids move.
+    `centroids` swaps in a trained table (`ivf_train_centroids`) in
+    place of the deterministic seed vectors.
     """
-    cent = ivf_centroids(embeddings, id_col, n_cells)
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, id_col, n_cells)
+    )
     if corpus_cells is None:
         corpus_cells = ivf_cells(embeddings, cent, "neighbor_id", "c_emb", 1, id_col)
     query_cells = ivf_cells(queries, cent, "query_id", "q_emb", nprobe, id_col)

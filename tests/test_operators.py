@@ -585,3 +585,27 @@ def test_deterministic_shuffle_stability(spark):
     for bu, rk in a.values():
         ranks[bu] = max(ranks[bu], rk)
     assert ranks == per_bucket  # dense 1..n
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """KMeans-trained centroids plug into the same ivf_cells/ivf_topk
+    contract as the seed centroids and must beat a recall floor vs
+    brute-force cosine top-5 (trained cells separate the corpus better
+    than arbitrary seed vectors, so probing 2 of 4 cells keeps most
+    true neighbors)."""
+    from ad_data_pipelines_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.cosine_topk(emb, queries, k=5).collect()
+    }
+    cent = sim.ivf_train_centroids(emb, n_cells=4, seed=7)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in sim.ivf_topk(
+            emb, queries, k=5, n_cells=4, nprobe=2, centroids=cent
+        ).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.5
