@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -351,3 +353,82 @@ def test_scd2_intervals_reconstruct_snapshots(spark, snaps):
             if f <= d and (t_ is None or d < t_)
         ]
         assert len(hits) == 1 and hits[0] == want, (k, d, want, by_key[k])
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "ab", "ba", "abc", "x"]),
+        min_size=0,
+        max_size=30,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(docs_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_repetition_signals_match_reference_impl(spark, word_lists):
+    """repetition_signals == a brute-force Python reference on random
+    small-vocab docs (high repeat density): same top-gram choice under
+    count-desc/gram-asc ties, same dup-char cap, same short-doc zeros."""
+    from ad_data_pipelines_spark.operators.textstats import repetition_signals
+
+    def expected(words, n_chars):
+        def r4(x):
+            # Spark F.round is HALF_UP; Python round() is half-even
+            import decimal
+
+            return float(
+                decimal.Decimal(repr(x)).quantize(
+                    decimal.Decimal("0.0001"),
+                    rounding=decimal.ROUND_HALF_UP,
+                )
+            )
+
+        def grams(n):
+            return [
+                " ".join(words[i : i + n])
+                for i in range(len(words) - n + 1)
+            ]
+
+        out = {}
+        for n in (2, 3):
+            g = grams(n)
+            if not g:
+                out[f"top{n}_frac"] = 0.0
+                continue
+            from collections import Counter
+
+            cnt = Counter(g)
+            top = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            out[f"top{n}_frac"] = r4(
+                top[1] * len(top[0]) / max(n_chars, 1)
+            )
+        from collections import Counter
+
+        c5 = Counter(grams(5))
+        dup = sum(v * len(g) for g, v in c5.items() if v > 1)
+        out["dup5_frac"] = (
+            r4(min(dup / max(n_chars, 1), 1.0)) if dup else 0.0
+        )
+        return out
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_lists)]
+    docs = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert set(got) == set(range(len(rows)))
+    for i, ws in enumerate(word_lists):
+        # split('\\s+') of an empty trimmed string yields [''] — one
+        # empty token, exactly what ' '.join([]) round-trips to
+        words = rows[i][1].split(" ") if rows[i][1] else [""]
+        exp = expected(words, len(rows[i][1]))
+        for k, v in exp.items():
+            assert got[i][k] == pytest.approx(v), (i, k, rows[i][1])
