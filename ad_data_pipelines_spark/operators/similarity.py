@@ -112,6 +112,36 @@ def lsh_bucket(
     )
 
 
+def lsh_corpus_table(
+    embeddings: DataFrame,
+    table: str,
+    path: str,
+    id_col: str = "vec_id",
+    n_planes: int = N_PLANES,
+    n_buckets_files: int = 32,
+) -> DataFrame:
+    """Materialize the LSH-bucketed corpus as an on-disk bucketed table
+    — the cross-job twin of the in-session shared `lsh_bucket` stage
+    (same pattern as dedup's `dup_components_table`): assignment runs
+    ONCE per corpus/plane generation, and every search job reads
+    pre-bucketed files whose `bucket_id` clustering lets the
+    bucket-join run without re-exchanging the corpus. Rebuild only when
+    planes change; at 100 TB this is the difference between an O(N)
+    assignment pass per query batch and none. Returns the re-read
+    table."""
+    from ad_data_pipelines_spark.operators.partitioning import write_bucketed
+
+    write_bucketed(
+        lsh_bucket(embeddings, id_col, n_planes),
+        table,
+        path,
+        keys=["bucket_id"],
+        n_buckets=n_buckets_files,
+        sort_by=["bucket_id", id_col],
+    )
+    return embeddings.sparkSession.table(table)
+
+
 def lsh_topk(
     embeddings: DataFrame,
     queries: DataFrame,

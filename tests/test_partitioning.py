@@ -205,3 +205,29 @@ def test_salted_join_rejects_outer_sides(spark):
     for how in ("right", "full", "outer", "full_outer"):
         with pytest.raises(ValueError, match="inner.*left"):
             salted_join(li, dim, "l_orderkey", how=how)
+
+
+def test_lsh_corpus_table_matches_and_skips_assignment(spark, tmp_path):
+    """The materialized LSH corpus: search results from the bucketed
+    table equal the compute-in-place path, and the search plan over it
+    contains no bucket-assignment expressions (the per-plane sign tests
+    ran once, at write time)."""
+    from ad_data_pipelines_spark.operators import similarity as sim
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    expected = {
+        tuple(r)
+        for r in sim.lsh_topk(emb, queries, k=3, n_planes=4).collect()
+    }
+    corpus = sim.lsh_corpus_table(
+        emb, "t_lsh_corpus", str(tmp_path / "lsh_corpus"), n_planes=4
+    )
+    got_df = sim.lsh_topk(
+        emb, queries, k=3, n_planes=4, corpus_buckets=corpus
+    )
+    assert {tuple(r) for r in got_df.collect()} == expected
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    # corpus side reads materialized bucket_id; only the 10-row query
+    # side computes sign tests (4 planes) — never corpus-cardinality
+    assert plan.count("zip_with") <= 8 * 2  # query buckets + sim scoring
