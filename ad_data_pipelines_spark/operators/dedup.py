@@ -65,13 +65,23 @@ def shingle_h31(shingled: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    k: int = SHINGLE_K,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
     """One row per doc: doc_id, mh0..mh15 minhash signature.
 
     Each permutation is min((a*h31+b) mod P) over the doc's shingle set —
     a single hash-aggregate, partial/final combined by Catalyst.
-    """
-    hashed = shingle_h31(char_shingles(docs, k))
+    `shingled` injects a precomputed (typically persisted/materialized)
+    `char_shingles` output shared with the other shingle consumers
+    (boilerplate heavy hitters, Jaccard verification) — at corpus scale
+    the shingle explode is the widest narrow stage, so it should run
+    once per corpus generation, not once per consumer."""
+    if shingled is None:
+        shingled = char_shingles(docs, k)
+    hashed = shingle_h31(shingled)
     aggs = [
         F.min((F.col("h31") * a + b) % MERSENNE_31).alias(f"mh{i}")
         for i, (a, b) in enumerate(PERMS)
@@ -139,15 +149,18 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, k: int = SHINGLE_K, min_jaccard: float = 0.25
+    docs: DataFrame,
+    k: int = SHINGLE_K,
+    min_jaccard: float = 0.25,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Exact k-gram Jaccard similarity pairs ≥ threshold.
 
     Quadratic in shared-shingle frequency — use on bounded scopes
     (candidate verification, samples); the LSH pipeline is the scale
-    path. Returns (doc_a, doc_b, inter_n, jac).
-    """
-    sh = char_shingles(docs, k)
+    path. Returns (doc_a, doc_b, inter_n, jac). `shingled` shares a
+    precomputed `char_shingles` output (see minhash_signatures)."""
+    sh = char_shingles(docs, k) if shingled is None else shingled
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

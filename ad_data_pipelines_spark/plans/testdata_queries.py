@@ -785,7 +785,15 @@ def q_llm_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    return _dedup.ngram_jaccard_pairs(docs, min_jaccard=0.25)
+    # scope filter applies to the SHARED shingle table too — feeding the
+    # unscoped corpus into the quadratic verifier is exactly the misuse
+    # its docstring bans
+    return _dedup.ngram_jaccard_pairs(
+        docs, min_jaccard=0.25,
+        shingled=_shingles_shared(spark, sf_dir).filter(
+            F.col("doc_id") < 150
+        ),
+    )
 
 
 @register(
@@ -1828,10 +1836,23 @@ def _shared(spark: SparkSession, sf_dir: str, what: str, build) -> DataFrame:
     return _SHARED_CACHE[key]
 
 
+def _shingles_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the widest narrow stage of the text layer: ONE shingle explode per
+    # session feeds minhash signatures, boilerplate heavy hitters and
+    # Jaccard verification (disk twin: a corpus_shingles table)
+    return _shared(
+        spark, sf_dir, "shingles",
+        lambda: _dedup.char_shingles(t(spark, sf_dir, "documents")),
+    )
+
+
 def _minhash_sigs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared(
         spark, sf_dir, "sigs",
-        lambda: _dedup.minhash_signatures(t(spark, sf_dir, "documents")),
+        lambda: _dedup.minhash_signatures(
+            t(spark, sf_dir, "documents"),
+            shingled=_shingles_shared(spark, sf_dir),
+        ),
     )
 
 
@@ -2079,7 +2100,7 @@ def q_llm_quality_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     "value for cross-engine determinism.",
 )
 def q_llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _dedup.char_shingles(t(spark, sf_dir, "documents"), k=5)
+    sh = _shingles_shared(spark, sf_dir)
     return (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("n_docs"))
