@@ -340,6 +340,47 @@ def repetition_signals_sql(
     """
 
 
+def quality_verdicts(docs: DataFrame) -> DataFrame:
+    """Composite Gopher/C4-style keep-or-drop verdict per doc
+    (doc_id, ok_len, ok_tok, ok_entropy, ok_rep, pass): length band,
+    mean-token-length band, char-entropy floor, repetition ceilings.
+    Missing signals (empty docs) fail conservatively, never null.
+    Single source of truth for the batch registry query
+    (llm_quality_filter) and the streaming ingest gate
+    (streaming/quality.py) — doc-local signals, so micro-batch
+    application is batch-exact."""
+    q = quality_features(docs)
+    e = char_entropy(docs)
+    r = repetition_signals(docs)
+    ok_len = F.coalesce(
+        F.col("n_tokens").between(50, 100000), F.lit(False)
+    ).alias("ok_len")
+    ok_tok = F.coalesce(
+        F.col("mean_tok_len").between(3, 10), F.lit(False)
+    ).alias("ok_tok")
+    ok_entropy = F.coalesce(
+        F.col("char_entropy") >= 2.0, F.lit(False)
+    ).alias("ok_entropy")
+    ok_rep = F.coalesce(
+        (F.col("top2_frac") <= 0.2) & (F.col("dup5_frac") <= 0.3),
+        F.lit(False),
+    ).alias("ok_rep")
+    out = (
+        docs.select("doc_id")
+        .join(q, "doc_id", "left")
+        .join(e, "doc_id", "left")
+        .join(r, "doc_id", "left")
+        .select("doc_id", ok_len, ok_tok, ok_entropy, ok_rep)
+    )
+    return out.withColumn(
+        "pass",
+        F.col("ok_len")
+        & F.col("ok_tok")
+        & F.col("ok_entropy")
+        & F.col("ok_rep"),
+    )
+
+
 def char_entropy(docs: DataFrame) -> DataFrame:
     """Per-doc character Shannon entropy (bits/char) — the
     Gopher/C4-style signal that separates natural text (~4 bits) from

@@ -2574,37 +2574,7 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Missing signals (empty docs) fail conservatively, never null.",
 )
 def q_llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = t(spark, sf_dir, "documents")
-    q = _ts.quality_features(docs)
-    e = _ts.char_entropy(docs)
-    r = _ts.repetition_signals(docs)
-    ok_len = F.coalesce(
-        F.col("n_tokens").between(50, 100000), F.lit(False)
-    ).alias("ok_len")
-    ok_tok = F.coalesce(
-        F.col("mean_tok_len").between(3, 10), F.lit(False)
-    ).alias("ok_tok")
-    ok_entropy = F.coalesce(
-        F.col("char_entropy") >= 2.0, F.lit(False)
-    ).alias("ok_entropy")
-    ok_rep = F.coalesce(
-        (F.col("top2_frac") <= 0.2) & (F.col("dup5_frac") <= 0.3),
-        F.lit(False),
-    ).alias("ok_rep")
-    out = (
-        docs.select("doc_id")
-        .join(q, "doc_id", "left")
-        .join(e, "doc_id", "left")
-        .join(r, "doc_id", "left")
-        .select("doc_id", ok_len, ok_tok, ok_entropy, ok_rep)
-    )
-    return out.withColumn(
-        "pass",
-        F.col("ok_len")
-        & F.col("ok_tok")
-        & F.col("ok_entropy")
-        & F.col("ok_rep"),
-    )
+    return _ts.quality_verdicts(t(spark, sf_dir, "documents"))
 
 
 @register(

@@ -287,3 +287,42 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) >= 2
+
+
+def test_streaming_quality_gate_matches_batch(spark, tmp_path):
+    """The streamed keep/quarantine split == the batch quality verdict:
+    same pass set, quarantine carries rule flags, partition exhaustive
+    and disjoint — doc-local signals make micro-batching exact even
+    when the drain runs multiple micro-batches (maxFilesPerTrigger=1)."""
+    from ad_data_pipelines_spark.operators.textstats import quality_verdicts
+    from ad_data_pipelines_spark.streaming import quality
+
+    docs = tq.t(spark, SF_SMALL, "documents")
+    src = tmp_path / "docs_src"
+    # several files so AvailableNow runs >1 micro-batch
+    docs.repartition(4).write.parquet(str(src))
+
+    expected = {
+        r.doc_id: r["pass"] for r in quality_verdicts(docs).collect()
+    }
+
+    q = (
+        quality.read_docs_stream(spark, str(src), max_files_per_trigger=1)
+        .writeStream.foreachBatch(
+            lambda b, i: quality._gate_batch(
+                b, str(tmp_path / "keep"), str(tmp_path / "quarantine")
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "keep")).collect()}
+    quar = spark.read.parquet(str(tmp_path / "quarantine"))
+    quar_ids = {r.doc_id for r in quar.select("doc_id").collect()}
+    assert kept == {d for d, p in expected.items() if p}
+    assert quar_ids == {d for d, p in expected.items() if not p}
+    assert kept.isdisjoint(quar_ids)
+    assert "ok_entropy" in quar.columns  # flags ride along for triage
