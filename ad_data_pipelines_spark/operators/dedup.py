@@ -216,6 +216,89 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return bit_sums.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def simhash_candidates(
+    sims: DataFrame,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs within `max_hamming` bits of SimHash, via banded
+    Hamming blocking (the classic web-scale near-dup shape): split the
+    signature into `n_bands` equal bit-bands and self-join on band
+    equality. Pigeonhole guarantees COMPLETENESS for
+    max_hamming ≤ n_bands-1 — a pair differing in ≤ n_bands-1 bits
+    cannot differ in every band — so the exact `bit_count(xor)` filter
+    afterwards only removes false positives. Returns
+    (doc_a, doc_b, hamming).
+
+    Scale shape mirrors `lsh_candidate_pairs`: the self-join shuffles
+    (doc_id, simhash, band) — one long per side, never text; band-value
+    skew (boilerplate signatures) is AQE skew-split.
+    """
+    assert max_hamming <= n_bands - 1, "blocking incomplete beyond n_bands-1"
+    assert bits % n_bands == 0
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_idx"),
+                        F.shiftright("simhash", k * width)
+                        .bitwiseAND(mask)
+                        .alias("band_val"),
+                    )
+                    for k in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_idx", "b.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can collide in several bands
+    )
+
+
+def simhash_candidates_sql(
+    max_hamming: int = 3, n_bands: int = 4, bits: int = 32
+) -> str:
+    """DuckDB twin of simhash_candidates over simhash_sql."""
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    ks = ", ".join(str(k) for k in range(n_bands))
+    return f"""
+        WITH sims AS ({simhash_sql(bits)}),
+        bands AS (
+            SELECT doc_id, simhash, k AS band_idx,
+                   (simhash >> (k * {width})) & {mask} AS band_val
+            FROM sims, unnest([{ks}]) AS t(k)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
     """Exact dedup via content hash: (content_hash, n_docs, keeper_id).
 

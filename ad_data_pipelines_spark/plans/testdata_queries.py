@@ -804,7 +804,30 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/dedup.py:simhash.",
 )
 def q_llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.simhash(t(spark, sf_dir, "documents"))
+    return _simhash_shared(spark, sf_dir)
+
+
+def _simhash_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared(
+        spark, sf_dir, "simhash",
+        lambda: _dedup.simhash(t(spark, sf_dir, "documents")),
+    )
+
+
+@register(
+    "llm_simhash_pairs",
+    oracle=_dedup.simhash_candidates_sql(max_hamming=3),
+    doc="SimHash near-dup pairs within Hamming distance 3 via banded "
+    "blocking: 4 equal bit-bands self-joined on band equality "
+    "(pigeonhole-complete for distance ≤ 3), then exact bit_count(xor) "
+    "verification. The join shuffles (doc_id, simhash, band) only — "
+    "one long per side, never text; shares the session's SimHash "
+    "table with llm_simhash. operators/dedup.py:simhash_candidates.",
+)
+def q_llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.simhash_candidates(
+        _simhash_shared(spark, sf_dir), max_hamming=3
+    )
 
 
 @register(
@@ -2635,6 +2658,7 @@ _GATE_PRIORITY = [
     # cheap-first by r2 bench medians (0.27–1.7 s at sf0.1), plus
     # operators newly registered in round 3 (standing rule)
     "llm_repetition",
+    "llm_simhash_pairs",
     "llm_pack_sequences",
     "llm_det_shuffle",
     "llm_quality_filter",

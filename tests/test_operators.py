@@ -609,3 +609,35 @@ def test_ivf_trained_centroids_recall(spark):
         ).collect()
     }
     assert len(got & truth) / len(truth) >= 0.5
+
+
+def test_simhash_candidates_complete_vs_brute_force(spark):
+    """Banded Hamming blocking is COMPLETE for distance <= n_bands-1:
+    the candidate pairs equal an all-pairs bit_count(xor) scan on a
+    corpus with planted near-dups (identical docs -> hamming 0, one
+    token swapped -> small distance)."""
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    docs = spark.createDataFrame(
+        [
+            (0, base),
+            (1, base),                               # exact dup
+            (2, base.replace("lazy", "sleepy", 1)),  # near dup
+            (3, "completely different content about spark engines"),
+            (4, "unrelated words everywhere nothing shared here at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sims = dedup.simhash(docs)
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.simhash_candidates(sims, max_hamming=3).collect()
+    }
+    sig = {r.doc_id: r.simhash for r in sims.collect()}
+    brute = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for a in sig
+        for b in sig
+        if a < b and bin(sig[a] ^ sig[b]).count("1") <= 3
+    }
+    assert got == brute
+    assert (0, 1, 0) in got  # exact dup found at distance 0
