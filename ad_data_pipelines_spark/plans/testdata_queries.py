@@ -1460,8 +1460,15 @@ def q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
+    cells = _shared(
+        spark, sf_dir, "ivf_corpus_cells",
+        lambda: _sim.ivf_cells(
+            emb, _sim.ivf_centroids(emb, n_cells=4), "neighbor_id", "c_emb", 1
+        ),
+    )
     return _sim.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 25), k=5, n_cells=4, nprobe=2
+        emb, emb.filter(F.col("vec_id") < 25), k=5, n_cells=4, nprobe=2,
+        corpus_cells=cells,
     )
 
 
