@@ -2077,6 +2077,54 @@ def q_llm_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dedup_keeper_policy",
+    oracle=f"""
+        WITH comp AS ({_dedup.dup_components_sql(min_eq=8)}),
+        j AS (
+            SELECT c.component, c.doc_id, d.n_chars
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        )
+        SELECT component, n_members, doc_id AS keeper_id,
+               n_chars AS keeper_chars
+        FROM (
+            SELECT *,
+                   CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+                       AS n_members,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY component
+                       ORDER BY n_chars DESC, doc_id
+                   ) AS rk
+            FROM j
+        ) WHERE rk = 1
+    """,
+    doc="Pluggable keeper policy over the SHARED duplicate clusters: "
+    "keep each cluster's LONGEST member (ties → min doc_id) instead of "
+    "the default min-id keeper — the content-preserving choice a "
+    "training pipeline usually wants. Clusters are computed once per "
+    "session (dedup chain); this query only joins doc lengths on and "
+    "ranks within components — policy changes never recompute "
+    "MinHash/LSH/components.",
+)
+def q_llm_dedup_keeper_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = _dup_components_shared(spark, sf_dir, min_eq=8)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = comps.select("component", "doc_id").join(docs, "doc_id")
+    w = Window.partitionBy("component")
+    wr = w.orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        j.withColumn("n_members", F.count("*").over(w).cast("bigint"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            "n_members",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("n_chars").alias("keeper_chars"),
+        )
+    )
+
+
+@register(
     "llm_quality_quantile_approx",
     oracle=None,  # t-digest approximation — rows-only check (like a5_approx)
     doc="Production path of llm_quality_quantile: approx_percentile "
@@ -2666,6 +2714,7 @@ _GATE_PRIORITY = [
     # operators newly registered in round 3 (standing rule)
     "llm_repetition",
     "llm_simhash_pairs",
+    "llm_dedup_keeper_policy",
     "llm_pack_sequences",
     "llm_det_shuffle",
     "llm_quality_filter",
