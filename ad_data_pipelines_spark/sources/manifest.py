@@ -62,7 +62,9 @@ def infer_types_full(
 
     aggs = []
     for c in raw.columns:
-        v = F.trim(F.col(c))
+        # backtick-quote: feed headers like "a.b" are column names,
+        # never struct paths (both F.col and df[...] parse bare dots)
+        v = F.trim(F.col("`" + c.replace("`", "``") + "`"))
         v = F.when(v.isin(na_strings), F.lit(None)).otherwise(v)
         qc = c.replace("`", "")
         aggs += [

@@ -170,3 +170,15 @@ def test_infer_types_full_readr_semantics(spark, tmp_path):
     assert rows[1].d is None and rows[2].d == 2.25
     assert rows[0].dt == dt.date(2024, 1, 1)
     assert rows[2].ts == dt.datetime(2024, 3, 4, 23, 59, 59)
+
+
+def test_infer_types_full_dotted_headers(spark, tmp_path):
+    """Feed headers with dots/spaces are column NAMES, not struct paths
+    — inference and the typed read must handle them verbatim."""
+    p = tmp_path / "dotted.csv"
+    p.write_text("a.b,c d\n1,x\n2,y\n")
+    sch = {f.name: f.dataType.simpleString()
+           for f in manifest.infer_types_full(spark, str(p))}
+    assert sch == {"a.b": "int", "c d": "string"}
+    rows = manifest.read_csv_typed(spark, str(p)).collect()
+    assert sorted(r["a.b"] for r in rows) == [1, 2]
