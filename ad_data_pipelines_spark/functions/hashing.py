@@ -25,7 +25,9 @@ def portable_hash64(col: Column | str, *, fast: bool = False) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     if fast:
-        return F.abs(F.xxhash64(c))
+        # pmod, not abs: abs(Long.MIN_VALUE) is still Long.MIN_VALUE in
+        # Java two's-complement, which would leak a negative "hash"
+        return F.pmod(F.xxhash64(c), F.lit((1 << 63) - 1))
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 

@@ -68,13 +68,18 @@ def pack_sequences(
             (F.col("sh_offset") + F.col("within")).alias("tok_offset"),
         )
     )
-    b = float(seq_tokens)
+    # Exact BIGINT division — a double quotient can round across an
+    # integer boundary at large corpus offsets (~2^53 tokens). Both
+    # numerators are non-negative (empty docs clamp to a 1-token span,
+    # so last_seq == first_seq), making DIV truncation == floor and
+    # engine-portable.
+    b = int(seq_tokens)
     return out.select(
         order_col,
         "n_tokens",
         "tok_offset",
-        F.floor(F.col("tok_offset") / b).cast("bigint").alias("first_seq"),
-        F.floor((F.col("tok_offset") + F.col("n_tokens") - 1) / b)
+        F.expr(f"tok_offset DIV {b}").cast("bigint").alias("first_seq"),
+        F.expr(f"(tok_offset + greatest(n_tokens, 1) - 1) DIV {b}")
         .cast("bigint")
         .alias("last_seq"),
     )
@@ -100,9 +105,8 @@ def pack_sequences_sql(seq_tokens: int = 2048) -> str:
             FROM toks
         )
         SELECT doc_id, n_tokens, tok_offset,
-               CAST(FLOOR(tok_offset * 1.0 / {seq_tokens}) AS BIGINT)
-                   AS first_seq,
-               CAST(FLOOR((tok_offset + n_tokens - 1) * 1.0 / {seq_tokens})
+               CAST(tok_offset // {seq_tokens} AS BIGINT) AS first_seq,
+               CAST((tok_offset + greatest(n_tokens, 1) - 1) // {seq_tokens}
                    AS BIGINT) AS last_seq
         FROM c
     """

@@ -202,7 +202,7 @@ def deterministic_shuffle(
     w = Window.partitionBy("shuffle_bucket").orderBy("h", key)
     return (
         df.withColumn("h", h)
-        .withColumn("shuffle_bucket", (F.col("h") % n_buckets).cast("int"))
+        .withColumn("shuffle_bucket", F.pmod(F.col("h"), n_buckets).cast("int"))
         .withColumn("shuffle_rank", F.row_number().over(w))
         .drop("h")
     )

@@ -78,15 +78,16 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     every downstream `unix_micros`/`date_trunc`/window query working
     against either generation.
 
-    Session timezone is pinned to UTC here (runtime-settable) so
-    `to_date`/`date_trunc`/`date_format` agree with the oracle's naive
-    timestamps even if the caller's session was built with another TZ.
+    `get_spark` pins the session timezone to UTC; the guard here (on
+    cache miss only — no per-call RPC) covers externally-built sessions
+    so `to_date`/`date_trunc`/`date_format` still agree with the
+    oracle's naive timestamps.
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -2709,98 +2710,97 @@ _GATE_TAIL_ROWS_ONLY = [
     "llm_quality_quantile_approx",
 ]
 _GATE_PRIORITY = [
-    # tier 1: never gated in r1 or r2 (registered after f7e1b's list),
-    # cheap-first by r2 bench medians (0.27–1.7 s at sf0.1), plus
-    # operators newly registered in round 3 (standing rule)
-    "llm_repetition",
-    "llm_simhash_pairs",
-    "llm_dedup_keeper_policy",
-    "llm_pack_sequences",
-    "llm_det_shuffle",
-    "llm_quality_filter",
-    "w6_rolling_window",
-    "llm_token_stats_bpe",
-    "o8_pivot_matrix",
-    "o9_unpivot_long",
-    "llm_pii_scrub",
-    "llm_chunking_tokens",
-    "llm_entropy",
-    # tier 2: r1-green, rotated out of r2's 50-row budget; oracle text
-    # edited since last driver check (CAST sweep, commit 10a28ea) —
-    # cheap-first, with this round's perf-touched queries (lang_id, ANN)
-    # kept in-budget at the tier's end
-    "p20_coord_convert",
-    "p18_p19_days_in_month",
-    "p16_threshold_bins",
-    "llm_token_stats",
-    "p9_p10_p11_mapping",
-    "w2_transfer_time",
-    "s13_first_seen",
-    "llm_fingerprint",
-    "a10_journey_reagg",
-    "a11_avg_daily_ratio",
-    "a14_wkt_assembly",
-    "llm_quality",
-    "a7_histogram",
-    "j12_point_in_polygon",
-    "llm_mm_binary_meta",
-    "llm_cosine_topk",
-    "a4_conditional_sum",
-    "llm_cosine_near_dup",
-    "llm_ann_ivf",
-    "llm_lang_id",
-    "llm_ann_lsh",
-    # tier 3: r2-green re-confirmations, cheap-first (r2 bench medians);
-    # budget cutoff lands somewhere in here — losing the tail costs only
-    # a just-verified green
-    "p7_p8_clean_map",
-    "llm_stratified_topk",
-    "llm_stratified_sample",
-    "t1_events_hourly",
-    "o3_union_slices",
-    "p15_binning",
-    "w1_lead_gap",
-    "w5_seq_lead",
-    "llm_dedup_groups",
-    "t5_cohort_retention",
-    "o7_topk_rank",
-    "t2_events_json_props",
-    "llm_lsh_candidates",
-    "t3_sessionize",
-    "t4_funnel_conversion",
-    "o4_union_spine_j6",
+    # tier 1 (round 4): the 32 queries whose latest green row is r2
+    # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
+    # the four whose physical plans changed with the shared-stage
+    # rewiring (commits 4e41fb8/81f39db) AFTER their last driver check,
+    # then cheap-first (r2/r3 bench medians; a*-group ≤0.6 s per r2)
+    "llm_ngram_jaccard",
+    "llm_boilerplate_ngrams",
     "llm_minhash_sig",
-    "j14_match_rate",
+    "llm_dedup_corpus",
+    "j13_anti_join",
     "a1_trips_daily",
     "a3_pricing_summary",
     "a2_conditional_counts",
     "a13_first_last_ordered",
     "a12_guarded_ratio",
-    "j13_anti_join",
-    "o6_topn_revenue",
-    "llm_hash_split",
-    "w3_group_max_flag",
-    "llm_quality_quantile",
-    "llm_mm_decode_resize",
-    "llm_mm_frame_sample",
-    "j1_broadcast_enrich",
-    "s14_scd2_history",
-    "llm_chunking",
-    "llm_dedup_exact",
-    "w4_keep_last",
-    "a9_rollup_overall",
-    "j7_dedup_then_join",
-    "a5_distinct_exact",
-    "j15_asof_enrich",
-    "llm_simhash",
-    "j5_regional_volume",
-    "j8_full_outer_3way",
-    "llm_contamination",
-    "llm_dedup_corpus",
-    "llm_ngram_jaccard",
     "a8_adjacent_diff",
+    "a5_distinct_exact",
+    "a9_rollup_overall",
+    "llm_simhash",
+    "j14_match_rate",
+    "j1_broadcast_enrich",
+    "o6_topn_revenue",
+    "j7_dedup_then_join",
+    "j8_full_outer_3way",
+    "llm_chunking",
+    "llm_mm_frame_sample",
+    "s14_scd2_history",
+    "j15_asof_enrich",
+    "j5_regional_volume",
+    "llm_dedup_exact",
+    "w3_group_max_flag",
+    "llm_mm_decode_resize",
+    "llm_hash_split",
+    "llm_contamination",
     "j9_j10_composite_join",
-    "llm_boilerplate_ngrams",
+    "w4_keep_last",
+    "llm_quality_quantile",
+    # tier 2: r3-green re-confirmations, cheap-first (r3 bench medians
+    # where the driver tail has them; a*-group placed by local medians).
+    # Budget cutoff lands in here — losing the tail costs only a
+    # just-verified green.
+    "p7_p8_clean_map",
+    "llm_lsh_candidates",
+    "p20_coord_convert",
+    "p9_p10_p11_mapping",
+    "s13_first_seen",
+    "w1_lead_gap",
+    "p18_p19_days_in_month",
+    "t1_events_hourly",
+    "llm_token_stats",
+    "a4_conditional_sum",
+    "a10_journey_reagg",
+    "a11_avg_daily_ratio",
+    "p16_threshold_bins",
+    "o4_union_spine_j6",
+    "w2_transfer_time",
+    "llm_dedup_groups",
+    "t5_cohort_retention",
+    "p15_binning",
+    "a7_histogram",
+    "j12_point_in_polygon",
+    "t4_funnel_conversion",
+    "llm_stratified_topk",
+    "llm_fingerprint",
+    "a14_wkt_assembly",
+    "llm_pii_scrub",
+    "t2_events_json_props",
+    "llm_mm_binary_meta",
+    "t3_sessionize",
+    "w5_seq_lead",
+    "llm_ann_ivf",
+    "llm_token_stats_bpe",
+    "llm_stratified_sample",
+    "llm_chunking_tokens",
+    "o8_pivot_matrix",
+    "llm_quality",
+    "o7_topk_rank",
+    "llm_det_shuffle",
+    "w6_rolling_window",
+    "o9_unpivot_long",
+    "llm_lang_id",
+    "llm_ann_lsh",
+    "o3_union_slices",
+    "llm_repetition",
+    "llm_entropy",
+    "llm_cosine_near_dup",
+    "llm_dedup_keeper_policy",
+    "llm_pack_sequences",
+    "llm_simhash_pairs",
+    "llm_quality_filter",
+    "llm_cosine_topk",
 ] + _GATE_TAIL_ROWS_ONLY
 assert set(_GATE_PRIORITY) == set(REGISTRY), (
     "gate-priority list drifted from registry: "

@@ -25,7 +25,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ad_data_pipelines_spark.functions.cleaning import NA_STRINGS
+from ad_data_pipelines_spark.functions.cleaning import (
+    NA_STRINGS,
+    nullify_na_strings,
+)
 
 MANIFEST_NAME = "_import_manifest.json"
 SCHEMA_SUFFIX = ".schema.json"
@@ -74,7 +77,12 @@ def infer_types_full(
             F.min(v.try_cast("bigint")).alias(f"{qc}__min"),
             F.max(v.try_cast("bigint")).alias(f"{qc}__max"),
             F.count(v.try_cast("double")).alias(f"{qc}__dbl"),
-            F.count(F.when(v.rlike(_DATE_RE), 1)).alias(f"{qc}__date"),
+            # rlike excludes timestamp-shaped strings from the date
+            # bucket; try_cast demotes calendar-invalid shapes like
+            # '2024-99-99' (readr keeps those character)
+            F.count(
+                F.when(v.rlike(_DATE_RE) & v.try_cast("date").isNotNull(), 1)
+            ).alias(f"{qc}__date"),
             F.count(v.try_cast("timestamp")).alias(f"{qc}__ts"),
         ]
     stats = raw.agg(*aggs).collect()[0].asDict()
@@ -119,19 +127,39 @@ def read_csv_typed(
     deliberately — README_APPROACH.md:60-75 — sampling breaks
     mixed-type columns), else Spark's sampled engine inference. The
     typed read is PERMISSIVE, so NA strings in numeric columns land as
-    NULL — the reference's `na =` semantics (pg_import.R:83).
+    NULL via failed casts; string-typed columns get the same `na =`
+    list applied explicitly afterwards — readr::type_convert nullifies
+    NA tokens in character columns too (pg_import.R:83). Whitespace is
+    trimmed on read (readr's trim_ws default), matching the trimmed
+    vote in `infer_types_full` so a whitespace-padded numeric column
+    both infers AND parses as numeric.
     """
     reader = (
         spark.read.option("header", True)
         .option("nullValue", "")
         .option("emptyValue", "")
+        .option("ignoreLeadingWhiteSpace", True)
+        .option("ignoreTrailingWhiteSpace", True)
     )
     for k, v in options.items():
         reader = reader.option(k, v)
     if schema is None and infer_full:
         schema = infer_types_full(spark, path, **options)
     if schema is not None:
-        return reader.schema(schema).csv(path)
+        df = reader.schema(schema).csv(path)
+        str_cols = [
+            f.name for f in schema.fields if f.dataType.simpleString() == "string"
+        ]
+        if str_cols:
+            df = df.withColumns(
+                {
+                    c: nullify_na_strings(
+                        F.col("`" + c.replace("`", "``") + "`")
+                    )
+                    for c in str_cols
+                }
+            )
+        return df
     return reader.option("inferSchema", True).option(
         "samplingRatio", 0.1
     ).csv(path)

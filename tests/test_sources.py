@@ -152,10 +152,10 @@ def test_infer_types_full_readr_semantics(spark, tmp_path):
     a late mixed value demotes to string (sampled inference misses it)."""
     p = tmp_path / "feed.csv"
     p.write_text(
-        "i,big,d,b,dt,ts,mixed,allna,s\n"
-        "1,3000000000,1.5,true,2024-01-01,2024-01-01 10:00:00,1,NA,x\n"
-        "NA,4000000000,N/A,false,2024-02-03,2024-02-03 00:00:01,2,#N/A,y\n"
-        "3,5000000000,2.25,true,2024-03-04,2024-03-04 23:59:59,oops,NULL,z\n"
+        "i,big,d,b,dt,ts,mixed,allna,s,pad,baddt\n"
+        "1,3000000000,1.5,true,2024-01-01,2024-01-01 10:00:00,1,NA,x, 7 ,2024-99-99\n"
+        "NA,4000000000,N/A,false,2024-02-03,2024-02-03 00:00:01,2,#N/A,NA, 8 ,2024-88-88\n"
+        "3,5000000000,2.25,true,2024-03-04,2024-03-04 23:59:59,oops,NULL,z, 9 ,2024-77-77\n"
     )
     sch = {f.name: f.dataType.simpleString()
            for f in manifest.infer_types_full(spark, str(p))}
@@ -163,6 +163,10 @@ def test_infer_types_full_readr_semantics(spark, tmp_path):
         "i": "int", "big": "bigint", "d": "double", "b": "boolean",
         "dt": "date", "ts": "timestamp", "mixed": "string",
         "allna": "string", "s": "string",
+        # whitespace-padded numerics vote (and read) trimmed
+        "pad": "int",
+        # date-shaped but calendar-invalid: readr keeps character
+        "baddt": "string",
     }
     df = manifest.read_csv_typed(spark, str(p))
     rows = df.orderBy("big").collect()
@@ -170,6 +174,11 @@ def test_infer_types_full_readr_semantics(spark, tmp_path):
     assert rows[1].d is None and rows[2].d == 2.25
     assert rows[0].dt == dt.date(2024, 1, 1)
     assert rows[2].ts == dt.datetime(2024, 3, 4, 23, 59, 59)
+    # NA tokens nullify in string-typed columns too (readr na= semantics)
+    assert [r.allna for r in rows] == [None, None, None]
+    assert rows[0].s == "x" and rows[1].s is None and rows[2].s == "z"
+    assert [r.pad for r in rows] == [7, 8, 9]  # padded ints parse, not NULL
+    assert rows[0].baddt == "2024-99-99"  # invalid date survives as text
 
 
 def test_infer_types_full_dotted_headers(spark, tmp_path):
