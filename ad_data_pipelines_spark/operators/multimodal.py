@@ -7,9 +7,11 @@ resize / frame-sample are Pandas-UDF stages over `mapInPandas`, so each
 Arrow batch crosses the JVM↔Python boundary once and the expensive codec
 work is vectorized per batch.
 
-The actual codecs (PIL/librosa/av) are NOT in this container, so
-`decode_image` is import-gated: it runs a real Pillow decode where the
-runtime provides one, and raises NotImplementedError here; `binary_meta`
+The heavy codecs (PIL/librosa/av) are NOT in this container.
+`decode_image` runs a real Pillow decode where the runtime provides
+one; without Pillow, PNGs still decode FOR REAL through
+`decode_png_stdlib` (stdlib zlib inflate + scanline unfilter), and
+codec-requiring formats raise NotImplementedError loudly. `binary_meta`
 is the same plumbing with a deterministic metadata extractor (byte
 length + md5), which IS oracle-checkable — proving schema, batching and
 UDF signature are correct end-to-end.
@@ -86,6 +88,102 @@ def pillow_available() -> bool:
     return True
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: Magic prefixes of formats a real codec would handle — payloads with
+#: one of these but no available decoder must FAIL LOUDLY, never emit a
+#: silent NULL (a NULL says "corrupt blob", not "codec missing").
+_KNOWN_IMAGE_MAGIC = (
+    b"\xff\xd8\xff",  # JPEG
+    b"GIF87a",
+    b"GIF89a",
+    b"BM",  # BMP
+    b"II*\x00",  # TIFF little-endian
+    b"MM\x00*",  # TIFF big-endian
+)
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_stdlib(data: bytes) -> tuple[int, int, str, bytes]:
+    """Dependency-free PNG decode: chunk walk → IHDR parse → stdlib
+    `zlib` inflate of the IDAT stream → per-scanline filter reversal
+    (None/Sub/Up/Average/Paeth). Returns (width, height, mode,
+    raw_pixels) with pixels in scanline order, `channels` bytes each.
+
+    Covers the deterministic subset — 8-bit depth, non-interlaced,
+    color types L/RGB/P/LA/RGBA — which is what synthetic training
+    payloads and the vast majority of stored PNGs use; exotic variants
+    (16-bit, Adam7) raise ValueError and belong to the Pillow path.
+    Pure Python per scanline is fine here: this is the codec-less
+    fallback, and the batch boundary (mapInPandas) is unchanged, so a
+    codec-enabled runtime swaps in Pillow with zero plan changes.
+    """
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        chunk = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + CRC
+        if ctype == b"IHDR":
+            ihdr = chunk
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing or malformed IHDR")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    ch = _PNG_CHANNELS.get(color)
+    if depth != 8 or comp or filt or interlace or ch is None:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={color} "
+            f"interlace={interlace}) — needs the Pillow path"
+        )
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("truncated pixel data")
+    out = bytearray(stride * h)
+    prev = bytearray(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad scanline filter {f}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return w, h, _PNG_MODES[color], bytes(out)
+
+
 #: Real-decode output schema: dimensions + mode from the actual codec.
 IMAGE_META_SCHEMA = StructType(
     [
@@ -98,48 +196,70 @@ IMAGE_META_SCHEMA = StructType(
 
 
 def decode_image(docs_with_payload: DataFrame) -> DataFrame:
-    """Image decode stage — import-gated on Pillow.
+    """Image decode stage — Pillow when importable, stdlib PNG otherwise.
 
     Where a codec-enabled runtime provides Pillow, each Arrow batch's
     payloads are decoded executor-side (`PIL.Image.open` on the raw
-    bytes) and (width, height, mode) emitted per image; payloads that
-    are not valid images yield a NULL-dims row rather than failing the
-    batch (a 100 TB corpus always contains corrupt blobs). In THIS
-    container Pillow is absent, so calling it raises NotImplementedError
-    — `decode_fake` is the deterministic, oracle-checked twin proving
-    the identical mapInPandas plumbing.
+    bytes). Without Pillow, PNG payloads still decode FOR REAL through
+    `decode_png_stdlib` (zlib inflate + scanline unfilter — the same
+    pattern that reads real .xlsx without an Excel engine,
+    sources/sideinputs.py). Per payload:
+
+      * decodes cleanly → (width, height, mode) row,
+      * recognized image magic (JPEG/GIF/BMP/TIFF, or a PNG variant the
+        stdlib subset can't handle) but no codec → NotImplementedError,
+        loudly — a missing codec must never masquerade as corrupt data,
+      * anything else → NULL-dims row (a 100 TB corpus always contains
+        corrupt blobs; those must not fail the batch).
     """
-    if not pillow_available():
-        raise NotImplementedError(
-            "image decode requires a codec-enabled runtime (Pillow not "
-            "importable); see decode_fake/binary_meta for the working "
-            "mapInPandas plumbing this stage plugs into"
-        )
+    use_pillow = pillow_available()
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        import PIL.Image
+        if use_pillow:
+            import PIL.Image
+
+        def one(payload) -> tuple[int | None, int | None, str | None]:
+            b = bytes(payload)
+            if use_pillow:
+                try:
+                    with PIL.Image.open(io.BytesIO(b)) as im:
+                        return im.width, im.height, im.mode
+                except Exception:
+                    return None, None, None
+            if b.startswith(_PNG_SIG):
+                try:
+                    w, h, mode, _ = decode_png_stdlib(b)
+                    return w, h, mode
+                except ValueError as exc:
+                    if "needs the Pillow path" in str(exc):
+                        raise NotImplementedError(
+                            "PNG variant beyond the stdlib subset requires "
+                            "a codec-enabled runtime (Pillow)"
+                        ) from exc
+                    return None, None, None  # corrupt PNG
+            if b.startswith(_KNOWN_IMAGE_MAGIC):
+                raise NotImplementedError(
+                    "non-PNG image format requires a codec-enabled "
+                    "runtime (Pillow not importable)"
+                )
+            return None, None, None  # not an image at all
 
         for pdf in batches:
-            ids, ws, hs, modes = [], [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                ids.append(doc_id)
-                try:
-                    with PIL.Image.open(io.BytesIO(bytes(payload))) as im:
-                        ws.append(im.width)
-                        hs.append(im.height)
-                        modes.append(im.mode)
-                except Exception:
-                    ws.append(None)
-                    hs.append(None)
-                    modes.append(None)
+            decoded = [one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
-                    "width": pd.Series(ws, dtype="Int64"),
-                    "height": pd.Series(hs, dtype="Int64"),
-                    "mode": pd.Series(modes, dtype="object"),
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": pd.Series(
+                        [d[0] for d in decoded], dtype="Int64"
+                    ),
+                    "height": pd.Series(
+                        [d[1] for d in decoded], dtype="Int64"
+                    ),
+                    "mode": pd.Series(
+                        [d[2] for d in decoded], dtype="object"
+                    ),
                 }
             )
 

@@ -942,12 +942,18 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    buckets = _shared(
-        spark, sf_dir, "lsh_corpus_buckets",
-        lambda: _sim.lsh_bucket(emb, n_planes=4),
-    )
     return _sim.lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 25), k=5, corpus_buckets=buckets
+        emb,
+        emb.filter(F.col("vec_id") < 25),
+        k=5,
+        corpus_buckets=_lsh_buckets_shared(spark, sf_dir),
+    )
+
+
+def _lsh_buckets_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared(
+        spark, sf_dir, "lsh_corpus_buckets",
+        lambda: _sim.lsh_bucket(t(spark, sf_dir, "embeddings"), n_planes=4),
     )
 
 
@@ -956,7 +962,8 @@ def q_llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_mm.BINARY_META_SQL,
     doc="Multimodal plumbing: opaque binary payload + Arrow-batched "
     "mapInPandas metadata extraction (byte length + checksum). The "
-    "decode stage proper is stubbed (no codecs in container) but this "
+    "heavy-codec decode runs Pillow when present (PNG decodes via the "
+    "stdlib zlib path regardless) and this "
     "proves schema/batching/UDF-signature end-to-end. "
     "operators/multimodal.py:binary_meta.",
 )
@@ -1461,15 +1468,20 @@ def q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    cells = _shared(
-        spark, sf_dir, "ivf_corpus_cells",
-        lambda: _sim.ivf_cells(
-            emb, _sim.ivf_centroids(emb, n_cells=4), "neighbor_id", "c_emb", 1
-        ),
-    )
     return _sim.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 25), k=5, n_cells=4, nprobe=2,
-        corpus_cells=cells,
+        corpus_cells=_ivf_cells_shared(spark, sf_dir),
+    )
+
+
+def _ivf_cells_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared(
+        spark, sf_dir, "ivf_corpus_cells",
+        lambda: _sim.ivf_cells(
+            t(spark, sf_dir, "embeddings"),
+            _sim.ivf_centroids(t(spark, sf_dir, "embeddings"), n_cells=4),
+            "neighbor_id", "c_emb", 1,
+        ),
     )
 
 
@@ -1865,6 +1877,38 @@ def _shared(spark: SparkSession, sf_dir: str, what: str, build) -> DataFrame:
     if key not in _SHARED_CACHE:
         _SHARED_CACHE[key] = build().persist()
     return _SHARED_CACHE[key]
+
+
+def warm_shared_stages(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """Materialize every session-shared persisted stage up front and
+    return per-stage build seconds.
+
+    Whichever registry query touches a `_shared` entry first otherwise
+    pays the whole chain's persist-materialization — benign for total
+    runtime, but it makes per-query bench attribution depend on run
+    order (llm_ngram_jaccard read 3.9 s in BENCH_r03 vs 0.6 s warm).
+    bench.py calls this before timing and reports the chain build cost
+    separately — the in-session twin of a production pipeline
+    materializing its bucketed intermediate tables in a scheduled
+    upstream job rather than inside whichever consumer runs first.
+    """
+    import time as _time
+
+    stages: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "shingles": _shingles_shared,
+        "minhash_sigs": _minhash_sigs_shared,
+        "lsh_pairs": _lsh_pairs_shared,
+        "dup_components": lambda s, d: _dup_components_shared(s, d, min_eq=8),
+        "simhash": _simhash_shared,
+        "lsh_corpus_buckets": _lsh_buckets_shared,
+        "ivf_corpus_cells": _ivf_cells_shared,
+    }
+    costs: dict[str, float] = {}
+    for name, fn in stages.items():
+        t0 = _time.perf_counter()
+        fn(spark, sf_dir).count()  # forces the persist to materialize
+        costs[name] = round(_time.perf_counter() - t0, 4)
+    return costs
 
 
 def _shingles_shared(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,6 +1,10 @@
-"""Import-gated real-decode path: the gate must be decided by runtime
-codec availability, and the fallback must stay a loud NotImplementedError
-(never a silent wrong answer) in codec-less containers like this one."""
+"""Real image decode without a codec dependency: PNG payloads decode
+through the stdlib path (zlib inflate + scanline unfilter) even in this
+codec-less container; formats that NEED a codec must fail loudly
+(never a silent NULL — that says "corrupt blob", not "codec missing")."""
+
+import struct
+import zlib
 
 import pytest
 
@@ -9,29 +13,134 @@ from ad_data_pipelines_spark.plans import testdata_queries as tq
 from tests.conftest import SF_SMALL
 
 
-def test_decode_image_gate_matches_runtime(spark):
+def _make_png(w, h, pixels, color_type=2, filters=None):
+    """Minimal PNG encoder (test-local): 8-bit, non-interlaced, with a
+    chosen scanline filter per row — lets the tests exercise every
+    filter type the decoder must reverse."""
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    stride = w * ch
+    assert len(pixels) == stride * h
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        line = bytes(pixels[y * stride : (y + 1) * stride])
+        f = filters[y % len(filters)] if filters else 0
+        enc = bytearray(line)
+        if f == 1:  # Sub
+            for i in range(stride - 1, ch - 1, -1):
+                enc[i] = (enc[i] - line[i - ch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                enc[i] = (enc[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                enc[i] = (enc[i] - mm._paeth(left, prev[i], ul)) & 0xFF
+        raw.append(f)
+        raw += enc
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        mm._PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _gradient(n):
+    # deterministic, non-constant bytes so every filter type transforms
+    # the scanline non-trivially
+    return bytes((7 * i + (i * i) // 3) % 256 for i in range(n))
+
+
+def test_decode_png_stdlib_all_filters_roundtrip():
+    w, h = 17, 10  # odd width: stride not a multiple of typical vector sizes
+    px = _gradient(w * h * 3)
+    png = _make_png(w, h, px, color_type=2, filters=[0, 1, 2, 3, 4])
+    gw, gh, mode, out = mm.decode_png_stdlib(png)
+    assert (gw, gh, mode) == (w, h, "RGB")
+    assert out == px  # bit-exact filter reversal
+
+
+def test_decode_png_stdlib_grayscale_and_rgba():
+    for color_type, mode, ch in [(0, "L", 1), (6, "RGBA", 4), (4, "LA", 2)]:
+        px = _gradient(5 * 4 * ch)
+        got = mm.decode_png_stdlib(
+            _make_png(5, 4, px, color_type=color_type, filters=[4, 2, 1, 3])
+        )
+        assert got == (5, 4, mode, px)
+
+
+def test_decode_png_stdlib_rejects_exotic_variants():
+    # 16-bit depth: IHDR says depth=16 — stdlib subset must refuse,
+    # flagging the Pillow path rather than mis-decoding
+    png = bytearray(_make_png(4, 4, _gradient(48)))
+    png[24] = 16  # depth byte inside IHDR
+    with pytest.raises(ValueError, match="Pillow path"):
+        mm.decode_png_stdlib(bytes(png))
+    with pytest.raises(ValueError, match="signature"):
+        mm.decode_png_stdlib(b"not a png at all")
+
+
+def test_decode_image_real_png_end_to_end(spark):
+    """The full Spark stage decodes crafted PNG bytes in this sandbox —
+    no codec dependency — and NULLs genuinely-non-image payloads."""
+    png_rgb = _make_png(20, 10, _gradient(600), color_type=2, filters=[0, 4])
+    png_gray = _make_png(3, 3, _gradient(9), color_type=0)
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(png_rgb)),
+            (2, bytearray(png_gray)),
+            (3, bytearray(b"plain text, not an image")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mm.decode_image(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].mode) == (20, 10, "RGB")
+    assert (rows[2].width, rows[2].height, rows[2].mode) == (3, 3, "L")
+    assert rows[3].width is None and rows[3].mode is None
+
+
+def test_decode_image_text_payloads_null_dims(spark):
     docs = tq.t(spark, SF_SMALL, "documents").limit(5)
-    payload = mm.with_payload(docs)
-    if not mm.pillow_available():
-        with pytest.raises(NotImplementedError):
-            mm.decode_image(payload)
-        return
-    # codec-enabled runtime: text payloads are not valid images, so the
-    # per-row corrupt-blob guard must yield NULL dims, not a crash
-    rows = mm.decode_image(payload).collect()
+    rows = mm.decode_image(mm.with_payload(docs)).collect()
     assert len(rows) == 5
     assert all(r.width is None and r.mode is None for r in rows)
 
 
+def test_decode_image_missing_codec_fails_loudly(spark):
+    if mm.pillow_available():
+        pytest.skip("Pillow present: every known format decodes for real")
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    df = spark.createDataFrame(
+        [(1, bytearray(jpeg_ish))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="codec-enabled"):
+        mm.decode_image(df).collect()
+
+
 @pytest.mark.skipif(not mm.pillow_available(), reason="Pillow not installed")
-def test_decode_image_real_png(spark):
+def test_decode_png_stdlib_agrees_with_pillow():
     import io
 
     import PIL.Image
 
-    buf = io.BytesIO()
-    PIL.Image.new("RGB", (20, 10)).save(buf, format="PNG")
-    png = buf.getvalue()
-    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
-    (row,) = mm.decode_image(df).collect()
-    assert (row.width, row.height, row.mode) == (20, 10, "RGB")
+    png = _make_png(20, 10, _gradient(600), color_type=2, filters=[0, 1, 2, 3, 4])
+    with PIL.Image.open(io.BytesIO(png)) as im:
+        assert (im.width, im.height, im.mode) == (20, 10, "RGB")
+        assert im.tobytes() == mm.decode_png_stdlib(png)[3]

@@ -1,0 +1,210 @@
+"""Volume probes beyond sf0.1 for the dedup chain and ANN search.
+
+The plan-hygiene suite proves the SHAPES are right (no cartesian, no
+row UDFs, banded joins); this file proves the claims hold when data
+actually grows: the full shingles → signatures → LSH pairs →
+components chain runs at 5k and 50k docs, runtime grows ~linearly
+(generous 3× slack per 10× data — a quadratic regression would blow
+the bound by an order of magnitude), recall of planted duplicates
+stays complete, and no keyed stage collapses to a single partition.
+
+Why a synthetic corpus instead of replicating sf0.1 documents: the
+testdata texts are word salads over a ~30-word vocabulary, so the
+observed shingle universe is tiny and MinHash banding is dominated by
+whichever near-universal shingle wins each permutation's min —
+candidate-pair counts swing ~18× between hash realizations (measured:
+18.8k vs 332k pairs for two alphabet-rotated copies of the SAME
+corpus). Planted near-dups over md5-derived text blocks give a huge
+shingle universe, Jaccard ≈ 0.8 partners whose band collision
+probability is ~1 under ANY realization, and ~zero false candidates —
+making pair counts, recall, and runtime all stable probe targets.
+The ANN probes DO replicate sf0.1 embeddings (10×): vector hashing has
+no such pathology. Measured figures live in SCALE.md §volume-probe.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.operators import dedup, similarity
+from ad_data_pipelines_spark.plans import testdata_queries as tq
+
+SF_LARGE = "/root/testdata/sf0.1"
+REPLICAS = 10
+OFFSET = 10_000_000
+
+
+def _planted_corpus(spark, n_docs: int) -> DataFrame:
+    """n_docs documents, consecutive even/odd ids planted as near-dup
+    partners: six shared 32-hex-char blocks plus an 8-char differing
+    tail — shingle Jaccard ≈ 0.93, so banded-MinHash collision
+    probability is ≈ 1 (4 bands × 4 rows: 1-(1-0.93⁴)⁴ ≈ 0.995) under
+    ANY hash realization; unrelated docs share nothing (J ≈ 0). Pure
+    column expressions: generates distributed, no driver data."""
+    grp = F.expr("id div 2").cast("string")
+    blocks = [F.md5(F.concat(grp, F.lit(f"#b{j}"))) for j in range(6)]
+    tail = F.substring(
+        F.md5(F.concat(grp, F.lit("#tail"), (F.col("id") % 2).cast("string"))),
+        1,
+        8,
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *blocks, tail).alias("text"),
+    )
+
+
+def _run_dedup_chain(docs: DataFrame) -> tuple[int, int, str]:
+    """shingles → signatures → LSH pairs → components; returns
+    (n_pairs, n_cluster_members, physical pairs plan)."""
+    sigs = dedup.minhash_signatures(docs, shingled=dedup.char_shingles(docs))
+    pairs = dedup.lsh_candidate_pairs(sigs)
+    pairs = pairs.persist()
+    try:
+        n_pairs = pairs.count()
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        comp = dedup.dup_components_from_pairs(
+            pairs.filter(F.col("n_eq") >= 8)
+        )
+        n_members = comp.count()
+    finally:
+        pairs.unpersist()
+    return n_pairs, n_members, plan
+
+
+def test_dedup_chain_10x_linear_runtime_and_partitioning(spark):
+    n_small, n_big = 5_000, 50_000
+
+    t0 = time.perf_counter()
+    small_pairs, small_members, _ = _run_dedup_chain(
+        _planted_corpus(spark, n_small)
+    )
+    t1 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    big_pairs, big_members, plan = _run_dedup_chain(
+        _planted_corpus(spark, n_big)
+    )
+    t10 = time.perf_counter() - t0
+
+    # recall + precision of the planted structure at both scales:
+    # ~every partner pair is a candidate (J≈0.8 ⇒ band collision
+    # probability ≈ 1), and false candidates are ~zero (J≈0)
+    assert n_small // 2 * 0.95 <= small_pairs <= n_small // 2 * 1.1
+    assert n_big // 2 * 0.95 <= big_pairs <= n_big // 2 * 1.1
+    assert small_members >= n_small * 0.9  # both partners clustered
+    assert big_members >= n_big * 0.9
+
+    # runtime: 10× data in ≤ 3× per-unit cost (shared-sandbox slack);
+    # a quadratic chain would land ~100× and fail by an order of
+    # magnitude. Floor the base at 2 s so JVM noise can't fake a fail.
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"dedup chain 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
+        "grows super-linearly"
+    )
+
+    # no keyed stage collapsed to one task: the band self-join and the
+    # signature joins must all shuffle on hashpartitioning, never a
+    # SinglePartition exchange (AQE may *coalesce*, which is fine)
+    assert "SinglePartition" not in plan, plan
+
+
+def _replicated_embeddings(spark, n: int = REPLICAS) -> DataFrame:
+    base = tq.t(spark, SF_LARGE, "embeddings").select("vec_id", "embedding")
+    reps = [
+        base.select(
+            (F.col("vec_id") + F.lit(i * OFFSET)).alias("vec_id"), "embedding"
+        )
+        for i in range(n)
+    ]
+    return reduce(DataFrame.unionByName, reps)
+
+
+def test_lsh_ann_10x_bounded_and_complete(spark):
+    queries = (
+        tq.t(spark, SF_LARGE, "embeddings")
+        .filter(F.col("vec_id") < 25)
+        .select("vec_id", "embedding")
+    )
+
+    def run(corpus):
+        t0 = time.perf_counter()
+        buckets = similarity.lsh_bucket(corpus, n_planes=4)
+        out = similarity.lsh_topk(
+            corpus, queries, k=5, corpus_buckets=buckets
+        )
+        n = out.count()
+        return n, time.perf_counter() - t0
+
+    n1, t1 = run(_replicated_embeddings(spark, 1))
+    n10, t10 = run(_replicated_embeddings(spark, REPLICAS))
+    # every query keeps a full top-k at both scales
+    assert n1 == 25 * 5 and n10 == 25 * 5
+    assert t10 <= 3.0 * REPLICAS * max(t1, 2.0), (
+        f"LSH ANN 10x runtime {t10:.1f}s vs 1x {t1:.1f}s"
+    )
+
+
+def test_ivf_ann_10x_bounded_and_complete(spark):
+    queries = (
+        tq.t(spark, SF_LARGE, "embeddings")
+        .filter(F.col("vec_id") < 25)
+        .select("vec_id", "embedding")
+    )
+    corpus = _replicated_embeddings(spark, REPLICAS)
+    cells = similarity.ivf_cells(
+        corpus,
+        similarity.ivf_centroids(corpus, n_cells=4),
+        "neighbor_id",
+        "c_emb",
+        1,
+    )
+    out = similarity.ivf_topk(
+        corpus, queries, k=5, n_cells=4, nprobe=2, corpus_cells=cells
+    )
+    assert out.count() == 25 * 5
+
+
+def test_lsh_band_join_skew_splits_under_aqe(spark):
+    """SCALE.md's standing claim: a boilerplate-heavy band bucket (here
+    1k near-identical docs, which collide into ONE bucket per band) is
+    split by AQE skew-join handling rather than serializing one task.
+    Thresholds are lowered to make the 1k-doc bucket 'skewed' at test
+    scale; at 100 TB the default 256 MB threshold plays the same role.
+    """
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit(base), F.col("id").cast("string")).alias("text"),
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        sigs = dedup.minhash_signatures(docs)
+        pairs = dedup.lsh_candidate_pairs(sigs)
+        # collect() (not count()) so the AQE-final plan lands on THIS
+        # Dataset's QueryExecution — count() builds a separate one
+        n = len(pairs.collect())
+        assert n >= 1000 * 999 / 2 * 0.9  # near-identical: almost all-pairs
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, (
+            "hot band bucket did not skew-split under AQE:\n" + plan
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
