@@ -113,6 +113,61 @@ def test_jdbc_staged_swap_end_to_end(spark, tmp_path):
         read_back("ads_x__staging").collect()
 
 
+def test_jdbc_staged_swap_survives_midwrite_failure(spark, tmp_path):
+    """Fault injection for the reference's chunk-resilience contract
+    (data_ingestion/pg_import.R:253-268, 3 retries per chunk): a batch
+    that dies MID-WRITE must leave the live table untouched (the
+    failure happens in the staging write, before the swap transaction),
+    and a clean re-run must converge with no staging residue."""
+    import pytest
+
+    url = f"jdbc:derby:{tmp_path}/faultdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    target = writers.JdbcTarget(
+        url=url, table="ads_y", driver=driver, batchsize=10, num_partitions=1
+    )
+
+    def read_back(table):
+        return (
+            spark.read.format("jdbc")
+            .options(url=url, driver=driver, dbtable=f'"{table}"')
+            .load()
+        )
+
+    good = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "id int, name string"
+    )
+    writers.write_jdbc_staged(good, target, dialect="derby")
+    live = {(r.id, r.name) for r in read_back("ads_y").collect()}
+    assert len(live) == 50
+
+    # poison pill: evaluation throws partway through the batch stream
+    # (batchsize=10, row 37 → several batches commit to staging before
+    # the task dies — the partial-write shape, not an empty write)
+    bad = spark.range(50).selectExpr(
+        "CASE WHEN id = 37 THEN CAST(raise_error('mid-write fault') "
+        "AS INT) ELSE CAST(id + 1000 AS INT) END AS id",
+        "CAST(id AS STRING) AS name",
+    )
+    with pytest.raises(Exception, match="mid-write fault"):
+        writers.write_jdbc_staged(bad, target, dialect="derby")
+
+    # live table untouched — readers never saw the doomed load
+    assert {(r.id, r.name) for r in read_back("ads_y").collect()} == live
+
+    # clean re-run converges: overwrite clears the partial staging,
+    # swap replaces the table, no staging residue
+    good2 = spark.createDataFrame([(9, "done")], "id int, name string")
+    writers.write_jdbc_staged(good2, target, dialect="derby")
+    assert {(r.id, r.name) for r in read_back("ads_y").collect()} == {
+        (9, "done")
+    }
+    import py4j.protocol
+
+    with pytest.raises(py4j.protocol.Py4JJavaError):
+        read_back("ads_y__staging").collect()
+
+
 def test_csv_na_policy(spark, tmp_path):
     p = tmp_path / "na.csv"
     p.write_text("id,v\n1,\n2,ok\n")
