@@ -172,6 +172,96 @@ def stratified_topk_sql(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    key: str,
+    salt: str = "wsample",
+    *,
+    fast: bool = False,
+) -> DataFrame:
+    """Keep each row with probability equal to its OWN weight expression
+    (clamped to [0, 1]), deterministically — the importance-resampling
+    step of corpus curation: keep probability proportional to a quality
+    or informativeness score, so low-value documents thin out without a
+    hard cutoff (hard thresholds are `stratified_sample`'s job).
+
+    `stratified_sample` generalized from per-stratum constants to a
+    per-row column. Map-only (no shuffle, no state); monotone in the
+    weight: raising a row's weight can only flip it from dropped to
+    kept under the same salt. Resolution is 1/N_BUCKETS (0.1%).
+    """
+    bucket = hash_bucket(key, salt, fast=fast)
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    # floor, not round: half-up vs half-even rounding differs between
+    # engines; floor of the same IEEE double product agrees everywhere
+    return df.filter(bucket < F.floor(w * N_BUCKETS))
+
+
+def weighted_sample_sql(
+    weight_expr: str, key_expr: str, salt: str = "wsample"
+) -> str:
+    """DuckDB WHERE-clause twin of `weighted_sample`."""
+    bucket = hash_bucket_sql(key_expr, salt)
+    w = f"LEAST(GREATEST(CAST({weight_expr} AS DOUBLE), 0.0), 1.0)"
+    return f"{bucket} < FLOOR({w} * {N_BUCKETS})"
+
+
+def mixture_balance(
+    df: DataFrame,
+    strata_col: str,
+    targets: Mapping[str, int],
+    key: str,
+    salt: str = "mix",
+    *,
+    fast: bool = False,
+) -> DataFrame:
+    """Deterministic domain/source mixing: exactly min(target, stratum
+    size) rows per stratum, chosen by hash rank; strata without a
+    target are dropped. This is the corpus-assembly step that hits a
+    prescribed data mixture ("60% web, 25% books, 15% code") as row
+    COUNTS — `stratified_sample` scales by fractions of whatever is
+    there, this pins absolute budgets.
+
+    ONE window shuffle partitioned by the stratum; the (hash, key)
+    order key is unique, so reruns, engines and partition layouts all
+    pick the same rows, and a stratum's sample is stable under growth
+    of OTHER strata (per-stratum rank ignores them).
+    """
+    from pyspark.sql import Window
+
+    h = portable_hash64(
+        F.concat(F.col(key).cast("string"), F.lit("#" + salt)), fast=fast
+    )
+    kmap = None
+    for name, k in targets.items():
+        cond = F.col(strata_col) == name
+        kmap = F.when(cond, k) if kmap is None else kmap.when(cond, k)
+    kmap = kmap.otherwise(F.lit(0))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= kmap)
+        .drop("__rk")
+    )
+
+
+def mixture_balance_sql(
+    strata_expr: str, targets: Mapping[str, int], key_expr: str, salt: str = "mix"
+) -> str:
+    """DuckDB twin of `mixture_balance`: rank-vs-target predicate for a
+    QUALIFY-style subquery filter."""
+    keyed = f"(CAST({key_expr} AS VARCHAR) || '#{salt}')"
+    h = f"CAST('0x' || substr(md5({keyed}), 1, 15) AS BIGINT)"
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{name}' THEN {k}" for name, k in targets.items()
+    )
+    return (
+        f"ROW_NUMBER() OVER (PARTITION BY {strata_expr} "
+        f"ORDER BY {h}, {key_expr}) <= (CASE {cases} ELSE 0 END)"
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key: str,

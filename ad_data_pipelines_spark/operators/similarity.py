@@ -491,6 +491,109 @@ def ivf_topk_sql(
     """
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 4,
+    id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style embedding-space pruning (Abbas et al. 2023,
+    arXiv:2303.09540): cluster vectors by nearest centroid, compare
+    only WITHIN a cluster, and drop every vector that has a same-cell
+    neighbor with cosine ≥ `threshold` and a smaller id — the kept row
+    is each near-duplicate neighborhood's min-id representative.
+    Returns one row per vector: (vec_id, cell_id, kept).
+
+    Scale shape: centroids broadcast for the O(N×K) cell assignment
+    (shared/materializable via `corpus_cells`, same contract as
+    `ivf_topk`); the pairwise stage shuffles on cell_id ONLY and its
+    cost is Σ|cell|² — bounded by centroid count, which is the
+    SemDeDup knob (more cells → smaller cells → cheaper + lower
+    recall), never the unscoped corpus quadratic
+    (`cosine_near_dup`'s docstring bans that form). The greedy
+    min-id-within-cell rule needs no connected components: dedup
+    decisions are per-cell-local by construction.
+    """
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embeddings, id_col, n_cells)
+    )
+    if corpus_cells is None:
+        # referenced by three plan branches (both pair sides + the
+        # verdict join) — persist so the O(N×K) assignment runs once,
+        # not per branch (callers may unpersist after their action)
+        corpus_cells = ivf_cells(
+            embeddings, cent, "vec_id", "emb", 1, id_col
+        ).persist()
+    a = corpus_cells.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("emb").alias("a_emb"),
+    )
+    b = corpus_cells.select(
+        F.col("cell_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("emb").alias("b_emb"),
+    )
+    dups = (
+        a.join(b, "cell_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(
+            F.round(dot(F.col("a_emb"), F.col("b_emb")), 4) >= threshold
+        )
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        corpus_cells.select("vec_id", "cell_id")
+        .join(dups.withColumn("__dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id", "cell_id", F.col("__dup").isNull().alias("kept")
+        )
+    )
+
+
+def semantic_dedup_sql(threshold: float = 0.9, n_cells: int = 4) -> str:
+    """DuckDB oracle for semantic_dedup — same centroids, same cell
+    assignment ranking, same min-id-neighbor rule."""
+    dot_ab = (
+        "list_sum(list_transform(list_zip({a}.embedding, {b}.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cell_id, embedding FROM embeddings
+            WHERE vec_id < {n_cells}
+        ),
+        cells AS (
+            SELECT vec_id, cell_id FROM (
+                SELECT v.vec_id, cent.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ROUND({dot_ab.format(a='v', b='cent')}, 4) DESC,
+                                    cent.cell_id
+                       ) AS crk
+                FROM embeddings v CROSS JOIN cent
+            ) WHERE crk <= 1
+        ),
+        dups AS (
+            SELECT DISTINCT cb.vec_id
+            FROM cells ca
+            JOIN cells cb ON ca.cell_id = cb.cell_id
+                         AND ca.vec_id < cb.vec_id
+            JOIN embeddings a ON a.vec_id = ca.vec_id
+            JOIN embeddings b ON b.vec_id = cb.vec_id
+            WHERE ROUND({dot_ab.format(a='a', b='b')}, 4) >= {threshold}
+        )
+        SELECT c.vec_id, c.cell_id,
+               (d.vec_id IS NULL) AS kept
+        FROM cells c LEFT JOIN dups d ON c.vec_id = d.vec_id
+    """
+
+
 def cosine_topk_sql(max_query_id: int, k: int = 5) -> str:
     """DuckDB oracle for cosine_topk with identical double math."""
     dot_sql = (

@@ -2732,6 +2732,71 @@ def q_llm_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_weighted_sample",
+    oracle=f"""
+        SELECT doc_id, n_chars
+        FROM documents
+        WHERE {_sampling.weighted_sample_sql(
+            "LEAST(n_chars / 500.0, 1.0)", "doc_id"
+        )}
+    """,
+    doc="Importance-resampling corpus curation: keep each doc with "
+    "probability equal to its own quality weight (here "
+    "least(n_chars/500, 1)), deterministically — hash-keyed to the row "
+    "so reruns, engines and layouts agree, monotone in the weight. "
+    "Map-only, no shuffle. operators/sampling.py:weighted_sample.",
+)
+def q_llm_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    weight = F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+    return _sampling.weighted_sample(docs, weight, "doc_id")
+
+
+#: Prescribed data mixture for the mixing query: absolute per-language
+#: row budgets (en-heavy, the canonical "60% web / rest long-tail" shape).
+_MIX_TARGETS = {"en": 100, "de": 30, "zh": 20}
+
+@register(
+    "llm_source_mix",
+    oracle=f"""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   {_sampling.mixture_balance_sql(
+                       "lang", _MIX_TARGETS, "doc_id"
+                   )} AS __keep
+            FROM documents
+        ) WHERE __keep
+    """,
+    doc="Deterministic domain/source mixing: exactly min(target, "
+    "stratum size) rows per language — the corpus-assembly step that "
+    "pins a prescribed data mixture as absolute counts (stratified_"
+    "sample scales by fraction instead). One window shuffle on the "
+    "stratum; hash-rank pick is unbiased and layout-independent. "
+    "operators/sampling.py:mixture_balance.",
+)
+def q_llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return _sampling.mixture_balance(docs, "lang", _MIX_TARGETS, "doc_id")
+
+
+@register(
+    "llm_semantic_dedup",
+    oracle=_sim.semantic_dedup_sql(threshold=0.9, n_cells=4),
+    doc="SemDeDup-style embedding-space pruning (arXiv:2303.09540): "
+    "nearest-centroid clustering, WITHIN-cell cosine pairs only, drop "
+    "every vector with a same-cell neighbor at sim>=0.9 and smaller id "
+    "— kept rows are each neighborhood's min-id representative. "
+    "Centroids broadcast; the pairwise stage shuffles cell_id only and "
+    "costs sum(|cell|^2), bounded by the centroid-count knob — never "
+    "the unscoped corpus quadratic. "
+    "operators/similarity.py:semantic_dedup.",
+)
+def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return _sim.semantic_dedup(emb, threshold=0.9, n_cells=4)
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -2754,6 +2819,11 @@ _GATE_TAIL_ROWS_ONLY = [
     "llm_quality_quantile_approx",
 ]
 _GATE_PRIORITY = [
+    # tier 0: operators newly registered in round 4 (standing rule —
+    # every registration enters tier 1 of the same commit's list)
+    "llm_weighted_sample",
+    "llm_source_mix",
+    "llm_semantic_dedup",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

@@ -641,3 +641,114 @@ def test_simhash_candidates_complete_vs_brute_force(spark):
     }
     assert got == brute
     assert (0, 1, 0) in got  # exact dup found at distance 0
+
+
+def test_weighted_sample_monotone_and_calibrated(spark):
+    """Keep probability equals the row's own weight: weight 1 keeps
+    everything, 0 keeps nothing, raising weights only ADDS rows (same
+    salt), and the realized rate tracks the weight within sampling
+    noise."""
+    from ad_data_pipelines_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    n = docs.count()
+    assert sampling.weighted_sample(docs, F.lit(1.0), "doc_id").count() == n
+    assert sampling.weighted_sample(docs, F.lit(0.0), "doc_id").count() == 0
+    # out-of-range weights clamp instead of misbehaving
+    assert sampling.weighted_sample(docs, F.lit(7.5), "doc_id").count() == n
+    assert sampling.weighted_sample(docs, F.lit(-3.0), "doc_id").count() == 0
+
+    lo = {
+        r.doc_id
+        for r in sampling.weighted_sample(docs, F.lit(0.3), "doc_id").collect()
+    }
+    hi = {
+        r.doc_id
+        for r in sampling.weighted_sample(docs, F.lit(0.6), "doc_id").collect()
+    }
+    assert lo <= hi  # monotone: a kept row stays kept as its weight grows
+    assert abs(len(lo) / n - 0.3) < 0.05 and abs(len(hi) / n - 0.6) < 0.05
+
+    # per-row weight: longer docs survive more often than shorter ones
+    w = F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+    kept = sampling.weighted_sample(docs, w, "doc_id")
+    rates = dict(
+        kept.groupBy((F.col("n_chars") > 300).alias("long"))
+        .count()
+        .join(
+            docs.groupBy((F.col("n_chars") > 300).alias("long"))
+            .agg(F.count("*").alias("tot")),
+            "long",
+        )
+        .select("long", (F.col("count") / F.col("tot")).alias("rate"))
+        .collect()
+    )
+    assert rates[True] > rates[False]
+
+
+def test_mixture_balance_exact_counts_and_stability(spark):
+    """Exactly min(target, |stratum|) rows per stratum, untargeted
+    strata dropped; a stratum's pick is independent of OTHER strata's
+    contents and of partition layout."""
+    from ad_data_pipelines_spark.operators import sampling
+
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    sizes = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    targets = {"en": 100, "de": 30, "zh": sizes["zh"] + 50}  # zh under-full
+    out = sampling.mixture_balance(docs, "lang", targets, "doc_id")
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert got == {
+        lang: min(k, sizes[lang]) for lang, k in targets.items()
+    }
+    # stratum-local stability: en's pick is identical when every other
+    # stratum is removed from the input
+    en_only = sampling.mixture_balance(
+        docs.filter(F.col("lang") == "en"), "lang", targets, "doc_id"
+    )
+    assert {r.doc_id for r in out.filter(F.col("lang") == "en").collect()} == {
+        r.doc_id for r in en_only.collect()
+    }
+    # partition-layout independence
+    again = sampling.mixture_balance(
+        docs.repartition(7), "lang", targets, "doc_id"
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+
+
+def test_semantic_dedup_matches_brute_force_within_cells(spark):
+    """kept == vectors with NO same-cell smaller-id neighbor at
+    sim >= threshold, verified against a brute-force recomputation;
+    planted exact duplicates always lose to their smaller-id twin."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    # plant exact duplicates of vectors 10 and 11 at high ids
+    dup = emb.filter(F.col("vec_id").isin(10, 11)).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(dup)
+    out = similarity.semantic_dedup(corpus, threshold=0.9, n_cells=4)
+    rows = out.collect()
+    assert len(rows) == corpus.count()  # one verdict per vector
+
+    cells = {r.vec_id: r.cell_id for r in rows}
+    kept = {r.vec_id: r.kept for r in rows}
+    vecs = {r.vec_id: list(r.embedding) for r in corpus.collect()}
+
+    def sim(a, b):
+        return round(sum(float(x) * float(y) for x, y in zip(a, b)), 4)
+
+    for v, cell in cells.items():
+        has_smaller_neighbor = any(
+            u < v and cu == cell and sim(vecs[u], vecs[v]) >= 0.9
+            for u, cu in cells.items()
+        )
+        assert kept[v] == (not has_smaller_neighbor), v
+    # the planted exact dups share a cell with their twin and are dropped
+    assert kept[100_010] is False and kept[100_011] is False
