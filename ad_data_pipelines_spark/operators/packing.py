@@ -85,6 +85,107 @@ def pack_sequences(
     )
 
 
+def budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    shard_buckets: int = 64,
+) -> DataFrame:
+    """Greedy data selection under a token budget: rank rows by
+    (score DESC, id ASC) and keep the maximal prefix whose cumulative
+    token count stays ≤ `budget` — the "train on the best N tokens"
+    step of corpus curation (quality-ranked selection with a hard
+    compute budget).
+
+    The cumulative sum over a GLOBAL score order is the same prefix-sum
+    problem `pack_sequences` solves, and it reuses the same two-phase
+    scan: rows range-shard on the score (shard index monotone in the
+    sort order, so shard order preserves global order), the running sum
+    windows WITHIN shards, and only the per-shard totals — `shard_
+    buckets` rows — pass through a single-partition window. Shard
+    boundaries never affect results (offsets are exact integers
+    regardless of where a shard splits), so the min/max probe that
+    scales the shard index needs no cross-engine parity; it is one
+    column-pruned aggregate (footer-stats cheap under parquet
+    aggregate pushdown when scoring straight off a scan).
+    """
+    lo, hi = df.agg(
+        F.min(F.col(score_col).cast("double")),
+        F.max(F.col(score_col).cast("double")),
+    ).first()
+    if lo is None:  # empty input: keep the (empty) frame, schema intact
+        return df.select(
+            id_col, score_col, tokens_col,
+            F.lit(None).cast("bigint").alias("cum_tokens"),
+        ).limit(0)
+    span = (hi - lo) or 1.0
+    shard = F.least(
+        F.floor(
+            (F.lit(hi) - F.col(score_col).cast("double")) / span * shard_buckets
+        ),
+        F.lit(shard_buckets - 1),
+    ).cast("bigint")
+    ranked = df.select(
+        id_col,
+        score_col,
+        F.col(tokens_col).cast("bigint").alias(tokens_col),
+        shard.alias("shard"),
+    )
+    w_in = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = F.sum(tokens_col).over(w_in)
+    shard_totals = ranked.groupBy("shard").agg(
+        F.sum(tokens_col).alias("sh_toks")
+    )
+    w_sh = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    shard_offsets = shard_totals.select(
+        "shard",
+        F.coalesce(F.sum("sh_toks").over(w_sh), F.lit(0)).alias("sh_offset"),
+    )
+    return (
+        ranked.withColumn("within", within)
+        .join(F.broadcast(shard_offsets), "shard")
+        .select(
+            id_col,
+            score_col,
+            tokens_col,
+            (F.col("sh_offset") + F.col("within")).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def budget_select_sql(budget: int) -> str:
+    """DuckDB twin over the documents table: score = n_chars, tokens =
+    the whitespace count — one running sum over the same (score DESC,
+    doc_id) order (range sharding is order-preserving, so results are
+    identical by construction)."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   n_chars AS score,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                        AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, score, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       ORDER BY score DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id, score, n_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= {budget}
+    """
+
+
 def pack_sequences_sql(seq_tokens: int = 2048) -> str:
     """DuckDB twin: the two-phase scan reduces to one running sum over
     the same canonical order (range sharding is order-preserving, so

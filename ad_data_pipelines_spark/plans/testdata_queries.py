@@ -2797,6 +2797,25 @@ def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.semantic_dedup(emb, threshold=0.9, n_cells=4)
 
 
+@register(
+    "llm_budget_select",
+    oracle=_packing.budget_select_sql(budget=15_000),
+    doc="Quality-ranked data selection under a hard token budget: rank "
+    "docs by (score DESC, doc_id), keep the maximal prefix with "
+    "cumulative tokens <= 15k — 'train on the best N tokens'. The "
+    "global prefix sum reuses pack_sequences' two-phase scan, range-"
+    "sharded on the score so only per-shard totals cross a single-"
+    "partition window. operators/packing.py:budget_select.",
+)
+def q_llm_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        _ts.token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    return _packing.budget_select(docs, budget=15_000)
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -2824,6 +2843,7 @@ _GATE_PRIORITY = [
     "llm_weighted_sample",
     "llm_source_mix",
     "llm_semantic_dedup",
+    "llm_budget_select",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

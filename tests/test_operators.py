@@ -752,3 +752,38 @@ def test_semantic_dedup_matches_brute_force_within_cells(spark):
         assert kept[v] == (not has_smaller_neighbor), v
     # the planted exact dups share a cell with their twin and are dropped
     assert kept[100_010] is False and kept[100_011] is False
+
+
+def test_budget_select_matches_global_prefix_rule(spark):
+    """Two-phase sharded selection == the single-ordering prefix rule
+    (brute force over a collected copy), at several shard widths —
+    shard boundaries must never change results; empty input keeps the
+    schema."""
+    from ad_data_pipelines_spark.operators import packing
+    from ad_data_pipelines_spark.operators.textstats import token_count
+
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet").select(
+        "doc_id",
+        F.col("n_chars").alias("score"),
+        token_count("text").cast("bigint").alias("n_tokens"),
+    )
+    rows = docs.collect()
+    budget = 15_000
+    cum, expect = 0, {}
+    for r in sorted(rows, key=lambda r: (-r.score, r.doc_id)):
+        cum += r.n_tokens
+        if cum > budget:
+            break
+        expect[r.doc_id] = cum
+    for buckets in (1, 7, 64):
+        got = {
+            r.doc_id: r.cum_tokens
+            for r in packing.budget_select(
+                docs, budget, shard_buckets=buckets
+            ).collect()
+        }
+        assert got == expect, f"shard_buckets={buckets}"
+
+    empty = packing.budget_select(docs.limit(0), budget)
+    assert empty.count() == 0
+    assert empty.columns == ["doc_id", "score", "n_tokens", "cum_tokens"]
