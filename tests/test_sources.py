@@ -246,3 +246,44 @@ def test_infer_types_full_dotted_headers(spark, tmp_path):
     assert sch == {"a.b": "int", "c d": "string"}
     rows = manifest.read_csv_typed(spark, str(p)).collect()
     assert sorted(r["a.b"] for r in rows) == [1, 2]
+
+
+def test_jsonl_roundtrip_quarantine_and_gzip(spark, tmp_path):
+    """JSONL reader/writer: corrupt lines land in quarantine (raw text
+    preserved) instead of failing or silently vanishing; clean rows
+    survive a write→read roundtrip byte-equal; .gz reads transparently."""
+    from ad_data_pipelines_spark.sources import jsonl
+
+    src = tmp_path / "corpus.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "hello world", "meta": {"lang": "en"}}\n'
+        '{"doc_id": 2, "text": "bonjour", "meta": {"lang": "fr"}}\n'
+        "{this line is not json at all\n"
+        '{"doc_id": 3, "text": "ok", "meta": null}\n'
+    )
+    df = jsonl.read_jsonl(spark, str(src))
+    clean, bad = jsonl.split_quarantine(df)
+    rows = {r.doc_id: r for r in clean.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].meta.lang == "en" and rows[3].meta is None
+    assert [r[jsonl.CORRUPT_COL] for r in bad.collect()] == [
+        "{this line is not json at all"
+    ]
+
+    # explicit-schema read: same split, no inference pass
+    df2 = jsonl.read_jsonl(spark, str(src), schema=clean.schema)
+    clean2, bad2 = jsonl.split_quarantine(df2)
+    assert clean2.count() == 3 and bad2.count() == 1
+
+    # roundtrip with gzip: compressed files read transparently
+    out = tmp_path / "out"
+    jsonl.write_jsonl(clean, str(out), compression="gzip")
+    import glob
+
+    assert glob.glob(f"{out}/*.json.gz")
+    back = jsonl.read_jsonl(spark, str(out))
+    cback, bback = jsonl.split_quarantine(back)
+    assert bback.count() == 0
+    assert {
+        (r.doc_id, r.text) for r in cback.collect()
+    } == {(1, "hello world"), (2, "bonjour"), (3, "ok")}
