@@ -340,7 +340,12 @@ def repetition_signals_sql(
     """
 
 
-def quality_verdicts(docs: DataFrame) -> DataFrame:
+def quality_verdicts(
+    docs: DataFrame,
+    quality: DataFrame | None = None,
+    entropy: DataFrame | None = None,
+    repetition: DataFrame | None = None,
+) -> DataFrame:
     """Composite Gopher/C4-style keep-or-drop verdict per doc
     (doc_id, ok_len, ok_tok, ok_entropy, ok_rep, pass): length band,
     mean-token-length band, char-entropy floor, repetition ceilings.
@@ -348,10 +353,18 @@ def quality_verdicts(docs: DataFrame) -> DataFrame:
     Single source of truth for the batch registry query
     (llm_quality_filter) and the streaming ingest gate
     (streaming/quality.py) — doc-local signals, so micro-batch
-    application is batch-exact."""
-    q = quality_features(docs)
-    e = char_entropy(docs)
-    r = repetition_signals(docs)
+    application is batch-exact.
+
+    The three signal-table params inject precomputed (typically
+    persisted/materialized) `quality_features` / `char_entropy` /
+    `repetition_signals` outputs shared with the standalone signal
+    queries — at corpus scale each signal is one expensive
+    explode+aggregate pass that should run once per corpus generation,
+    not once per consumer (same contract as `minhash_signatures`'s
+    `shingled=`)."""
+    q = quality_features(docs) if quality is None else quality
+    e = char_entropy(docs) if entropy is None else entropy
+    r = repetition_signals(docs) if repetition is None else repetition
     ok_len = F.coalesce(
         F.col("n_tokens").between(50, 100000), F.lit(False)
     ).alias("ok_len")

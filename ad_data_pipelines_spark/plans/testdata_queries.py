@@ -861,7 +861,30 @@ def q_llm_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/textstats.py:quality_features.",
 )
 def q_llm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ts.quality_features(t(spark, sf_dir, "documents"))
+    return _quality_features_shared(spark, sf_dir)
+
+
+def _quality_features_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one explode+aggregate signal pass per session, consumed by the
+    # standalone signal query AND the composite quality_filter verdict
+    return _shared(
+        spark, sf_dir, "quality_features",
+        lambda: _ts.quality_features(t(spark, sf_dir, "documents")),
+    )
+
+
+def _entropy_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared(
+        spark, sf_dir, "char_entropy",
+        lambda: _ts.char_entropy(t(spark, sf_dir, "documents")),
+    )
+
+
+def _repetition_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared(
+        spark, sf_dir, "repetition",
+        lambda: _ts.repetition_signals(t(spark, sf_dir, "documents")),
+    )
 
 
 def _lang_id_oracle() -> str:
@@ -1902,6 +1925,9 @@ def warm_shared_stages(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "simhash": _simhash_shared,
         "lsh_corpus_buckets": _lsh_buckets_shared,
         "ivf_corpus_cells": _ivf_cells_shared,
+        "quality_features": _quality_features_shared,
+        "char_entropy": _entropy_shared,
+        "repetition": _repetition_shared,
     }
     costs: dict[str, float] = {}
     for name, fn in stages.items():
@@ -2620,7 +2646,7 @@ def q_o9_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     "total join. operators/textstats.py:char_entropy.",
 )
 def q_llm_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ts.char_entropy(t(spark, sf_dir, "documents"))
+    return _entropy_shared(spark, sf_dir)
 
 
 @register(
@@ -2664,7 +2690,7 @@ def q_llm_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/textstats.py:repetition_signals.",
 )
 def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ts.repetition_signals(t(spark, sf_dir, "documents"))
+    return _repetition_shared(spark, sf_dir)
 
 
 @register(
@@ -2697,7 +2723,12 @@ def q_llm_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Missing signals (empty docs) fail conservatively, never null.",
 )
 def q_llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ts.quality_verdicts(t(spark, sf_dir, "documents"))
+    return _ts.quality_verdicts(
+        t(spark, sf_dir, "documents"),
+        quality=_quality_features_shared(spark, sf_dir),
+        entropy=_entropy_shared(spark, sf_dir),
+        repetition=_repetition_shared(spark, sf_dir),
+    )
 
 
 @register(
@@ -2881,10 +2912,15 @@ _GATE_PRIORITY = [
     "j9_j10_composite_join",
     "w4_keep_last",
     "llm_quality_quantile",
-    # tier 2: r3-green re-confirmations, cheap-first (r3 bench medians
-    # where the driver tail has them; a*-group placed by local medians).
-    # Budget cutoff lands in here — losing the tail costs only a
-    # just-verified green.
+    # tier 2: r3-green re-confirmations — led by the four whose plans
+    # changed with the shared-signal rewiring AFTER their r3 check,
+    # then cheap-first (r3 bench medians where the driver tail has
+    # them; a*-group placed by local medians). Budget cutoff lands in
+    # here — losing the tail costs only a just-verified green.
+    "llm_quality_filter",
+    "llm_quality",
+    "llm_entropy",
+    "llm_repetition",
     "p7_p8_clean_map",
     "llm_lsh_candidates",
     "p20_coord_convert",
@@ -2919,7 +2955,6 @@ _GATE_PRIORITY = [
     "llm_stratified_sample",
     "llm_chunking_tokens",
     "o8_pivot_matrix",
-    "llm_quality",
     "o7_topk_rank",
     "llm_det_shuffle",
     "w6_rolling_window",
@@ -2927,13 +2962,10 @@ _GATE_PRIORITY = [
     "llm_lang_id",
     "llm_ann_lsh",
     "o3_union_slices",
-    "llm_repetition",
-    "llm_entropy",
     "llm_cosine_near_dup",
     "llm_dedup_keeper_policy",
     "llm_pack_sequences",
     "llm_simhash_pairs",
-    "llm_quality_filter",
     "llm_cosine_topk",
 ] + _GATE_TAIL_ROWS_ONLY
 assert set(_GATE_PRIORITY) == set(REGISTRY), (
