@@ -266,7 +266,14 @@ def ivf_cells(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Assign each vector its `n_keep` nearest cells (centroids
-    broadcast, O(N × n_cells) map-side + one per-vector window)."""
+    broadcast, O(N × n_cells) map-side).
+
+    The common n_keep=1 case (corpus assignment) is a `min_by` partial
+    aggregate over the ordering struct (-score, cell_id) — identical
+    pick to the window's (score DESC, cell_id) row_number, but the
+    map-side combine collapses the N×K scored rows to N BEFORE the
+    shuffle, a K× traffic cut the window form can't get. n_keep>1
+    (query probing) keeps the window."""
     scored = side.select(
         F.col(id_col).alias(out_id), F.col("embedding").alias(emb_out)
     ).join(F.broadcast(centroids), F.lit(True)).select(
@@ -275,6 +282,20 @@ def ivf_cells(
         "cell_id",
         F.round(dot(F.col(emb_out), F.col("cent_emb")), 4).alias("cscore"),
     )
+    if n_keep == 1:
+        order_key = F.struct(
+            (-F.col("cscore")).alias("neg_score"), F.col("cell_id")
+        )
+        picked = scored.groupBy(out_id).agg(
+            F.min_by(
+                F.struct(F.col("cell_id"), F.col(emb_out)), order_key
+            ).alias("best")
+        )
+        return picked.select(
+            out_id,
+            F.col("best.cell_id").alias("cell_id"),
+            F.col(f"best.{emb_out}").alias(emb_out),
+        )
     w = Window.partitionBy(out_id).orderBy(F.col("cscore").desc(), F.col("cell_id"))
     return (
         scored.withColumn("crk", F.row_number().over(w))
