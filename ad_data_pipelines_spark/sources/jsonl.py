@@ -90,6 +90,68 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return clean, bad
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int = 8,
+    **options,
+) -> DataFrame:
+    """Structured Streaming twin of `read_jsonl` — same text-source +
+    `from_json` parse, same corrupt-record column; schema is REQUIRED
+    (streams never infer). Stateless per row, so micro-batch results
+    equal the batch reader's by construction."""
+    fields = [f for f in schema.fields if f.name != CORRUPT_COL]
+    full = StructType(fields + [StructField(CORRUPT_COL, StringType())])
+    parse_opts = {
+        "mode": "PERMISSIVE",
+        "columnNameOfCorruptRecord": CORRUPT_COL,
+        **{k: str(v) for k, v in options.items()},
+    }
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", max_files_per_trigger)
+        .text(path)
+    )
+    return (
+        raw.filter(F.length(F.trim("value")) > 0)
+        .select(F.from_json(F.col("value"), full, parse_opts).alias("__j"))
+        .select("__j.*")
+    )
+
+
+def run_jsonl_ingest_available_now(
+    spark: SparkSession,
+    src_path: str,
+    checkpoint: str,
+    clean_path: str,
+    quarantine_path: str,
+    schema: StructType,
+) -> None:
+    """Drain a JSONL drop folder once (AvailableNow): clean rows append
+    to parquet, broken lines append VERBATIM to a quarantine text
+    folder (repair = fix and re-drop; replay is byte-exact). Both
+    writes happen in one `foreachBatch`, so a line can never land in
+    both; the checkpoint makes re-runs skip already-ingested files —
+    the streaming twin of the manifest importer's marker semantics
+    (sources/manifest.py, folder_import.R:69-91)."""
+
+    def sink(batch: DataFrame, _epoch: int) -> None:
+        clean, bad = split_quarantine(batch)
+        clean.write.mode("append").parquet(clean_path)
+        bad.select(F.col(CORRUPT_COL).alias("value")).write.mode(
+            "append"
+        ).text(quarantine_path)
+
+    (
+        read_jsonl_stream(spark, src_path, schema)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def write_jsonl(
     df: DataFrame,
     path: str,

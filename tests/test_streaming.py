@@ -326,3 +326,54 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
     assert quar_ids == {d for d, p in expected.items() if not p}
     assert kept.isdisjoint(quar_ids)
     assert "ok_entropy" in quar.columns  # flags ride along for triage
+
+
+def test_jsonl_stream_ingest_quarantine_and_idempotent(spark, tmp_path):
+    """AvailableNow JSONL drain: clean rows land in parquet, broken
+    lines land verbatim in the quarantine text folder, nothing lands in
+    both; a re-run over the same checkpoint ingests nothing new, and
+    newly dropped files ingest incrementally."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ad_data_pipelines_spark.sources import jsonl
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha"}\n'
+        "not json\n"
+        '{"doc_id": 2, "text": "beta"}\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    ck = str(tmp_path / "ck")
+    clean_p = str(tmp_path / "clean")
+    quar_p = str(tmp_path / "quarantine")
+
+    jsonl.run_jsonl_ingest_available_now(
+        spark, str(src), ck, clean_p, quar_p, schema
+    )
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(clean_p).collect()}
+    assert got == {(1, "alpha"), (2, "beta")}
+    assert [r.value for r in spark.read.text(quar_p).collect()] == ["not json"]
+
+    # idempotent drain: checkpoint skips the already-ingested file
+    jsonl.run_jsonl_ingest_available_now(
+        spark, str(src), ck, clean_p, quar_p, schema
+    )
+    assert spark.read.parquet(clean_p).count() == 2
+
+    # incremental: a new drop ingests only its rows
+    (src / "b.jsonl").write_text('{"doc_id": 3, "text": "gamma"}\n')
+    jsonl.run_jsonl_ingest_available_now(
+        spark, str(src), ck, clean_p, quar_p, schema
+    )
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(clean_p).collect()}
+    assert got == {(1, "alpha"), (2, "beta"), (3, "gamma")}
+    assert spark.read.text(quar_p).count() == 1
