@@ -266,6 +266,110 @@ def decode_image(docs_with_payload: DataFrame) -> DataFrame:
     return docs_with_payload.mapInPandas(decode, IMAGE_META_SCHEMA)
 
 
+_WAV_MAGIC = b"RIFF"
+#: Audio formats that need a real codec — loud failure, never NULL.
+_KNOWN_AUDIO_MAGIC = (
+    b"ID3",  # MP3 with ID3 tag
+    b"\xff\xfb",  # bare MP3 frame sync
+    b"OggS",  # Ogg (Vorbis/Opus)
+    b"fLaC",  # FLAC
+)
+
+
+def decode_wav_stdlib(data: bytes) -> tuple[int, int, int, int]:
+    """Dependency-free PCM WAV parse: RIFF/WAVE chunk walk → fmt
+    (sample rate, channels, bit depth) + data chunk size → returns
+    (sample_rate, n_channels, bits_per_sample, n_frames). Covers
+    uncompressed PCM (format tag 1) and IEEE float (3) — what training
+    corpora store; compressed tags raise ValueError for the codec
+    path. The same stdlib-real pattern as `decode_png_stdlib`."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_size = size
+    if fmt is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, _byte_rate, block_align, bits = fmt
+    if tag not in (1, 3):  # PCM / IEEE float
+        raise ValueError(
+            f"compressed WAV (format tag {tag}) — needs the codec path"
+        )
+    if not channels or not block_align:
+        raise ValueError("malformed fmt chunk")
+    return rate, channels, bits, data_size // block_align
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_channels", LongType()),
+        StructField("bits_per_sample", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def audio_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """Audio metadata stage — the audio twin of `decode_image`: PCM WAV
+    payloads parse FOR REAL through `decode_wav_stdlib`; recognized
+    compressed formats (MP3/Ogg/FLAC) raise NotImplementedError loudly
+    in codec-less runtimes; everything else yields NULL dims (corrupt
+    blob). Same Arrow mapInPandas shape as every multimodal stage."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload):
+            b = bytes(payload)
+            if b.startswith(_WAV_MAGIC):
+                try:
+                    return decode_wav_stdlib(b)
+                except ValueError as exc:
+                    if "codec path" in str(exc):
+                        raise NotImplementedError(
+                            "compressed WAV requires a codec-enabled "
+                            "runtime"
+                        ) from exc
+                    return None, None, None, None  # corrupt WAV
+            if b.startswith(_KNOWN_AUDIO_MAGIC):
+                raise NotImplementedError(
+                    "compressed audio format requires a codec-enabled "
+                    "runtime (no decoder importable)"
+                )
+            return None, None, None, None
+
+        for pdf in batches:
+            decoded = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "sample_rate": pd.Series(
+                        [d[0] for d in decoded], dtype="Int64"
+                    ),
+                    "n_channels": pd.Series(
+                        [d[1] for d in decoded], dtype="Int64"
+                    ),
+                    "bits_per_sample": pd.Series(
+                        [d[2] for d in decoded], dtype="Int64"
+                    ),
+                    "n_frames": pd.Series(
+                        [d[3] for d in decoded], dtype="Int64"
+                    ),
+                }
+            )
+
+    return docs_with_payload.mapInPandas(extract, AUDIO_META_SCHEMA)
+
+
 #: Fake-decode output schema — what a real image decoder would emit
 #: (minus the pixel buffer, which stays in the batch in real pipelines).
 DECODED_META_SCHEMA = StructType(

@@ -144,3 +144,57 @@ def test_decode_png_stdlib_agrees_with_pillow():
     with PIL.Image.open(io.BytesIO(png)) as im:
         assert (im.width, im.height, im.mode) == (20, 10, "RGB")
         assert im.tobytes() == mm.decode_png_stdlib(png)[3]
+
+
+def _make_wav(rate=16_000, channels=2, bits=16, n_frames=100, fmt_tag=1):
+    """Minimal PCM WAV encoder (test-local)."""
+    block = channels * bits // 8
+    body = bytes(n_frames * block)
+    fmt = struct.pack(
+        "<HHIIHH", fmt_tag, channels, rate, rate * block, block, bits
+    )
+    chunks = b"".join(
+        [
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt,
+            b"data" + struct.pack("<I", len(body)) + body,
+        ]
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_decode_wav_stdlib_parses_real_header():
+    assert mm.decode_wav_stdlib(_make_wav()) == (16_000, 2, 16, 100)
+    assert mm.decode_wav_stdlib(
+        _make_wav(rate=44_100, channels=1, bits=8, n_frames=7)
+    ) == (44_100, 1, 8, 7)
+    with pytest.raises(ValueError, match="RIFF"):
+        mm.decode_wav_stdlib(b"not audio")
+    with pytest.raises(ValueError, match="codec path"):
+        mm.decode_wav_stdlib(_make_wav(fmt_tag=85))  # MP3-in-WAV
+
+
+def test_audio_meta_end_to_end(spark):
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_make_wav())),
+            (2, bytearray(b"just some text bytes")),
+        ],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mm.audio_meta(df).collect()}
+    assert (
+        rows[1].sample_rate,
+        rows[1].n_channels,
+        rows[1].bits_per_sample,
+        rows[1].n_frames,
+    ) == (16_000, 2, 16, 100)
+    assert rows[2].sample_rate is None
+
+
+def test_audio_meta_compressed_fails_loudly(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ID3\x04" + b"\x00" * 16))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="codec-enabled"):
+        mm.audio_meta(df).collect()
