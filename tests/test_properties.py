@@ -432,3 +432,85 @@ def test_repetition_signals_match_reference_impl(spark, word_lists):
         exp = expected(words, len(rows[i][1]))
         for k, v in exp.items():
             assert got[i][k] == pytest.approx(v), (i, k, rows[i][1])
+
+
+# --- PNG scanline unfilter round-trip --------------------------------------
+# random dims/colors/pixels, every scanline filter chosen independently:
+# encode (test-local filter application) → decode_png_stdlib must return
+# the exact pixel bytes. Pure Python, no Spark fixture needed.
+png_strategy = st.tuples(
+    st.integers(min_value=1, max_value=12),              # width
+    st.integers(min_value=1, max_value=10),              # height
+    st.sampled_from([0, 2, 4, 6]),                       # L/RGB/LA/RGBA
+    st.integers(min_value=0, max_value=2**32 - 1),       # pixel seed
+    st.lists(st.integers(min_value=0, max_value=4),      # per-row filters
+             min_size=1, max_size=10),
+)
+
+
+@given(png_strategy)
+@settings(max_examples=40, deadline=None)
+def test_png_unfilter_roundtrip_random(case):
+    from ad_data_pipelines_spark.operators import multimodal as mm
+    from tests.test_multimodal import _make_png
+
+    w, h, color_type, seed, filters = case
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    n = w * h * ch
+    # xorshift-ish deterministic pixels from the seed
+    px, x = bytearray(), seed or 1
+    for _ in range(n):
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        px.append(x & 0xFF)
+    png = _make_png(w, h, bytes(px), color_type=color_type, filters=filters)
+    got = mm.decode_png_stdlib(png)
+    assert got == (w, h, mm._PNG_MODES[color_type], bytes(px))
+
+
+# --- budget_select == global prefix rule -----------------------------------
+# random scores (duplicates allowed), random token counts (zeros allowed),
+# random budget and shard width: the sharded two-phase scan must equal the
+# brute-force single-ordering prefix rule.
+budget_strategy = st.tuples(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),      # score (many ties)
+            st.integers(min_value=0, max_value=50),     # n_tokens
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=400),            # budget
+    st.sampled_from([1, 3, 64]),                        # shard_buckets
+)
+
+
+@given(budget_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_budget_select_random_matches_prefix(spark, case):
+    from ad_data_pipelines_spark.operators import packing
+
+    rows, budget, buckets = case
+    data = [(i, s, t) for i, (s, t) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "doc_id bigint, score bigint, n_tokens bigint"
+    )
+    cum, expect = 0, {}
+    for i, s, t in sorted(data, key=lambda r: (-r[1], r[0])):
+        cum += t
+        if cum > budget:
+            break
+        expect[i] = cum
+    got = {
+        r.doc_id: r.cum_tokens
+        for r in packing.budget_select(
+            df, budget, shard_buckets=buckets
+        ).collect()
+    }
+    assert got == expect
