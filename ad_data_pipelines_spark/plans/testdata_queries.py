@@ -732,6 +732,7 @@ from ad_data_pipelines_spark.operators import dedup as _dedup  # noqa: E402
 from ad_data_pipelines_spark.operators import multimodal as _mm  # noqa: E402
 from ad_data_pipelines_spark.operators import packing as _packing  # noqa: E402
 from ad_data_pipelines_spark.operators import sampling as _sampling  # noqa: E402
+from ad_data_pipelines_spark.operators import profile as _profile  # noqa: E402
 from ad_data_pipelines_spark.operators import scd as _scd  # noqa: E402
 from ad_data_pipelines_spark.operators import scrub as _scrub  # noqa: E402
 from ad_data_pipelines_spark.operators import similarity as _sim  # noqa: E402
@@ -2847,6 +2848,27 @@ def q_llm_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _packing.budget_select(docs, budget=15_000)
 
 
+@register(
+    "o10_profile",
+    oracle=_profile.profile_sql(
+        "documents", ["doc_id", "text", "lang", "source", "n_chars"]
+    ),
+    doc="One-pass column profiling (completeness / cardinality / "
+    "range): a single wide aggregate computes count, nulls, distinct, "
+    "min, max for every column — partial/final combinable, one scan at "
+    "any scale — then stack-unpivots to a row per column. Exact "
+    "distinct here for the oracle; production uses the "
+    "approx_count_distinct twin (HLL sketches merge in the same pass). "
+    "operators/profile.py:profile.",
+)
+def q_o10_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _profile.profile(
+        t(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+        exact=True,
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -2875,6 +2897,7 @@ _GATE_PRIORITY = [
     "llm_source_mix",
     "llm_semantic_dedup",
     "llm_budget_select",
+    "o10_profile",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

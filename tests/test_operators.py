@@ -787,3 +787,27 @@ def test_budget_select_matches_global_prefix_rule(spark):
     empty = packing.budget_select(docs.limit(0), budget)
     assert empty.count() == 0
     assert empty.columns == ["doc_id", "score", "n_tokens", "cum_tokens"]
+
+
+def test_profile_approx_twin_and_single_pass(spark):
+    """The production (approx) profile agrees with the exact one on
+    counts/min/max and keeps distinct within HLL tolerance; both run as
+    ONE aggregate pass (a single pair of hash-aggregate stages, no
+    per-column scans)."""
+    from ad_data_pipelines_spark.operators import profile as prof
+
+    docs = spark.read.parquet(f"{SF_MEDIUM}/documents.parquet")
+    cols = ["doc_id", "lang", "n_chars"]
+    exact = {r.col_name: r for r in prof.profile(docs, cols, exact=True).collect()}
+    approx = {r.col_name: r for r in prof.profile(docs, cols).collect()}
+    for c in cols:
+        e, a = exact[c], approx[c]
+        assert (a.n_rows, a.n_nulls, a.min_value, a.max_value) == (
+            e.n_rows, e.n_nulls, e.min_value, e.max_value,
+        )
+        assert abs(a.n_distinct - e.n_distinct) <= max(0.05 * e.n_distinct, 2)
+    # single scan: exactly one FileScan in the physical plan
+    plan = (
+        prof.profile(docs, cols)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan") == 1, plan
