@@ -89,6 +89,117 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
+def _band_key_cols() -> list:
+    """The N_BANDS concat'd band keys of a signature row — shared by
+    within-corpus pairing and incremental (new-vs-history) dedup."""
+    return [
+        F.concat_ws(
+            "_",
+            *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+        ).alias(f"band{b}")
+        for b in range(N_BANDS)
+    ]
+
+
+def _n_eq_expr(left: str = "sa", right: str = "sb"):
+    """Signature agreement count between two aliased signature rows."""
+    return sum(
+        [
+            F.when(F.col(f"{left}.mh{i}") == F.col(f"{right}.mh{i}"), 1).otherwise(0)
+            for i in range(16)
+        ],
+        F.lit(0),
+    )
+
+
+def dedup_against_corpus(
+    new_sigs: DataFrame, corpus_sigs: DataFrame, min_eq: int = 8
+) -> DataFrame:
+    """Incremental near-dedup: the daily-batch-vs-history shape. Each
+    incoming doc's signature LSH-joins against the EXISTING corpus
+    signature table; a new doc is dropped when any historical doc
+    agrees on ≥ min_eq of 16 permutations. Returns one verdict row per
+    new doc: (doc_id, matched_doc, kept) with matched_doc = the min
+    matching historical id (deterministic evidence), kept = no match.
+
+    Distinct from `lsh_candidate_pairs` (within-corpus, mines ALL
+    pairs) and `contamination_check` (exact n-gram containment vs an
+    eval set): this is the ingest-time gate that keeps a growing corpus
+    near-dup-free without ever re-pairing history against itself.
+    Scale shape: history's banded form is a materialized table bucketed
+    by (band_idx, band_key) — the same artifact `lsh_corpus_table`
+    maintains for ANN — so the join shuffles ONLY the (kilobyte) new
+    batch; the new side never exceeds one day's crawl and history is
+    touched pre-bucketed, never rescanned.
+    """
+
+    def bands(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col("doc_id").alias(out_id),
+            F.posexplode(F.array(*_band_key_cols())).alias(
+                "band_idx", "band_key"
+            ),
+        )
+
+    pairs = (
+        bands(new_sigs, "new_id")
+        .join(bands(corpus_sigs, "corpus_id"), ["band_idx", "band_key"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    scored = (
+        pairs.join(new_sigs.alias("sa"), F.col("new_id") == F.col("sa.doc_id"))
+        .join(corpus_sigs.alias("sb"), F.col("corpus_id") == F.col("sb.doc_id"))
+        .select("new_id", "corpus_id", _n_eq_expr().alias("n_eq"))
+        .filter(F.col("n_eq") >= min_eq)
+    )
+    matched = scored.groupBy("new_id").agg(
+        F.min("corpus_id").alias("matched_doc")
+    )
+    return (
+        new_sigs.select("doc_id")
+        .join(matched, F.col("doc_id") == F.col("new_id"), "left")
+        .select(
+            "doc_id",
+            "matched_doc",
+            F.col("matched_doc").isNull().alias("kept"),
+        )
+    )
+
+
+def incremental_dedup_sql(
+    new_pred: str, corpus_pred: str, min_eq: int = 8
+) -> str:
+    """DuckDB twin of `dedup_against_corpus` over the documents table,
+    with the new/history split given as predicates."""
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.mh{b * ROWS_PER_BAND + r} = b.mh{b * ROWS_PER_BAND + r}"
+            for r in range(ROWS_PER_BAND)
+        )
+        + ")"
+        for b in range(N_BANDS)
+    )
+    n_eq = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    return f"""
+        WITH sig AS ({minhash_sql()}),
+        new_sig AS (SELECT * FROM sig WHERE {new_pred}),
+        corp_sig AS (SELECT * FROM sig WHERE {corpus_pred}),
+        matches AS (
+            SELECT a.doc_id, MIN(b.doc_id) AS matched_doc
+            FROM new_sig a JOIN corp_sig b ON ({band_eq})
+            WHERE ({n_eq}) >= {min_eq}
+            GROUP BY 1
+        )
+        SELECT n.doc_id, m.matched_doc,
+               (m.matched_doc IS NULL) AS kept
+        FROM new_sig n LEFT JOIN matches m USING (doc_id)
+    """
+
+
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ALL rows of ≥1 band.
 

@@ -2869,6 +2869,29 @@ def q_o10_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_incremental_dedup",
+    oracle=_dedup.incremental_dedup_sql(
+        "doc_id < 100", "doc_id >= 100", min_eq=8
+    ),
+    doc="Incremental (batch-vs-history) near-dedup: the first 100 docs "
+    "play the incoming crawl, the rest the existing corpus; each new "
+    "doc LSH-joins against the historical signature table and is "
+    "dropped when any history doc agrees on >=8/16 permutations "
+    "(matched_doc = min matching id as evidence). History is touched "
+    "pre-bucketed — never re-paired against itself; both sides filter "
+    "the session-shared signature stage. "
+    "operators/dedup.py:dedup_against_corpus.",
+)
+def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = _minhash_sigs_shared(spark, sf_dir)
+    return _dedup.dedup_against_corpus(
+        sigs.filter(F.col("doc_id") < 100),
+        sigs.filter(F.col("doc_id") >= 100),
+        min_eq=8,
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -2898,6 +2921,7 @@ _GATE_PRIORITY = [
     "llm_semantic_dedup",
     "llm_budget_select",
     "o10_profile",
+    "llm_incremental_dedup",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

@@ -811,3 +811,27 @@ def test_profile_approx_twin_and_single_pass(spark):
         prof.profile(docs, cols)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("FileScan") == 1, plan
+
+
+def test_dedup_against_corpus_verdicts(spark):
+    """A new doc near-identical to history is dropped with the min
+    matching historical id as evidence; novel docs are kept; every new
+    doc gets exactly one verdict; history is never verdicted."""
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    history = spark.createDataFrame(
+        [(100, base), (101, base), (102, "completely unrelated history")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base + "tail"), (2, "novel content nothing shared with any")],
+        "doc_id bigint, text string",
+    )
+    out = dedup.dedup_against_corpus(
+        dedup.minhash_signatures(new),
+        dedup.minhash_signatures(history),
+        min_eq=8,
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].kept is False and rows[1].matched_doc == 100  # min id
+    assert rows[2].kept is True and rows[2].matched_doc is None
