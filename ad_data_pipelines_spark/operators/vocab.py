@@ -1,0 +1,153 @@
+"""Vocabulary building and corpus encoding — the tokenize-for-training
+step of an LLM data pipeline (beyond-reference; BASELINE.json north
+star): derive a frequency-ranked token vocabulary from the corpus, then
+encode every document to an id sequence against it.
+
+Scale shapes:
+  * `build_vocab` is explode → count (partial/final combinable) →
+    `orderBy().limit(max_size)`, which Spark plans as TakeOrdered —
+    distributed heap-select, NOT a global sort. The only
+    single-partition window assigns ids over the ≤ max_size surviving
+    rows (kilobytes) — the same bounded-window discipline as
+    `pack_sequences`' shard offsets.
+  * `encode_docs` broadcasts the vocabulary (a vocab is ≤ a few
+    hundred thousand rows — megabytes) so the corpus never shuffles
+    for the lookup; the id sequence reassembles per doc with
+    array_sort over (position, id) structs — one aggregation shuffle
+    on doc_id, order-correct under any partitioning.
+
+Whitespace tokens keep the registry-wide tokenizer contract
+(operators/textstats.token_count); swap the split pattern for the
+BPE-ish regex where subword budgets matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: id reserved for out-of-vocabulary tokens in encoded sequences.
+OOV_ID = 0
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def _tokens(docs: DataFrame, with_pos: bool = False) -> DataFrame:
+    split = F.split(F.trim("text"), _TOKEN_SPLIT)
+    if with_pos:
+        out = docs.select(
+            "doc_id", F.posexplode(split).alias("pos", "token")
+        )
+    else:
+        out = docs.select(F.explode(split).alias("token"))
+    return out.filter(F.col("token") != "")
+
+
+def build_vocab(docs: DataFrame, max_size: int = 1000) -> DataFrame:
+    """Frequency-ranked vocabulary: (token, token_id, n_occurrences)
+    for the `max_size` most frequent tokens; ids start at 1 in
+    (count DESC, token ASC) order — deterministic under ties — with 0
+    reserved for OOV."""
+    counts = _tokens(docs).groupBy("token").agg(
+        F.count("*").alias("n_occurrences")
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(max_size)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.withColumn(
+        "token_id", F.row_number().over(w).cast("bigint")
+    ).select("token", "token_id", F.col("n_occurrences").cast("bigint"))
+
+
+def build_vocab_sql(max_size: int = 1000) -> str:
+    """DuckDB twin of `build_vocab` over the documents table."""
+    return f"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM toks WHERE token <> '' GROUP BY 1
+        )
+        SELECT token, token_id, n_occurrences FROM (
+            SELECT token, n_occurrences,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY n_occurrences DESC, token
+                   ) AS BIGINT) AS token_id
+            FROM counts
+        ) WHERE token_id <= {max_size}
+    """
+
+
+def encode_docs(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Encode each document against a `build_vocab` table: one row per
+    doc with `token_ids` (array<bigint>, OOV → 0, original token
+    order), `n_tokens`, and `n_oov`. Docs with no tokens get an empty
+    sequence, never a missing row."""
+    toks = _tokens(docs, with_pos=True)
+    joined = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        "doc_id",
+        "pos",
+        F.coalesce("token_id", F.lit(OOV_ID)).alias("tid"),
+    )
+    seqs = joined.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s["tid"],
+        ).alias("token_ids"),
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("tid") == OOV_ID, 1)).cast("bigint").alias("n_oov"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(seqs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("token_ids", F.array().cast("array<bigint>")).alias(
+                "token_ids"
+            ),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        )
+    )
+
+
+def encode_docs_sql(max_size: int = 1000) -> str:
+    """DuckDB twin of `encode_docs` against the `build_vocab` vocab,
+    with token_ids rendered as a space-joined string (engine-neutral
+    value hashing; the Spark registry query renders the same way)."""
+    return f"""
+        WITH vocab AS ({build_vocab_sql(max_size)}),
+        d AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr
+            FROM documents
+        ),
+        exploded AS (
+            SELECT doc_id, i AS pos, arr[i] AS token
+            FROM d, LATERAL unnest(generate_series(1, len(arr))) AS t(i)
+            WHERE arr[i] <> ''
+        ),
+        ids AS (
+            SELECT e.doc_id,
+                   COALESCE(v.token_id, {OOV_ID}) AS tid,
+                   e.pos
+            FROM exploded e LEFT JOIN vocab v USING (token)
+        ),
+        seqs AS (
+            SELECT doc_id,
+                   array_to_string(list(tid ORDER BY pos), ' ') AS token_ids,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(CASE WHEN tid = {OOV_ID} THEN 1 END) AS BIGINT)
+                       AS n_oov
+            FROM ids GROUP BY 1
+        )
+        SELECT doc_id,
+               COALESCE(s.token_ids, '') AS token_ids,
+               COALESCE(s.n_tokens, 0) AS n_tokens,
+               COALESCE(s.n_oov, 0) AS n_oov
+        FROM d LEFT JOIN seqs s USING (doc_id)
+    """

@@ -734,6 +734,7 @@ from ad_data_pipelines_spark.operators import packing as _packing  # noqa: E402
 from ad_data_pipelines_spark.operators import sampling as _sampling  # noqa: E402
 from ad_data_pipelines_spark.operators import profile as _profile  # noqa: E402
 from ad_data_pipelines_spark.operators import scd as _scd  # noqa: E402
+from ad_data_pipelines_spark.operators import vocab as _vocab  # noqa: E402
 from ad_data_pipelines_spark.operators import scrub as _scrub  # noqa: E402
 from ad_data_pipelines_spark.operators import similarity as _sim  # noqa: E402
 from ad_data_pipelines_spark.operators import textstats as _ts  # noqa: E402
@@ -2892,6 +2893,44 @@ def q_llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_vocab",
+    oracle=_vocab.build_vocab_sql(max_size=200),
+    doc="Frequency-ranked vocabulary from the corpus: top-200 tokens "
+    "with deterministic (count DESC, token) ids from 1; id 0 reserved "
+    "for OOV. Count is partial/final combinable and the top-N is "
+    "TakeOrdered (distributed heap-select, no global sort); the only "
+    "single-partition window ranks the <=200 survivors. "
+    "operators/vocab.py:build_vocab.",
+)
+def q_llm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vocab.build_vocab(t(spark, sf_dir, "documents"), max_size=200)
+
+
+@register(
+    "llm_encode_docs",
+    oracle=_vocab.encode_docs_sql(max_size=200),
+    doc="Corpus encoding against the built vocabulary: every doc "
+    "becomes its id sequence (OOV->0, original order) + token/OOV "
+    "counts; the vocab broadcasts so the corpus never shuffles for the "
+    "lookup, and sequences reassemble with array_sort over (pos, id) "
+    "structs — order-correct under any partitioning. Ids rendered "
+    "space-joined for engine-neutral hashing. "
+    "operators/vocab.py:encode_docs.",
+)
+def q_llm_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    encoded = _vocab.encode_docs(
+        docs, _vocab.build_vocab(docs, max_size=200)
+    )
+    return encoded.select(
+        "doc_id",
+        F.array_join("token_ids", " ").alias("token_ids"),
+        "n_tokens",
+        "n_oov",
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -2922,6 +2961,8 @@ _GATE_PRIORITY = [
     "llm_budget_select",
     "o10_profile",
     "llm_incremental_dedup",
+    "llm_vocab",
+    "llm_encode_docs",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

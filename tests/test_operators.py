@@ -835,3 +835,33 @@ def test_dedup_against_corpus_verdicts(spark):
     assert set(rows) == {1, 2}
     assert rows[1].kept is False and rows[1].matched_doc == 100  # min id
     assert rows[2].kept is True and rows[2].matched_doc is None
+
+
+def test_vocab_and_encode_roundtrip(spark):
+    """Vocabulary ids are deterministic (count DESC, token) from 1;
+    encoding preserves token order, maps OOV to 0, and keeps empty
+    docs as empty sequences; the top-N select plans as TakeOrdered,
+    not a global sort."""
+    from ad_data_pipelines_spark.operators import vocab as vb
+
+    docs = spark.createDataFrame(
+        [
+            (1, "b a a c b a"),
+            (2, "a zzz b"),
+            (3, "   "),
+        ],
+        "doc_id bigint, text string",
+    )
+    v = vb.build_vocab(docs, max_size=3)
+    rows = {r.token: (r.token_id, r.n_occurrences) for r in v.collect()}
+    # counts: a=4, b=3, c=1, zzz=1 → top-3 by (count desc, token asc)
+    assert rows == {"a": (1, 4), "b": (2, 3), "c": (3, 1)}
+
+    enc = {r.doc_id: r for r in vb.encode_docs(docs, v).collect()}
+    assert list(enc[1].token_ids) == [2, 1, 1, 3, 2, 1]
+    assert list(enc[2].token_ids) == [1, 0, 2]  # zzz is OOV
+    assert enc[2].n_oov == 1 and enc[2].n_tokens == 3
+    assert list(enc[3].token_ids) == [] and enc[3].n_tokens == 0
+
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
