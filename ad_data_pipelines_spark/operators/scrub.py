@@ -71,3 +71,120 @@ def pii_redact_sql(text_expr: str) -> str:
     for kind, pat in PII_PATTERNS.items():
         out = f"regexp_replace({out}, '{pat}', '<{kind.upper()}>', 'g')"
     return out
+
+
+def remove_boilerplate_spans(
+    docs: DataFrame,
+    sep: str = "\n",
+    max_df: int | None = None,
+    max_df_frac: float | None = None,
+) -> DataFrame:
+    """C4-style boilerplate REMOVAL (the `boilerplate_ngrams` reporter's
+    acting sibling): split each doc into spans on `sep` (lines in
+    production; any unit the separator defines), drop every non-blank
+    span whose document frequency exceeds the threshold — `max_df`
+    absolute or `max_df_frac` of the corpus — and reassemble the doc
+    with original order and spacing. Returns (doc_id, clean_text,
+    n_removed); docs whose every span is boilerplate come back with
+    empty text, never a missing row.
+
+    Scale shape: span TEXT never shuffles for the counting — spans
+    reduce to md5 hashes, the document-frequency aggregate runs on
+    (hash, doc_id) pairs, and only the (tiny) heavy-hitter hash set
+    joins back, broadcast. Reassembly is one groupBy(doc_id) with
+    array_sort over (pos, span) structs, order-correct under any
+    partitioning. The corpus-size scalar comes from a 1-row aggregate
+    cross-joined in — no driver collect.
+    """
+    import re as _re
+
+    if (max_df is None) == (max_df_frac is None):
+        raise ValueError("pass exactly one of max_df / max_df_frac")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", _re.escape(sep), -1)).alias(
+            "pos", "span"
+        ),
+    )
+    hashed = spans.filter(F.trim("span") != "").select(
+        "doc_id", F.md5("span").alias("h")
+    )
+    df_counts = hashed.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    if max_df is not None:
+        heavy = df_counts.filter(F.col("df") > max_df).select("h")
+    else:
+        total = docs.agg(F.count_distinct("doc_id").alias("__total"))
+        heavy = (
+            df_counts.crossJoin(F.broadcast(total))
+            .filter(F.col("df") > F.col("__total") * max_df_frac)
+            .select("h")
+        )
+    marked = spans.join(
+        F.broadcast(heavy.withColumn("__rm", F.lit(1))),
+        F.md5("span") == F.col("h"),
+        "left",
+    ).select(
+        "doc_id",
+        "pos",
+        "span",
+        (F.col("__rm").isNotNull() & (F.trim("span") != "")).alias("rm"),
+    )
+    rebuilt = marked.groupBy("doc_id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~F.col("rm"), F.struct("pos", "span"))
+                    )
+                ),
+                lambda s: s["span"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.when(F.col("rm"), 1)).cast("bigint").alias("n_removed"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
+def remove_boilerplate_sql(sep: str, max_df_frac: float) -> str:
+    """DuckDB twin of `remove_boilerplate_spans(max_df_frac=...)` over
+    the documents table (literal separator)."""
+    s = sep.replace("'", "''")
+    return f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, '{s}') AS arr FROM documents
+        ),
+        spans AS (
+            SELECT doc_id, i AS pos, arr[i] AS span
+            FROM d, LATERAL unnest(generate_series(1, len(arr))) AS t(i)
+        ),
+        tot AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+        heavy AS (
+            SELECT md5(span) AS h
+            FROM spans, tot
+            WHERE trim(span) <> ''
+            GROUP BY 1, tot.n
+            HAVING COUNT(DISTINCT doc_id) > tot.n * {max_df_frac}
+        ),
+        marked AS (
+            SELECT doc_id, pos, span,
+                   (trim(span) <> ''
+                    AND md5(span) IN (SELECT h FROM heavy)) AS rm
+            FROM spans
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(CASE WHEN NOT rm THEN span END, '{s}'
+                                   ORDER BY pos), '') AS clean_text,
+               CAST(COUNT(CASE WHEN rm THEN 1 END) AS BIGINT) AS n_removed
+        FROM marked GROUP BY 1
+    """

@@ -2931,6 +2931,23 @@ def q_llm_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_remove_boilerplate",
+    oracle=_scrub.remove_boilerplate_sql(" ", 0.5),
+    doc="C4-style boilerplate REMOVAL (the heavy-hitter reporter's "
+    "acting sibling): spans whose document frequency exceeds half the "
+    "corpus are dropped and docs reassembled in original order/"
+    "spacing. Span text never shuffles — counting runs on md5 hashes, "
+    "only the tiny heavy set joins back broadcast. Word granularity "
+    "here (testdata is single-line); sep='\\n' is the production line "
+    "mode. operators/scrub.py:remove_boilerplate_spans.",
+)
+def q_llm_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scrub.remove_boilerplate_spans(
+        t(spark, sf_dir, "documents"), sep=" ", max_df_frac=0.5
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -2963,6 +2980,7 @@ _GATE_PRIORITY = [
     "llm_incremental_dedup",
     "llm_vocab",
     "llm_encode_docs",
+    "llm_remove_boilerplate",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

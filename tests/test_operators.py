@@ -865,3 +865,49 @@ def test_vocab_and_encode_roundtrip(spark):
 
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_remove_boilerplate_lines_crafted(spark):
+    """Line mode: a footer line shared by most docs is removed
+    everywhere, unique lines and blank lines survive with original
+    order and spacing; an all-boilerplate doc comes back empty, not
+    missing; absolute and fractional thresholds agree."""
+    from ad_data_pipelines_spark.operators import scrub
+
+    footer = "unsubscribe here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha content\n\n{footer}"),
+            (2, f"beta text\n{footer}"),
+            (3, f"gamma words\n{footer}"),
+            (4, footer),
+            (5, "entirely unique document"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in scrub.remove_boilerplate_spans(
+            docs, sep="\n", max_df=3
+        ).collect()
+    }
+    assert out[1].clean_text == "alpha content\n" and out[1].n_removed == 1
+    assert out[2].clean_text == "beta text"
+    assert out[4].clean_text == "" and out[4].n_removed == 1
+    assert out[5].clean_text == "entirely unique document"
+    assert out[5].n_removed == 0
+
+    frac = {
+        r.doc_id: r.clean_text
+        for r in scrub.remove_boilerplate_spans(
+            docs, sep="\n", max_df_frac=3 / 5
+        ).collect()
+    }
+    assert frac == {d: out[d].clean_text for d in out}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one"):
+        scrub.remove_boilerplate_spans(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        scrub.remove_boilerplate_spans(docs, max_df=1, max_df_frac=0.5)
