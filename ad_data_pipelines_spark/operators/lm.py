@@ -1,0 +1,132 @@
+"""Count-based bigram language model: train on the corpus, score every
+document's average log-likelihood under it (beyond-reference; the
+KenLM-style "perplexity filter" quality signal CCNet/RedPajama pipelines
+use — a doc whose token transitions are improbable under the corpus LM
+is boilerplate, spam, or the wrong language).
+
+Scale shapes:
+  * Bigrams are built ARRAY-SIDE with `zip_with` over two slices of the
+    split-token array — no posexplode + window, so bigram extraction is
+    a narrow map stage (same trick as the lead-window-free n-grams in
+    textstats.repetition_signals).
+  * Training is two partial/final-combinable counts (unigram, bigram)
+    plus a 1-row vocabulary-size aggregate that joins back via
+    broadcast — never a driver collect.
+  * Scoring joins doc-bigram occurrences to the LM on the bigram key:
+    the shuffle carries (doc_id, bigram) pairs, never document text.
+    Production swaps the string key for `portable_hash64(bigram)` so
+    the exchange moves longs; the oracle-facing form keeps the string
+    key so the DuckDB twin is byte-identical without hash emulation.
+  * Add-k smoothing: logp(w2|w1) = ln((c(w1 w2) + k) / (c(w1) + k·V)).
+    Every doc bigram exists in the corpus LM (trained on the same
+    corpus), so the smoothing term only shapes probabilities — held-out
+    scoring of unseen bigrams would left-join and fall back to
+    ln(k / (c(w1) + k·V)) with the same algebra.
+
+Docs with fewer than two tokens have no bigrams and drop from the
+scored output (inner-join semantics, mirrored by the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TOKEN_SPLIT = r"\s+"
+
+
+def _token_arrays(docs: DataFrame) -> DataFrame:
+    arr = F.filter(
+        F.split(F.trim("text"), _TOKEN_SPLIT), lambda x: x != F.lit("")
+    )
+    return docs.select("doc_id", arr.alias("toks"))
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, bg) — one row per bigram occurrence; bg = 'w1 w2'
+    (whitespace tokens cannot contain the separator)."""
+    base = _token_arrays(docs).filter(F.size("toks") >= 2)
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return base.select("doc_id", F.explode(bigrams).alias("bg"))
+
+
+def bigram_lm_score(
+    docs: DataFrame, k: float = 0.5, round_dp: int = 4
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_ll): average add-k-smoothed bigram
+    log-likelihood of each doc under the LM trained on `docs` itself —
+    ranking ascending gives the "most improbable" docs to inspect/drop.
+    """
+    toks = _token_arrays(docs).select(F.explode("toks").alias("token"))
+    uni = toks.groupBy("token").agg(F.count("*").alias("cu"))
+    vocab = uni.agg(F.count("*").cast("double").alias("v"))
+
+    docbg = _doc_bigrams(docs)
+    big = docbg.groupBy("bg").agg(F.count("*").alias("cb"))
+    lm = (
+        big.withColumn("w1", F.split("bg", " ")[0])
+        .join(uni.withColumnRenamed("token", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            F.log(
+                (F.col("cb") + F.lit(k))
+                / (F.col("cu") + F.lit(k) * F.col("v"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        docbg.join(lm, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.sum("logp") / F.count("*"), round_dp).alias("avg_ll"),
+        )
+    )
+
+
+def bigram_lm_score_sql(k: float = 0.5, round_dp: int = 4) -> str:
+    """DuckDB twin of `bigram_lm_score` over the documents table."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        docbg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM base WHERE len(toks) >= 2
+        ),
+        uni AS (
+            SELECT unnest(toks) AS token FROM base
+        ),
+        cu AS (
+            SELECT token, COUNT(*) AS cu FROM uni GROUP BY token
+        ),
+        vocab AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM cu
+        ),
+        cb AS (
+            SELECT bg, COUNT(*) AS cb FROM docbg GROUP BY bg
+        ),
+        lm AS (
+            SELECT bg,
+                   ln((cb + {k}) / (cu + {k} * v)) AS logp
+            FROM cb
+            JOIN cu ON split_part(bg, ' ', 1) = cu.token
+            CROSS JOIN vocab
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(logp) / COUNT(*), {round_dp}) AS avg_ll
+        FROM docbg JOIN lm USING (bg)
+        GROUP BY doc_id
+    """

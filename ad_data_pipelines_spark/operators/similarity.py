@@ -634,3 +634,87 @@ def cosine_topk_sql(max_query_id: int, k: int = 5) -> str:
             ) AS rk FROM pairs
         ) WHERE rk <= {k}
     """
+
+
+# --- Random projection (Johnson–Lindenstrauss) -----------------------------
+
+def projection_signs(
+    in_dim: int = DIM, out_dim: int = 8, seed: int = 0
+) -> list[list[int]]:
+    """Deterministic ±1 projection matrix (out_dim × in_dim), derived
+    from md5(seed:i:j) parity — reproducible in any engine/language, so
+    the DuckDB oracle embeds the identical matrix."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:15], 16
+            )
+            % 2
+            == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def _proj_terms(signs_row: list[int], elem: "callable") -> str:
+    parts = []
+    for i, s in enumerate(signs_row):
+        op = "+ " if s > 0 else "- "
+        parts.append((op if parts or s < 0 else "") + elem(i))
+    return " ".join(parts)
+
+
+def random_project(
+    emb: DataFrame,
+    out_dim: int = 8,
+    in_dim: int = DIM,
+    seed: int = 0,
+    round_dp: int = 5,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign-projection of `embedding` to
+    `out_dim` dims: p_j = Σ_i sign(i,j)·v_i / sqrt(out_dim) — the
+    standard dimensionality-reduction front-end for ANN/clustering
+    (pairwise distances preserved within (1±ε) w.h.p.).
+
+    Scale shape: a pure narrow map — the ±1 matrix is baked into the
+    projected expressions (no join, no shuffle, no broadcast needed),
+    each output dim a codegen'd add/subtract chain over the float
+    elements widened to double. Both engines evaluate the SAME
+    left-associated chain, so results agree bit-for-bit before the
+    rounding that guards the hash anyway.
+    """
+    signs = projection_signs(in_dim, out_dim, seed)
+    cols = [F.col("vec_id")]
+    for j, row in enumerate(signs):
+        chain = _proj_terms(
+            row, lambda i: f"CAST(embedding[{i}] AS DOUBLE)"
+        )
+        cols.append(
+            F.expr(
+                f"ROUND(({chain}) / SQRT(CAST({out_dim} AS DOUBLE)),"
+                f" {round_dp})"
+            ).alias(f"p{j}")
+        )
+    return emb.select(*cols)
+
+
+def random_project_sql(
+    out_dim: int = 8, in_dim: int = DIM, seed: int = 0, round_dp: int = 5
+) -> str:
+    """DuckDB twin of `random_project` (1-indexed list access)."""
+    signs = projection_signs(in_dim, out_dim, seed)
+    cols = ["vec_id"]
+    for j, row in enumerate(signs):
+        chain = _proj_terms(
+            row, lambda i: f"CAST(embedding[{i + 1}] AS DOUBLE)"
+        )
+        cols.append(
+            f"ROUND(({chain}) / SQRT(CAST({out_dim} AS DOUBLE)),"
+            f" {round_dp}) AS p{j}"
+        )
+    return "SELECT " + ", ".join(cols) + " FROM embeddings"

@@ -432,3 +432,96 @@ def char_entropy_sql() -> str:
                    AS char_entropy
         FROM cnt GROUP BY 1
     """
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    group_col: str = "source",
+    k: int = 5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top-k TF-IDF keywords per group (the "what characterizes each
+    source/slice" report every corpus audit starts with): tf = token
+    occurrences within the group, idf = ln(n_groups / n_groups
+    containing the token), score = tf·idf.
+
+    Scale shape: two partial/final-combinable counts (group-term tf,
+    then term→group document frequency over the ALREADY-aggregated tf
+    table — never over raw occurrences), a 1-row group-count aggregate
+    joined back broadcast, and a per-group top-k window over the scored
+    terms. The tf table is |vocab|·|groups| rows at most — the raw
+    corpus never re-shuffles after the first count. Ranking orders on
+    the ROUNDED score (then token) so cross-engine 1-ulp `ln`
+    differences cannot flip ranks.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.trim("text"), TOKEN_SEP), lambda x: x != F.lit("")
+            )
+        ).alias("token"),
+    )
+    tf = toks.groupBy("grp", "token").agg(F.count("*").alias("tf"))
+    df_g = tf.groupBy("token").agg(F.count("*").alias("df_groups"))
+    n_groups = tf.select("grp").distinct().agg(
+        F.count("*").cast("double").alias("ng")
+    )
+    scored = (
+        tf.join(df_g, "token")
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            "grp",
+            "token",
+            F.col("tf").cast("bigint"),
+            F.round(
+                F.col("tf") * F.log(F.col("ng") / F.col("df_groups")),
+                round_dp,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def tfidf_keywords_sql(
+    group_col: str = "source", k: int = 5, round_dp: int = 6
+) -> str:
+    """DuckDB twin of `tfidf_keywords` over the documents table."""
+    return f"""
+        WITH toks AS (
+            SELECT {group_col} AS grp,
+                   unnest(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> '')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT grp, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ),
+        df_g AS (
+            SELECT token, COUNT(*) AS df_groups FROM tf GROUP BY 1
+        ),
+        ng AS (
+            SELECT CAST(COUNT(DISTINCT grp) AS DOUBLE) AS ng FROM tf
+        ),
+        scored AS (
+            SELECT grp, token, CAST(tf AS BIGINT) AS tf,
+                   ROUND(tf * ln(ng / df_groups), {round_dp}) AS tfidf
+            FROM tf JOIN df_g USING (token) CROSS JOIN ng
+        )
+        SELECT grp AS {group_col}, token, tf, tfidf, rk
+        FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                       PARTITION BY grp
+                       ORDER BY tfidf DESC, token ASC) AS BIGINT) AS rk
+            FROM scored
+        )
+        WHERE rk <= {k}
+    """

@@ -738,6 +738,8 @@ from ad_data_pipelines_spark.operators import vocab as _vocab  # noqa: E402
 from ad_data_pipelines_spark.operators import scrub as _scrub  # noqa: E402
 from ad_data_pipelines_spark.operators import similarity as _sim  # noqa: E402
 from ad_data_pipelines_spark.operators import textstats as _ts  # noqa: E402
+from ad_data_pipelines_spark.operators import lm as _lm  # noqa: E402
+from ad_data_pipelines_spark.operators import snapshot as _snapshot  # noqa: E402
 
 
 @register(
@@ -2948,6 +2950,111 @@ def q_llm_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_snapshot_diff",
+    oracle=_snapshot.snapshot_diff_sql(
+        "doc_id % 11 <> 3",
+        "doc_id % 13 <> 5",
+        "CASE WHEN doc_id % 17 = 2 THEN upper(text) ELSE text END",
+    ),
+    doc="Corpus snapshot diff (added/removed/changed/unchanged) between "
+    "two versions of a keyed corpus — both carved deterministically out "
+    "of documents (old drops doc_id%11=3; new drops %13=5 and edits "
+    "%17=2). Payloads fingerprint MAP-SIDE via portable md5, so the "
+    "full-outer join shuffles two longs per row and text never enters "
+    "an exchange. operators/snapshot.py:snapshot_diff; batch twin of "
+    "the first-seen ledger (data_ingestion/folder_import.R:9-213).",
+)
+def q_llm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 11 != 3)
+    new = docs.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 17 == 2, F.upper("text")
+        ).otherwise(F.col("text")),
+    )
+    return _snapshot.snapshot_diff(old, new)
+
+
+@register(
+    "llm_bigram_lm",
+    oracle=_lm.bigram_lm_score_sql(k=0.5),
+    doc="Bigram-LM perplexity scoring (CCNet/KenLM-style quality "
+    "signal): train add-k-smoothed bigram counts on the corpus, score "
+    "each doc's average log-likelihood under them — improbable docs "
+    "are spam/boilerplate/wrong-language. Bigrams build array-side "
+    "(zip_with over two slices — no posexplode+window); training is "
+    "two combinable counts + a broadcast 1-row vocab scalar; scoring "
+    "shuffles (doc_id, bigram) only, never text. "
+    "operators/lm.py:bigram_lm_score.",
+)
+def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lm.bigram_lm_score(t(spark, sf_dir, "documents"), k=0.5)
+
+
+@register(
+    "llm_tfidf_keywords",
+    oracle=_ts.tfidf_keywords_sql("source", k=5),
+    doc="Top-5 TF-IDF keywords per source slice — the per-slice "
+    "characterization report of a corpus audit. Raw tokens shuffle "
+    "once into the (group, token) tf count; document frequency and "
+    "the broadcast group-count scalar compute over the already-"
+    "aggregated tf table; ranks order on the ROUNDED score so 1-ulp "
+    "ln() differences cannot flip cross-engine ordering. "
+    "operators/textstats.py:tfidf_keywords.",
+)
+def q_llm_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ts.tfidf_keywords(t(spark, sf_dir, "documents"), "source", k=5)
+
+
+@register(
+    "llm_random_projection",
+    oracle=_sim.random_project_sql(out_dim=8),
+    doc="Johnson-Lindenstrauss sign projection of the 64-d embeddings "
+    "to 8 dims — the dimensionality-reduction front-end for ANN/"
+    "clustering at scale. Pure narrow map: the deterministic +/-1 "
+    "matrix (md5-parity, engine-reproducible) is baked into codegen'd "
+    "add/subtract chains — no join, no shuffle, no Python; both "
+    "engines evaluate the identical left-associated chain. "
+    "operators/similarity.py:random_project.",
+)
+def q_llm_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.random_project(t(spark, sf_dir, "embeddings"), out_dim=8)
+
+
+@register(
+    "s15_json_props",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                             AS BIGINT)) AS BIGINT) AS sum_k,
+               ROUND(AVG(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1)
+                              AS BIGINT)), 4) AS avg_k
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Semi-structured ingestion: parse the events.props JSON column "
+    "with an explicit schema (from_json — typed, codegen, malformed "
+    "rows null out instead of failing) and aggregate the extracted "
+    "field per event_type. The schema-on-read twin of the JSONL "
+    "source (sources/jsonl.py); at scale the parse is a narrow map "
+    "and only (event_type, k) reaches the exchange.",
+)
+def q_s15_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -2981,6 +3088,11 @@ _GATE_PRIORITY = [
     "llm_vocab",
     "llm_encode_docs",
     "llm_remove_boilerplate",
+    "llm_snapshot_diff",
+    "llm_bigram_lm",
+    "llm_tfidf_keywords",
+    "llm_random_projection",
+    "s15_json_props",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

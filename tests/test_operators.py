@@ -911,3 +911,120 @@ def test_remove_boilerplate_lines_crafted(spark):
         scrub.remove_boilerplate_spans(docs)
     with pytest.raises(ValueError, match="exactly one"):
         scrub.remove_boilerplate_spans(docs, max_df=1, max_df_frac=0.5)
+
+
+def test_snapshot_diff_statuses(spark):
+    """Every status class lands correctly; keys from either side all
+    appear exactly once; summary counts reconcile."""
+    from ad_data_pipelines_spark.operators import snapshot
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "doc_id bigint, text string",
+    )
+    diff = snapshot.snapshot_diff(old, new)
+    by_id = {r.doc_id: r.status for r in diff.collect()}
+    assert by_id == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+    summary = {
+        r.status: r.n_keys
+        for r in snapshot.snapshot_diff_summary(diff).collect()
+    }
+    assert summary == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_bigram_lm_score_known_values(spark):
+    """Hand-computed add-k logprobs on a 3-doc corpus; docs with <2
+    tokens drop; a doc full of common transitions outscores one built
+    of rare transitions."""
+    import math
+
+    from ad_data_pipelines_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),
+            (2, "a b"),
+            (3, "c a"),
+            (4, "x"),
+            (5, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in lm.bigram_lm_score(docs, k=0.5).collect()}
+    assert set(out) == {1, 2, 3}  # 4 and 5 have no bigrams
+    # corpus: unigrams a=4 b=3 c=1 x=1 -> V=4
+    # bigrams: 'a b'=3, 'b a'=1, 'c a'=1
+    k, v = 0.5, 4
+    lp_ab = math.log((3 + k) / (4 + k * v))
+    lp_ba = math.log((1 + k) / (3 + k * v))
+    lp_ca = math.log((1 + k) / (1 + k * v))
+    assert out[1].n_bigrams == 3
+    assert out[1].avg_ll == round((2 * lp_ab + lp_ba) / 3, 4)
+    assert out[2].avg_ll == round(lp_ab, 4)
+    assert out[3].avg_ll == round(lp_ca, 4)
+    # common-transition doc scores higher than rare-transition doc
+    assert out[2].avg_ll > out[3].avg_ll
+
+
+def test_tfidf_keywords_discriminative_terms(spark):
+    """A term unique to one group gets idf=ln(n_groups); a term in all
+    groups gets tfidf 0; top-k and deterministic tie order hold."""
+    import math
+
+    from ad_data_pipelines_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared apple apple", "g1"),
+            (2, "shared banana", "g2"),
+            (3, "shared banana cherry", "g2"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    out = textstats.tfidf_keywords(docs, "source", k=2).collect()
+    rows = {(r.source, r.token): r for r in out}
+    assert rows[("g1", "apple")].tfidf == round(2 * math.log(2 / 1), 6)
+    assert rows[("g2", "banana")].tfidf == round(2 * math.log(2 / 1), 6)
+    # 'shared' appears in both groups -> idf 0 -> ranked below uniques
+    assert rows[("g1", "apple")].rk == 1
+    g1 = sorted(
+        [r for r in out if r.source == "g1"], key=lambda r: r.rk
+    )
+    assert [r.token for r in g1] == ["apple", "shared"]
+    assert all(r.rk <= 2 for r in out)
+
+
+def test_random_project_preserves_structure(spark):
+    """Deterministic matrix; a zero vector projects to zeros; scaling a
+    vector scales its projection linearly; projections match a NumPy
+    reference of the same signs matrix."""
+    import numpy as np
+
+    from ad_data_pipelines_spark.operators import similarity
+
+    d, k = 16, 4
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.normal(size=d)]) for i in range(5)]
+    vecs.append((5, [0.0] * d))
+    vecs.append((6, [2 * x for x in vecs[0][1]]))
+    emb = spark.createDataFrame(
+        vecs, "vec_id bigint, embedding array<float>"
+    )
+    out = {
+        r.vec_id: [r.p0, r.p1, r.p2, r.p3]
+        for r in similarity.random_project(
+            emb, out_dim=k, in_dim=d
+        ).collect()
+    }
+    signs = np.array(similarity.projection_signs(d, k))
+    # float32 storage means the reference must also round-trip float32
+    ref = signs @ np.array(vecs[0][1], dtype=np.float32).astype(
+        np.float64
+    ) / np.sqrt(k)
+    assert out[0] == [round(float(x), 5) for x in ref]
+    assert out[5] == [0.0] * k
+    assert np.allclose(np.array(out[6]), 2 * np.array(out[0]), atol=2e-4)
