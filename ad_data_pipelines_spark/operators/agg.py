@@ -145,3 +145,93 @@ def merge_sketches(
     return sketches.groupBy(*rollup_cols).agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("distinct_est")
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    exact: bool = False,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group winsorization report: clamp `value_col` to its own
+    group's [lower, upper] quantiles and compare means before/after —
+    the quantile generalization of the reference's fixed-bound outlier
+    clamp (P14, `scripts/ads_passenger_travel_time_di.R` 240-minute
+    cap), for feeds where sane bounds differ per group.
+
+    Output: (group..., n, q_lo, q_hi, avg_raw, avg_winsorized).
+
+    Scale shape: one per-group quantile aggregate, whose result (one
+    row per group — small by construction) broadcast-joins back onto
+    the facts for the clamp, then one re-aggregate: the fact table
+    never shuffles for the enrichment, only for the two combinable
+    aggregations. `exact=True` uses `percentile` (sort-based within
+    the agg — needed for the DuckDB quantile_cont oracle); production
+    default is `approx_percentile` (mergeable sketch, one pass at any
+    scale, same plan shape).
+    """
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    if exact:
+        q_lo, q_hi = (
+            F.percentile(v, F.lit(lower)),
+            F.percentile(v, F.lit(upper)),
+        )
+    else:
+        q_lo, q_hi = (
+            F.approx_percentile(v, F.lit(lower), F.lit(10_000)),
+            F.approx_percentile(v, F.lit(upper), F.lit(10_000)),
+        )
+    bounds = df.groupBy(*gcols).agg(
+        q_lo.alias("__q_lo"), q_hi.alias("__q_hi")
+    )
+    clamped = df.join(F.broadcast(bounds), gcols).select(
+        *gcols,
+        v.alias("__raw"),
+        F.least(F.greatest(v, F.col("__q_lo")), F.col("__q_hi")).alias(
+            "__w"
+        ),
+        "__q_lo",
+        "__q_hi",
+    )
+    return clamped.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.first("__q_lo"), round_dp).alias("q_lo"),
+        F.round(F.first("__q_hi"), round_dp).alias("q_hi"),
+        F.round(F.avg("__raw"), round_dp).alias("avg_raw"),
+        F.round(F.avg("__w"), round_dp).alias("avg_winsorized"),
+    )
+
+
+def winsorized_stats_sql(
+    table: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    lower: float = 0.05,
+    upper: float = 0.95,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of `winsorized_stats(exact=True)` — quantile_cont
+    matches Spark's `percentile` (linear interpolation at rank
+    p·(n−1))."""
+    g = ", ".join(group_cols)
+    return f"""
+        WITH bounds AS (
+            SELECT {g},
+                   quantile_cont({value_col}, {lower}) AS q_lo,
+                   quantile_cont({value_col}, {upper}) AS q_hi
+            FROM {table} GROUP BY {g}
+        )
+        SELECT t.{g.replace(', ', ', t.')},
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(ANY_VALUE(q_lo), {round_dp}) AS q_lo,
+               ROUND(ANY_VALUE(q_hi), {round_dp}) AS q_hi,
+               ROUND(AVG({value_col}), {round_dp}) AS avg_raw,
+               ROUND(AVG(LEAST(GREATEST({value_col}, q_lo), q_hi)),
+                     {round_dp}) AS avg_winsorized
+        FROM {table} t JOIN bounds USING ({g})
+        GROUP BY t.{g.replace(', ', ', t.')}
+    """

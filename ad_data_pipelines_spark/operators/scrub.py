@@ -188,3 +188,55 @@ def remove_boilerplate_sql(sep: str, max_df_frac: float) -> str:
                CAST(COUNT(CASE WHEN rm THEN 1 END) AS BIGINT) AS n_removed
         FROM marked GROUP BY 1
     """
+
+
+# --- Text normalization ----------------------------------------------------
+
+#: control characters (C0 + DEL) — explicit byte class so Java regex and
+#: RE2/DuckDB agree exactly (no \p{Cntrl} dialect differences).
+_CTRL_CLASS = r"[\x00-\x1f\x7f]"
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization — the step every corpus pipeline
+    runs BEFORE hashing/dedup so that case and whitespace variants of
+    the same content collide: lowercase, control chars → space,
+    whitespace runs collapsed to single spaces, trimmed.
+
+    Output: (doc_id, norm_text, changed, n_chars_saved). Pure map-only
+    column algebra (lower + two regexp_replace + trim) — narrow,
+    codegen, zero shuffle at any scale. Feed `norm_text` into
+    `operators/dedup` to catch near-identical casing/spacing variants
+    that raw exact-hash dedup misses.
+    """
+    c = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), _CTRL_CLASS, " "), r"\s+", " "
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != c).alias("changed"),
+        (F.length(c) - F.length(norm)).cast("bigint").alias(
+            "n_chars_saved"
+        ),
+    )
+
+
+def normalize_text_sql(text_expr: str = "text") -> str:
+    """DuckDB twin of `normalize_text` (regexp_replace needs the 'g'
+    flag to match Spark's replace-all semantics)."""
+    norm = (
+        f"trim(regexp_replace(regexp_replace(lower({text_expr}), "
+        f"'[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    return f"""
+        SELECT doc_id,
+               {norm} AS norm_text,
+               {norm} <> {text_expr} AS changed,
+               CAST(length({text_expr}) - length({norm}) AS BIGINT)
+                   AS n_chars_saved
+        FROM documents
+    """

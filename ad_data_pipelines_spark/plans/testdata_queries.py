@@ -740,6 +740,8 @@ from ad_data_pipelines_spark.operators import similarity as _sim  # noqa: E402
 from ad_data_pipelines_spark.operators import textstats as _ts  # noqa: E402
 from ad_data_pipelines_spark.operators import lm as _lm  # noqa: E402
 from ad_data_pipelines_spark.operators import snapshot as _snapshot  # noqa: E402
+from ad_data_pipelines_spark.operators import audit as _audit  # noqa: E402
+from ad_data_pipelines_spark.operators import agg as _agg  # noqa: E402
 
 
 @register(
@@ -3055,6 +3057,116 @@ def q_s15_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AUDIT_RULES = {
+    "l_quantity_in_1_50": "l_quantity BETWEEN 1 AND 50",
+    "l_discount_in_0_0.1": "l_discount BETWEEN 0 AND 0.1",
+    "l_extendedprice_positive": "l_extendedprice > 0",
+    "l_returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+    "l_shipdate_not_null": "l_shipdate IS NOT NULL",
+}
+
+
+@register(
+    "o11_constraint_audit",
+    oracle=_audit.constraint_audit_sql("lineitem", _AUDIT_RULES)
+    + " UNION ALL "
+    + _audit.fk_audit_sql(
+        "orders", "customer", "o_custkey", "c_custkey", "orders_custkey_fk"
+    ),
+    doc="Declarative constraint audit (Deequ-style): five row-local "
+    "rules over lineitem compile into ONE wide aggregate (a violation "
+    "counter per rule, partial/final combinable — one scan at any "
+    "scale) stack-unpivoted to a per-rule report, unioned with a "
+    "referential-integrity row (orders.o_custkey within customer via "
+    "broadcast LEFT ANTI on the distinct parent keys). NULL predicate "
+    "results count as violations in both engines. The automated twin "
+    "of the reference's manual post-ingest checks "
+    "(data_ingestion/pg_import.R:230-280). "
+    "operators/audit.py:constraint_audit,fk_audit.",
+)
+def q_o11_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    report = _audit.constraint_audit(li, _AUDIT_RULES)
+    fk = _audit.fk_audit(
+        t(spark, sf_dir, "orders"),
+        t(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+        "orders_custkey_fk",
+    )
+    return report.unionByName(fk)
+
+
+_CHECKSUM_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_odate"]
+
+
+@register(
+    "o12_table_checksum",
+    oracle=_audit.table_checksum_sql(
+        "(SELECT o_orderkey, o_custkey, o_orderstatus, "
+        "CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_odate "
+        "FROM orders)",
+        _CHECKSUM_COLS,
+    ),
+    doc="Order-independent table checksum: XOR of portable md5-derived "
+    "row fingerprints + row count — validate a migrated/copied table "
+    "against its source WITHOUT moving data (the check a user runs "
+    "when switching the reference warehouse to this engine). XOR "
+    "aggregate is combinable and layout-independent; columns "
+    "canonicalize via unit-separator concat with a NULL sentinel; "
+    "timestamp pre-cast to date string (float/timestamp rendering is "
+    "engine-specific by design — see docstring). "
+    "operators/audit.py:table_checksum.",
+)
+def q_o12_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").cast("string").alias("o_odate"),
+    )
+    return _audit.table_checksum(orders, _CHECKSUM_COLS)
+
+
+@register(
+    "a18_winsorize",
+    oracle=_agg.winsorized_stats_sql(
+        "events", "value", ["event_type"], 0.05, 0.95
+    ),
+    doc="Per-group winsorization (quantile generalization of the "
+    "reference's fixed 240-minute outlier clamp, P14 — "
+    "scripts/ads_passenger_travel_time_di.R): clamp events.value to "
+    "each event_type's own [p05, p95] and report means before/after. "
+    "Exact percentile for the oracle (quantile_cont-equivalent "
+    "interpolation); production twin is approx_percentile (mergeable "
+    "sketch, one pass). Bounds (1 row/group) broadcast back — facts "
+    "never shuffle for the clamp. operators/agg.py:winsorized_stats.",
+)
+def q_a18_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _agg.winsorized_stats(
+        t(spark, sf_dir, "events"),
+        "value",
+        ["event_type"],
+        0.05,
+        0.95,
+        exact=True,
+    )
+
+
+@register(
+    "llm_normalize_text",
+    oracle=_scrub.normalize_text_sql("text"),
+    doc="Canonical text normalization (pre-dedup): lowercase, control "
+    "chars to spaces, whitespace runs collapsed, trimmed — so casing/"
+    "spacing variants of the same content hash identically downstream. "
+    "Map-only column algebra (lower + 2 regexp_replace + trim), "
+    "explicit [\\x00-\\x1f\\x7f] class keeps Java regex and RE2 "
+    "byte-identical. operators/scrub.py:normalize_text.",
+)
+def q_llm_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _scrub.normalize_text(t(spark, sf_dir, "documents"))
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -3093,6 +3205,10 @@ _GATE_PRIORITY = [
     "llm_tfidf_keywords",
     "llm_random_projection",
     "s15_json_props",
+    "o11_constraint_audit",
+    "o12_table_checksum",
+    "a18_winsorize",
+    "llm_normalize_text",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

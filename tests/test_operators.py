@@ -1028,3 +1028,127 @@ def test_random_project_preserves_structure(spark):
     assert out[0] == [round(float(x), 5) for x in ref]
     assert out[5] == [0.0] * k
     assert np.allclose(np.array(out[6]), 2 * np.array(out[0]), atol=2e-4)
+
+
+def test_constraint_audit_and_fk(spark):
+    """Violation counts per rule; NULL predicate results count as
+    violations; fk_audit counts orphans including null keys."""
+    from ad_data_pipelines_spark.operators import audit
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 60.0), (3, None), (4, 5.0)],
+        "id bigint, qty double",
+    )
+    report = {
+        r.rule_name: r
+        for r in audit.constraint_audit(
+            df, {"qty_le_50": "qty <= 50", "id_positive": "id > 0"}
+        ).collect()
+    }
+    # qty: 60 violates, NULL violates -> 2
+    assert report["qty_le_50"].n_violations == 2
+    assert report["qty_le_50"].n_rows == 4
+    assert report["qty_le_50"].violation_rate == 0.5
+    assert report["id_positive"].n_violations == 0
+
+    child = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 999), (4, None)],
+        "id bigint, fk bigint",
+    )
+    parent = spark.createDataFrame([(100,), (200,)], "pk bigint")
+    fk = audit.fk_audit(child, parent, "fk", "pk", "fk_rule").collect()[0]
+    assert fk.n_rows == 4
+    assert fk.n_violations == 2  # 999 orphan + NULL unresolvable
+    assert fk.violation_rate == 0.5
+
+
+def test_table_checksum_properties(spark):
+    """Layout/order independence; sensitivity to a single cell edit;
+    NULL is distinct from empty string."""
+    from ad_data_pipelines_spark.operators import audit
+
+    rows = [(i, f"name{i}", None if i % 3 == 0 else "x") for i in range(50)]
+    df = spark.createDataFrame(rows, "id bigint, name string, tag string")
+    base = audit.table_checksum(df, ["id", "name", "tag"]).collect()[0]
+    assert base.n_rows == 50
+
+    shuffled = audit.table_checksum(
+        df.repartition(7, "name"), ["id", "name", "tag"]
+    ).collect()[0]
+    assert shuffled.checksum == base.checksum
+
+    edited = spark.createDataFrame(
+        [(i, f"name{i}", ("EDIT" if i == 17 else (None if i % 3 == 0 else "x"))) for i in range(50)],
+        "id bigint, name string, tag string",
+    )
+    assert (
+        audit.table_checksum(edited, ["id", "name", "tag"]).collect()[0].checksum
+        != base.checksum
+    )
+
+    empties = spark.createDataFrame(
+        [(i, f"name{i}", "" if i % 3 == 0 else "x") for i in range(50)],
+        "id bigint, name string, tag string",
+    )
+    assert (
+        audit.table_checksum(empties, ["id", "name", "tag"]).collect()[0].checksum
+        != base.checksum
+    )
+
+
+def test_winsorized_stats_hand_computed(spark):
+    """Exact interpolated quantiles on a known 11-value group; means
+    clamp correctly; approx twin lands within tolerance."""
+    from ad_data_pipelines_spark.operators import agg as agg_ops
+
+    vals = [float(x) for x in range(11)]  # 0..10: p05=0.5, p95=9.5
+    df = spark.createDataFrame(
+        [("g", v) for v in vals] + [("h", 100.0), ("h", 200.0)],
+        "grp string, value double",
+    )
+    out = {
+        r.grp: r
+        for r in agg_ops.winsorized_stats(
+            df, "value", ["grp"], 0.05, 0.95, exact=True
+        ).collect()
+    }
+    g = out["g"]
+    assert (g.q_lo, g.q_hi) == (0.5, 9.5)
+    clamped = [min(max(v, 0.5), 9.5) for v in vals]
+    assert g.avg_winsorized == round(sum(clamped) / len(vals), 4)
+    assert g.avg_raw == round(sum(vals) / len(vals), 4)
+    # two-value group: p05 interpolates between the two
+    assert out["h"].q_lo == round(100 + 0.05 * 100, 4)
+
+    approx = {
+        r.grp: r
+        for r in agg_ops.winsorized_stats(
+            df, "value", ["grp"], 0.05, 0.95, exact=False
+        ).collect()
+    }
+    assert abs(approx["g"].avg_winsorized - g.avg_winsorized) < 1.0
+
+
+def test_normalize_text_canonicalization(spark):
+    """Case folds, control chars and whitespace runs collapse, exact
+    already-normal text passes through unchanged."""
+    from ad_data_pipelines_spark.operators import scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello\tWorld\x07!"),
+            (2, "  many   spaces  "),
+            (3, "already normal"),
+            (4, "MiXeD Case"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in scrub.normalize_text(docs).collect()}
+    assert out[1].norm_text == "hello world !"
+    assert out[1].changed
+    assert out[2].norm_text == "many spaces"
+    assert out[2].n_chars_saved == len("  many   spaces  ") - len(
+        "many spaces"
+    )
+    assert out[3].norm_text == "already normal" and not out[3].changed
+    assert out[4].norm_text == "mixed case" and out[4].changed
