@@ -742,6 +742,7 @@ from ad_data_pipelines_spark.operators import lm as _lm  # noqa: E402
 from ad_data_pipelines_spark.operators import snapshot as _snapshot  # noqa: E402
 from ad_data_pipelines_spark.operators import audit as _audit  # noqa: E402
 from ad_data_pipelines_spark.operators import agg as _agg  # noqa: E402
+from ad_data_pipelines_spark.operators import intervals as _intervals  # noqa: E402
 
 
 @register(
@@ -3167,6 +3168,61 @@ def q_llm_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scrub.normalize_text(t(spark, sf_dir, "documents"))
 
 
+@register(
+    "j17_interval_join",
+    oracle="""
+        WITH iv AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS wday
+            FROM events GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT event_type, wday,
+                   CAST(wday AS TIMESTAMP) + INTERVAL 18 HOUR AS w_start,
+                   CAST(wday AS TIMESTAMP) + INTERVAL 30 HOUR AS w_end
+            FROM iv
+        )
+        SELECT w.event_type, w.wday, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM win w JOIN events e
+          ON e.event_type = w.event_type
+         AND e.ts >= w.w_start AND e.ts < w.w_end
+        GROUP BY 1, 2
+    """,
+    doc="Point-in-interval (range) join via bucket blocking: nightly "
+    "18:00-06:00 windows per event_type (one per active day — windows "
+    "CROSS midnight, exercising the multi-bucket interval explode) "
+    "joined to the events inside them. The join is a plain equi-join "
+    "on (day-bucket, event_type) with an exact containment "
+    "post-filter — never the BroadcastNestedLoopJoin Spark would plan "
+    "for a bare inequality join; explode factor is ceil(span/bucket)+1 "
+    "on the (small) interval side only. "
+    "operators/intervals.py:interval_join.",
+)
+def q_j17_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    win = (
+        ev.groupBy("event_type", F.to_date("ts").alias("wday"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "event_type",
+            "wday",
+            (
+                F.col("wday").cast("timestamp")
+                + F.expr("INTERVAL 18 HOURS")
+            ).alias("w_start"),
+            (
+                F.col("wday").cast("timestamp")
+                + F.expr("INTERVAL 30 HOURS")
+            ).alias("w_end"),
+        )
+    )
+    joined = _intervals.interval_join(
+        ev.select("event_type", "ts"), win, keys=["event_type"]
+    )
+    return joined.groupBy("event_type", "wday").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points")
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -3209,6 +3265,7 @@ _GATE_PRIORITY = [
     "o12_table_checksum",
     "a18_winsorize",
     "llm_normalize_text",
+    "j17_interval_join",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

@@ -1152,3 +1152,38 @@ def test_normalize_text_canonicalization(spark):
     )
     assert out[3].norm_text == "already normal" and not out[3].changed
     assert out[4].norm_text == "mixed case" and out[4].changed
+
+
+def test_interval_join_semantics_and_plan(spark):
+    """Half-open containment, multi-day intervals, key matching,
+    degenerate intervals dropped — and the physical plan is a hash
+    equi-join, never a nested-loop inequality join."""
+    import datetime as dt
+
+    from ad_data_pipelines_spark.operators import intervals
+
+    T = dt.datetime
+    points = spark.createDataFrame(
+        [
+            (1, "a", T(2024, 1, 1, 12, 0)),
+            (2, "a", T(2024, 1, 2, 3, 0)),   # next day, inside window w1
+            (3, "a", T(2024, 1, 1, 6, 0)),   # == w1 start -> inside
+            (4, "a", T(2024, 1, 2, 6, 0)),   # == w1 end -> outside
+            (5, "b", T(2024, 1, 1, 12, 0)),  # wrong key for w1
+        ],
+        "point_id bigint, k string, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            ("w1", "a", T(2024, 1, 1, 6, 0), T(2024, 1, 2, 6, 0)),
+            ("w2", "b", T(2024, 1, 1, 0, 0), T(2024, 1, 1, 0, 0)),  # empty
+        ],
+        "iv_id string, k string, w_start timestamp, w_end timestamp",
+    )
+    out = intervals.interval_join(points, ivs, keys=["k"])
+    got = sorted((r.point_id, r.iv_id) for r in out.collect())
+    assert got == [(1, "w1"), (2, "w1"), (3, "w1")]
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
