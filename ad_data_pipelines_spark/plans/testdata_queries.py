@@ -3223,6 +3223,64 @@ def q_j17_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_chunk_dedup",
+    oracle="""
+        WITH c AS (
+            SELECT doc_id, i AS chunk_idx,
+                   substr(text, CAST(1 + i * 64 AS BIGINT), 64) AS chunk_text
+            FROM documents,
+                 unnest(range(0, greatest(1, CAST(floor(
+                     (length(text) + 63) / 64.0) AS BIGINT)))) AS t(i)
+        )
+        SELECT CAST('0x' || substr(md5(chunk_text), 1, 15) AS BIGINT)
+                   AS chunk_fp,
+               CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(MIN(doc_id * 1000000 + chunk_idx) // 1000000 AS BIGINT)
+                   AS keeper_doc_id,
+               CAST(MIN(doc_id * 1000000 + chunk_idx) % 1000000 AS BIGINT)
+                   AS keeper_chunk_idx
+        FROM c
+        GROUP BY 1
+        HAVING COUNT(*) > 1
+    """,
+    doc="Chunk-granularity exact dedup — pipeline COMPOSITION of "
+    "chunking (operators/chunking.py, 64-char non-overlapping windows) "
+    "with the hash-groupBy dedup discipline (SURVEY §4.4-6): duplicated "
+    "chunks are reported with a deterministic keep-first keeper "
+    "(min (doc_id, chunk_idx), encoded as one long so both engines "
+    "break ties identically). Chunk text reduces to a portable md5 "
+    "60-bit fingerprint BEFORE the groupBy, so the shuffle carries "
+    "longs — the RAG-index build path where repeated passages (headers, "
+    "licence blocks) must index once.",
+)
+def q_llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ad_data_pipelines_spark.functions.hashing import portable_hash64
+
+    chunks = _chunking.chunk_documents(
+        t(spark, sf_dir, "documents"), chunk_chars=64, overlap=0
+    )
+    keyed = chunks.select(
+        portable_hash64("chunk_text").alias("chunk_fp"),
+        (F.col("doc_id") * 1_000_000 + F.col("chunk_idx")).alias("__k"),
+    )
+    return (
+        keyed.groupBy("chunk_fp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            # DIV, not float `/`: exact integer semantics at any key
+            # magnitude (the packing.py double-quotient lesson)
+            F.expr("min(__k) DIV 1000000").cast("bigint").alias(
+                "keeper_doc_id"
+            ),
+            (F.min("__k") % 1_000_000).cast("bigint").alias(
+                "keeper_chunk_idx"
+            ),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -3266,6 +3324,7 @@ _GATE_PRIORITY = [
     "a18_winsorize",
     "llm_normalize_text",
     "j17_interval_join",
+    "llm_chunk_dedup",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

@@ -514,3 +514,89 @@ def test_budget_select_random_matches_prefix(spark, case):
         ).collect()
     }
     assert got == expect
+
+
+# --- snapshot diff vs naive dict reference ---------------------------------
+
+snapshot_strategy = st.tuples(
+    st.dictionaries(  # old: key -> payload
+        st.integers(min_value=0, max_value=12),
+        st.sampled_from(["a", "b", "c", ""]),
+        max_size=10,
+    ),
+    st.dictionaries(  # new
+        st.integers(min_value=0, max_value=12),
+        st.sampled_from(["a", "b", "c", ""]),
+        max_size=10,
+    ),
+)
+
+
+@given(snapshot_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_snapshot_diff_matches_naive_reference(spark, data):
+    """snapshot_diff agrees with the obvious dict-based diff on every
+    generated pair of snapshots (including empty sides, empty-string
+    payloads, and fully-disjoint key sets)."""
+    from ad_data_pipelines_spark.operators.snapshot import snapshot_diff
+
+    old_d, new_d = data
+    schema = "doc_id bigint, text string"
+    old = spark.createDataFrame(list(old_d.items()) or [], schema)
+    new = spark.createDataFrame(list(new_d.items()) or [], schema)
+    got = {
+        r.doc_id: r.status for r in snapshot_diff(old, new).collect()
+    }
+    want = {}
+    for k in set(old_d) | set(new_d):
+        if k not in old_d:
+            want[k] = "added"
+        elif k not in new_d:
+            want[k] = "removed"
+        elif old_d[k] == new_d[k]:
+            want[k] = "unchanged"
+        else:
+            want[k] = "changed"
+    assert got == want
+
+
+# --- table checksum mergeability -------------------------------------------
+
+checksum_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.sampled_from(["x", "y", "", None]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(checksum_rows)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_table_checksum_is_mergeable(spark, rows):
+    """checksum(whole) == XOR of checksums of any disjoint split — the
+    property that makes per-partition checksums roll up without a
+    rescan; counts are additive the same way."""
+    from ad_data_pipelines_spark.operators.audit import table_checksum
+
+    df = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)],
+        "rid bigint, k bigint, v string",
+    )
+    cols = ["rid", "k", "v"]
+    whole = table_checksum(df, cols).collect()[0]
+    lo = table_checksum(df.filter(F.col("k") < 20), cols).collect()[0]
+    hi = table_checksum(df.filter(F.col("k") >= 20), cols).collect()[0]
+    assert whole.n_rows == lo.n_rows + hi.n_rows
+    assert whole.checksum == (
+        (lo.checksum or 0) ^ (hi.checksum or 0)
+    )

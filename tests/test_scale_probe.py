@@ -208,3 +208,50 @@ def test_lsh_band_join_skew_splits_under_aqe(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _token_corpus(spark, n_docs: int) -> DataFrame:
+    """n_docs docs of 8 tokens drawn from a 1000-token md5 vocabulary —
+    realistic fan-in for LM/TF-IDF joins (each token/bigram reappears
+    across many docs), generated distributed."""
+    toks = [
+        F.md5(((F.col("id") * 7 + F.lit(j)) % 1000).cast("string"))
+        for j in range(8)
+    ]
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *toks).alias("text"),
+        (F.col("id") % 10).cast("string").alias("source"),
+    )
+
+
+def test_bigram_lm_and_tfidf_10x_linear(spark):
+    """The LM train+score chain and the TF-IDF report both grow ~
+    linearly in docs (the LM join fan-out is bounded by corpus bigram
+    counts, TF-IDF by |vocab|x|groups|) and neither plan collapses any
+    keyed stage to a single partition."""
+    from ad_data_pipelines_spark.operators import lm, textstats
+
+    def run(n):
+        docs = _token_corpus(spark, n)
+        t0 = time.perf_counter()
+        scored = lm.bigram_lm_score(docs)
+        assert scored.count() == n
+        kw = textstats.tfidf_keywords(docs, "source", k=5)
+        assert kw.count() == 50
+        elapsed = time.perf_counter() - t0
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        return elapsed, plan
+
+    t1, _ = run(5_000)
+    t10, plan = run(50_000)
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"LM/TF-IDF 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
+        "grows super-linearly"
+    )
+    # keyed stages stay hash-partitioned; the only SinglePartition
+    # exchange allowed is the 1-row vocabulary-size scalar aggregate
+    # (a broadcast-joined scalar MUST collapse — its partial agg is
+    # still distributed)
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
