@@ -772,3 +772,65 @@ def contamination_sql(eval_pred_sql: str, n: int = 8) -> str:
         )
         GROUP BY 1
     """
+
+
+def novelty_scores(
+    docs: DataFrame, n: int = 8, round_dp: int = 6
+) -> DataFrame:
+    """Per-doc n-gram novelty (the inverse of `contamination_check`):
+    what fraction of a doc's distinct word-n-grams appear in NO other
+    doc? Low novelty = templated/boilerplate/duplicated content, high
+    = unique text — a ranking signal for dedup triage and for
+    "train on the novel slice first" curricula.
+
+    Output: (doc_id, n_grams, n_novel, novelty_rate); docs with fewer
+    than n words emit nothing (no grams to judge).
+
+    Scale shape: the same shuffle-free gram construction as the dedup
+    chain (in-row array_distinct BEFORE explode, md5-portable hashes),
+    then one gram-count aggregate and one join back on the 8-byte gram
+    hash — text never shuffles; both aggregates partial/final
+    combinable. Document frequency counts DOCS (grams are in-row
+    distinct), not occurrences.
+    """
+    g = word_ngram_hashes(docs, n)
+    dfc = g.groupBy("gh").agg(F.count("*").alias("df"))
+    joined = g.join(dfc, "gh")
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.count_if(F.col("df") == 1).cast("bigint").alias("n_novel"),
+        F.round(
+            F.count_if(F.col("df") == 1) / F.count("*"), round_dp
+        ).alias("novelty_rate"),
+    )
+
+
+def novelty_sql(n: int = 8, round_dp: int = 6) -> str:
+    """DuckDB oracle twin of `novelty_scores`."""
+    return f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+            FROM (
+                SELECT doc_id,
+                       array_to_string(w[i:i+{n - 1}], ' ') AS g
+                FROM (
+                    SELECT doc_id,
+                           regexp_split_to_array(trim(text), '\\s+') AS w
+                    FROM documents
+                ), UNNEST(generate_series(1, GREATEST(len(w) - {n - 1}, 0)))
+                     AS t(i)
+            )
+            GROUP BY 1, 2
+        ),
+        dfc AS (
+            SELECT gh, COUNT(*) AS df FROM grams GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(COUNT(*) FILTER (WHERE df = 1) AS BIGINT) AS n_novel,
+               ROUND(CAST(COUNT(*) FILTER (WHERE df = 1) AS DOUBLE)
+                     / COUNT(*), {round_dp}) AS novelty_rate
+        FROM grams JOIN dfc USING (gh)
+        GROUP BY 1
+    """

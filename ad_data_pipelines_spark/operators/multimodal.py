@@ -105,6 +105,53 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 _PNG_MODES = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
 
 
+def decode_bmp_stdlib(data: bytes) -> tuple[int, int, str, bytes]:
+    """Real decode of uncompressed 24-bit BITMAPINFOHEADER BMPs with
+    nothing but `struct` — the second stdlib-real codec beside
+    `decode_png_stdlib` (same rationale: the sandbox has no Pillow, but
+    'no codec installed' must not mean 'decode path never executed').
+
+    Returns (width, height, 'RGB', pixels) with pixels top-down
+    row-major RGB (BMP stores bottom-up BGR with rows padded to 4
+    bytes; both are normalized here). Raises ValueError for malformed
+    payloads and flags every other BMP variant (palette, RLE, 32-bit,
+    V4/V5 headers carry through fine — only bpp/compression gate) as
+    needing the Pillow path.
+    """
+    import struct
+
+    if len(data) < 54 or not data.startswith(b"BM"):
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", data, 10)[0]
+    header_size = struct.unpack_from("<I", data, 14)[0]
+    if header_size < 40:
+        raise ValueError("BMP core-header variant needs the Pillow path")
+    width, height = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"BMP bpp={bpp}/compression={compression} needs the Pillow path"
+        )
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise ValueError("corrupt BMP dimensions")
+    row_stride = (width * 3 + 3) & ~3
+    need = pixel_off + row_stride * height
+    if len(data) < need:
+        raise ValueError("truncated BMP pixel data")
+    out = bytearray(width * height * 3)
+    for row in range(height):
+        src_row = row if top_down else height - 1 - row
+        base = pixel_off + src_row * row_stride
+        dst = row * width * 3
+        for x in range(width):
+            b_, g_, r_ = data[base + 3 * x : base + 3 * x + 3]
+            out[dst + 3 * x : dst + 3 * x + 3] = bytes((r_, g_, b_))
+    return width, height, "RGB", bytes(out)
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -205,8 +252,10 @@ def decode_image(docs_with_payload: DataFrame) -> DataFrame:
     pattern that reads real .xlsx without an Excel engine,
     sources/sideinputs.py). Per payload:
 
-      * decodes cleanly → (width, height, mode) row,
-      * recognized image magic (JPEG/GIF/BMP/TIFF, or a PNG variant the
+      * decodes cleanly → (width, height, mode) row — PNG via
+        `decode_png_stdlib`, uncompressed 24-bit BMP via
+        `decode_bmp_stdlib`, both REAL in-sandbox,
+      * recognized image magic (JPEG/GIF/TIFF, or a PNG/BMP variant the
         stdlib subset can't handle) but no codec → NotImplementedError,
         loudly — a missing codec must never masquerade as corrupt data,
       * anything else → NULL-dims row (a 100 TB corpus always contains
@@ -239,9 +288,20 @@ def decode_image(docs_with_payload: DataFrame) -> DataFrame:
                             "a codec-enabled runtime (Pillow)"
                         ) from exc
                     return None, None, None  # corrupt PNG
+            if b.startswith(b"BM"):
+                try:
+                    w, h, mode, _ = decode_bmp_stdlib(b)
+                    return w, h, mode
+                except ValueError as exc:
+                    if "needs the Pillow path" in str(exc):
+                        raise NotImplementedError(
+                            "BMP variant beyond the stdlib subset "
+                            "requires a codec-enabled runtime (Pillow)"
+                        ) from exc
+                    return None, None, None  # corrupt BMP
             if b.startswith(_KNOWN_IMAGE_MAGIC):
                 raise NotImplementedError(
-                    "non-PNG image format requires a codec-enabled "
+                    "non-PNG/BMP image format requires a codec-enabled "
                     "runtime (Pillow not importable)"
                 )
             return None, None, None  # not an image at all

@@ -3281,6 +3281,22 @@ def q_llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_novelty",
+    oracle=_dedup.novelty_sql(n=8),
+    doc="Per-doc word-8-gram novelty (the inverse of the contamination "
+    "scan): fraction of a doc's distinct 8-grams found in NO other doc "
+    "— low novelty flags templated/duplicated content, and 'train on "
+    "the novel slice first' curricula rank by it. Same shuffle-free "
+    "gram construction as the dedup chain (array_distinct before "
+    "explode, md5-portable hashes); one gram-count aggregate + one "
+    "hash-keyed join back — text never shuffles. "
+    "operators/dedup.py:novelty_scores.",
+)
+def q_llm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.novelty_scores(t(spark, sf_dir, "documents"), n=8)
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -3325,6 +3341,7 @@ _GATE_PRIORITY = [
     "llm_normalize_text",
     "j17_interval_join",
     "llm_chunk_dedup",
+    "llm_novelty",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

@@ -198,3 +198,59 @@ def test_audio_meta_compressed_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="codec-enabled"):
         mm.audio_meta(df).collect()
+
+
+def _make_bmp(width, height, rgb_rows, top_down=False):
+    """Craft an uncompressed 24-bit BMP; rgb_rows is top-down row-major
+    [(r,g,b), ...] of length width*height."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    px = bytearray()
+    row_order = range(height) if top_down else range(height - 1, -1, -1)
+    for row in row_order:
+        line = bytearray()
+        for x in range(width):
+            r, g, b = rgb_rows[row * width + x]
+            line += bytes((b, g, r))
+        line += b"\x00" * (stride - len(line))
+        px += line
+    h = height if not top_down else -height
+    info = struct.pack("<IiiHHIIiiII", 40, width, h, 1, 24, 0,
+                       len(px), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    return bytes(header + info + px)
+
+
+def test_decode_bmp_stdlib_real_pixels():
+    """Bottom-up and top-down BMPs decode to identical top-down RGB;
+    row padding is stripped; variants gate on the Pillow path."""
+    pixels = [(255, 0, 0), (0, 255, 0), (0, 0, 255),
+              (1, 2, 3), (4, 5, 6), (7, 8, 9)]  # 3x2 top-down
+    for td in (False, True):
+        w, h, mode, data = mm.decode_bmp_stdlib(_make_bmp(3, 2, pixels, td))
+        assert (w, h, mode) == (3, 2, "RGB")
+        got = [tuple(data[i:i + 3]) for i in range(0, len(data), 3)]
+        assert got == pixels
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Pillow path"):
+        bad = bytearray(_make_bmp(3, 2, pixels))
+        bad[28:30] = (32).to_bytes(2, "little")  # claim 32bpp
+        mm.decode_bmp_stdlib(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated"):
+        mm.decode_bmp_stdlib(_make_bmp(3, 2, pixels)[:-4])
+
+
+def test_decode_image_real_bmp_end_to_end(spark):
+    """The Spark decode stage reads real BMP bytes in this sandbox."""
+    pixels = [(i, i, i) for i in range(12)]
+    bmp = _make_bmp(4, 3, pixels)
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp)), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mm.decode_image(df).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].mode) == (4, 3, "RGB")
+    assert rows[2].width is None
