@@ -718,3 +718,101 @@ def random_project_sql(
             f" {round_dp}) AS p{j}"
         )
     return "SELECT " + ", ".join(cols) + " FROM embeddings"
+
+
+# --- Embedding drift / cohesion monitoring ---------------------------------
+
+def embedding_group_stats(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group embedding health report: (group, n_vectors, avg_norm,
+    avg_cos_to_centroid) — the drift/cohesion monitor a production
+    embedding pipeline tracks per model version or data slice (a
+    falling cos-to-centroid means the slice is fragmenting; a norm
+    shift means the encoder changed).
+
+    Scale shape: centroids come from ONE posexplode + (group, pos)
+    partial/final-combinable average — never a collect — reassembled
+    with array_sort over (pos, value) structs and broadcast back (one
+    row per group, KBs). The cosine pass is then a narrow map over the
+    vectors (zip_with/aggregate dot products in double) followed by one
+    per-group aggregate; the corpus shuffles once for each aggregate
+    and never for the centroid join.
+    """
+    g = F.col(group_col)
+    x = emb.select(
+        g.alias("grp"), F.posexplode(vec_col).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    centroid = (
+        x.groupBy("grp", "pos")
+        .agg(F.avg("v").alias("c"))
+        .groupBy("grp")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("centroid")
+        )
+    )
+    dotted = emb.select(
+        g.alias("grp"), F.col(vec_col).alias("v")
+    ).join(F.broadcast(centroid), "grp")
+    acc = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda a, b: a + b
+    )
+    dot = acc(
+        F.zip_with("v", "centroid", lambda a, b: a.cast("double") * b)
+    )
+    nv = F.sqrt(
+        acc(
+            F.zip_with(
+                "v", "v", lambda a, b: a.cast("double") * b.cast("double")
+            )
+        )
+    )
+    nc = F.sqrt(acc(F.zip_with("centroid", "centroid", lambda a, b: a * b)))
+    per_vec = dotted.select(
+        "grp", nv.alias("norm"), (dot / (nv * nc)).alias("cos")
+    )
+    return per_vec.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(F.avg("norm"), round_dp).alias("avg_norm"),
+        F.round(F.avg("cos"), round_dp).alias("avg_cos_to_centroid"),
+    ).withColumnRenamed("grp", group_col)
+
+
+def embedding_group_stats_sql(
+    group_col: str = "label", round_dp: int = 4
+) -> str:
+    """DuckDB twin of `embedding_group_stats` over the embeddings
+    table (posexplode-join formulation; per-component sums differ from
+    the array fold only below the rounding guard)."""
+    return f"""
+        WITH x AS (
+            SELECT {group_col} AS grp, vec_id, i AS pos,
+                   CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS t(i)
+        ),
+        c AS (
+            SELECT grp, pos, AVG(v) AS cv FROM x GROUP BY 1, 2
+        ),
+        per_vec AS (
+            SELECT x.grp, x.vec_id,
+                   SUM(x.v * c.cv) AS dot,
+                   SQRT(SUM(x.v * x.v)) AS nv,
+                   SQRT(SUM(c.cv * c.cv)) AS nc
+            FROM x JOIN c ON x.grp = c.grp AND x.pos = c.pos
+            GROUP BY 1, 2
+        )
+        SELECT grp AS {group_col},
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               ROUND(AVG(nv), {round_dp}) AS avg_norm,
+               ROUND(AVG(dot / (nv * nc)), {round_dp})
+                   AS avg_cos_to_centroid
+        FROM per_vec
+        GROUP BY 1
+    """

@@ -3297,6 +3297,24 @@ def q_llm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.novelty_scores(t(spark, sf_dir, "documents"), n=8)
 
 
+@register(
+    "llm_embedding_drift",
+    oracle=_sim.embedding_group_stats_sql("label"),
+    doc="Per-label embedding health report (drift/cohesion monitor): "
+    "n_vectors, mean L2 norm, mean cosine-to-own-centroid. Centroids "
+    "from one posexplode + combinable (group, pos) average — no "
+    "collect — reassembled via array_sort(pos, value) and broadcast "
+    "back; the cosine pass is a narrow zip_with/aggregate map plus one "
+    "per-group aggregate. A falling cos-to-centroid means the slice "
+    "fragments; a norm shift means the encoder changed. "
+    "operators/similarity.py:embedding_group_stats.",
+)
+def q_llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.embedding_group_stats(
+        t(spark, sf_dir, "embeddings"), "label"
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -3342,6 +3360,7 @@ _GATE_PRIORITY = [
     "j17_interval_join",
     "llm_chunk_dedup",
     "llm_novelty",
+    "llm_embedding_drift",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

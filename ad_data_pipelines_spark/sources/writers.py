@@ -128,3 +128,36 @@ def write_jdbc_staged(
         conn.commit()
     finally:
         conn.close()
+
+
+def write_partition_overwrite(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent partition-level backfill: overwrite ONLY the
+    hive-style partitions present in `df`, leaving every other
+    partition untouched — the parquet-directory equivalent of the
+    JDBC staged swap above (and of the reference's re-run-a-month
+    refresh loops, e.g. `scripts/ads_passenger_travel_info_mi.py`'s
+    per-month rewrite): re-running a day/month job replaces that
+    slice atomically-per-partition instead of truncating the table.
+
+    Uses Spark's dynamic partitionOverwriteMode, scoped to this write
+    and restored afterwards (the session default stays whatever the
+    user configured). At 100 TB this is the difference between a
+    backfill touching one day's files and rewriting the table.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

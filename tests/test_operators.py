@@ -1187,3 +1187,31 @@ def test_interval_join_semantics_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_group_stats_hand_computed(spark):
+    """Two-vector group: centroid is the midpoint, cosines follow by
+    hand; singleton group: cos-to-centroid is exactly 1."""
+    import math
+
+    from ad_data_pipelines_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.0, 1.0], 0),
+            (3, [3.0, 4.0], 1),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = {
+        r.label: r
+        for r in similarity.embedding_group_stats(emb, "label").collect()
+    }
+    a = out[0]
+    assert a.n_vectors == 2 and a.avg_norm == 1.0
+    # cos((1,0), (0.5,0.5)) = 0.5 / (1 * sqrt(0.5)) for both vectors
+    assert a.avg_cos_to_centroid == round(0.5 / math.sqrt(0.5), 4)
+    b = out[1]
+    assert b.n_vectors == 1 and b.avg_norm == 5.0
+    assert b.avg_cos_to_centroid == 1.0

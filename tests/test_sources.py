@@ -287,3 +287,44 @@ def test_jsonl_roundtrip_quarantine_and_gzip(spark, tmp_path):
     assert {
         (r.doc_id, r.text) for r in cback.collect()
     } == {(1, "hello world"), (2, "bonjour"), (3, "ok")}
+
+
+def test_write_partition_overwrite_only_touches_written_days(spark, tmp_path):
+    """Dynamic partition overwrite: rewriting one day's slice replaces
+    that partition and leaves the others byte-identical; re-running the
+    same slice is idempotent; the session conf is restored."""
+    from pyspark.sql import functions as F
+
+    from ad_data_pipelines_spark.sources.writers import (
+        write_partition_overwrite,
+    )
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 11.0),
+         (3, "2024-01-02", 20.0), (4, "2024-01-03", 30.0)],
+        "id bigint, day string, v double",
+    )
+    write_partition_overwrite(base, path, ["day"])
+
+    patch = spark.createDataFrame(
+        [(30, "2024-01-02", 99.0)], "id bigint, day string, v double"
+    )
+    write_partition_overwrite(patch, path, ["day"])
+    write_partition_overwrite(patch, path, ["day"])  # idempotent re-run
+
+    got = {
+        (str(r.day), r.id): r.v  # partition col type-infers to date
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1): 10.0,
+        ("2024-01-01", 2): 11.0,
+        ("2024-01-02", 30): 99.0,   # replaced wholesale
+        ("2024-01-03", 4): 30.0,    # untouched
+    }
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        .upper()
+        == "STATIC"
+    )
