@@ -723,6 +723,7 @@ def contamination_check(
     docs: DataFrame,
     eval_pred,
     n: int = 8,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark-decontamination scan: which corpus docs share at least
     one word-n-gram with the held-out eval set (`eval_pred` a boolean
@@ -733,11 +734,26 @@ def contamination_check(
     gram-hash set BROADCASTS — the corpus grams stream map-side through
     the broadcast hash join and only (doc_id, gh) matches reach the
     count aggregation. Corpus text never shuffles; 16-byte hashes do.
+    Pass `grams` (a precomputed `word_ngram_hashes` table — shared with
+    `novelty_scores`, or materialized on disk) to skip re-tokenizing
+    the corpus; membership then splits by broadcast doc_id joins.
     """
-    evals = docs.filter(eval_pred)
-    corpus = docs.filter(~eval_pred)
-    eval_grams = word_ngram_hashes(evals, n).select("gh").distinct()
-    hits = word_ngram_hashes(corpus, n).join(F.broadcast(eval_grams), "gh")
+    if grams is None:
+        evals = docs.filter(eval_pred)
+        corpus = docs.filter(~eval_pred)
+        eval_grams = word_ngram_hashes(evals, n).select("gh").distinct()
+        corpus_grams = word_ngram_hashes(corpus, n)
+    else:
+        eval_ids = docs.filter(eval_pred).select("doc_id")
+        eval_grams = (
+            grams.join(F.broadcast(eval_ids), "doc_id")
+            .select("gh")
+            .distinct()
+        )
+        corpus_grams = grams.join(
+            F.broadcast(eval_ids), "doc_id", "left_anti"
+        )
+    hits = corpus_grams.join(F.broadcast(eval_grams), "gh")
     return hits.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_shared_ngrams")
     )
@@ -775,7 +791,10 @@ def contamination_sql(eval_pred_sql: str, n: int = 8) -> str:
 
 
 def novelty_scores(
-    docs: DataFrame, n: int = 8, round_dp: int = 6
+    docs: DataFrame,
+    n: int = 8,
+    round_dp: int = 6,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc n-gram novelty (the inverse of `contamination_check`):
     what fraction of a doc's distinct word-n-grams appear in NO other
@@ -791,9 +810,10 @@ def novelty_scores(
     then one gram-count aggregate and one join back on the 8-byte gram
     hash — text never shuffles; both aggregates partial/final
     combinable. Document frequency counts DOCS (grams are in-row
-    distinct), not occurrences.
+    distinct), not occurrences. Pass `grams` to reuse a precomputed
+    `word_ngram_hashes` table (shared with `contamination_check`).
     """
-    g = word_ngram_hashes(docs, n)
+    g = grams if grams is not None else word_ngram_hashes(docs, n)
     dfc = g.groupBy("gh").agg(F.count("*").alias("df"))
     joined = g.join(dfc, "gh")
     return joined.groupBy("doc_id").agg(

@@ -1935,6 +1935,7 @@ def warm_shared_stages(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "quality_features": _quality_features_shared,
         "char_entropy": _entropy_shared,
         "repetition": _repetition_shared,
+        "word_grams": _word_grams_shared,
     }
     costs: dict[str, float] = {}
     for name, fn in stages.items():
@@ -1942,6 +1943,19 @@ def warm_shared_stages(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         fn(spark, sf_dir).count()  # forces the persist to materialize
         costs[name] = round(_time.perf_counter() - t0, 4)
     return costs
+
+
+def _word_grams_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one word-8-gram hash table per session feeds the contamination
+    # scan AND the novelty score (disk twin: a corpus_grams table)
+    return _shared(
+        spark,
+        sf_dir,
+        "word_grams",
+        lambda: _dedup.word_ngram_hashes(
+            t(spark, sf_dir, "documents"), n=8
+        ),
+    )
 
 
 def _shingles_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2459,7 +2473,12 @@ def q_s14_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
-    return _dedup.contamination_check(docs, F.col("doc_id") < 25, n=8)
+    return _dedup.contamination_check(
+        docs,
+        F.col("doc_id") < 25,
+        n=8,
+        grams=_word_grams_shared(spark, sf_dir),
+    )
 
 
 @register(
@@ -3294,7 +3313,11 @@ def q_llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/dedup.py:novelty_scores.",
 )
 def q_llm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.novelty_scores(t(spark, sf_dir, "documents"), n=8)
+    return _dedup.novelty_scores(
+        t(spark, sf_dir, "documents"),
+        n=8,
+        grams=_word_grams_shared(spark, sf_dir),
+    )
 
 
 @register(
@@ -3312,6 +3335,52 @@ def q_llm_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_group_stats(
         t(spark, sf_dir, "embeddings"), "label"
+    )
+
+
+@register(
+    "llm_cross_source_dup",
+    oracle="""
+        WITH h AS (
+            SELECT DISTINCT source,
+                   CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS fp
+            FROM documents
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared_texts
+        FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY 1, 2
+    """,
+    doc="Cross-source duplication matrix: for every source pair, how "
+    "many distinct texts appear in BOTH (the 'is slice B just a "
+    "re-crawl of slice A' audit that decides what to drop before "
+    "training). Text reduces to a portable md5 long and (source, fp) "
+    "dedups BEFORE the self-join, so the equi-join on fp moves longs "
+    "and its fan-out is bounded by sources-per-text, never docs — the "
+    "unscoped doc-level self-join this replaces is quadratic in copy "
+    "count.",
+)
+def q_llm_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ad_data_pipelines_spark.functions.hashing import portable_hash64
+
+    h = (
+        t(spark, sf_dir, "documents")
+        .select("source", portable_hash64("text").alias("fp"))
+        .distinct()
+    )
+    a = h.alias("a")
+    b = h.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_texts"))
     )
 
 
@@ -3361,6 +3430,7 @@ _GATE_PRIORITY = [
     "llm_chunk_dedup",
     "llm_novelty",
     "llm_embedding_drift",
+    "llm_cross_source_dup",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

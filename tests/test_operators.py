@@ -1215,3 +1215,35 @@ def test_embedding_group_stats_hand_computed(spark):
     b = out[1]
     assert b.n_vectors == 1 and b.avg_norm == 5.0
     assert b.avg_cos_to_centroid == 1.0
+
+
+def test_contamination_and_novelty_shared_grams_equivalent(spark):
+    """The precomputed-grams path must produce results identical to the
+    self-tokenizing path for both gram consumers."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    grams = dedup.word_ngram_hashes(docs, 8)
+    pred = F.col("doc_id") < 25
+
+    direct = {
+        r.doc_id: r.n_shared_ngrams
+        for r in dedup.contamination_check(docs, pred, 8).collect()
+    }
+    shared = {
+        r.doc_id: r.n_shared_ngrams
+        for r in dedup.contamination_check(
+            docs, pred, 8, grams=grams
+        ).collect()
+    }
+    assert direct == shared
+
+    nov_direct = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty_rate)
+        for r in dedup.novelty_scores(docs, 8).collect()
+    }
+    nov_shared = {
+        r.doc_id: (r.n_grams, r.n_novel, r.novelty_rate)
+        for r in dedup.novelty_scores(docs, 8, grams=grams).collect()
+    }
+    assert nov_direct == nov_shared
