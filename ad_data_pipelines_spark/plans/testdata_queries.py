@@ -2846,12 +2846,21 @@ def q_llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— kept rows are each neighborhood's min-id representative. "
     "Centroids broadcast; the pairwise stage shuffles cell_id only and "
     "costs sum(|cell|^2), bounded by the centroid-count knob — never "
-    "the unscoped corpus quadratic. "
+    "the unscoped corpus quadratic. Reuses the session-shared IVF "
+    "cell table (renamed) — same centroids/nprobe, so no per-call "
+    "persist of a fresh assignment. "
     "operators/similarity.py:semantic_dedup.",
 )
 def q_llm_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    return _sim.semantic_dedup(emb, threshold=0.9, n_cells=4)
+    cells = _ivf_cells_shared(spark, sf_dir).select(
+        "cell_id",
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("c_emb").alias("emb"),
+    )
+    return _sim.semantic_dedup(
+        emb, threshold=0.9, n_cells=4, corpus_cells=cells
+    )
 
 
 @register(
@@ -3384,6 +3393,52 @@ def q_llm_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "o13_gap_audit",
+    oracle="""
+        WITH holed AS (
+            SELECT event_id AS id FROM events WHERE event_id % 97 <> 13
+        )
+        SELECT id // 1000 AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(id) AS BIGINT) AS id_min,
+               CAST(MAX(id) AS BIGINT) AS id_max,
+               CAST(MAX(id) - MIN(id) + 1 - COUNT(*) AS BIGINT)
+                   AS n_missing
+        FROM holed
+        GROUP BY 1
+        HAVING MAX(id) - MIN(id) + 1 - COUNT(*) > 0
+    """,
+    doc="Dense-sequence gap audit WITHOUT a global sort: ids bucket by "
+    "DIV 1000 and each bucket's (count, min, max) — one combinable "
+    "aggregate — exposes internal gaps as max-min+1-count. The "
+    "pattern that replaces the naive lead()-over-everything window "
+    "(a single-partition sort at any scale); holes are planted "
+    "deterministically (event_id%97=13 removed) so every bucket "
+    "reports. Entirely-missing buckets need the expected-domain "
+    "variant (join against a sequence() of bucket ids) — same "
+    "aggregate, documented here for parity of intent with the "
+    "reference's post-import row-count checks (pg_import.R:230-280).",
+)
+def q_o13_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    holed = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 97 != 13)
+        .select(F.col("event_id").alias("id"))
+    )
+    agg = holed.groupBy(F.expr("id DIV 1000").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("id").cast("bigint").alias("id_min"),
+        F.max("id").cast("bigint").alias("id_max"),
+    )
+    return agg.withColumn(
+        "n_missing",
+        (F.col("id_max") - F.col("id_min") + 1 - F.col("n_rows")).cast(
+            "bigint"
+        ),
+    ).filter(F.col("n_missing") > 0)
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -3431,6 +3486,7 @@ _GATE_PRIORITY = [
     "llm_novelty",
     "llm_embedding_drift",
     "llm_cross_source_dup",
+    "o13_gap_audit",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage
