@@ -1,0 +1,87 @@
+"""Streaming near-dedup against a historical corpus: the ingest-time
+twin of the batch incremental dedup (`operators/dedup.dedup_against_
+corpus`, registry llm_incremental_dedup).
+
+Beyond-reference (SURVEY.md §2.9). A continuously-crawled corpus must
+reject near-duplicates of what it ALREADY holds at ingest time — not in
+a nightly re-pairing of the whole corpus. Plan shape:
+
+  * The history side is a STATIC MinHash signature table (the same
+    artifact the batch chain materializes; at scale a parquet/bucketed
+    table rebuilt by the upstream batch job). It never streams.
+  * Each micro-batch computes signatures for its (small) batch of docs
+    with the exact batch operator, then LSH-joins them against history
+    via `dedup_against_corpus` — so stream and batch verdicts are
+    identical by construction, and the per-batch state is ZERO: no
+    streaming aggregation, no watermark, nothing carried between
+    batches beyond the checkpoint offsets.
+  * Within-batch duplicates are caught by a preliminary exact
+    content-hash `dropDuplicates` on the batch frame (a micro-batch is
+    bounded, so this is a bounded sort, not unbounded state); near-dup
+    pairs BETWEEN two new docs in the same batch are the batch chain's
+    job when history refreshes — documented tradeoff, same as the
+    daily-batch shape.
+
+Kept docs append to `keep_path`; dropped docs append to `drop_path`
+with their matched historical doc id as evidence. Both writes happen in
+one foreachBatch on the same frame: exhaustive, disjoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.operators import dedup as _dedup
+from ad_data_pipelines_spark.streaming.quality import read_docs_stream
+
+
+def _dedup_batch(
+    batch: DataFrame,
+    history_sigs: DataFrame,
+    keep_path: str,
+    drop_path: str,
+    min_eq: int,
+) -> None:
+    batch = batch.withColumn("__fp", F.md5("text")).dropDuplicates(
+        ["__fp"]
+    ).drop("__fp")
+    sigs = _dedup.minhash_signatures(batch)
+    verdicts = _dedup.dedup_against_corpus(
+        sigs, history_sigs, min_eq=min_eq
+    ).persist()
+    docs = batch.join(verdicts, "doc_id")
+    docs.filter(F.col("kept")).drop("kept", "matched_doc").write.mode(
+        "append"
+    ).parquet(keep_path)
+    docs.filter(~F.col("kept")).drop("kept").write.mode("append").parquet(
+        drop_path
+    )
+    verdicts.unpersist()
+
+
+def run_near_dedup_available_now(
+    spark: SparkSession,
+    source_path: str,
+    history_sigs: DataFrame,
+    checkpoint: str,
+    keep_path: str,
+    drop_path: str,
+    min_eq: int = 8,
+) -> None:
+    """Drain available document files through the near-dedup gate
+    against `history_sigs` (a static `minhash_signatures` table):
+    novel docs append to `keep_path`, near-dups of history to
+    `drop_path` with `matched_doc` evidence."""
+    q = (
+        read_docs_stream(spark, source_path)
+        .writeStream.foreachBatch(
+            lambda batch, _id: _dedup_batch(
+                batch, history_sigs, keep_path, drop_path, min_eq
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

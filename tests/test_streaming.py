@@ -377,3 +377,50 @@ def test_jsonl_stream_ingest_quarantine_and_idempotent(spark, tmp_path):
     got = {(r.doc_id, r.text) for r in spark.read.parquet(clean_p).collect()}
     assert got == {(1, "alpha"), (2, "beta"), (3, "gamma")}
     assert spark.read.text(quar_p).count() == 1
+
+
+def test_streaming_near_dedup_matches_batch(spark, tmp_path):
+    """The streamed keep/drop split against a static history signature
+    table equals the batch incremental-dedup verdicts, across multiple
+    micro-batches; dropped docs carry matched_doc evidence; the split
+    is exhaustive and disjoint."""
+    from ad_data_pipelines_spark.operators import dedup as d
+    from ad_data_pipelines_spark.streaming import neardedup
+
+    docs = tq.t(spark, SF_SMALL, "documents")
+    history = docs.filter(F.col("doc_id") >= 100)
+    incoming = docs.filter(F.col("doc_id") < 100)
+    history_sigs = d.minhash_signatures(history).persist()
+    history_sigs.count()
+
+    src = tmp_path / "incoming"
+    incoming.repartition(3).write.parquet(str(src))
+
+    neardedup.run_near_dedup_available_now(
+        spark,
+        str(src),
+        history_sigs,
+        checkpoint=str(tmp_path / "ck"),
+        keep_path=str(tmp_path / "keep"),
+        drop_path=str(tmp_path / "drop"),
+        min_eq=8,
+    )
+
+    expected = {
+        r.doc_id: (r.kept, r.matched_doc)
+        for r in d.dedup_against_corpus(
+            d.minhash_signatures(incoming), history_sigs, min_eq=8
+        ).collect()
+    }
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "keep")).collect()}
+    dropped = {
+        r.doc_id: r.matched_doc
+        for r in spark.read.parquet(str(tmp_path / "drop")).collect()
+    }
+    assert kept == {d_ for d_, (k, _) in expected.items() if k}
+    assert set(dropped) == {d_ for d_, (k, _) in expected.items() if not k}
+    for d_, m in dropped.items():
+        assert m == expected[d_][1]
+    assert kept.isdisjoint(dropped)
+    assert len(kept) + len(dropped) == incoming.count()
+    history_sigs.unpersist()
