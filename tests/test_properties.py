@@ -600,3 +600,74 @@ def test_table_checksum_is_mergeable(spark, rows):
     assert whole.checksum == (
         (lo.checksum or 0) ^ (hi.checksum or 0)
     )
+
+
+# --- interval join vs naive nested-loop reference --------------------------
+
+interval_case = st.tuples(
+    st.lists(  # points: (key, hour-offset)
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=96),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(  # intervals: (key, start-hour, duration-hours)
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=96),
+            st.integers(min_value=0, max_value=40),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+
+
+@given(interval_case)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_join_matches_nested_loop(spark, case):
+    """Bucket-blocked interval_join == the O(P×I) nested-loop reference
+    on random multi-day intervals (including zero-length ones and
+    boundary timestamps)."""
+    from ad_data_pipelines_spark.operators.intervals import interval_join
+
+    points_raw, ivs_raw = case
+    base = dt.datetime(2024, 3, 1)
+    points = spark.createDataFrame(
+        [
+            (i, k, base + dt.timedelta(hours=h))
+            for i, (k, h) in enumerate(points_raw)
+        ],
+        "point_id bigint, k string, ts timestamp",
+    )
+    ivs = spark.createDataFrame(
+        [
+            (
+                j,
+                k,
+                base + dt.timedelta(hours=s),
+                base + dt.timedelta(hours=s + d),
+            )
+            for j, (k, s, d) in enumerate(ivs_raw)
+        ],
+        "iv_id bigint, k string, w_start timestamp, w_end timestamp",
+    )
+    got = {
+        (r.point_id, r.iv_id)
+        for r in interval_join(points, ivs, keys=["k"]).collect()
+    }
+    want = set()
+    for i, (pk, h) in enumerate(points_raw):
+        pt = base + dt.timedelta(hours=h)
+        for j, (ik, s, d) in enumerate(ivs_raw):
+            lo = base + dt.timedelta(hours=s)
+            hi = base + dt.timedelta(hours=s + d)
+            if pk == ik and lo <= pt < hi:
+                want.add((i, j))
+    assert got == want
