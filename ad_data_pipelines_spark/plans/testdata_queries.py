@@ -3439,6 +3439,63 @@ def q_o13_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_missing") > 0)
 
 
+def _argmax_lang_sql(expr: str) -> str:
+    """CASE-form argmax of the marker scores over `expr` (DuckDB CSE
+    evaluates the repeated score expressions once)."""
+    scores = _ts.lang_scores_sql(expr)
+    langs = list(scores)
+    m = "GREATEST(" + ", ".join(scores[la] for la in langs) + ")"
+    case = " ".join(
+        f"WHEN {scores[la]} = {m} THEN '{la}'" for la in langs
+    )
+    return f"CASE WHEN {m} > 0 THEN (CASE {case} END) ELSE 'und' END"
+
+
+@register(
+    "llm_lang_mix",
+    oracle=f"""
+        SELECT doc_id,
+               {_argmax_lang_sql("substr(text, 1, length(text) // 2)")}
+                   AS lang_head,
+               {_argmax_lang_sql(
+                   "substr(text, length(text) // 2 + 1, length(text))")}
+                   AS lang_tail,
+               ({_argmax_lang_sql("substr(text, 1, length(text) // 2)")}
+                <> {_argmax_lang_sql(
+                    "substr(text, length(text) // 2 + 1, length(text))")}
+                AND {_argmax_lang_sql(
+                    "substr(text, 1, length(text) // 2)")} <> 'und'
+                AND {_argmax_lang_sql(
+                    "substr(text, length(text) // 2 + 1, length(text))")}
+                    <> 'und') AS mixed
+        FROM documents
+    """,
+    doc="Mixed-language detection: lang-ID each document HALF "
+    "independently (same marker scorer + fixed-tie argmax as "
+    "llm_lang_id) and flag docs whose halves disagree — the "
+    "code-switch / concatenated-crawl signal a monolingual filter "
+    "misses. Pure composition of the existing map-only scorer over "
+    "substrings; codegen CSE evaluates each half's scores once. "
+    "operators/textstats.py:lang_id.",
+)
+def q_llm_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    head = F.expr("substring(text, 1, length(text) DIV 2)")
+    tail = F.expr(
+        "substring(text, length(text) DIV 2 + 1, length(text))"
+    )
+    lh = _ts.lang_id(head)
+    lt = _ts.lang_id(tail)
+    return docs.select(
+        "doc_id",
+        lh.alias("lang_head"),
+        lt.alias("lang_tail"),
+        (
+            (lh != lt) & (lh != F.lit("und")) & (lt != F.lit("und"))
+        ).alias("mixed"),
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -3487,6 +3544,7 @@ _GATE_PRIORITY = [
     "llm_embedding_drift",
     "llm_cross_source_dup",
     "o13_gap_audit",
+    "llm_lang_mix",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage
