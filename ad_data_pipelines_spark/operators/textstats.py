@@ -91,17 +91,31 @@ def lang_id_from_scores(
     scores: dict[str, Column], default: str = "und"
 ) -> Column:
     """argmax of precomputed score columns with fixed tie order (dict
-    order wins ties); all-zero scores → `default`. Take the SAME column
-    objects used for the score projection so codegen's subexpression
-    elimination computes each score once."""
-    best_lang = F.lit(default)
-    best_score = F.lit(0.0)
-    # iterate in reverse so earlier languages win ties
-    for lang in reversed(list(scores)):
-        s = scores[lang]
-        best_lang = F.when(s >= best_score, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(s >= best_score, s).otherwise(best_score)
-    return F.when(best_score > 0, best_lang).otherwise(F.lit(default))
+    order wins ties); all-zero scores → `default`.
+
+    Implemented as `array_max` over (score, -index) structs rather
+    than a nested `when` chain: expressions inside `when` branches are
+    conditionally evaluated, which EXCLUDES them from codegen's
+    subexpression elimination — the chain form re-ran every language's
+    regexp scan ~4× (measured 1.28 s vs 0.30 s for the bare scores at
+    sf0.1). Struct comparison is field-order lexicographic, so max
+    picks the highest score and, on ties, the smallest index — the
+    same earliest-language-wins order as the old chain."""
+    langs = list(scores)
+    entries = F.array(
+        *[
+            F.struct(
+                scores[lang].alias("s"), F.lit(-i).alias("ni")
+            )
+            for i, lang in enumerate(langs)
+        ]
+    )
+    best = F.array_max(entries)
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    idx = (F.lit(1) - best["ni"]).cast("int")  # -ni + 1 = 1-based index
+    return F.when(
+        best["s"] > 0, F.element_at(lang_arr, idx)
+    ).otherwise(F.lit(default))
 
 
 def lang_id(text: Column | str, default: str = "und") -> Column:

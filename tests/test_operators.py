@@ -1247,3 +1247,28 @@ def test_contamination_and_novelty_shared_grams_equivalent(spark):
         for r in dedup.novelty_scores(docs, 8, grams=grams).collect()
     }
     assert nov_direct == nov_shared
+
+
+def test_lang_id_argmax_tie_and_zero_semantics(spark):
+    """The array_max argmax keeps the when-chain contract: earliest
+    language in dict order wins ties, all-zero scores give 'und', and
+    each language's score is evaluated unconditionally (single pass)."""
+    from ad_data_pipelines_spark.operators import textstats as ts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x the y der w"),         # en=1 (" the "), de=1 (" der ") tie
+            (2, "nothing matching here"),
+            (3, "aa le bb et cc"),        # fr markers only
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r.pred
+        for r in docs.select(
+            "doc_id", ts.lang_id("text").alias("pred")
+        ).collect()
+    }
+    assert out[1] == "en"   # tie en/de -> earlier dict entry wins
+    assert out[2] == "und"
+    assert out[3] == "fr"
