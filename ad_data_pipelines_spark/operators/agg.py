@@ -235,3 +235,85 @@ def winsorized_stats_sql(
         FROM {table} t JOIN bounds USING ({g})
         GROUP BY t.{g.replace(', ', ', t.')}
     """
+
+
+def robust_outlier_stats(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: float = 3.5,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Per-group robust outlier report via median/MAD — the
+    resistant sibling of `winsorized_stats` (a mean/σ z-score is
+    itself dragged by the outliers it hunts; median and MAD have a 50%
+    breakdown point). Output: (group..., n, med, mad, n_outliers)
+    where outliers are |x − med| > k·MAD (k≈3.5 ≙ the classic robust
+    z cutoff with the 1.4826 consistency factor folded in by choice
+    of k).
+
+    Scale shape: two grouped exact-median aggregates (value, then
+    absolute deviation) with the 1-row-per-group results broadcast
+    back — the facts never shuffle for enrichment, mirroring
+    `winsorized_stats`; production swaps `percentile` for the
+    mergeable `approx_percentile` sketch exactly as there.
+    """
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    med = df.groupBy(*gcols).agg(
+        F.percentile(v, F.lit(0.5)).alias("__med")
+    )
+    dev = df.join(F.broadcast(med), gcols).select(
+        *gcols, v.alias("__v"), F.abs(v - F.col("__med")).alias("__d"),
+        "__med",
+    )
+    mad = dev.groupBy(*gcols).agg(
+        F.percentile(F.col("__d"), F.lit(0.5)).alias("__mad")
+    )
+    flagged = dev.join(F.broadcast(mad), gcols)
+    return flagged.groupBy(*gcols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.first("__med"), round_dp).alias("med"),
+        F.round(F.first("__mad"), round_dp).alias("mad"),
+        F.count_if(
+            F.abs(F.col("__v") - F.col("__med"))
+            > F.lit(k) * F.col("__mad")
+        )
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+def robust_outlier_stats_sql(
+    table: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    k: float = 3.5,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of `robust_outlier_stats` (quantile_cont ≙ Spark
+    percentile interpolation)."""
+    g = ", ".join(group_cols)
+    return f"""
+        WITH med AS (
+            SELECT {g}, quantile_cont({value_col}, 0.5) AS med
+            FROM {table} GROUP BY {g}
+        ),
+        dev AS (
+            SELECT t.*, med, ABS({value_col} - med) AS d
+            FROM {table} t JOIN med USING ({g})
+        ),
+        mad AS (
+            SELECT {g}, quantile_cont(d, 0.5) AS mad
+            FROM dev GROUP BY {g}
+        )
+        SELECT {g},
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(ANY_VALUE(med), {round_dp}) AS med,
+               ROUND(ANY_VALUE(mad), {round_dp}) AS mad,
+               CAST(COUNT(*) FILTER (
+                   WHERE ABS({value_col} - med) > {k} * mad
+               ) AS BIGINT) AS n_outliers
+        FROM dev JOIN mad USING ({g})
+        GROUP BY {g}
+    """

@@ -3496,6 +3496,106 @@ def q_llm_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "j18_shipping_priority",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_odate,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H-Q3-shape shipping priority: two facts (orders, "
+    "lineitem) hash-join on the order key while the filtered customer "
+    "dim broadcasts; both date predicates push to the scans, revenue "
+    "is one combinable aggregate, and the top-10 plans as "
+    "TakeOrdered (distributed heap-select, no global sort). Ordering "
+    "keys on the ROUNDED revenue then o_orderkey so cross-engine "
+    "summation-order ulps cannot reorder the cut.",
+)
+def q_j18_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "o_orderkey", F.col("o_orderdate").cast("date").alias("o_odate")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "a19_robust_outliers",
+    oracle=_agg.robust_outlier_stats_sql(
+        "events", "value", ["event_type"], k=3.5
+    ),
+    doc="Per-group robust outlier report (median/MAD, 50% breakdown "
+    "point — the resistant sibling of a18's winsorization, whose "
+    "mean/sigma a gross outlier drags): flag |x-med| > 3.5*MAD. Two "
+    "grouped exact medians with 1-row-per-group results broadcast "
+    "back — facts never shuffle for the enrichment; approx_percentile "
+    "is the production twin. operators/agg.py:robust_outlier_stats.",
+)
+def q_a19_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _agg.robust_outlier_stats(
+        t(spark, sf_dir, "events"), "value", ["event_type"], k=3.5
+    )
+
+
+@register(
+    "llm_dedup_stats",
+    oracle=f"""
+        WITH comp AS ({_dedup.dup_components_sql(min_eq=8)})
+        SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+        FROM (
+            SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY 1
+        )
+        GROUP BY 1
+    """,
+    doc="Duplicate-cluster size distribution — the one-screen dedup "
+    "health report (a long tail of pair-clusters is normal; a giant "
+    "cluster means a boilerplate template is gluing the corpus "
+    "together). Two tiny aggregates over the session-shared "
+    "components table; nothing recomputes. "
+    "operators/dedup.py:dup_components.",
+)
+def q_llm_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = _dup_components_shared(spark, sf_dir, min_eq=8)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -3545,6 +3645,9 @@ _GATE_PRIORITY = [
     "llm_cross_source_dup",
     "o13_gap_audit",
     "llm_lang_mix",
+    "j18_shipping_priority",
+    "a19_robust_outliers",
+    "llm_dedup_stats",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

@@ -1272,3 +1272,20 @@ def test_lang_id_argmax_tie_and_zero_semantics(spark):
     assert out[1] == "en"   # tie en/de -> earlier dict entry wins
     assert out[2] == "und"
     assert out[3] == "fr"
+
+
+def test_robust_outlier_stats_hand_computed(spark):
+    """Median and MAD on a known group; a gross outlier is flagged and
+    does NOT drag the statistics (the property a mean/sigma z lacks)."""
+    from ad_data_pipelines_spark.operators import agg as agg_ops
+
+    # g: values 1..9 plus a gross outlier 1000
+    vals = [float(x) for x in range(1, 10)] + [1000.0]
+    df = spark.createDataFrame(
+        [("g", v) for v in vals], "grp string, value double"
+    )
+    r = agg_ops.robust_outlier_stats(df, "value", ["grp"], k=3.5).collect()[0]
+    # med of [1..9,1000] = 5.5; deviations [4.5,3.5,...,0.5,0.5,...,994.5]
+    # -> MAD = 2.5; only 1000 exceeds 5.5 + 3.5*2.5 = 14.25
+    assert (r.med, r.mad) == (5.5, 2.5)
+    assert r.n == 10 and r.n_outliers == 1
