@@ -3596,6 +3596,57 @@ def q_llm_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w7_cumulative_share",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   ROUND(SUM(o_totalprice), 2) AS day_rev
+            FROM orders GROUP BY 1
+        )
+        SELECT strftime(day, '%Y-%m') AS month, day, day_rev,
+               ROUND(SUM(day_rev) OVER (
+                   PARTITION BY strftime(day, '%Y-%m') ORDER BY day
+                   ROWS UNBOUNDED PRECEDING), 2) AS cum_rev,
+               ROUND(SUM(day_rev) OVER (
+                   PARTITION BY strftime(day, '%Y-%m') ORDER BY day
+                   ROWS UNBOUNDED PRECEDING)
+                   / SUM(day_rev) OVER (
+                       PARTITION BY strftime(day, '%Y-%m')), 6) AS share
+        FROM daily
+    """,
+    doc="Month-to-date running revenue and share-of-month per day — "
+    "the pacing curve every revenue dashboard draws (W-family "
+    "composite: cumulative rows-frame + partition-total window on one "
+    "shuffle). Daily sums round to 2dp BEFORE the cumulative sum, so "
+    "both engines accumulate identical doubles and the running total "
+    "is deterministic — not merely close. Day is a unique order key "
+    "within its month (no tie nondeterminism).",
+)
+def q_w7_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("day_rev"))
+        .withColumn("month", F.date_format("day", "yyyy-MM"))
+    )
+    cum = (
+        Window.partitionBy("month")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("month")
+    return daily.select(
+        "month",
+        "day",
+        "day_rev",
+        F.round(F.sum("day_rev").over(cum), 2).alias("cum_rev"),
+        F.round(
+            F.sum("day_rev").over(cum) / F.sum("day_rev").over(tot), 6
+        ).alias("share"),
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -3648,6 +3699,7 @@ _GATE_PRIORITY = [
     "j18_shipping_priority",
     "a19_robust_outliers",
     "llm_dedup_stats",
+    "w7_cumulative_share",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage
