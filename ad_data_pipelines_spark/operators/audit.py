@@ -40,6 +40,12 @@ def constraint_audit(
     violation_rate). `rules` maps rule name → boolean predicate (Column
     or SQL string) that is TRUE for VALID rows; NULL evaluates as a
     violation."""
+    if not rules:
+        raise ValueError(
+            "constraint_audit: rules must be non-empty (stack(0) is "
+            "not valid SQL and an empty audit is almost certainly a "
+            "caller bug)"
+        )
     aggs = [F.count(F.lit(1)).alias("__n")]
     for i, (name, pred) in enumerate(rules.items()):
         p = F.expr(pred) if isinstance(pred, str) else pred
@@ -67,14 +73,20 @@ def fk_audit(
     parent_key: str,
     rule_name: str,
     round_dp: int = 6,
+    broadcast_parent: bool = True,
 ) -> DataFrame:
     """Referential-integrity row in the same report schema: orphans =
     child rows (null keys included — an unresolvable reference is a
-    violation) with no match among the distinct parent keys."""
+    violation) with no match among the distinct parent keys.
+
+    `broadcast_parent=True` (default) fits the dim-table case; pass
+    False for fact-vs-fact audits so the anti join shuffles the key
+    columns instead of trying to broadcast billions of parent keys.
+    """
     pk = parent.select(F.col(parent_key).alias(child_key)).distinct()
-    orphans = child.select(child_key).join(
-        F.broadcast(pk), child_key, "left_anti"
-    )
+    if broadcast_parent:
+        pk = F.broadcast(pk)
+    orphans = child.select(child_key).join(pk, child_key, "left_anti")
     n = child.agg(F.count(F.lit(1)).alias("__n"))
     v = orphans.agg(F.count(F.lit(1)).alias("__v"))
     return (

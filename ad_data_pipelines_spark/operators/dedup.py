@@ -750,8 +750,15 @@ def contamination_check(
             .select("gh")
             .distinct()
         )
+        # match the direct path's NULL semantics exactly: a doc where
+        # the predicate evaluates NULL is in NEITHER side (both
+        # filter(pred) and filter(~pred) drop NULLs), so the corpus
+        # anti-join must exclude eval docs AND null-predicate docs
+        excluded_ids = docs.filter(
+            eval_pred | eval_pred.isNull()
+        ).select("doc_id")
         corpus_grams = grams.join(
-            F.broadcast(eval_ids), "doc_id", "left_anti"
+            F.broadcast(excluded_ids), "doc_id", "left_anti"
         )
     hits = corpus_grams.join(F.broadcast(eval_grams), "gh")
     return hits.groupBy("doc_id").agg(

@@ -32,7 +32,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_TOKEN_SPLIT = r"\s+"
+# the registry-wide tokenizer contract lives in ONE place — a split-
+# pattern change must hit LM scoring and token counting together
+from ad_data_pipelines_spark.operators.textstats import TOKEN_SEP as _TOKEN_SPLIT
 
 
 def _token_arrays(docs: DataFrame) -> DataFrame:

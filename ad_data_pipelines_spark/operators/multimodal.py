@@ -200,7 +200,13 @@ def decode_png_stdlib(data: bytes) -> tuple[int, int, str, bytes]:
             f"unsupported PNG variant (depth={depth} color={color} "
             f"interlace={interlace}) — needs the Pillow path"
         )
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # normalize to the corrupt-payload contract: zlib.error is NOT
+        # a ValueError, and an uncaught one would fail the whole Spark
+        # batch instead of emitting a NULL-dims row
+        raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
     stride = w * ch
     if len(raw) != (stride + 1) * h:
         raise ValueError("truncated pixel data")

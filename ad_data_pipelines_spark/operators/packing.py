@@ -111,13 +111,26 @@ def budget_select(
     column-pruned aggregate (footer-stats cheap under parquet
     aggregate pushdown when scoring straight off a scan).
     """
+    # NULL scores are unrankable: a NULL shard index would silently
+    # drop the row at the shard-offsets join. Reject loudly — the
+    # caller decides the imputation policy, this operator must not.
+    n_null = df.filter(F.col(score_col).isNull()).limit(1).count()
+    if n_null:
+        raise ValueError(
+            f"budget_select: {score_col} contains NULLs — impute or "
+            "filter them before ranking (a NULL cannot be ordered)"
+        )
     lo, hi = df.agg(
         F.min(F.col(score_col).cast("double")),
         F.max(F.col(score_col).cast("double")),
     ).first()
     if lo is None:  # empty input: keep the (empty) frame, schema intact
         return df.select(
-            id_col, score_col, tokens_col,
+            id_col,
+            score_col,
+            # same bigint cast as the non-empty path — the two
+            # branches must union cleanly
+            F.col(tokens_col).cast("bigint").alias(tokens_col),
             F.lit(None).cast("bigint").alias("cum_tokens"),
         ).limit(0)
     span = (hi - lo) or 1.0

@@ -230,6 +230,12 @@ def mixture_balance(
     """
     from pyspark.sql import Window
 
+    if not targets:
+        raise ValueError(
+            "mixture_balance: targets must be non-empty (an empty "
+            "mixture keeps nothing — filter explicitly if that is "
+            "intended)"
+        )
     h = portable_hash64(
         F.concat(F.col(key).cast("string"), F.lit("#" + salt)), fast=fast
     )

@@ -35,9 +35,26 @@ def snapshot_diff(
 
     `added` = key only in `new`; `removed` = only in `old`; `changed` =
     both sides present with differing payload fingerprints.
+
+    A NULL payload fingerprints a NULL SENTINEL, not NULL: presence is
+    decided by the key, so a key whose payload is NULL on one side is
+    `changed` (or `unchanged` when NULL on both) — never misreported
+    as added/removed (a NULL fingerprint would make the null-pattern
+    CASE fire the wrong branch).
     """
-    o = old.select(F.col(key), portable_hash64(payload).alias("old_fp"))
-    n = new.select(F.col(key), portable_hash64(payload).alias("new_fp"))
+    sentinel = F.lit("\x00NULL")
+    o = old.select(
+        F.col(key),
+        portable_hash64(F.coalesce(F.col(payload), sentinel)).alias(
+            "old_fp"
+        ),
+    )
+    n = new.select(
+        F.col(key),
+        portable_hash64(F.coalesce(F.col(payload), sentinel)).alias(
+            "new_fp"
+        ),
+    )
     joined = o.join(n, on=key, how="full_outer")
     status = (
         F.when(F.col("old_fp").isNull(), F.lit("added"))
@@ -67,12 +84,14 @@ def snapshot_diff_sql(
     return f"""
         WITH old AS (
             SELECT doc_id,
-                   CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS old_fp
+                   CAST('0x' || substr(md5(coalesce(text, chr(0) || 'NULL')),
+                        1, 15) AS BIGINT) AS old_fp
             FROM documents WHERE {old_pred}
         ),
         new AS (
             SELECT doc_id,
-                   CAST('0x' || substr(md5({new_text_expr}), 1, 15) AS BIGINT) AS new_fp
+                   CAST('0x' || substr(md5(coalesce({new_text_expr},
+                        chr(0) || 'NULL')), 1, 15) AS BIGINT) AS new_fp
             FROM documents WHERE {new_pred}
         )
         SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,

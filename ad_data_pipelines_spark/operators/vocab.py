@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 #: id reserved for out-of-vocabulary tokens in encoded sequences.
 OOV_ID = 0
 
-_TOKEN_SPLIT = r"\s+"
+# the registry-wide tokenizer contract lives in ONE place — a split-
+# pattern change must hit vocab/encode and token counting together
+from ad_data_pipelines_spark.operators.textstats import (  # noqa: E402
+    TOKEN_SEP as _TOKEN_SPLIT,
+)
 
 
 def _tokens(docs: DataFrame, with_pos: bool = False) -> DataFrame:

@@ -15,12 +15,13 @@ a nightly re-pairing of the whole corpus. Plan shape:
     identical by construction, and the per-batch state is ZERO: no
     streaming aggregation, no watermark, nothing carried between
     batches beyond the checkpoint offsets.
-  * Within-batch duplicates are caught by a preliminary exact
-    content-hash `dropDuplicates` on the batch frame (a micro-batch is
-    bounded, so this is a bounded sort, not unbounded state); near-dup
-    pairs BETWEEN two new docs in the same batch are the batch chain's
-    job when history refreshes — documented tradeoff, same as the
-    daily-batch shape.
+  * Within-batch exact duplicates collapse DETERMINISTICALLY (min
+    doc_id per content fingerprint keeps; never a bare dropDuplicates
+    — CLAUDE.md invariant) and the losers are routed to the drop sink
+    with the keeper as `matched_doc` evidence, so no row vanishes
+    from both sinks. Near-dup pairs BETWEEN two new docs in the same
+    batch are the batch chain's job when history refreshes —
+    documented tradeoff, same as the daily-batch shape.
 
 Kept docs append to `keep_path`; dropped docs append to `drop_path`
 with their matched historical doc id as evidence. Both writes happen in
@@ -29,7 +30,7 @@ one foreachBatch on the same frame: exhaustive, disjoint.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ad_data_pipelines_spark.operators import dedup as _dedup
@@ -43,21 +44,44 @@ def _dedup_batch(
     drop_path: str,
     min_eq: int,
 ) -> None:
-    batch = batch.withColumn("__fp", F.md5("text")).dropDuplicates(
-        ["__fp"]
-    ).drop("__fp")
-    sigs = _dedup.minhash_signatures(batch)
+    # Within-batch exact dedup must be DETERMINISTIC (CLAUDE.md: never
+    # bare dropDuplicates on rows that can disagree) and EXHAUSTIVE:
+    # the min-doc_id copy of each text goes on to the history check,
+    # the losers are routed to drop_path with the keeper as evidence —
+    # no row may vanish from both sinks. NULL texts get a per-doc
+    # sentinel fingerprint so distinct empty docs never collapse.
+    fp = F.coalesce(
+        F.md5("text"), F.concat(F.lit("\x00null:"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("__fp").orderBy("doc_id")
+    flagged = (
+        batch.withColumn("__fp", fp)
+        .withColumn("__keeper", F.min("doc_id").over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )))
+        .persist()
+    )
+    intra_dups = flagged.filter(F.col("doc_id") != F.col("__keeper"))
+    intra_dups.select(
+        *batch.columns, F.col("__keeper").alias("matched_doc")
+    ).write.mode("append").parquet(drop_path)
+
+    survivors = flagged.filter(
+        F.col("doc_id") == F.col("__keeper")
+    ).drop("__fp", "__keeper")
+    sigs = _dedup.minhash_signatures(survivors)
     verdicts = _dedup.dedup_against_corpus(
         sigs, history_sigs, min_eq=min_eq
     ).persist()
-    docs = batch.join(verdicts, "doc_id")
+    docs = survivors.join(verdicts, "doc_id")
     docs.filter(F.col("kept")).drop("kept", "matched_doc").write.mode(
         "append"
     ).parquet(keep_path)
-    docs.filter(~F.col("kept")).drop("kept").write.mode("append").parquet(
-        drop_path
-    )
+    docs.filter(~F.col("kept")).drop("kept").select(
+        *batch.columns, "matched_doc"
+    ).write.mode("append").parquet(drop_path)
     verdicts.unpersist()
+    flagged.unpersist()
 
 
 def run_near_dedup_available_now(

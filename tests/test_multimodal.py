@@ -254,3 +254,29 @@ def test_decode_image_real_bmp_end_to_end(spark):
     rows = {r.doc_id: r for r in mm.decode_image(df).collect()}
     assert (rows[1].width, rows[1].height, rows[1].mode) == (4, 3, "RGB")
     assert rows[2].width is None
+
+
+def test_decode_image_corrupt_idat_yields_null_not_crash(spark):
+    """A PNG with valid signature/IHDR but garbage IDAT bytes must emit
+    a NULL-dims row (corrupt blob contract), never fail the batch —
+    zlib.error is normalized to the ValueError corrupt path."""
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", _z.crc32(tag + body) & 0xFFFFFFFF)
+        )
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"\xde\xad\xbe\xef" * 4)  # not a zlib stream
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(bad))], "doc_id long, payload binary"
+    )
+    rows = mm.decode_image(df).collect()
+    assert rows[0].width is None and rows[0].mode is None

@@ -1289,3 +1289,91 @@ def test_robust_outlier_stats_hand_computed(spark):
     # -> MAD = 2.5; only 1000 exceeds 5.5 + 3.5*2.5 = 14.25
     assert (r.med, r.mad) == (5.5, 2.5)
     assert r.n == 10 and r.n_outliers == 1
+
+
+def test_snapshot_diff_null_payload_semantics(spark):
+    """Presence is decided by the key: NULL payloads report changed/
+    unchanged, never added/removed."""
+    from ad_data_pipelines_spark.operators import snapshot
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x")], "doc_id bigint, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now set"), (2, None), (3, None)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.status
+        for r in snapshot.snapshot_diff(old, new).collect()
+    }
+    assert got == {1: "changed", 2: "unchanged", 3: "changed"}
+
+
+def test_budget_select_rejects_null_scores_and_keeps_schema(spark):
+    """NULL scores fail loudly instead of silently vanishing; the
+    empty-input branch matches the normal branch's schema."""
+    import pytest as _pytest
+
+    from ad_data_pipelines_spark.operators import packing
+
+    bad = spark.createDataFrame(
+        [(1, None, 10), (2, 5.0, 10)],
+        "doc_id bigint, score double, n_tokens int",
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        packing.budget_select(bad, budget=100)
+
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, score double, n_tokens int"
+    )
+    full = spark.createDataFrame(
+        [(1, 5.0, 10)], "doc_id bigint, score double, n_tokens int"
+    )
+    s_empty = packing.budget_select(empty, budget=100).schema
+    s_full = packing.budget_select(full, budget=100).schema
+    assert s_empty == s_full
+
+
+def test_empty_config_guards(spark):
+    """Empty rule/target mappings raise clear errors instead of
+    producing invalid SQL or AttributeError."""
+    import pytest as _pytest
+
+    from ad_data_pipelines_spark.operators import audit, sampling
+
+    df = spark.createDataFrame([(1,)], "id bigint")
+    with _pytest.raises(ValueError, match="non-empty"):
+        audit.constraint_audit(df, {})
+    docs = spark.createDataFrame([(1, "s")], "doc_id bigint, src string")
+    with _pytest.raises(ValueError, match="non-empty"):
+        sampling.mixture_balance(docs, "src", {}, key="doc_id")
+
+
+def test_contamination_grams_path_null_predicate_parity(spark):
+    """A predicate that evaluates NULL for some docs must exclude them
+    from both sides in the shared-grams path, exactly like the direct
+    path."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i", True),    # eval
+            (2, "a b c d e f g h z", False),   # corpus, shares 8-gram? no
+            (3, "a b c d e f g h i j", False), # corpus, shares the eval 8-gram
+            (4, "a b c d e f g h i k", None),  # NULL flag: in neither side
+        ],
+        "doc_id bigint, text string, is_eval boolean",
+    )
+    pred = F.col("is_eval")
+    direct = {
+        r.doc_id: r.n_shared_ngrams
+        for r in dedup.contamination_check(docs, pred, 8).collect()
+    }
+    grams = dedup.word_ngram_hashes(docs, 8)
+    shared = {
+        r.doc_id: r.n_shared_ngrams
+        for r in dedup.contamination_check(
+            docs, pred, 8, grams=grams
+        ).collect()
+    }
+    assert direct == shared
+    assert 4 not in shared  # NULL-predicate doc on neither side

@@ -424,3 +424,56 @@ def test_streaming_near_dedup_matches_batch(spark, tmp_path):
     assert kept.isdisjoint(dropped)
     assert len(kept) + len(dropped) == incoming.count()
     history_sigs.unpersist()
+
+
+def test_streaming_near_dedup_within_batch_duplicates_deterministic(
+    spark, tmp_path
+):
+    """Same-text rows inside one micro-batch collapse to the MIN doc_id
+    deterministically; losers land in the drop sink with the keeper as
+    matched_doc; NULL-text docs never collapse together; nothing
+    vanishes from both sinks."""
+    from ad_data_pipelines_spark.operators import dedup as d
+    from ad_data_pipelines_spark.streaming import neardedup
+
+    uniq = [
+        (i, f"totally unique text number {i} " * 8, "en", "s", 100)
+        for i in (1, 2)
+    ]
+    dups = [
+        (10, "identical content " * 10, "en", "s", 100),
+        (11, "identical content " * 10, "en", "s", 100),
+        (12, "identical content " * 10, "en", "s", 100),
+    ]
+    nulls = [(20, None, "en", "s", 0), (21, None, "en", "s", 0)]
+    batch = spark.createDataFrame(
+        uniq + dups + nulls,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    src = tmp_path / "src"
+    batch.coalesce(1).write.parquet(str(src))
+
+    history = spark.createDataFrame(
+        [(1000, "some historical doc entirely unlike the batch " * 5,
+          "en", "s", 100)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    neardedup.run_near_dedup_available_now(
+        spark,
+        str(src),
+        d.minhash_signatures(history),
+        checkpoint=str(tmp_path / "ck"),
+        keep_path=str(tmp_path / "keep"),
+        drop_path=str(tmp_path / "drop"),
+    )
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "keep")).collect()}
+    dropped = {
+        r.doc_id: r.matched_doc
+        for r in spark.read.parquet(str(tmp_path / "drop")).collect()
+    }
+    # min doc_id keeps; 11/12 dropped with keeper 10 as evidence
+    assert 10 in kept and dropped.get(11) == 10 and dropped.get(12) == 10
+    # NULL texts do NOT collapse together
+    assert {20, 21} <= kept
+    assert kept.isdisjoint(dropped)
+    assert kept | set(dropped) == {1, 2, 10, 11, 12, 20, 21}
