@@ -477,3 +477,53 @@ def test_streaming_near_dedup_within_batch_duplicates_deterministic(
     assert {20, 21} <= kept
     assert kept.isdisjoint(dropped)
     assert kept | set(dropped) == {1, 2, 10, 11, 12, 20, 21}
+
+
+def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
+    """Per-micro-batch as-of enrichment over a static versioned
+    dimension equals one batch asof_join over all events; events
+    before any version carry NULL attrs and are not dropped."""
+    import datetime as dt
+
+    from ad_data_pipelines_spark.operators.asof import asof_join
+    from ad_data_pipelines_spark.streaming import enrich_asof
+
+    events = tq.t(spark, SF_SMALL, "events")
+    src = tmp_path / "events_src"
+    events.repartition(3).write.parquet(str(src))
+
+    # versioned per-user tier: switch mid-range so both versions match
+    T = dt.datetime
+    users = [r.user_id for r in events.select("user_id").distinct().collect()]
+    dim_rows = []
+    for u in users:
+        dim_rows.append((u, T(2024, 1, 1), "bronze"))
+        dim_rows.append((u, T(2024, 1, 15), "gold"))
+    dim = spark.createDataFrame(
+        dim_rows, "user_id bigint, valid_from timestamp, tier string"
+    )
+
+    enrich_asof.run_asof_enrich_available_now(
+        spark,
+        str(src),
+        dim,
+        checkpoint=str(tmp_path / "ck"),
+        out_path=str(tmp_path / "out"),
+        right_cols=["tier"],
+    )
+
+    got = {
+        r.event_id: (r.tier, r.asof_ts)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        r.event_id: (r.tier, r.asof_ts)
+        for r in asof_join(
+            events, dim, on=["user_id"], left_ts="ts",
+            right_ts="valid_from", right_cols=["tier"],
+        ).collect()
+    }
+    assert got == want
+    assert len(got) == events.count()
+    # both versions actually exercised
+    assert {t for t, _ in got.values()} == {"bronze", "gold"}
