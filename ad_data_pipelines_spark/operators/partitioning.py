@@ -171,3 +171,76 @@ def write_range_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark, path: str, target_mb: int = 256, checksum_cols=None
+) -> dict:
+    """Compact a small-files parquet directory in place: rewrite at
+    `partitions_for_target_size` granularity into a sibling temp dir,
+    VERIFY row count (and, with `checksum_cols`, the order-independent
+    md5-XOR content checksum from `operators/audit.table_checksum`)
+    against the original, then swap directories — the maintenance job
+    that keeps long-lived append targets (streaming sinks, daily
+    appends) scannable.
+
+    Verification runs BEFORE the swap, so a failed rewrite leaves the
+    live directory untouched (the parquet-directory sibling of the
+    JDBC staged swap, sources/writers.py ←
+    `data_ingestion/pg_import.R:288-313`). The two renames are atomic
+    on POSIX/HDFS; object stores without atomic rename should compact
+    through a table format instead — documented, not hidden.
+
+    Returns {"files_before", "files_after", "n_rows"}.
+    """
+    import glob
+    import os
+    import shutil
+
+    def _data_files(p):
+        return [
+            f
+            for f in glob.glob(os.path.join(p, "**", "*.parquet"),
+                               recursive=True)
+            if os.path.isfile(f)
+        ]
+
+    before = len(_data_files(path))
+    df = spark.read.parquet(path)
+    n = partitions_for_target_size(df, target_mb)
+    tmp = path.rstrip("/") + ".compact.tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+
+    from ad_data_pipelines_spark.operators.audit import table_checksum
+
+    new_df = spark.read.parquet(tmp)
+    cols = checksum_cols or []
+    if cols:
+        old_c = table_checksum(df, cols).collect()[0]
+        new_c = table_checksum(new_df, cols).collect()[0]
+        ok = (old_c.n_rows, old_c.checksum) == (
+            new_c.n_rows,
+            new_c.checksum,
+        )
+        n_rows = old_c.n_rows
+    else:
+        n_rows = df.count()
+        ok = n_rows == new_df.count()
+    if not ok:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            "compact_parquet: rewritten data does not match the "
+            "original — live directory left untouched"
+        )
+
+    backup = path.rstrip("/") + ".compact.old"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup)
+    return {
+        "files_before": before,
+        "files_after": len(_data_files(path)),
+        "n_rows": int(n_rows),
+    }

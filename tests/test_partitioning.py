@@ -231,3 +231,31 @@ def test_lsh_corpus_table_matches_and_skips_assignment(spark, tmp_path):
     # corpus side reads materialized bucket_id; only the 10-row query
     # side computes sign tests (4 planes) — never corpus-cardinality
     assert plan.count("zip_with") <= 8 * 2  # query buckets + sim scoring
+
+
+def test_compact_parquet_shrinks_files_and_preserves_content(spark, tmp_path):
+    """A 40-file directory compacts to few files with identical content
+    (checksum-verified before the swap); a second compaction is a
+    no-op-sized rewrite that still preserves everything."""
+    from ad_data_pipelines_spark.operators.partitioning import compact_parquet
+
+    path = str(tmp_path / "t")
+    df = spark.range(10_000).selectExpr(
+        "id", "CAST(id % 7 AS STRING) AS k"
+    )
+    df.repartition(40).write.parquet(path)
+
+    stats = compact_parquet(
+        spark, path, target_mb=256, checksum_cols=["id", "k"]
+    )
+    assert stats["files_before"] == 40
+    assert stats["files_after"] < 10
+    assert stats["n_rows"] == 10_000
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg({"id": "sum"}).first()[0] == 10_000 * 9_999 // 2
+    # leftovers cleaned up
+    import os
+    assert not os.path.exists(path + ".compact.tmp")
+    assert not os.path.exists(path + ".compact.old")
