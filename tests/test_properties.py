@@ -671,3 +671,106 @@ def test_interval_join_matches_nested_loop(spark, case):
             if pk == ik and lo <= pt < hi:
                 want.add((i, j))
     assert got == want
+
+
+# --- winsorized stats vs NumPy type-7 quantiles ----------------------------
+
+winsor_case = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(winsor_case)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_winsorized_stats_matches_numpy_type7(spark, rows):
+    """Spark `percentile` interpolates exactly like NumPy's default
+    (type-7, rank p·(n−1)) — the assumption the DuckDB quantile_cont
+    oracle parity rests on — and the clamped means follow."""
+    import numpy as np
+
+    from ad_data_pipelines_spark.operators.agg import winsorized_stats
+
+    df = spark.createDataFrame(rows, "grp string, value double")
+    out = {
+        r.grp: r
+        for r in winsorized_stats(
+            df, "value", ["grp"], 0.1, 0.9, exact=True
+        ).collect()
+    }
+    by_grp: dict[str, list[float]] = {}
+    for g, v in rows:
+        by_grp.setdefault(g, []).append(v)
+    for g, vals in by_grp.items():
+        lo = float(np.quantile(vals, 0.1))  # type-7 default
+        hi = float(np.quantile(vals, 0.9))
+        clamped = [min(max(v, lo), hi) for v in vals]
+        r = out[g]
+        assert r.q_lo == round(lo, 4) and r.q_hi == round(hi, 4)
+        assert r.avg_winsorized == round(sum(clamped) / len(vals), 4)
+
+
+# --- bigram LM vs pure-python reference ------------------------------------
+
+lm_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=6
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(lm_corpus)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bigram_lm_matches_python_reference(spark, token_lists):
+    """The distributed add-k LM scoring equals a dict-based reference
+    on arbitrary tiny corpora (repeated tokens, empty docs, singleton
+    docs)."""
+    import math
+    from collections import Counter
+
+    from ad_data_pipelines_spark.operators.lm import bigram_lm_score
+
+    k = 0.5
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(token_lists)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_ll)
+        for r in bigram_lm_score(docs, k=k).collect()
+    }
+
+    uni = Counter(t for toks in token_lists for t in toks)
+    big = Counter(
+        (toks[i], toks[i + 1])
+        for toks in token_lists
+        for i in range(len(toks) - 1)
+    )
+    v = len(uni)
+    want = {}
+    for i, toks in enumerate(token_lists):
+        pairs = [(toks[j], toks[j + 1]) for j in range(len(toks) - 1)]
+        if not pairs:
+            continue
+        ll = [
+            math.log((big[p] + k) / (uni[p[0]] + k * v)) for p in pairs
+        ]
+        want[i] = (len(pairs), round(sum(ll) / len(pairs), 4))
+    assert got == want
