@@ -23,7 +23,7 @@ from urllib.parse import quote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 from ad_data_pipelines_spark.functions.cleaning import (
     NA_STRINGS,
@@ -243,3 +243,51 @@ def import_folder(
             n += 1
         imported[table] = n
     return imported
+
+
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    **options,
+) -> tuple[DataFrame, DataFrame]:
+    """Typed CSV read that SPLITS malformed rows out instead of
+    silently nulling them: returns (clean, quarantine) where
+    `quarantine` carries each broken row verbatim in `raw_line` for
+    triage — the CSV twin of the JSONL source's corrupt-line
+    quarantine (sources/jsonl.py), and the batch answer to the
+    reference's abort-on-bad-chunk retry loop
+    (`data_ingestion/pg_import.R:253-268`): one bad row must neither
+    kill the import nor vanish.
+
+    Mechanics: PERMISSIVE mode with `columnNameOfCorruptRecord` — rows
+    whose parse fails (wrong column count, unparsable cast under the
+    declared schema) land with the raw text in the corrupt column and
+    NULLs elsewhere. The split is a map-only filter on that column's
+    nullness; both frames come from ONE scan (Spark caches the parsed
+    batch per task). The corrupt column must be part of the read
+    schema, so it is appended here and stripped from the clean half.
+    """
+    corrupt = "_corrupt_record"
+    read_schema = StructType(
+        list(schema.fields) + [StructField(corrupt, StringType())]
+    )
+    reader = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .option("ignoreLeadingWhiteSpace", True)
+        .option("ignoreTrailingWhiteSpace", True)
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.schema(read_schema).csv(path)
+    # Spark requires caching/materializing the corrupt column's frame
+    # before filtering on it (SPARK-38523: the column is filled during
+    # parsing, referencing it alone needs the raw row retained)
+    df = df.cache()
+    clean = df.filter(F.col(corrupt).isNull()).drop(corrupt)
+    quarantine = df.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    return clean, quarantine

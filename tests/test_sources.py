@@ -328,3 +328,41 @@ def test_write_partition_overwrite_only_touches_written_days(spark, tmp_path):
         .upper()
         == "STATIC"
     )
+
+
+def test_read_csv_with_quarantine_splits_broken_rows(spark, tmp_path):
+    """Malformed CSV rows (wrong column count / unparsable cast) land
+    verbatim in the quarantine frame; clean rows parse typed; the
+    split is exhaustive and disjoint."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ad_data_pipelines_spark.sources.manifest import (
+        read_csv_with_quarantine,
+    )
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "id,name,amount\n"
+        "1,alpha,10.5\n"
+        "2,beta,not_a_number\n"      # cast failure
+        "3,gamma\n"                  # missing column
+        "4,delta,7.25\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("amount", DoubleType()),
+        ]
+    )
+    clean, quar = read_csv_with_quarantine(spark, str(p), schema)
+    rows = {r.id: (r.name, r.amount) for r in clean.collect()}
+    assert rows == {1: ("alpha", 10.5), 4: ("delta", 7.25)}
+    bad = sorted(r.raw_line for r in quar.collect())
+    assert bad == ["2,beta,not_a_number", "3,gamma"]
