@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -315,5 +315,227 @@ def robust_outlier_stats_sql(
                    WHERE ABS({value_col} - med) > {k} * mad
                ) AS BIGINT) AS n_outliers
         FROM dev JOIN mad USING ({g})
+        GROUP BY {g}
+    """
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    sample_flag: Column,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per group:
+    D = max |ECDF_a(v) − ECDF_b(v)| between the rows where
+    `sample_flag` is true (sample a) and false (sample b) — the
+    standard "did this week's distribution move vs last week's"
+    monitor for numeric feeds, complementing `embedding_group_stats`
+    (vector drift) and `a19`'s robust outliers (point anomalies).
+
+    Output: (group..., n_a, n_b, ks_stat).
+
+    Scale shape: one (group, value) count aggregate (combinable)
+    carries per-sample counts as two conditional sums, then ONE
+    cumulative window per group ordered by value turns counts into
+    ECDFs — the same single-shuffle discipline as the W-family; totals
+    ride the same window (partition frame), no second pass or join.
+    Groups are assumed plentiful relative to executors (the usual
+    monitoring shape: many slices); a single giant group would need
+    the packing-style sharded prefix sum, documented not implemented.
+    Rows where the flag is NULL are excluded (neither sample), as are
+    NULL values (an ECDF over NULLs is undefined, and the engines
+    disagree on NULL sort order — Spark nulls-first, SQL nulls-last).
+    """
+    gcols = list(group_cols)
+    tagged = df.filter(
+        sample_flag.isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        *gcols,
+        F.col(value_col).alias("__v"),
+        F.when(sample_flag, 1).otherwise(0).alias("__a"),
+    )
+    counts = tagged.groupBy(*gcols, "__v").agg(
+        F.sum("__a").alias("n_a"),
+        F.sum(1 - F.col("__a")).alias("n_b"),
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*gcols)
+    ecdf_gap = F.abs(
+        F.sum("n_a").over(w_cum) / F.sum("n_a").over(w_all)
+        - F.sum("n_b").over(w_cum) / F.sum("n_b").over(w_all)
+    )
+    stepped = counts.select(
+        *gcols,
+        F.sum("n_a").over(w_all).cast("bigint").alias("__ta"),
+        F.sum("n_b").over(w_all).cast("bigint").alias("__tb"),
+        ecdf_gap.alias("__gap"),
+    )
+    return stepped.groupBy(*gcols).agg(
+        F.first("__ta").alias("n_a"),
+        F.first("__tb").alias("n_b"),
+        F.round(F.max("__gap"), round_dp).alias("ks_stat"),
+    )
+
+
+def ks_drift_sql(
+    table: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    flag_sql: str,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of `ks_drift` (`flag_sql` a boolean expression)."""
+    g = ", ".join(group_cols)
+    return f"""
+        WITH tagged AS (
+            SELECT {g}, {value_col} AS v,
+                   CASE WHEN {flag_sql} THEN 1 ELSE 0 END AS a
+            FROM {table}
+            WHERE ({flag_sql}) IS NOT NULL AND {value_col} IS NOT NULL
+        ),
+        counts AS (
+            SELECT {g}, v, SUM(a) AS n_a, SUM(1 - a) AS n_b
+            FROM tagged GROUP BY {g}, v
+        ),
+        stepped AS (
+            SELECT {g},
+                   SUM(n_a) OVER (PARTITION BY {g}) AS ta,
+                   SUM(n_b) OVER (PARTITION BY {g}) AS tb,
+                   ABS(SUM(n_a) OVER (PARTITION BY {g} ORDER BY v
+                           ROWS UNBOUNDED PRECEDING)
+                       / SUM(n_a) OVER (PARTITION BY {g})
+                     - SUM(n_b) OVER (PARTITION BY {g} ORDER BY v
+                           ROWS UNBOUNDED PRECEDING)
+                       / SUM(n_b) OVER (PARTITION BY {g})) AS gap
+            FROM counts
+        )
+        SELECT {g},
+               CAST(ANY_VALUE(ta) AS BIGINT) AS n_a,
+               CAST(ANY_VALUE(tb) AS BIGINT) AS n_b,
+               ROUND(MAX(gap), {round_dp}) AS ks_stat
+        FROM stepped
+        GROUP BY {g}
+    """
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    sample_flag: Column,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    eps: float = 1e-4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Population Stability Index per group — the binned sibling of
+    `ks_drift` and the industry-standard model-monitoring drift score:
+    PSI = Σ_bins (p_a − p_b)·ln(p_a/p_b) over `n_bins` equal-width
+    bins spanning [lo, hi] (values outside clamp into the edge bins).
+    Rule of thumb: <0.1 stable, 0.1–0.25 drifting, >0.25 shifted.
+
+    Output: (group..., n_a, n_b, psi).
+
+    Scale shape: binning is a map-only width computation, then ONE
+    (group, bin) combinable count and one per-group aggregate — no
+    windows at all, so unlike the KS statistic this scales to a
+    single giant group without a prefix-sum rewrite. Fixed [lo, hi]
+    keeps bins comparable ACROSS runs (the monitoring contract: bin
+    edges must not move with the data); empty-bin proportions floor
+    at `eps` — the standard PSI guard, since ln(p/0) is infinite.
+    NULL flags/values are excluded as in `ks_drift`.
+    """
+    gcols = list(group_cols)
+    width = (hi - lo) / n_bins
+    v = F.col(value_col)
+    bin_ = F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    tagged = df.filter(sample_flag.isNotNull() & v.isNotNull()).select(
+        *gcols,
+        bin_.alias("__bin"),
+        F.when(sample_flag, 1).otherwise(0).alias("__a"),
+    )
+    binned = tagged.groupBy(*gcols, "__bin").agg(
+        F.sum("__a").alias("n_a"),
+        F.sum(1 - F.col("__a")).alias("n_b"),
+    )
+    w_all = Window.partitionBy(*gcols)
+    p_a = F.greatest(
+        F.col("n_a") / F.sum("n_a").over(w_all), F.lit(eps)
+    )
+    p_b = F.greatest(
+        F.col("n_b") / F.sum("n_b").over(w_all), F.lit(eps)
+    )
+    terms = binned.select(
+        *gcols,
+        F.sum("n_a").over(w_all).cast("bigint").alias("__ta"),
+        F.sum("n_b").over(w_all).cast("bigint").alias("__tb"),
+        ((p_a - p_b) * F.log(p_a / p_b)).alias("__term"),
+    )
+    return terms.groupBy(*gcols).agg(
+        F.first("__ta").alias("n_a"),
+        F.first("__tb").alias("n_b"),
+        F.round(F.sum("__term"), round_dp).alias("psi"),
+    )
+
+
+def psi_drift_sql(
+    table: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    flag_sql: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    eps: float = 1e-4,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of `psi_drift`."""
+    g = ", ".join(group_cols)
+    width = (hi - lo) / n_bins
+    bin_ = (
+        f"LEAST(GREATEST(CAST(FLOOR(({value_col} - {lo!r}) / {width!r}) "
+        f"AS INTEGER), 0), {n_bins - 1})"
+    )
+    return f"""
+        WITH tagged AS (
+            SELECT {g}, {bin_} AS bin,
+                   CASE WHEN {flag_sql} THEN 1 ELSE 0 END AS a
+            FROM {table}
+            WHERE ({flag_sql}) IS NOT NULL AND {value_col} IS NOT NULL
+        ),
+        binned AS (
+            SELECT {g}, bin, SUM(a) AS n_a, SUM(1 - a) AS n_b
+            FROM tagged GROUP BY {g}, bin
+        ),
+        terms AS (
+            SELECT {g},
+                   SUM(n_a) OVER (PARTITION BY {g}) AS ta,
+                   SUM(n_b) OVER (PARTITION BY {g}) AS tb,
+                   (GREATEST(n_a / SUM(n_a) OVER (PARTITION BY {g}),
+                             {eps!r})
+                    - GREATEST(n_b / SUM(n_b) OVER (PARTITION BY {g}),
+                               {eps!r}))
+                   * ln(GREATEST(n_a / SUM(n_a) OVER (PARTITION BY {g}),
+                                 {eps!r})
+                        / GREATEST(n_b / SUM(n_b) OVER (PARTITION BY {g}),
+                                   {eps!r})) AS term
+            FROM binned
+        )
+        SELECT {g},
+               CAST(ANY_VALUE(ta) AS BIGINT) AS n_a,
+               CAST(ANY_VALUE(tb) AS BIGINT) AS n_b,
+               ROUND(SUM(term), {round_dp}) AS psi
+        FROM terms
         GROUP BY {g}
     """

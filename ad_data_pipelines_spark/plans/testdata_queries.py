@@ -3647,6 +3647,54 @@ def q_w7_cumulative_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "a20_ks_drift",
+    oracle=_agg.ks_drift_sql(
+        "events", "value", ["event_type"], "day(ts) <= 15"
+    ),
+    doc="Two-sample Kolmogorov-Smirnov drift per event_type: first "
+    "half of the month vs second (D = max ECDF gap) — the numeric "
+    "distribution monitor beside llm_embedding_drift's vector one. "
+    "One combinable (group, value) count carrying both samples as "
+    "conditional sums, then ONE cumulative window per group turns "
+    "counts into ECDFs; totals ride the same window. NULL flags/"
+    "values excluded (engines disagree on NULL sort order). "
+    "operators/agg.py:ks_drift.",
+)
+def q_a20_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return _agg.ks_drift(
+        ev, "value", ["event_type"], F.dayofmonth("ts") <= 15
+    )
+
+
+@register(
+    "a21_psi_drift",
+    oracle=_agg.psi_drift_sql(
+        "events", "value", ["event_type"], "day(ts) <= 15",
+        lo=0.0, hi=500.0, n_bins=10,
+    ),
+    doc="Population Stability Index per event_type over 10 fixed-width "
+    "bins on [0, 500] — the industry-standard binned drift score "
+    "(<0.1 stable, >0.25 shifted); fixed edges keep bins comparable "
+    "across runs. Map-only binning + one combinable (group, bin) "
+    "count + one per-group aggregate — NO windows over raw rows, so "
+    "unlike the KS form it scales to a single giant group unchanged. "
+    "operators/agg.py:psi_drift.",
+)
+def q_a21_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return _agg.psi_drift(
+        ev,
+        "value",
+        ["event_type"],
+        F.dayofmonth("ts") <= 15,
+        lo=0.0,
+        hi=500.0,
+        n_bins=10,
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -3700,6 +3748,8 @@ _GATE_PRIORITY = [
     "a19_robust_outliers",
     "llm_dedup_stats",
     "w7_cumulative_share",
+    "a20_ks_drift",
+    "a21_psi_drift",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

@@ -1377,3 +1377,49 @@ def test_contamination_grams_path_null_predicate_parity(spark):
     }
     assert direct == shared
     assert 4 not in shared  # NULL-predicate doc on neither side
+
+
+def test_ks_and_psi_drift_known_distributions(spark):
+    """Identical samples score ~0 on both monitors; disjoint samples
+    hit the KS maximum (1.0) and a large PSI; the KS statistic matches
+    scipy-style hand computation on a small case."""
+    from ad_data_pipelines_spark.operators import agg as agg_ops
+
+    same = [("g", float(v), f) for v in range(20) for f in (True, False)]
+    df_same = spark.createDataFrame(
+        same, "grp string, value double, flag boolean"
+    )
+    ks0 = agg_ops.ks_drift(
+        df_same, "value", ["grp"], F.col("flag")
+    ).collect()[0]
+    assert ks0.ks_stat == 0.0 and ks0.n_a == 20 and ks0.n_b == 20
+    psi0 = agg_ops.psi_drift(
+        df_same, "value", ["grp"], F.col("flag"), lo=0.0, hi=20.0
+    ).collect()[0]
+    assert psi0.psi == 0.0
+
+    disjoint = [("g", float(v), True) for v in range(10)] + [
+        ("g", float(v + 100), False) for v in range(10)
+    ]
+    df_dis = spark.createDataFrame(
+        disjoint, "grp string, value double, flag boolean"
+    )
+    ks1 = agg_ops.ks_drift(
+        df_dis, "value", ["grp"], F.col("flag")
+    ).collect()[0]
+    assert ks1.ks_stat == 1.0
+    psi1 = agg_ops.psi_drift(
+        df_dis, "value", ["grp"], F.col("flag"), lo=0.0, hi=110.0
+    ).collect()[0]
+    assert psi1.psi > 1.0  # way past the 0.25 'shifted' rule of thumb
+
+    # hand case: a={1,2}, b={2,3} -> D at v<2 is |0.5-0| = 0.5
+    hand = [("g", 1.0, True), ("g", 2.0, True),
+            ("g", 2.0, False), ("g", 3.0, False)]
+    df_h = spark.createDataFrame(
+        hand, "grp string, value double, flag boolean"
+    )
+    ksh = agg_ops.ks_drift(
+        df_h, "value", ["grp"], F.col("flag")
+    ).collect()[0]
+    assert ksh.ks_stat == 0.5
