@@ -3695,6 +3695,24 @@ def q_a21_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_pq_topk",
+    oracle=_sim.pq_topk_sql(max_query_id=10, k=5),
+    doc="Product-quantization ANN (the FAISS compression workhorse): "
+    "vectors encode to one small code per subspace (argmin distance "
+    "to deterministic per-subspace codebooks — array_min over "
+    "(dist, j) structs, scores evaluated once, map-only) and search "
+    "scores in the COMPRESSED domain: per query one k-entry LUT per "
+    "subspace, per corpus vector 8 array lookups instead of a 64-"
+    "float dot product. Production composition is PQ-within-IVF "
+    "(probe cells, PQ-score only those codes). "
+    "operators/similarity.py:pq_encode,pq_topk.",
+)
+def q_llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return _sim.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -3750,6 +3768,7 @@ _GATE_PRIORITY = [
     "w7_cumulative_share",
     "a20_ks_drift",
     "a21_psi_drift",
+    "llm_pq_topk",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

@@ -1423,3 +1423,40 @@ def test_ks_and_psi_drift_known_distributions(spark):
         df_h, "value", ["grp"], F.col("flag")
     ).collect()[0]
     assert ksh.ks_stat == 0.5
+
+
+def test_pq_topk_self_match_and_recall(spark):
+    """PQ asymmetric distance: a query's own codes minimize every LUT
+    term, so its own vector always attains the per-query minimum
+    approx distance (quantization error) — and compressed-domain top-5
+    retains a sane fraction of exact-euclidean top-5."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = similarity.pq_topk(emb, queries, k=5).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(20))
+    for qid, rows in by_q.items():
+        dmin = min(r.approx_dist for r in rows)
+        own = [r for r in rows if r.neighbor_id == qid]
+        assert own and own[0].approx_dist == dmin
+
+    # exact euclidean reference for recall
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    hits = total = 0
+    for qid in range(20):
+        q = vecs[qid]
+        exact = sorted(
+            vecs, key=lambda v: (float(np.sum((vecs[v] - q) ** 2)), v)
+        )[:5]
+        approx = {r.neighbor_id for r in by_q[qid]}
+        hits += len(approx & set(exact))
+        total += 5
+    recall = hits / total
+    assert recall >= 0.15, f"PQ recall collapsed: {recall}"
