@@ -984,3 +984,150 @@ def pq_topk_sql(
             FROM codes x CROSS JOIN q
         ) WHERE rk <= {k}
     """
+
+
+def pq_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
+    corpus_cells: DataFrame | None = None,
+    centroids: DataFrame | None = None,
+    round_dp: int = 5,
+) -> DataFrame:
+    """PQ-within-IVF — the production ANN composition (FAISS IVFPQ):
+    probe the query's `nprobe` nearest cells, then PQ-score ONLY the
+    probed cells' codes in the compressed domain. Candidate set comes
+    from IVF (sublinear in corpus), per-candidate cost from PQ (8 LUT
+    lookups, no float vectors touched at search time).
+
+    Scale shape: the corpus artifacts — cell assignment and code
+    table — are both shareable/materializable (the `corpus_cells` /
+    `codes` hooks; on disk: one table partitioned by cell_id carrying
+    8 small ints per vector). The search joins codes on cell_id only;
+    query LUTs compute map-side on the broadcast query side; raw
+    embeddings never reach the search join.
+    """
+    cbs = codebooks or pq_codebooks()
+    cent = (
+        centroids if centroids is not None else ivf_centroids(emb)
+    )
+    if corpus_cells is None:
+        corpus_cells = ivf_cells(emb, cent, "neighbor_id", "c_emb", 1)
+    if codes is None:
+        codes = pq_encode(emb, cbs)
+    coded = corpus_cells.select("neighbor_id", "cell_id").join(
+        codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    )
+    query_cells = ivf_cells(queries, cent, "query_id", "q_emb", nprobe)
+    elem = lambda i: f"CAST(q_emb[{i}] AS DOUBLE)"  # noqa: E731
+    qcols = [F.col("query_id"), F.col("cell_id")]
+    for s, book in enumerate(cbs):
+        luts = ", ".join(_pq_sq_dist(s, c, elem) for c in book)
+        qcols.append(F.expr(f"array({luts})").alias(f"lut{s}"))
+    q = query_cells.select(*qcols)
+    joined = coded.join(F.broadcast(q), "cell_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dist = None
+    for s in range(len(cbs)):
+        term = F.element_at(f"lut{s}", F.col(f"c{s}") + 1)
+        dist = term if dist is None else dist + term
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(dist, round_dp).alias("approx_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def pq_ivf_topk_sql(
+    max_query_id: int,
+    k: int = 5,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    codebooks: list[list[list[float]]] | None = None,
+    round_dp: int = 5,
+) -> str:
+    """DuckDB twin of `pq_ivf_topk` (IVF cell CTEs from ivf_topk_sql +
+    PQ code/LUT algebra from pq_topk_sql)."""
+    cbs = codebooks or pq_codebooks()
+    dot_ab = (
+        "list_sum(list_transform(list_zip({a}.embedding, {b}.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    elem = lambda i: f"CAST(embedding[{i + 1}] AS DOUBLE)"  # noqa: E731
+    code_cols = []
+    for s, book in enumerate(cbs):
+        ds = [f"({_pq_sq_dist(s, c, elem)})" for c in book]
+        m = "LEAST(" + ", ".join(ds) + ")"
+        case = " ".join(
+            f"WHEN {d} = {m} THEN {j}" for j, d in enumerate(ds)
+        )
+        code_cols.append(f"(CASE {case} END) AS c{s}")
+    lut_cols = []
+    for s, book in enumerate(cbs):
+        luts = ", ".join(f"({_pq_sq_dist(s, c, elem)})" for c in book)
+        lut_cols.append(f"[{luts}] AS lut{s}")
+    dist = " + ".join(
+        f"q.lut{s}[cc.c{s} + 1]" for s in range(len(cbs))
+    )
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cell_id, embedding FROM embeddings
+            WHERE vec_id < {n_cells}
+        ),
+        corpus_cells AS (
+            SELECT neighbor_id, cell_id FROM (
+                SELECT v.vec_id AS neighbor_id, cent.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ROUND({dot_ab.format(a='v', b='cent')}, 4) DESC,
+                                    cent.cell_id
+                       ) AS crk
+                FROM embeddings v CROSS JOIN cent
+            ) WHERE crk <= 1
+        ),
+        codes AS (
+            SELECT vec_id, {", ".join(code_cols)} FROM embeddings
+        ),
+        coded AS (
+            SELECT cc.neighbor_id, cc.cell_id, codes.* EXCLUDE (vec_id)
+            FROM corpus_cells cc JOIN codes ON codes.vec_id = cc.neighbor_id
+        ),
+        query_cells AS (
+            SELECT query_id, cell_id FROM (
+                SELECT v.vec_id AS query_id, cent.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ROUND({dot_ab.format(a='v', b='cent')}, 4) DESC,
+                                    cent.cell_id
+                       ) AS crk
+                FROM embeddings v CROSS JOIN cent
+                WHERE v.vec_id < {max_query_id}
+            ) WHERE crk <= {nprobe}
+        ),
+        q AS (
+            SELECT qc.query_id, qc.cell_id, {", ".join(lut_cols)}
+            FROM query_cells qc JOIN embeddings e ON e.vec_id = qc.query_id
+        )
+        SELECT query_id, neighbor_id, approx_dist, rk FROM (
+            SELECT q.query_id, cc.neighbor_id,
+                   ROUND({dist}, {round_dp}) AS approx_dist,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND({dist}, {round_dp}) ASC,
+                                cc.neighbor_id ASC) AS BIGINT) AS rk
+            FROM coded cc JOIN q ON q.cell_id = cc.cell_id
+            WHERE q.query_id <> cc.neighbor_id
+        ) WHERE rk <= {k}
+    """

@@ -3713,6 +3713,30 @@ def q_llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+@register(
+    "llm_pq_ivf_topk",
+    oracle=_sim.pq_ivf_topk_sql(max_query_id=10, k=5),
+    doc="PQ-within-IVF (the FAISS IVFPQ production composition): "
+    "queries probe their nprobe nearest cells, then PQ-score ONLY the "
+    "probed cells' codes in the compressed domain — IVF bounds the "
+    "candidate set sublinearly, PQ makes each candidate 8 LUT lookups "
+    "with no float vectors at search time. Both corpus artifacts "
+    "(cell assignment, code table) are shareable/materializable; "
+    "the search join shuffles cell_id + 8 small ints per vector. "
+    "operators/similarity.py:pq_ivf_topk.",
+)
+def q_llm_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return _sim.pq_ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        corpus_cells=_ivf_cells_shared(spark, sf_dir).select(
+            "neighbor_id", "cell_id", F.col("c_emb")
+        ),
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -3769,6 +3793,7 @@ _GATE_PRIORITY = [
     "a20_ks_drift",
     "a21_psi_drift",
     "llm_pq_topk",
+    "llm_pq_ivf_topk",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

@@ -1460,3 +1460,22 @@ def test_pq_topk_self_match_and_recall(spark):
         total += 5
     recall = hits / total
     assert recall >= 0.15, f"PQ recall collapsed: {recall}"
+
+
+def test_pq_ivf_topk_consistent_with_full_pq(spark):
+    """IVFPQ distances agree with full-corpus PQ scoring on the pairs
+    it returns (same LUT algebra, candidate set narrowed by cell
+    probing); self-pairs are excluded; every query reports."""
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    ivfpq = similarity.pq_ivf_topk(emb, queries, k=5).collect()
+    # full PQ distances for every (query, corpus) pair: rank high so
+    # nothing is cut before comparison
+    full = {
+        (r.query_id, r.neighbor_id): r.approx_dist
+        for r in similarity.pq_topk(emb, queries, k=10_000).collect()
+    }
+    assert {r.query_id for r in ivfpq} == set(range(10))
+    for r in ivfpq:
+        assert r.query_id != r.neighbor_id
+        assert full[(r.query_id, r.neighbor_id)] == r.approx_dist
