@@ -1936,6 +1936,7 @@ def warm_shared_stages(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "char_entropy": _entropy_shared,
         "repetition": _repetition_shared,
         "word_grams": _word_grams_shared,
+        "pq_codes": _pq_codes_shared,
     }
     costs: dict[str, float] = {}
     for name, fn in stages.items():
@@ -1943,6 +1944,17 @@ def warm_shared_stages(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         fn(spark, sf_dir).count()  # forces the persist to materialize
         costs[name] = round(_time.perf_counter() - t0, 4)
     return costs
+
+
+def _pq_codes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one corpus PQ encode per session feeds flat PQ search AND the
+    # IVFPQ composition (disk twin: the code table itself)
+    return _shared(
+        spark,
+        sf_dir,
+        "pq_codes",
+        lambda: _sim.pq_encode(t(spark, sf_dir, "embeddings")),
+    )
 
 
 def _word_grams_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3710,7 +3722,12 @@ def q_a21_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
-    return _sim.pq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return _sim.pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        codes=_pq_codes_shared(spark, sf_dir),
+    )
 
 
 @register(
@@ -3731,6 +3748,7 @@ def q_llm_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         emb.filter(F.col("vec_id") < 10),
         k=5,
+        codes=_pq_codes_shared(spark, sf_dir),
         corpus_cells=_ivf_cells_shared(spark, sf_dir).select(
             "neighbor_id", "cell_id", F.col("c_emb")
         ),
