@@ -3755,6 +3755,61 @@ def q_llm_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_packing_efficiency",
+    oracle="""
+        WITH toks AS (
+            SELECT greatest(len(list_filter(
+                       regexp_split_to_array(trim(text), '\\s+'),
+                       x -> x <> '')), 1) AS n
+            FROM documents
+        )
+        SELECT 128 AS seq_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(SUM(CAST(ceil(n / 128.0) AS BIGINT)) AS BIGINT)
+                   AS padded_sequences,
+               ROUND(1.0 - CAST(SUM(n) AS DOUBLE)
+                     / (128 * SUM(CAST(ceil(n / 128.0) AS BIGINT))), 6)
+                   AS padded_waste_frac,
+               CAST(ceil(SUM(n) / 128.0) AS BIGINT) AS packed_sequences
+        FROM toks
+    """,
+    doc="Packing-efficiency report: the budget case FOR "
+    "llm_pack_sequences — under a one-doc-per-sequence pad-to-128 "
+    "policy, how many sequences and what padding fraction does this "
+    "corpus cost vs concat-and-chunk's ceil(total/128)? One "
+    "combinable aggregate over per-doc token counts (empty docs "
+    "floor at 1 token — one BOS/EOS slot); the waste fraction is the "
+    "compute you burn training on pad tokens. Pure map + one agg, "
+    "no shuffle of anything but partial sums.",
+)
+def q_llm_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = 128
+    n = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit("")
+            )
+        ).cast("bigint"),
+        F.lit(1),
+    )
+    toks = t(spark, sf_dir, "documents").select(n.alias("n"))
+    padded_seqs = F.sum(F.expr(f"(n + {b - 1}) DIV {b}"))
+    return toks.agg(
+        F.lit(b).alias("seq_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        padded_seqs.cast("bigint").alias("padded_sequences"),
+        F.round(
+            F.lit(1.0) - F.sum("n") / (F.lit(b) * padded_seqs), 6
+        ).alias("padded_waste_frac"),
+        F.expr(f"(sum(n) + {b - 1}) DIV {b}").cast("bigint").alias(
+            "packed_sequences"
+        ),
+    )
+
+
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
@@ -3812,6 +3867,7 @@ _GATE_PRIORITY = [
     "a21_psi_drift",
     "llm_pq_topk",
     "llm_pq_ivf_topk",
+    "llm_packing_efficiency",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage
