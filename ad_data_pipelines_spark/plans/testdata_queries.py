@@ -1924,7 +1924,16 @@ def warm_shared_stages(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """
     import time as _time
 
-    stages: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    costs: dict[str, float] = {}
+    for name, fn in _shared_stages_map().items():
+        t0 = _time.perf_counter()
+        fn(spark, sf_dir).count()  # forces the persist to materialize
+        costs[name] = round(_time.perf_counter() - t0, 4)
+    return costs
+
+
+def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
         "shingles": _shingles_shared,
         "minhash_sigs": _minhash_sigs_shared,
         "lsh_pairs": _lsh_pairs_shared,
@@ -1938,12 +1947,45 @@ def warm_shared_stages(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "word_grams": _word_grams_shared,
         "pq_codes": _pq_codes_shared,
     }
-    costs: dict[str, float] = {}
-    for name, fn in stages.items():
-        t0 = _time.perf_counter()
-        fn(spark, sf_dir).count()  # forces the persist to materialize
-        costs[name] = round(_time.perf_counter() - t0, 4)
-    return costs
+
+
+#: bump when ANY shared stage's build parameters change — on-disk
+#: artifact directories carrying the previous revision string are then
+#: version-stale and rebuilt on next access (rebuild-on-version-change)
+_SHARED_REV = 1
+
+
+def materialize_shared_artifacts(
+    spark: SparkSession, sf_dir: str, root: str
+) -> dict[str, str]:
+    """Write every session-shared corpus stage as a VERSIONED ON-DISK
+    artifact under `root` (one parquet dir per stage, marker contract
+    in operators/artifacts.py) and return {stage: path}.
+
+    This is the production shape of the `_shared` in-session memo: a
+    scheduled upstream job materializes signatures / buckets / cells /
+    codes / grams / signals once per corpus revision, and every
+    consumer job scans the artifact (column-pruned, stat-pruned
+    parquet) instead of re-deriving the chain. A re-run with an
+    unchanged (corpus, `_SHARED_REV`) version is a marker read — no
+    Spark job; bumping either rebuilds exactly the stale stages.
+    """
+    import os as _os
+
+    from ad_data_pipelines_spark.operators import artifacts as _art
+
+    corpus = _os.path.basename(_os.path.normpath(sf_dir))
+    out: dict[str, str] = {}
+    for name, fn in _shared_stages_map().items():
+        path = _os.path.join(root, name)
+        version = _art.artifact_version(
+            stage=name, corpus=corpus, rev=_SHARED_REV
+        )
+        _art.materialize(
+            spark, path, version, lambda fn=fn: fn(spark, sf_dir)
+        )
+        out[name] = path
+    return out
 
 
 def _pq_codes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
