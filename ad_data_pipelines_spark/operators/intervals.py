@@ -6,18 +6,22 @@ this one is containment: "which campaign window / maintenance window /
 session was this event inside?".
 
 Strategy (the standard bucketize-and-filter range join, cf. interval
-join optimizations in Databricks/Flink): pick a bucket width (here
-calendar days), explode each interval onto every bucket it overlaps,
-map each point to its single bucket, EQUI-join on (bucket, *keys), then
-post-filter the exact half-open containment `start <= ts < end`.
+join optimizations in Databricks/Flink): pick a bucket width, explode
+each interval onto every bucket it overlaps, map each point to its
+single bucket, EQUI-join on (bucket, *keys), then post-filter the
+exact half-open containment `start <= ts < end`.
 
 Scale shape:
   * The join is a plain hash equi-join — shuffles on (bucket, keys),
     broadcastable when the exploded interval side is small, AQE
     skew-splittable when a bucket is hot. No nested loop at any size.
-  * The interval explode factor is ceil(span / bucket) + 1 — choose
-    the bucket width near the p95 interval span (a day here; the
-    `bucket_expr` hook takes hours/weeks). Points never multiply.
+  * The interval explode factor is at most ceil(span / bucket) + 1 —
+    choose `bucket_width` near the p95 interval span ("1 day" default;
+    "6 hours" for tight maintenance windows, "1 week" for campaign
+    flights). Points never multiply regardless of width.
+  * Bucket ids are exact integer division of `unix_micros` — no
+    double arithmetic anywhere near a bucket boundary (the same
+    rounding hazard class ADVICE flagged in packing's float floor).
   * Half-open [start, end) keeps midnight-boundary events in exactly
     one window — the same convention as the reference's half-open
     date filters (P5) and the streaming session windows.
@@ -34,9 +38,56 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+_UNIT_MICROS = {
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
 
-def _day_bucket(c: Column) -> Column:
-    return F.to_date(c)
+
+def width_micros(bucket_width: str) -> int:
+    """Parse '<n> <unit>' (unit: minute/hour/day/week, plural ok) into
+    microseconds. Rejects zero/negative widths."""
+    parts = bucket_width.strip().lower().split()
+    if len(parts) != 2:
+        raise ValueError(f"bucket_width must be '<n> <unit>': {bucket_width!r}")
+    n, unit = int(parts[0]), parts[1].rstrip("s")
+    if unit not in _UNIT_MICROS:
+        raise ValueError(
+            f"unknown bucket unit {unit!r} (use minute/hour/day/week)"
+        )
+    if n <= 0:
+        raise ValueError(f"bucket_width must be positive: {bucket_width!r}")
+    return n * _UNIT_MICROS[unit]
+
+
+def _bucket(col: str, micros: int) -> Column:
+    # integer `div` — exact at any magnitude, monotonic in ts, so a
+    # point's bucket always lies within its covering interval's range
+    return F.expr(f"unix_micros({col}) div {micros}L")
+
+
+def bucketed_intervals(
+    intervals: DataFrame,
+    start_col: str = "w_start",
+    end_col: str = "w_end",
+    bucket_width: str = "1 day",
+) -> DataFrame:
+    """Each interval exploded onto every bucket it overlaps (column
+    `__bucket`), empty intervals dropped. Exposed so callers/tests can
+    audit the explode factor for a candidate width before running the
+    join at scale."""
+    micros = width_micros(bucket_width)
+    return intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                _bucket(start_col, micros),
+                F.expr(f"(unix_micros({end_col}) - 1) div {micros}L"),
+            )
+        ),
+    )
 
 
 def interval_join(
@@ -46,23 +97,20 @@ def interval_join(
     start_col: str = "w_start",
     end_col: str = "w_end",
     keys: Sequence[str] = (),
+    bucket_width: str = "1 day",
 ) -> DataFrame:
     """Inner join of each point row to every interval row containing
     its timestamp (`start <= ts < end`), matching additionally on
     `keys`. Column names across the two inputs must be disjoint apart
-    from `keys` (rename upstream — keeps the result unambiguous)."""
-    pts = points.withColumn("__bucket", _day_bucket(F.col(ts_col)))
-    ivs = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                _day_bucket(F.col(start_col)),
-                _day_bucket(
-                    F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND")
-                ),
-            )
-        ),
-    )
+    from `keys` (rename upstream — keeps the result unambiguous).
+
+    `bucket_width` tunes blocking only — the exact containment filter
+    runs after the equi-join, so every width returns the identical
+    result; width choice trades interval explode factor against
+    per-bucket point fan-in."""
+    micros = width_micros(bucket_width)
+    pts = points.withColumn("__bucket", _bucket(ts_col, micros))
+    ivs = bucketed_intervals(intervals, start_col, end_col, bucket_width)
     joined = pts.join(ivs, on=["__bucket", *keys], how="inner")
     return joined.where(
         (F.col(ts_col) >= F.col(start_col))

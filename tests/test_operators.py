@@ -1189,6 +1189,59 @@ def test_interval_join_semantics_and_plan(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_interval_join_bucket_width_hook(spark):
+    """Any bucket width returns the identical join result (blocking
+    never changes semantics), and the interval explode factor respects
+    the documented ceil(span/width)+1 bound per width."""
+    import datetime as dt
+    import math
+
+    from ad_data_pipelines_spark.operators import intervals
+
+    T = dt.datetime
+    points = spark.createDataFrame(
+        [(i, T(2024, 1, 1) + dt.timedelta(hours=7 * i)) for i in range(40)],
+        "point_id bigint, ts timestamp",
+    )
+    ivs_rows = [
+        ("short", T(2024, 1, 1, 3, 0), T(2024, 1, 1, 4, 30)),
+        ("day", T(2024, 1, 2, 0, 0), T(2024, 1, 3, 0, 0)),
+        ("multi", T(2024, 1, 4, 12, 0), T(2024, 1, 9, 1, 0)),
+        ("exact_wk", T(2024, 1, 1, 0, 0), T(2024, 1, 8, 0, 0)),
+    ]
+    ivs = spark.createDataFrame(
+        ivs_rows, "iv_id string, w_start timestamp, w_end timestamp"
+    )
+
+    results = {}
+    for width in ("1 minute", "6 hours", "1 day", "1 week"):
+        out = intervals.interval_join(points, ivs, bucket_width=width)
+        results[width] = sorted(
+            (r.point_id, r.iv_id) for r in out.collect()
+        )
+    assert len({tuple(v) for v in results.values()}) == 1
+    assert results["1 day"]  # non-empty: the equivalence is non-vacuous
+
+    for width in ("6 hours", "1 day", "1 week"):
+        w_us = intervals.width_micros(width)
+        exploded = intervals.bucketed_intervals(
+            ivs, bucket_width=width
+        ).count()
+        bound = sum(
+            math.ceil(((e - s) / dt.timedelta(microseconds=1)) / w_us) + 1
+            for _, s, e in ivs_rows
+        )
+        assert exploded <= bound
+
+    # hostile widths fail loudly, not with a silent wrong bucketing
+    for bad in ("0 days", "-1 hour", "1 fortnight", "day"):
+        try:
+            intervals.width_micros(bad)
+            raise AssertionError(f"accepted bad width {bad!r}")
+        except ValueError:
+            pass
+
+
 def test_embedding_group_stats_hand_computed(spark):
     """Two-vector group: centroid is the midpoint, cosines follow by
     hand; singleton group: cos-to-centroid is exactly 1."""
