@@ -527,3 +527,62 @@ def test_streaming_asof_enrich_matches_batch(spark, tmp_path):
     assert len(got) == events.count()
     # both versions actually exercised
     assert {t for t, _ in got.values()} == {"bronze", "gold"}
+
+
+def test_streaming_asof_enrich_refreshes_dim_per_trigger(spark, tmp_path):
+    """With a provider-callable dimension, every micro-batch
+    re-resolves the history table: a dim rebuilt between triggers is
+    visible to the next batch within ONE drain (the long-running
+    production stream's freshness contract), and the provider is
+    invoked once per micro-batch."""
+    import datetime as dt
+
+    from ad_data_pipelines_spark.streaming import enrich_asof
+
+    T = dt.datetime
+    events = tq.t(spark, SF_SMALL, "events").limit(40).cache()
+    ids = [r.event_id for r in events.select("event_id").collect()]
+    half = set(ids[: len(ids) // 2])
+    src = tmp_path / "events_src"
+    # two single-file batches with known membership
+    events.filter(F.col("event_id").isin(half)).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+    events.filter(~F.col("event_id").isin(half)).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+
+    users = [r.user_id for r in events.select("user_id").distinct().collect()]
+
+    calls = []
+
+    def provider():
+        calls.append(1)
+        # the upstream dim job "rebuilt" the table between triggers
+        tag = f"v{len(calls)}"
+        return spark.createDataFrame(
+            [(u, T(2024, 1, 1), tag) for u in users],
+            "user_id bigint, valid_from timestamp, tier string",
+        )
+
+    enrich_asof.run_asof_enrich_available_now(
+        spark,
+        str(src),
+        provider,
+        checkpoint=str(tmp_path / "ck"),
+        out_path=str(tmp_path / "out"),
+        right_cols=["tier"],
+        max_files_per_trigger=1,
+    )
+
+    out = spark.read.parquet(str(tmp_path / "out"))
+    rows = {r.event_id: r.tier for r in out.collect()}
+    assert len(calls) == 2, "provider must be re-invoked per micro-batch"
+    assert set(rows) == set(ids)
+    # each single-file micro-batch saw exactly one dim version, and the
+    # two batches saw DIFFERENT versions
+    tiers_a = {rows[i] for i in ids if i in half}
+    tiers_b = {rows[i] for i in ids if i not in half}
+    assert len(tiers_a) == 1 and len(tiers_b) == 1
+    assert tiers_a != tiers_b and tiers_a | tiers_b == {"v1", "v2"}
+    events.unpersist()
