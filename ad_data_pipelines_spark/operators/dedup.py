@@ -296,6 +296,89 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    k: int = SHINGLE_K,
+    min_containment: float = 0.5,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Exact k-gram CONTAINMENT pairs: |A∩B|/|A| and |A∩B|/|B| for
+    doc pairs sharing shingles, kept when either direction ≥ the
+    threshold. The asymmetric twin of `ngram_jaccard_pairs` — a short
+    doc quoted inside a long one scores near 1.0 containment while its
+    Jaccard stays small, so symmetric dedup misses subset duplication
+    (quote expansion, page-plus-boilerplate wrappers). Broder's
+    containment measure, cf. "On the resemblance and containment of
+    documents" (SEQUENCES '97).
+
+    Same scale contract as the Jaccard verifier: quadratic in
+    shared-shingle frequency, so run it ONLY on bounded scopes (LSH
+    candidate pairs, samples) — never the unscoped corpus. Returns
+    (doc_a, doc_b, inter_n, cont_a, cont_b)."""
+    sh = char_shingles(docs, k) if shingled is None else shingled
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter_n"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont_a = F.round(F.col("inter_n") / F.col("sa.sz"), 4)
+    cont_b = F.round(F.col("inter_n") / F.col("sb.sz"), 4)
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_n",
+            cont_a.alias("cont_a"),
+            cont_b.alias("cont_b"),
+        )
+        .filter(
+            (F.col("cont_a") >= min_containment)
+            | (F.col("cont_b") >= min_containment)
+        )
+    )
+
+
+def ngram_containment_sql(
+    max_doc_id: int, min_containment: float = 0.5
+) -> str:
+    """DuckDB twin of `ngram_containment_pairs` on a doc_id-bounded
+    scope."""
+    return f"""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, GREATEST(n_chars - {SHINGLE_K - 1}, 1))) AS i
+            FROM documents WHERE doc_id < {max_doc_id}
+        ),
+        sh AS (SELECT DISTINCT doc_id, substr(text, i, {SHINGLE_K}) AS g FROM pos),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter_n
+            FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, inter_n,
+               ROUND(inter_n * 1.0 / sa.sz, 4) AS cont_a,
+               ROUND(inter_n * 1.0 / sb.sz, 4) AS cont_b
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ROUND(inter_n * 1.0 / sa.sz, 4) >= {min_containment}
+           OR ROUND(inter_n * 1.0 / sb.sz, 4) >= {min_containment}
+    """
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """Per-doc SimHash over whitespace tokens: (doc_id, simhash).
 

@@ -64,8 +64,10 @@ def width_micros(bucket_width: str) -> int:
 
 def _bucket(col: str, micros: int) -> Column:
     # integer `div` — exact at any magnitude, monotonic in ts, so a
-    # point's bucket always lies within its covering interval's range
-    return F.expr(f"unix_micros({col}) div {micros}L")
+    # point's bucket always lies within its covering interval's range.
+    # The cast makes TIMESTAMP_NTZ inputs bucketable (session-TZ
+    # interpretation — blocking only, so any consistent mapping works)
+    return F.expr(f"unix_micros(CAST({col} AS TIMESTAMP)) div {micros}L")
 
 
 def bucketed_intervals(
@@ -84,9 +86,47 @@ def bucketed_intervals(
         F.explode(
             F.sequence(
                 _bucket(start_col, micros),
-                F.expr(f"(unix_micros({end_col}) - 1) div {micros}L"),
+                F.expr(
+                    f"(unix_micros(CAST({end_col} AS TIMESTAMP)) - 1) "
+                    f"div {micros}L"
+                ),
             )
         ),
+    )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str = "a_start",
+    left_end: str = "a_end",
+    right_start: str = "b_start",
+    right_end: str = "b_end",
+    keys: Sequence[str] = (),
+    bucket_width: str = "1 day",
+) -> DataFrame:
+    """Inner join of every left interval to every right interval it
+    OVERLAPS (half-open: `a_start < b_end AND b_start < a_end`),
+    matching additionally on `keys` — the interval×interval sibling of
+    `interval_join` ("which shipments were in flight during a
+    maintenance window"). Column names must be disjoint apart from
+    `keys`.
+
+    Both sides explode onto their covering buckets, EQUI-join on
+    (bucket, *keys), then dedup pairs that co-occupy several buckets
+    with `distinct` so a pair is emitted once no matter how many
+    buckets it shares. The dedup shuffles the joined rows — project
+    each side down to (ids, bounds, keys) upstream so that exchange
+    stays narrow. Same blocking-only contract as `interval_join`: any
+    `bucket_width` returns the identical result."""
+    lb = bucketed_intervals(left, left_start, left_end, bucket_width)
+    rb = bucketed_intervals(right, right_start, right_end, bucket_width)
+    joined = lb.join(rb, on=["__bucket", *keys], how="inner").drop(
+        "__bucket"
+    )
+    return joined.distinct().where(
+        (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end))
     )
 
 

@@ -743,6 +743,7 @@ from ad_data_pipelines_spark.operators import snapshot as _snapshot  # noqa: E40
 from ad_data_pipelines_spark.operators import audit as _audit  # noqa: E402
 from ad_data_pipelines_spark.operators import agg as _agg  # noqa: E402
 from ad_data_pipelines_spark.operators import intervals as _intervals  # noqa: E402
+from ad_data_pipelines_spark.operators import corpusstats as _cs  # noqa: E402
 
 
 @register(
@@ -802,6 +803,87 @@ def q_llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") < 150
         ),
     )
+
+
+@register(
+    "llm_containment",
+    oracle=_dedup.ngram_containment_sql(max_doc_id=150),
+    doc="Exact 5-gram containment pairs (either direction ≥0.5) on a "
+    "bounded scope — catches subset duplication (short doc quoted inside "
+    "a long one) that symmetric Jaccard misses. "
+    "operators/dedup.py:ngram_containment_pairs.",
+)
+def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    # scoped like the Jaccard verifier: quadratic form stays banned
+    # unscoped; the shared shingle stage is filtered to the same scope
+    return _dedup.ngram_containment_pairs(
+        docs,
+        min_containment=0.5,
+        shingled=_shingles_shared(spark, sf_dir).filter(
+            F.col("doc_id") < 150
+        ),
+    )
+
+
+@register(
+    "llm_dedup_threshold_curve",
+    oracle=f"""
+        WITH counts AS (
+            SELECT n_eq, COUNT(*) AS c
+            FROM ({_dedup.lsh_candidates_sql()}) GROUP BY n_eq
+        )
+        SELECT n_eq AS min_eq,
+               CAST(SUM(c) OVER (ORDER BY n_eq DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_pairs_ge
+        FROM counts
+    """,
+    doc="Dedup threshold sensitivity: candidate-pair count at each "
+    "possible min_eq cutoff in one pass over the shared LSH pair table "
+    "— the tuning report run before committing a similarity threshold. "
+    "Cumulative window runs over ≤16 aggregated rows, never raw pairs.",
+)
+def q_llm_dedup_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    counts = (
+        _lsh_pairs_shared(spark, sf_dir)
+        .groupBy("n_eq")
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.orderBy(F.desc("n_eq"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return counts.select(
+        F.col("n_eq").alias("min_eq"),
+        F.sum("c").over(w).cast("bigint").alias("n_pairs_ge"),
+    )
+
+
+@register(
+    "llm_cooccurrence",
+    oracle=_cs.cooccurrence_pmi_sql(),
+    doc="Top-100 token-pair collocations by PMI within a ±3 window — "
+    "surfaces glued-together templates/boilerplate; array-side pair "
+    "extraction, nothing quadratic. "
+    "operators/corpusstats.py:cooccurrence_pmi.",
+)
+def q_llm_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cs.cooccurrence_pmi(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_zipf",
+    oracle=_cs.zipf_slope_sql(),
+    doc="Per-language Zipf rank-frequency log-log slope over the top-100 "
+    "words — one-number distribution fingerprint; slope drift between "
+    "snapshots flags source-mix change. "
+    "operators/corpusstats.py:zipf_slope.",
+)
+def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cs.zipf_slope(t(spark, sf_dir, "documents"))
 
 
 @register(
@@ -3306,6 +3388,92 @@ def q_j17_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j19_overlap_join",
+    oracle="""
+        WITH legs AS (
+            SELECT l_suppkey AS suppkey, l_orderkey, l_linenumber,
+                   l_shipdate AS a_start,
+                   l_shipdate + (7 + (l_orderkey + l_linenumber) % 21)
+                       * INTERVAL 1 DAY AS a_end
+            FROM lineitem WHERE l_suppkey < 20
+        ),
+        wins AS (
+            SELECT s_suppkey AS suppkey,
+                   TIMESTAMP '1992-01-01'
+                       + ((s_suppkey * 97 + w * 733) % 2400)
+                       * INTERVAL 1 DAY AS b_start,
+                   TIMESTAMP '1992-01-01'
+                       + (((s_suppkey * 97 + w * 733) % 2400) + 45)
+                       * INTERVAL 1 DAY AS b_end
+            FROM supplier, unnest([0, 1, 2]) AS t(w)
+            WHERE s_suppkey < 20
+        )
+        SELECT suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+               CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+                   AS n_shipments
+        FROM legs JOIN wins USING (suppkey)
+        WHERE a_start < b_end AND b_start < a_end
+        GROUP BY suppkey
+    """,
+    doc="Interval×interval OVERLAP join via shared bucket blocking "
+    "(weekly buckets): synthesized in-transit legs [shipdate, "
+    "shipdate+transit) against per-supplier maintenance windows — "
+    "'which shipments were in flight during a window'. Both sides "
+    "explode onto week buckets, equi-join on (bucket, suppkey), "
+    "multi-bucket pairs dedup BEFORE the exact overlap filter; never "
+    "a nested-loop inequality join. operators/intervals.py:overlap_join.",
+)
+def q_j19_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    legs = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") < 20)
+        .select(
+            F.col("l_suppkey").alias("suppkey"),
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").alias("a_start"),
+            F.expr(
+                "l_shipdate + make_interval(0, 0, 0, "
+                "CAST(7 + pmod(l_orderkey + l_linenumber, 21) AS INT), "
+                "0, 0, 0)"
+            ).alias("a_end"),
+        )
+    )
+    wins = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 20)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("w"),
+        )
+        .withColumn(
+            "d0", F.expr("CAST(pmod(suppkey * 97 + w * 733, 2400) AS INT)")
+        )
+        .select(
+            "suppkey",
+            F.expr(
+                "timestamp'1992-01-01 00:00:00' "
+                "+ make_interval(0, 0, 0, d0, 0, 0, 0)"
+            ).alias("b_start"),
+            F.expr(
+                "timestamp'1992-01-01 00:00:00' "
+                "+ make_interval(0, 0, 0, d0 + 45, 0, 0, 0)"
+            ).alias("b_end"),
+        )
+    )
+    joined = _intervals.overlap_join(
+        legs, wins, keys=["suppkey"], bucket_width="1 week"
+    )
+    return joined.groupBy("suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+        F.countDistinct("l_orderkey", "l_linenumber")
+        .cast("bigint")
+        .alias("n_shipments"),
+    )
+
+
+@register(
     "llm_chunk_dedup",
     oracle="""
         WITH c AS (
@@ -3875,7 +4043,13 @@ _GATE_TAIL_ROWS_ONLY = [
 ]
 _GATE_PRIORITY = [
     # tier 0: operators newly registered in round 4 (standing rule —
-    # every registration enters tier 1 of the same commit's list)
+    # every registration enters tier 1 of the same commit's list);
+    # never-gated registrations lead, newest first
+    "llm_containment",
+    "llm_dedup_threshold_curve",
+    "llm_cooccurrence",
+    "llm_zipf",
+    "j19_overlap_join",
     "llm_weighted_sample",
     "llm_source_mix",
     "llm_semantic_dedup",

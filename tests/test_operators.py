@@ -1532,3 +1532,107 @@ def test_pq_ivf_topk_consistent_with_full_pq(spark):
     for r in ivfpq:
         assert r.query_id != r.neighbor_id
         assert full[(r.query_id, r.neighbor_id)] == r.approx_dist
+
+
+def test_ngram_containment_asymmetric_subset(spark):
+    """A short doc embedded verbatim inside a long one: containment of
+    the short side is 1.0 while Jaccard stays below a symmetric dedup
+    threshold — the case the operator exists for."""
+    from ad_data_pipelines_spark.operators import dedup
+
+    short = "alpha beta gamma delta"
+    # varied filler → many distinct 5-grams on the long side
+    long = short + " " + " ".join(f"word{i:02d}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(0, long, len(long)), (1, short, len(short))],
+        "doc_id bigint, text string, n_chars bigint",
+    )
+    out = dedup.ngram_containment_pairs(docs, min_containment=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    assert r.cont_b == 1.0  # all of short's shingles inside long
+    assert r.cont_a < 0.5   # but long is NOT mostly made of short
+    jac = dedup.ngram_jaccard_pairs(docs, min_jaccard=0.0).collect()[0].jac
+    assert jac < 0.5  # symmetric measure misses the subset relation
+
+
+def test_cooccurrence_pmi_matches_brute_force(spark):
+    """Every pair/count/PMI value equals a pure-Python brute-force
+    reference over the same corpus (window=2), and the strongly glued
+    pair outranks a chance pairing."""
+    import math
+    from collections import Counter
+
+    from ad_data_pipelines_spark.operators import corpusstats
+
+    texts = ["a b c a b", "a b a b", "c d c", "d a b d"]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    out = {
+        r.pair: r
+        for r in corpusstats.cooccurrence_pmi(
+            docs, window=2, min_pair=1, top_n=1000
+        ).collect()
+    }
+
+    cu, cp = Counter(), Counter()
+    for txt in texts:
+        toks = txt.split()
+        cu.update(toks)
+        for j in (1, 2):
+            for i in range(len(toks) - j):
+                cp[f"{toks[i]} {toks[i + j]}"] += 1
+    tt, tp = float(sum(cu.values())), float(sum(cp.values()))
+    want = {
+        pair: (
+            n,
+            round(
+                math.log(
+                    (n * tt * tt)
+                    / (tp * cu[pair.split()[0]] * cu[pair.split()[1]])
+                ),
+                4,
+            ),
+        )
+        for pair, n in cp.items()
+    }
+    got = {pair: (r.n_pair, r.pmi) for pair, r in out.items()}
+    assert got == want
+    assert out["a b"].pmi > out["c a"].pmi
+
+
+def test_zipf_slope_matches_numpy_ols(spark):
+    """Crafted frequencies (8,4,2,1): the operator's slope equals a
+    NumPy polyfit of ln(freq) on ln(rank) to 4dp."""
+    import numpy as np
+
+    from ad_data_pipelines_spark.operators import corpusstats
+
+    words = ["w1"] * 8 + ["w2"] * 4 + ["w3"] * 2 + ["w4"]
+    docs = spark.createDataFrame(
+        [(0, " ".join(words), "en")], "doc_id bigint, text string, lang string"
+    )
+    out = corpusstats.zipf_slope(docs, top_n=100).collect()
+    assert len(out) == 1 and out[0].n_top == 4
+    x = np.log(np.arange(1, 5))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    want = round(float(np.polyfit(x, y, 1)[0]), 4)
+    assert out[0].zipf_slope == want
+
+
+def test_zipf_rank_ties_break_on_word(spark):
+    """Equal-frequency words must rank deterministically (by word) so
+    a top_n cutoff inside a tie block is stable across runs/engines."""
+    from ad_data_pipelines_spark.operators import corpusstats
+
+    docs = spark.createDataFrame(
+        [(0, "zz aa zz aa mm nn", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    # top_n=3 cuts inside the mm/nn tie (1,1) — mm must win by word order
+    out = corpusstats.zipf_slope(docs, top_n=3).collect()[0]
+    assert out.n_top == 3
+    out4 = corpusstats.zipf_slope(docs, top_n=4).collect()[0]
+    assert out4.n_top == 4

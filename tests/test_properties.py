@@ -774,3 +774,72 @@ def test_bigram_lm_matches_python_reference(spark, token_lists):
         ]
         want[i] = (len(pairs), round(sum(ll) / len(pairs), 4))
     assert got == want
+
+
+# --- overlap join vs naive nested-loop reference ---------------------------
+
+overlap_case = st.tuples(
+    st.lists(  # left intervals: (key, start-hour, duration-hours)
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=96),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(  # right intervals
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=0, max_value=96),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from(["6 hours", "1 day", "1 week"]),
+)
+
+
+@given(overlap_case)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_overlap_join_matches_nested_loop(spark, case):
+    """Bucket-blocked overlap_join == the O(A×B) nested-loop reference
+    at every bucket width — multi-bucket co-occupancy dedups to one
+    row, zero-length intervals never match, strict half-open overlap."""
+    from ad_data_pipelines_spark.operators.intervals import overlap_join
+
+    left_raw, right_raw, width = case
+    base = dt.datetime(2024, 3, 1)
+    left = spark.createDataFrame(
+        [
+            (i, k, base + dt.timedelta(hours=s),
+             base + dt.timedelta(hours=s + d))
+            for i, (k, s, d) in enumerate(left_raw)
+        ],
+        "a_id bigint, k string, a_start timestamp, a_end timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (j, k, base + dt.timedelta(hours=s),
+             base + dt.timedelta(hours=s + d))
+            for j, (k, s, d) in enumerate(right_raw)
+        ],
+        "b_id bigint, k string, b_start timestamp, b_end timestamp",
+    )
+    rows = overlap_join(
+        left, right, keys=["k"], bucket_width=width
+    ).collect()
+    got = [(r.a_id, r.b_id) for r in rows]
+    assert len(got) == len(set(got)), "multi-bucket pair not deduped"
+    want = set()
+    for i, (lk, ls, ld) in enumerate(left_raw):
+        for j, (rk, rs, rd) in enumerate(right_raw):
+            if lk == rk and ld > 0 and rd > 0:
+                if ls < rs + rd and rs < ls + ld:
+                    want.add((i, j))
+    assert set(got) == want
