@@ -2272,6 +2272,116 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "t6_user_streaks",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+        ),
+        islands AS (
+            SELECT user_id, d,
+                   d - CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY d) AS INT) AS anchor
+            FROM days
+        ),
+        streaks AS (
+            SELECT user_id, anchor, COUNT(*) AS len
+            FROM islands GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(SUM(len) AS BIGINT) AS n_active_days,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(MAX(len) AS BIGINT) AS max_streak_days
+        FROM streaks GROUP BY user_id
+    """,
+    doc="Consecutive-day activity streaks per user — the classic "
+    "gaps-and-islands shape: distinct active days, island anchor = "
+    "day minus row_number (consecutive runs share an anchor), two "
+    "combinable aggregates. One window + one agg shuffle, both hash-"
+    "partitioned on user_id; no self-join, no lead/lag chain.",
+)
+def q_t6_user_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.max("len").cast("bigint").alias("max_streak_days"),
+    )
+
+
+@register(
+    "llm_candidate_agreement",
+    oracle=f"""
+        WITH mh AS (
+            SELECT doc_a, doc_b FROM ({_dedup.lsh_candidates_sql()})
+            WHERE n_eq >= 8
+        ),
+        sh AS (
+            SELECT doc_a, doc_b
+            FROM ({_dedup.simhash_candidates_sql(max_hamming=3)})
+        ),
+        u AS (
+            SELECT doc_a, doc_b, 1 AS m, 0 AS s FROM mh
+            UNION ALL
+            SELECT doc_a, doc_b, 0 AS m, 1 AS s FROM sh
+        ),
+        p AS (
+            SELECT doc_a, doc_b, MAX(m) AS m, MAX(s) AS s
+            FROM u GROUP BY 1, 2
+        )
+        SELECT CAST(SUM(m) AS BIGINT) AS n_minhash,
+               CAST(SUM(s) AS BIGINT) AS n_simhash,
+               CAST(SUM(m * s) AS BIGINT) AS n_both,
+               ROUND(SUM(m * s) * 1.0
+                     / NULLIF(SUM(m) + SUM(s) - SUM(m * s), 0), 4)
+                   AS agreement
+        FROM p
+    """,
+    doc="Dedup-method QA: agreement between the MinHash-LSH candidate "
+    "set (n_eq ≥ 8) and the SimHash banded-Hamming set (distance ≤ 3) "
+    "— pair-set Jaccard in one union + groupBy pass over the two "
+    "session-shared stages; the report run before swapping near-dup "
+    "detectors on a live corpus.",
+)
+def q_llm_candidate_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    mh = (
+        _lsh_pairs_shared(spark, sf_dir)
+        .filter(F.col("n_eq") >= 8)
+        .select("doc_a", "doc_b", F.lit(1).alias("m"), F.lit(0).alias("s"))
+    )
+    sh = _dedup.simhash_candidates(
+        _simhash_shared(spark, sf_dir), max_hamming=3
+    ).select("doc_a", "doc_b", F.lit(0).alias("m"), F.lit(1).alias("s"))
+    p = (
+        mh.unionAll(sh)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("m").alias("m"), F.max("s").alias("s"))
+    )
+    both = F.sum(F.col("m") * F.col("s"))
+    denom = F.sum("m") + F.sum("s") - both
+    return p.agg(
+        F.sum("m").cast("bigint").alias("n_minhash"),
+        F.sum("s").cast("bigint").alias("n_simhash"),
+        both.cast("bigint").alias("n_both"),
+        F.round(
+            both / F.when(denom == 0, None).otherwise(denom), 4
+        ).alias("agreement"),
+    )
+
+
+@register(
     "llm_dedup_corpus",
     oracle=f"""
         WITH comp AS ({_dedup.dup_components_sql(min_eq=8)})
@@ -4050,6 +4160,8 @@ _GATE_PRIORITY = [
     "llm_cooccurrence",
     "llm_zipf",
     "j19_overlap_join",
+    "t6_user_streaks",
+    "llm_candidate_agreement",
     "llm_weighted_sample",
     "llm_source_mix",
     "llm_semantic_dedup",
