@@ -1070,6 +1070,56 @@ def _lsh_buckets_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_ann_recall",
+    oracle=f"""
+        WITH brute AS ({_sim.cosine_topk_sql(max_query_id=25, k=5)}),
+        ann AS (
+            {_sim.lsh_topk_sql(max_query_id=25, k=5, n_planes=4,
+                               multiprobe=1)}
+        ),
+        per_q AS (
+            SELECT b.query_id,
+                   COUNT(*) AS k,
+                   COUNT(a.neighbor_id) AS hits
+            FROM brute b
+            LEFT JOIN ann a
+              ON b.query_id = a.query_id
+             AND b.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               ROUND(AVG(hits * 1.0 / k), 4) AS mean_recall,
+               ROUND(MIN(hits * 1.0 / k), 4) AS min_recall
+        FROM per_q
+    """,
+    doc="ANN quality gate as a query: per-query recall of the LSH "
+    "top-5 against the brute-force cosine ground truth (same 25-query "
+    "scope), reported as mean/min — the regression report a pipeline "
+    "runs before trusting an index rebuild. Composes the two existing "
+    "search paths; ground truth stays scoped so the brute side never "
+    "runs unbounded.",
+)
+def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 25)
+    brute = _sim.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    ann = _sim.lsh_topk(
+        emb, q, k=5, corpus_buckets=_lsh_buckets_shared(spark, sf_dir)
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    per_q = (
+        brute.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("k"), F.count("hit").alias("hits"))
+    )
+    recall = F.col("hits") / F.col("k")
+    return per_q.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(F.avg(recall), 4).alias("mean_recall"),
+        F.round(F.min(recall), 4).alias("min_recall"),
+    )
+
+
+@register(
     "llm_mm_binary_meta",
     oracle=_mm.BINARY_META_SQL,
     doc="Multimodal plumbing: opaque binary payload + Arrow-batched "
@@ -4162,6 +4212,7 @@ _GATE_PRIORITY = [
     "j19_overlap_join",
     "t6_user_streaks",
     "llm_candidate_agreement",
+    "llm_ann_recall",
     "llm_weighted_sample",
     "llm_source_mix",
     "llm_semantic_dedup",
