@@ -539,3 +539,119 @@ def psi_drift_sql(
         FROM terms
         GROUP BY {g}
     """
+
+
+def psi_vs_reference(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    ref_props: Sequence[float],
+    lo: float,
+    hi: float,
+    eps: float = 1e-4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """PSI of each group's `value_col` distribution against a FIXED
+    reference histogram — the production monitoring form of
+    `psi_drift`: the reference proportions (one per equal-width bin on
+    [lo, hi], e.g. the training-period distribution) are pinned
+    constants, so any single sample — a day's partition, a streaming
+    micro-batch — scores alone, without re-reading the baseline data.
+
+    Output: (group..., n_values, psi).
+
+    Scale shape: map-only binning, ONE (group, bin) combinable count,
+    then a broadcast join against the n_bins-row reference spine (all
+    bins present — an EMPTY bin still contributes (eps − r)·ln(eps/r),
+    which the two-sample form's shared-eps cancellation hides), and a
+    final per-group aggregate. No windows anywhere, so one giant group
+    costs the same as many small ones.
+    """
+    n_bins = len(ref_props)
+    gcols = list(group_cols)
+    width = (hi - lo) / n_bins
+    v = F.col(value_col)
+    bin_ = F.least(
+        F.greatest(
+            F.floor((v - F.lit(lo)) / F.lit(width)).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.filter(v.isNotNull())
+        .select(*gcols, bin_.alias("__bin"))
+        .groupBy(*gcols, "__bin")
+        .agg(F.count("*").alias("__n"))
+    )
+    totals = counts.groupBy(*gcols).agg(
+        F.sum("__n").cast("bigint").alias("n_values")
+    )
+    spark = df.sparkSession
+    spine = spark.range(n_bins).select(
+        F.col("id").cast("int").alias("__bin"),
+        F.element_at(
+            F.array(*[F.lit(float(p)) for p in ref_props]),
+            F.col("id").cast("int") + 1,
+        ).alias("__r"),
+    )
+    full = (
+        totals.crossJoin(F.broadcast(spine))
+        .join(counts, [*gcols, "__bin"], "left")
+        .withColumn("__n", F.coalesce(F.col("__n"), F.lit(0)))
+    )
+    p = F.greatest(F.col("__n") / F.col("n_values"), F.lit(eps))
+    r = F.greatest(F.col("__r"), F.lit(eps))
+    return (
+        full.withColumn("__term", (p - r) * F.log(p / r))
+        .groupBy(*gcols, "n_values")
+        .agg(F.round(F.sum("__term"), round_dp).alias("psi"))
+    )
+
+
+def psi_vs_reference_sql(
+    table: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    ref_props: Sequence[float],
+    lo: float,
+    hi: float,
+    eps: float = 1e-4,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of `psi_vs_reference`."""
+    n_bins = len(ref_props)
+    g = ", ".join(group_cols)
+    width = (hi - lo) / n_bins
+    bin_ = (
+        f"LEAST(GREATEST(CAST(FLOOR(({value_col} - {lo!r}) / {width!r}) "
+        f"AS INTEGER), 0), {n_bins - 1})"
+    )
+    props = ", ".join(repr(float(p)) for p in ref_props)
+    return f"""
+        WITH counts AS (
+            SELECT {g}, {bin_} AS bin, COUNT(*) AS n
+            FROM {table} WHERE {value_col} IS NOT NULL
+            GROUP BY {g}, bin
+        ),
+        totals AS (
+            SELECT {g}, CAST(SUM(n) AS BIGINT) AS n_values
+            FROM counts GROUP BY {g}
+        ),
+        spine AS (
+            SELECT CAST(i AS INTEGER) AS bin, r
+            FROM (SELECT unnest(range({n_bins})) AS i,
+                         unnest([{props}]) AS r)
+        ),
+        filled AS (
+            SELECT t.*, s.bin, s.r, COALESCE(c.n, 0) AS n
+            FROM totals t CROSS JOIN spine s
+            LEFT JOIN counts c USING ({g}, bin)
+        )
+        SELECT {g}, n_values,
+               ROUND(SUM(
+                   (GREATEST(n * 1.0 / n_values, {eps!r}) - GREATEST(r, {eps!r}))
+                   * ln(GREATEST(n * 1.0 / n_values, {eps!r})
+                        / GREATEST(r, {eps!r}))), {round_dp}) AS psi
+        FROM filled
+        GROUP BY {g}, n_values
+    """

@@ -4078,6 +4078,26 @@ def q_a21_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a22_psi_reference",
+    oracle=_agg.psi_vs_reference_sql(
+        "events", "value", ["event_type"], [0.1] * 10, lo=0.0, hi=500.0
+    ),
+    doc="PSI against a PINNED reference histogram (uniform over "
+    "[0, 500], 10 bins) — the production monitoring form: any single "
+    "sample (a day's partition, a micro-batch) scores alone without "
+    "re-reading baseline data. Empty bins still contribute "
+    "(eps−r)·ln(eps/r) via the broadcast bin spine. "
+    "operators/agg.py:psi_vs_reference; streaming twin in "
+    "streaming/drift.py.",
+)
+def q_a22_psi_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return _agg.psi_vs_reference(
+        ev, "value", ["event_type"], [0.1] * 10, lo=0.0, hi=500.0
+    )
+
+
+@register(
     "llm_pq_topk",
     oracle=_sim.pq_topk_sql(max_query_id=10, k=5),
     doc="Product-quantization ANN (the FAISS compression workhorse): "
@@ -4213,6 +4233,7 @@ _GATE_PRIORITY = [
     "t6_user_streaks",
     "llm_candidate_agreement",
     "llm_ann_recall",
+    "a22_psi_reference",
     "llm_weighted_sample",
     "llm_source_mix",
     "llm_semantic_dedup",

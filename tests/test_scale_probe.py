@@ -255,3 +255,36 @@ def test_bigram_lm_and_tfidf_10x_linear(spark):
     # still distributed)
     assert "hashpartitioning(doc_id" in plan, plan
     assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_cooccurrence_and_zipf_10x_linear(spark):
+    """PMI co-occurrence and the Zipf slope both grow ~linearly in docs
+    (pair extraction is array-side so the pre-aggregation stage is
+    narrow; aggregate fan-in is bounded by |vocab|² resp. |vocab|) and
+    keyed stages stay hash-partitioned."""
+    from ad_data_pipelines_spark.operators import corpusstats
+
+    def run(n):
+        docs = _token_corpus(spark, n).withColumn(
+            "lang", (F.col("doc_id") % 5).cast("string")
+        )
+        t0 = time.perf_counter()
+        top = corpusstats.cooccurrence_pmi(docs, min_pair=2, top_n=50)
+        assert top.count() == 50
+        z = corpusstats.zipf_slope(docs, top_n=100)
+        assert z.count() == 5
+        elapsed = time.perf_counter() - t0
+        plan = top._jdf.queryExecution().executedPlan().toString()
+        return elapsed, plan
+
+    t1, _ = run(5_000)
+    t10, plan = run(50_000)
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"PMI/Zipf 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
+        "grows super-linearly"
+    )
+    # pair/unigram counts stay hash-partitioned; the only single-
+    # partition stages are the two 1-row scalar totals and the final
+    # top-N TakeOrdered
+    assert "hashpartitioning(pair" in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 2, plan

@@ -586,3 +586,60 @@ def test_streaming_asof_enrich_refreshes_dim_per_trigger(spark, tmp_path):
     assert len(tiers_a) == 1 and len(tiers_b) == 1
     assert tiers_a != tiers_b and tiers_a | tiers_b == {"v1", "v2"}
     events.unpersist()
+
+
+def test_streaming_psi_monitor_matches_batch_and_flags_shift(
+    spark, tmp_path
+):
+    """Each micro-batch's PSI rows equal the batch operator on that
+    batch's file; a batch drawn to match the reference scores ~0 while
+    a concentrated batch scores far above the 0.25 'shifted' rule."""
+    import datetime as dt
+
+    from ad_data_pipelines_spark.operators.agg import psi_vs_reference
+    from ad_data_pipelines_spark.streaming import drift
+
+    T = dt.datetime(2024, 1, 1)
+    ref = [0.1] * 10  # uniform over [0, 100) in 10 bins
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, T + dt.timedelta(minutes=i), i % 7, "x", float(v), "{}")
+                for i, v in enumerate(rows)
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+
+    # batch 1 matches the reference exactly; batch 2 is concentrated
+    matching = mk([b * 10 + 5 for b in range(10) for _ in range(20)])
+    shifted = mk([42.0] * 150)
+    src = tmp_path / "src"
+    matching.coalesce(1).write.parquet(str(src), mode="append")
+    shifted.coalesce(1).write.parquet(str(src), mode="append")
+
+    drift.run_psi_monitor_available_now(
+        spark,
+        str(src),
+        checkpoint=str(tmp_path / "ck"),
+        out_path=str(tmp_path / "out"),
+        ref_props=ref,
+        lo=0.0,
+        hi=100.0,
+        group_cols=["event_type"],
+        max_files_per_trigger=1,
+    )
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(out) == 2  # one group row per micro-batch
+    by_n = {r.n_values: r for r in out}
+    assert set(by_n) == {200, 150}
+    assert abs(by_n[200].psi) < 1e-9, "matching batch must score ~0"
+    assert by_n[150].psi > 0.25, "concentrated batch must flag as shifted"
+
+    # streamed scores == the batch operator applied per batch
+    for batch, n in ((matching, 200), (shifted, 150)):
+        want = psi_vs_reference(
+            batch, "value", ["event_type"], ref, 0.0, 100.0
+        ).collect()[0]
+        assert (want.n_values, want.psi) == (n, by_n[n].psi)
