@@ -2432,6 +2432,73 @@ def q_llm_candidate_agreement(
 
 
 @register(
+    "t7_last_touch_attribution",
+    oracle="""
+        WITH purch AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        clk AS (
+            SELECT user_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        ),
+        j AS (
+            SELECT p.user_id, p.ts,
+                   CASE WHEN c.click_ts IS NOT NULL
+                         AND p.ts - c.click_ts <= INTERVAL 7 DAY
+                        THEN c.click_ts END AS asof_ts
+            FROM purch p ASOF LEFT JOIN clk c
+              ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        )
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(COUNT(asof_ts) AS BIGINT) AS n_attributed,
+               ROUND(AVG(date_diff('microsecond', asof_ts, ts)
+                         / 3600000000.0), 2) AS avg_lag_hours
+        FROM j GROUP BY 1
+    """,
+    doc="Last-touch attribution: each purchase matched to the user's "
+    "latest click at-or-before it WITHIN a 7-day window — the as-of "
+    "join's tolerance path (outside-window matches null out, "
+    "purchases never drop), then a daily conversion report. One "
+    "exchange for the as-of union+window, one for the daily rollup; "
+    "never a purchases×clicks range join. operators/asof.py:asof_join "
+    "(oracle: DuckDB native ASOF LEFT JOIN + tolerance CASE).",
+)
+def q_t7_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ad_data_pipelines_spark.operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    j = asof_join(
+        purch,
+        clk,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=[],
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+        right_tiebreak=["click_id"],
+    )
+    lag_h = (
+        F.unix_micros("ts") - F.unix_micros("asof_ts")
+    ) / F.lit(3_600_000_000.0)
+    return j.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.count("asof_ts").cast("bigint").alias("n_attributed"),
+        F.round(F.avg(lag_h), 2).alias("avg_lag_hours"),
+    )
+
+
+@register(
     "llm_dedup_corpus",
     oracle=f"""
         WITH comp AS ({_dedup.dup_components_sql(min_eq=8)})
@@ -4234,6 +4301,7 @@ _GATE_PRIORITY = [
     "llm_candidate_agreement",
     "llm_ann_recall",
     "a22_psi_reference",
+    "t7_last_touch_attribution",
     "llm_weighted_sample",
     "llm_source_mix",
     "llm_semantic_dedup",

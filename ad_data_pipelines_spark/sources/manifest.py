@@ -291,3 +291,60 @@ def read_csv_with_quarantine(
         F.col(corrupt).alias("raw_line")
     )
     return clean, quarantine
+
+
+class SchemaContractError(ValueError):
+    """Merged file schema violates the declared table contract."""
+
+
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    contract: StructType | None = None,
+    allow_extra: bool = False,
+) -> DataFrame:
+    """Read a long-lived parquet append directory whose schema EVOLVED
+    (columns added over time): `mergeSchema` unions every file footer,
+    and rows from files predating a column surface NULL for it.
+
+    With a `contract`, enforce the table's declared shape against the
+    merged schema BEFORE any data is read (footer-only check):
+      * a contract column missing everywhere       → error (the feed
+        silently stopped shipping a field),
+      * a contract column present at another type  → error (type
+        drift — Spark's merge would have failed for conflicting
+        types WITHIN the directory, but drift vs the contract is
+        this check),
+      * columns beyond the contract               → error unless
+        `allow_extra` (upstream added fields nobody reviewed).
+    On success the result projects exactly the contract columns, in
+    contract order — so the scan stays pruned to the agreed set even
+    when the directory carries extras.
+
+    Spark itself refuses same-name/different-type conflicts BETWEEN
+    files at read time — that failure is deliberately left loud.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if contract is None:
+        return df
+    have = {f.name: f.dataType for f in df.schema.fields}
+    want = {f.name: f.dataType for f in contract.fields}
+    missing = sorted(set(want) - set(have))
+    drift = sorted(
+        (n, str(have[n]), str(t))
+        for n, t in want.items()
+        if n in have and have[n] != t
+    )
+    extra = sorted(set(have) - set(want))
+    problems = []
+    if missing:
+        problems.append(f"missing columns: {missing}")
+    if drift:
+        problems.append(f"type drift (name, actual, declared): {drift}")
+    if extra and not allow_extra:
+        problems.append(f"undeclared columns: {extra}")
+    if problems:
+        raise SchemaContractError(
+            f"schema contract violated for {path}: " + "; ".join(problems)
+        )
+    return df.select(*[f.name for f in contract.fields])

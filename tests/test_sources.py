@@ -366,3 +366,68 @@ def test_read_csv_with_quarantine_splits_broken_rows(spark, tmp_path):
     assert rows == {1: ("alpha", 10.5), 4: ("delta", 7.25)}
     bad = sorted(r.raw_line for r in quar.collect())
     assert bad == ["2,beta,not_a_number", "3,gamma"]
+
+
+def test_read_parquet_evolving_merges_and_enforces_contract(spark, tmp_path):
+    """Directory with an added column: merged read NULL-fills old rows;
+    the contract check passes on match, prunes extras when allowed,
+    and fails loudly on missing columns, type drift, or unreviewed
+    extras."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ad_data_pipelines_spark.sources.manifest import (
+        SchemaContractError,
+        read_parquet_evolving,
+    )
+
+    path = str(tmp_path / "evolving")
+    spark.range(3).select(
+        F.col("id").alias("a"), F.lit("x").alias("b")
+    ).write.parquet(path, mode="append")
+    spark.range(2).select(
+        F.col("id").alias("a"),
+        F.lit("y").alias("b"),
+        F.lit(9).cast("long").alias("c"),
+    ).write.parquet(path, mode="append")
+
+    merged = read_parquet_evolving(spark, path)
+    assert set(merged.columns) == {"a", "b", "c"}
+    rows = merged.collect()
+    assert sum(1 for r in rows if r.c is None) == 3  # pre-evolution rows
+    assert sum(1 for r in rows if r.c == 9) == 2
+
+    full = StructType(
+        [
+            StructField("a", LongType()),
+            StructField("b", StringType()),
+            StructField("c", LongType()),
+        ]
+    )
+    assert read_parquet_evolving(spark, path, full).columns == ["a", "b", "c"]
+
+    narrow = StructType([StructField("a", LongType()),
+                         StructField("b", StringType())])
+    with pytest.raises(SchemaContractError, match="undeclared"):
+        read_parquet_evolving(spark, path, narrow)
+    pruned = read_parquet_evolving(spark, path, narrow, allow_extra=True)
+    assert pruned.columns == ["a", "b"]  # contract order, extras pruned
+
+    with pytest.raises(SchemaContractError, match="missing"):
+        read_parquet_evolving(
+            spark, path,
+            StructType([*full.fields, StructField("d", LongType())]),
+        )
+    with pytest.raises(SchemaContractError, match="drift"):
+        read_parquet_evolving(
+            spark, path,
+            StructType([StructField("a", StringType()),
+                        StructField("b", StringType()),
+                        StructField("c", LongType())]),
+        )
