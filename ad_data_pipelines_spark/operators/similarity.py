@@ -1131,3 +1131,75 @@ def pq_ivf_topk_sql(
             WHERE q.query_id <> cc.neighbor_id
         ) WHERE rk <= {k}
     """
+
+
+# --- exact L2 ground truth (PQ quality baseline) ---------------------------
+
+def l2_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    round_dp: int = 5,
+) -> DataFrame:
+    """Brute-force EXACT squared-L2 top-k (excluding self):
+    (query_id, neighbor_id, dist, rk), ascending distance. The ground
+    truth PQ quality is measured against — PQ approximates ‖q − x‖²,
+    so grading it against the cosine ranking would conflate metric
+    mismatch with compression loss. Same scale contract as
+    `cosine_topk`: O(Q×N) labeled baseline, query side broadcast,
+    corpus streamed and never shuffled. Squared distance (no sqrt)
+    keeps ranking identical and the double math simpler to mirror."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    sq = F.aggregate(
+        F.zip_with(
+            "q_emb",
+            "c_emb",
+            lambda a, b: (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dists = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(sq, round_dp).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "dist", "rk")
+    )
+
+
+def l2_topk_sql(max_query_id: int, k: int = 5, round_dp: int = 5) -> str:
+    """DuckDB oracle for l2_topk with identical double math."""
+    sq_sql = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) "
+        "* (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND({sq_sql}, {round_dp}) AS dist
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {max_query_id}
+        )
+        SELECT query_id, neighbor_id, dist, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY dist ASC, neighbor_id
+            ) AS rk FROM pairs
+        ) WHERE rk <= {k}
+    """

@@ -4165,6 +4165,111 @@ def q_a22_psi_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "o14_join_skew_report",
+    oracle="""
+        WITH per_key AS (
+            SELECT l_suppkey AS k, COUNT(*) AS n
+            FROM lineitem GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n) AS BIGINT) AS n_rows,
+               CAST(MAX(n) AS BIGINT) AS max_rows_per_key,
+               ROUND(AVG(n), 2) AS avg_rows_per_key,
+               ROUND(MAX(n) / AVG(n), 2) AS skew_factor,
+               CAST(COUNT(*) FILTER (WHERE n > 2 * (
+                   SELECT AVG(n) FROM per_key)) AS BIGINT) AS n_hot_keys
+        FROM per_key
+    """,
+    doc="Join-key skew diagnostic: per-key row counts for a prospective "
+    "join/shuffle key reduced to one row (max/avg skew factor, hot-key "
+    "count above 2x average) — the report that decides between a plain "
+    "hash join, AQE skew-split, and explicit salting "
+    "(operators/partitioning.salted_join). One combinable count plus "
+    "a 6-value aggregate; nothing is sorted or collected.",
+)
+def q_o14_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_key = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_suppkey").alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+    avg_n = per_key.agg(F.avg("n").alias("a"))
+    return (
+        per_key.crossJoin(F.broadcast(avg_n))
+        .agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.max("n").cast("bigint").alias("max_rows_per_key"),
+            F.round(F.avg("n"), 2).alias("avg_rows_per_key"),
+            F.round(F.max("n") / F.avg("n"), 2).alias("skew_factor"),
+            F.count_if(F.col("n") > 2 * F.col("a"))
+            .cast("bigint")
+            .alias("n_hot_keys"),
+        )
+    )
+
+
+@register(
+    "llm_l2_topk",
+    oracle=_sim.l2_topk_sql(max_query_id=10, k=5),
+    doc="Brute-force EXACT squared-L2 top-5 (vec_id<10 queries "
+    "broadcast, corpus streamed) — the ground truth the PQ paths are "
+    "graded against: PQ approximates ‖q−x‖², so cosine ground truth "
+    "would conflate metric mismatch with compression loss. "
+    "operators/similarity.py:l2_topk.",
+)
+def q_llm_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return _sim.l2_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "llm_pq_recall",
+    oracle=f"""
+        WITH truth AS ({_sim.l2_topk_sql(max_query_id=10, k=5)}),
+        approx AS ({_sim.pq_topk_sql(max_query_id=10, k=5)}),
+        per_q AS (
+            SELECT t.query_id,
+                   COUNT(*) AS k,
+                   COUNT(a.neighbor_id) AS hits
+            FROM truth t
+            LEFT JOIN approx a
+              ON t.query_id = a.query_id
+             AND t.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               ROUND(AVG(hits * 1.0 / k), 4) AS mean_recall,
+               ROUND(MIN(hits * 1.0 / k), 4) AS min_recall
+        FROM per_q
+    """,
+    doc="PQ compression-quality gate: per-query recall of the "
+    "compressed-domain PQ top-5 against the exact squared-L2 ground "
+    "truth (same metric — isolates quantization loss), mean/min in "
+    "one row. The PQ side reuses the session-shared corpus code "
+    "table.",
+)
+def q_llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = _sim.l2_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    approx = _sim.pq_topk(
+        emb, q, k=5, codes=_pq_codes_shared(spark, sf_dir)
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    per_q = (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("k"), F.count("hit").alias("hits"))
+    )
+    recall = F.col("hits") / F.col("k")
+    return per_q.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(F.avg(recall), 4).alias("mean_recall"),
+        F.round(F.min(recall), 4).alias("min_recall"),
+    )
+
+
+@register(
     "llm_pq_topk",
     oracle=_sim.pq_topk_sql(max_query_id=10, k=5),
     doc="Product-quantization ANN (the FAISS compression workhorse): "
@@ -4302,6 +4407,9 @@ _GATE_PRIORITY = [
     "llm_ann_recall",
     "a22_psi_reference",
     "t7_last_touch_attribution",
+    "llm_l2_topk",
+    "llm_pq_recall",
+    "o14_join_skew_report",
     "llm_weighted_sample",
     "llm_source_mix",
     "llm_semantic_dedup",
