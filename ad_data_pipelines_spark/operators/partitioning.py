@@ -244,3 +244,82 @@ def compact_parquet(
         "files_after": len(_data_files(path)),
         "n_rows": int(n_rows),
     }
+
+
+def zorder_key(
+    df: DataFrame, cols, bits: int = 16
+) -> tuple[DataFrame, "Column"]:
+    """Morton (Z-order) key over numeric `cols`: each column min/max-
+    normalizes into a `bits`-bit bucket (ONE stats aggregate, broadcast
+    back), and bit j of column i lands at interleaved position
+    j*d + i. Returns (df_with_stats_joined, key_column).
+
+    Linear bucketing keeps the stats pass to one tiny aggregate; for
+    heavily skewed columns pre-transform (log, clamp) before ordering —
+    the key only drives LAYOUT, so a suboptimal spread degrades pruning,
+    never correctness."""
+    names = list(cols)
+    d = len(names)
+    assert d >= 2, "zorder needs ≥2 columns (use write_range_sorted for 1)"
+    stats = df.agg(
+        *[
+            agg
+            for c in names
+            for agg in (
+                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+            )
+        ]
+    )
+    joined = df.crossJoin(F.broadcast(stats))
+    n_buckets = 1 << bits
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(names):
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        bucket = F.least(
+            F.greatest(
+                F.floor(
+                    (F.col(c).cast("double") - lo) / span * n_buckets
+                ).cast("long"),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(n_buckets - 1).cast("long"),
+        )
+        for j in range(bits):
+            key = key + (
+                F.shiftright(bucket, j).bitwiseAND(F.lit(1).cast("long"))
+                * F.lit(1 << (j * d + i)).cast("long")
+            )
+    return joined, key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols,
+    n_files: int,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-ORDERED on several columns: range-partition and
+    sort on the Morton interleaving of the columns' bucket indices —
+    the multi-dimension extension of `write_range_sorted`.
+
+    Why at 100 TB: single-column range sort gives perfect min/max
+    pruning on ONE column and none on the others; Z-order spreads
+    locality across all `cols`, so each file covers a small hyper-
+    rectangle and a predicate on ANY of the columns skips most files
+    (the same layout Delta/Iceberg OPTIMIZE ZORDER produces). The
+    Morton key is layout-only — readers see plain parquet and rely on
+    standard row-group statistics.
+    """
+    joined, key = zorder_key(df, cols, bits)
+    (
+        joined.withColumn("__z", key)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", *[c2 for c2 in joined.columns if c2.startswith("__lo_") or c2.startswith("__hi_")])
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -1648,6 +1648,52 @@ def _ivf_cells_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_ivf_recall",
+    oracle=f"""
+        WITH truth AS ({_sim.cosine_topk_sql(max_query_id=25, k=5)}),
+        ann AS ({_sim.ivf_topk_sql(max_query_id=25, k=5)}),
+        per_q AS (
+            SELECT b.query_id,
+                   COUNT(*) AS k,
+                   COUNT(a.neighbor_id) AS hits
+            FROM truth b
+            LEFT JOIN ann a
+              ON b.query_id = a.query_id
+             AND b.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               ROUND(AVG(hits * 1.0 / k), 4) AS mean_recall,
+               ROUND(MIN(hits * 1.0 / k), 4) AS min_recall
+        FROM per_q
+    """,
+    doc="IVF quality gate: per-query recall of the cell-probing search "
+    "against the brute-force cosine ground truth (same metric, same "
+    "25-query scope) — completes the recall family (LSH, PQ, IVF): "
+    "every approximate path ships with its own regression report.",
+)
+def q_llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 25)
+    truth = _sim.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    ann = _sim.ivf_topk(
+        emb, q, k=5, n_cells=4, nprobe=2,
+        corpus_cells=_ivf_cells_shared(spark, sf_dir),
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    per_q = (
+        truth.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("k"), F.count("hit").alias("hits"))
+    )
+    recall = F.col("hits") / F.col("k")
+    return per_q.agg(
+        F.count("*").cast("bigint").alias("n_queries"),
+        F.round(F.avg(recall), 4).alias("mean_recall"),
+        F.round(F.min(recall), 4).alias("min_recall"),
+    )
+
+
+@register(
     "a4_conditional_sum",
     oracle="""
         SELECT p_brand,
@@ -4410,6 +4456,7 @@ _GATE_PRIORITY = [
     "llm_l2_topk",
     "llm_pq_recall",
     "o14_join_skew_report",
+    "llm_ivf_recall",
     "llm_weighted_sample",
     "llm_source_mix",
     "llm_semantic_dedup",

@@ -259,3 +259,57 @@ def test_compact_parquet_shrinks_files_and_preserves_content(spark, tmp_path):
     import os
     assert not os.path.exists(path + ".compact.tmp")
     assert not os.path.exists(path + ".compact.old")
+
+
+def test_write_zordered_prunes_on_both_columns(spark, tmp_path):
+    """Z-ordered files each cover a small fraction of BOTH columns'
+    global ranges (multi-dimension min/max pruning), while a single-
+    column range sort leaves the second column unprunable (~full range
+    per file)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from ad_data_pipelines_spark.operators.partitioning import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    li = spark.read.parquet(f"{SF_MEDIUM}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+
+    def coverage(path, col):
+        glo, ghi, spans = None, None, []
+        files = glob.glob(path + "/*.parquet")
+        per_file = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            per_file.append((min(mins), max(maxs)))
+        glo = min(lo for lo, _ in per_file)
+        ghi = max(hi for _, hi in per_file)
+        spans = [(hi - lo) / max(ghi - glo, 1) for lo, hi in per_file]
+        return sum(spans) / len(spans)
+
+    zpath = str(tmp_path / "zord")
+    write_zordered(li, zpath, ["l_partkey", "l_suppkey"], n_files=16)
+    spath = str(tmp_path / "single")
+    write_range_sorted(li, spath, "l_partkey", n_files=16)
+
+    # round-trip: layout change must not lose or duplicate rows
+    assert spark.read.parquet(zpath).count() == li.count()
+    assert set(spark.read.parquet(zpath).columns) == set(li.columns)
+
+    z_part, z_supp = (coverage(zpath, c) for c in ("l_partkey", "l_suppkey"))
+    s_supp = coverage(spath, "l_suppkey")
+    # each z-file covers a bounded hyper-rectangle: both dims prunable
+    assert z_part < 0.6, f"zorder l_partkey coverage {z_part:.2f}"
+    assert z_supp < 0.6, f"zorder l_suppkey coverage {z_supp:.2f}"
+    # the single-column sort can't prune the other column
+    assert s_supp > 0.9, f"single-sort suppkey coverage {s_supp:.2f}"
