@@ -30,6 +30,8 @@ one foreachBatch on the same frame: exhaustive, disjoint.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -87,21 +89,36 @@ def _dedup_batch(
 def run_near_dedup_available_now(
     spark: SparkSession,
     source_path: str,
-    history_sigs: DataFrame,
+    history_sigs: DataFrame | Callable[[], DataFrame],
     checkpoint: str,
     keep_path: str,
     drop_path: str,
     min_eq: int = 8,
+    max_files_per_trigger: int = 8,
 ) -> None:
     """Drain available document files through the near-dedup gate
-    against `history_sigs` (a static `minhash_signatures` table):
-    novel docs append to `keep_path`, near-dups of history to
-    `drop_path` with `matched_doc` evidence."""
+    against `history_sigs` (a `minhash_signatures` table): novel docs
+    append to `keep_path`, near-dups of history to `drop_path` with
+    `matched_doc` evidence.
+
+    Pass a zero-arg callable as `history_sigs` to re-resolve the
+    history PER MICRO-BATCH — the long-running ingest stream's shape:
+    the upstream batch dedup job republishes the signature artifact
+    (e.g. via `operators/artifacts.materialize`), and each trigger
+    gates against the version current at that moment, so a doc the
+    corpus absorbed an hour ago already rejects its near-copies
+    (`lambda: spark.read.parquet(sig_artifact_path)`). A plain
+    DataFrame stays static for the whole drain."""
+    resolve = (
+        history_sigs if callable(history_sigs) else lambda: history_sigs
+    )
     q = (
-        read_docs_stream(spark, source_path)
+        read_docs_stream(
+            spark, source_path, max_files_per_trigger=max_files_per_trigger
+        )
         .writeStream.foreachBatch(
             lambda batch, _id: _dedup_batch(
-                batch, history_sigs, keep_path, drop_path, min_eq
+                batch, resolve(), keep_path, drop_path, min_eq
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -643,3 +643,58 @@ def test_streaming_psi_monitor_matches_batch_and_flags_shift(
             batch, "value", ["event_type"], ref, 0.0, 100.0
         ).collect()[0]
         assert (want.n_values, want.psi) == (n, by_n[n].psi)
+
+
+def test_streaming_near_dedup_refreshes_history_per_trigger(
+    spark, tmp_path
+):
+    """With a provider-callable history, each micro-batch gates
+    against the signature table current AT THAT TRIGGER: a doc the
+    corpus absorbed after batch 1 (upstream artifact republish)
+    already rejects its copy in batch 2 within the same drain."""
+    from ad_data_pipelines_spark.operators import dedup as dd
+    from ad_data_pipelines_spark.streaming import neardedup
+
+    t_a = "the quick brown fox jumps over the lazy dog again and again"
+    t_b = "a completely different document about spark shuffles at scale"
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, txt, "en", "s", len(txt)) for i, txt in rows],
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint",
+        )
+
+    src = tmp_path / "docs_src"
+    docs([(1, t_a)]).coalesce(1).write.parquet(str(src), mode="append")
+    docs([(2, t_a), (3, t_b)]).coalesce(1).write.parquet(
+        str(src), mode="append"
+    )
+
+    calls = []
+
+    def history_provider():
+        calls.append(1)
+        if len(calls) == 1:
+            # initial history: nothing — doc 1 is novel
+            return dd.minhash_signatures(docs([(100, t_b)]).limit(0))
+        # upstream republished: batch 1's keeper is now history
+        return dd.minhash_signatures(docs([(1, t_a)]))
+
+    neardedup.run_near_dedup_available_now(
+        spark,
+        str(src),
+        history_provider,
+        checkpoint=str(tmp_path / "ck"),
+        keep_path=str(tmp_path / "keep"),
+        drop_path=str(tmp_path / "drop"),
+        max_files_per_trigger=1,
+    )
+
+    kept = {r.doc_id for r in spark.read.parquet(
+        str(tmp_path / "keep")).collect()}
+    drops = {r.doc_id: r.matched_doc for r in spark.read.parquet(
+        str(tmp_path / "drop")).collect()}
+    assert len(calls) == 2, "history must re-resolve per micro-batch"
+    assert kept == {1, 3}, kept          # doc 1 novel then; doc 3 novel
+    assert drops == {2: 1}, drops        # doc 2 rejected by refreshed history
