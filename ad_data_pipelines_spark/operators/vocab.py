@@ -155,3 +155,108 @@ def encode_docs_sql(max_size: int = 1000) -> str:
                COALESCE(s.n_oov, 0) AS n_oov
         FROM d LEFT JOIN seqs s USING (doc_id)
     """
+
+
+def word_symbol_table(docs: DataFrame) -> DataFrame:
+    """(word, count, syms): distinct corpus words with frequencies,
+    each split into single-character symbols — BPE's working table.
+    The corpus-sized pass happens HERE, once; every merge iteration
+    afterwards runs on this |distinct words| table."""
+    words = _tokens(docs).groupBy("token").agg(F.count("*").alias("count"))
+    # NB: Spark's split keeps trailing empty strings (limit=-1
+    # semantics), so the zero-width char split needs the empty filter
+    syms = F.filter(
+        F.split(F.col("token"), "(?!^)"), lambda x: x != F.lit("")
+    )
+    return words.select(
+        F.col("token").alias("word"), "count", syms.alias("syms")
+    )
+
+
+def _pair_counts(word_syms: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the word table: one narrow
+    zip_with over two array slices (no posexplode+window), then a
+    combinable aggregate."""
+    n = F.size("syms")
+    pairs = F.zip_with(
+        F.slice("syms", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("syms", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        word_syms.filter(n >= 2)
+        .select("count", F.explode(pairs).alias("p"))
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("count").alias("n"))
+    )
+
+
+def _merge_pair(word_syms: DataFrame, a: str, b: str) -> DataFrame:
+    """Left-to-right non-overlapping merge of the (a, b) symbol pair in
+    every word — a map-only fold over each symbol array."""
+    la, lb = F.lit(a), F.lit(b)
+    merged = F.aggregate(
+        "syms",
+        F.expr("CAST(array() AS ARRAY<STRING>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == la)
+            & (x == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(la, lb)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return word_syms.select("word", "count", merged.alias("syms"))
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int = 20
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Byte-pair-encoding trainer (Sennrich et al. 2016, the subword
+    algorithm behind GPT/Llama tokenizers), Spark-shaped: returns the
+    ordered merge list and the final (word, count, syms) table.
+
+    Scale contract: the corpus is touched ONCE (word-count aggregate);
+    each of the `n_merges` iterations runs a combinable pair-count
+    over the |distinct words| table, collects exactly ONE argmax row
+    to the driver (the same legitimate iterative-coordination shape
+    as KMeans / the connected-components convergence counter), and
+    applies the merge map-side. The working table persists per round
+    and unpersists its predecessor, so lineage stays one round deep.
+    Ties break deterministically on (count desc, a asc, b asc) —
+    engine- and partitioning-independent merge sequences.
+
+    Stops early when no adjacent pair remains (fully merged corpus).
+    """
+    table = word_symbol_table(docs).persist()
+    table.count()
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            _pair_counts(table)
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0].a, best[0].b
+        merges.append((a, b))
+        nxt = _merge_pair(table, a, b).persist()
+        nxt.count()
+        table.unpersist()
+        table = nxt
+    return merges, table
+
+
+def bpe_symbol_vocab(word_syms: DataFrame) -> DataFrame:
+    """(symbol, n_occurrences) over the trained word table — the
+    subword vocabulary the merge list induces (weighted by word
+    frequency, one explode + combinable count)."""
+    return (
+        word_syms.select("count", F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.sum("count").cast("bigint").alias("n_occurrences"))
+    )

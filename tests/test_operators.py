@@ -1636,3 +1636,87 @@ def test_zipf_rank_ties_break_on_word(spark):
     assert out.n_top == 3
     out4 = corpusstats.zipf_slope(docs, top_n=4).collect()[0]
     assert out4.n_top == 4
+
+
+def test_train_bpe_matches_python_reference(spark):
+    """The distributed BPE trainer reproduces a pure-Python reference
+    implementation exactly: same merge sequence (count-desc,
+    lexicographic tiebreak) and same induced symbol vocabulary."""
+    from collections import Counter
+
+    from ad_data_pipelines_spark.operators import vocab
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new",
+        "low new low",
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+
+    # --- pure-Python reference ---
+    wc = Counter(w for t in texts for w in t.split())
+    words = {w: list(w) for w in wc}
+
+    def ref_merges(n):
+        out = []
+        for _ in range(n):
+            pc = Counter()
+            for w, syms in words.items():
+                for x, y in zip(syms, syms[1:]):
+                    pc[(x, y)] += wc[w]
+            if not pc:
+                break
+            # count desc, then (a, b) asc — the trainer's tiebreak
+            (a, b), _n = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((a, b))
+            for w, syms in words.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == a
+                        and syms[i + 1] == b
+                    ):
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                words[w] = merged
+        return out
+
+    want_merges = ref_merges(8)
+    got_merges, table = vocab.train_bpe(docs, n_merges=8)
+    assert got_merges == want_merges
+
+    got_syms = {r.word: list(r.syms) for r in table.collect()}
+    assert got_syms == words
+    table.unpersist()
+
+    want_vocab = Counter()
+    for w, syms in words.items():
+        for s in syms:
+            want_vocab[s] += wc[w]
+    got_vocab = {
+        r.symbol: r.n_occurrences
+        for r in vocab.bpe_symbol_vocab(table).collect()
+    }
+    assert got_vocab == dict(want_vocab)
+
+
+def test_train_bpe_stops_when_fully_merged(spark):
+    """A corpus whose words merge down to single symbols stops early
+    instead of spinning out empty iterations."""
+    from ad_data_pipelines_spark.operators import vocab
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab ab cd")], "doc_id bigint, text string"
+    )
+    merges, table = vocab.train_bpe(docs, n_merges=50)
+    assert merges == [("a", "b"), ("c", "d")]
+    assert {tuple(r.syms) for r in table.collect()} == {("ab",), ("cd",)}
+    table.unpersist()
