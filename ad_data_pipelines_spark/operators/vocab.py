@@ -260,3 +260,44 @@ def bpe_symbol_vocab(word_syms: DataFrame) -> DataFrame:
         .groupBy("symbol")
         .agg(F.sum("count").cast("bigint").alias("n_occurrences"))
     )
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(doc_id, pieces): each document's whitespace words split to
+    subword pieces by replaying the trained merge list IN ORDER —
+    tokenization-side BPE (the trainer's counterpart; exact on words
+    never seen in training, which simply merge as far as the list
+    allows).
+
+    Plan shape: merges replay over the DISTINCT-WORD table (the same
+    `_merge_pair` fold the trainer uses — each pass is narrow and runs
+    on |distinct words| rows, not the corpus), then the word→pieces
+    map broadcast-joins back onto the token stream, and documents
+    reassemble with one aggregate on doc_id. The corpus itself is
+    touched by exactly one tokenize pass and one shuffle — the same
+    contract as `encode_docs`."""
+    toks = _tokens(docs, with_pos=True)
+    syms = F.filter(
+        F.split(F.col("token"), "(?!^)"), lambda x: x != F.lit("")
+    )
+    words = toks.select("token").distinct().select(
+        F.col("token").alias("word"),
+        F.lit(1).alias("count"),
+        syms.alias("syms"),
+    )
+    for a, b in merges:
+        words = _merge_pair(words, a, b)
+    pieces_map = words.select(
+        F.col("word").alias("token"), F.col("syms").alias("word_pieces")
+    )
+    return (
+        toks.join(F.broadcast(pieces_map), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "word_pieces"))
+                ).word_pieces
+            ).alias("pieces")
+        )
+    )

@@ -1720,3 +1720,29 @@ def test_train_bpe_stops_when_fully_merged(spark):
     assert merges == [("a", "b"), ("c", "d")]
     assert {tuple(r.syms) for r in table.collect()} == {("ab",), ("cd",)}
     table.unpersist()
+
+
+def test_bpe_encode_roundtrip_and_unseen_words(spark):
+    """Encoding with the trained merges reproduces the trainer's
+    per-word segmentation, concatenating pieces rebuilds the original
+    words in order, and unseen words merge as far as the list allows."""
+    from ad_data_pipelines_spark.operators import vocab
+
+    train = spark.createDataFrame(
+        [(0, "low lower lowest low low new newer newest new low new")],
+        "doc_id bigint, text string",
+    )
+    merges, table = vocab.train_bpe(train, n_merges=6)
+    trained = {r.word: list(r.syms) for r in table.collect()}
+    table.unpersist()
+
+    test_docs = spark.createDataFrame(
+        [(1, "low newest low"), (2, "slower")],  # 'slower' never trained
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: list(r.pieces)
+           for r in vocab.bpe_encode(test_docs, merges).collect()}
+    assert out[1] == trained["low"] + trained["newest"] + trained["low"]
+    assert "".join(out[2]) == "slower"
+    assert len(out[2]) > 1  # partial merges, not one unseen blob
+    assert all(piece for piece in out[2])  # no empty pieces
