@@ -137,3 +137,22 @@ def test_shared_rev_bump_rebuilds(spark, tmp_path, monkeypatch):
     materialize_shared_artifacts(spark, SF_SMALL, root)
     v2 = art.artifact_status(shingles)["version"]
     assert v1 != v2 and "rev=2" in v2
+
+
+def test_refresh_job_rebuilds_then_noops(spark, tmp_path):
+    """The refresh job's first run builds every stage (rebuilt=True);
+    an immediate re-run with the same corpus+revision reports every
+    stage rebuilt=False and leaves markers untouched (no Spark work)."""
+    from ad_data_pipelines_spark.jobs.refresh_artifacts import refresh
+
+    root = str(tmp_path / "arts")
+    first = refresh(spark, SF_SMALL, root)
+    assert first and all(v["rebuilt"] for v in first.values())
+    assert all(v["n_rows"] >= 0 for v in first.values())
+
+    second = refresh(spark, SF_SMALL, root)
+    assert set(second) == set(first)
+    assert all(not v["rebuilt"] for v in second.values())
+    assert {k: v["version"] for k, v in second.items()} == {
+        k: v["version"] for k, v in first.items()
+    }

@@ -431,3 +431,31 @@ def test_read_parquet_evolving_merges_and_enforces_contract(spark, tmp_path):
                         StructField("b", StringType()),
                         StructField("c", LongType())]),
         )
+
+
+def test_ingest_folder_job_entrypoint(spark, tmp_path, capsys, monkeypatch):
+    """The CLI job wraps import_folder: first run imports, re-run is a
+    no-op, and the summary prints as one JSON line."""
+    import json
+
+    from ad_data_pipelines_spark.jobs import ingest_folder
+
+    root = tmp_path / "landing"
+    (root / "trips").mkdir(parents=True)
+    (root / "trips" / "day1.csv").write_text("id,v\n1,a\n2,b\n")
+    wh = tmp_path / "wh"
+
+    # reuse the session fixture instead of building a new one
+    monkeypatch.setattr(
+        "ad_data_pipelines_spark.session.get_spark", lambda **kw: spark
+    )
+    ingest_folder.main(
+        ["--root", str(root), "--warehouse", str(wh)]
+    )
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1 == {"trips": 1}
+    assert spark.read.parquet(str(wh / "trips")).count() == 2
+
+    ingest_folder.main(["--root", str(root), "--warehouse", str(wh)])
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2 == {"trips": 0}
