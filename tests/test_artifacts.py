@@ -156,3 +156,31 @@ def test_refresh_job_rebuilds_then_noops(spark, tmp_path):
     assert {k: v["version"] for k, v in second.items()} == {
         k: v["version"] for k, v in first.items()
     }
+
+
+def test_search_consumes_lsh_bucket_artifact(spark, tmp_path):
+    """An ANN search fed the ON-DISK bucket artifact returns exactly
+    the session-stage result — the consumer-job side of the artifact
+    story (search jobs scan the materialized corpus buckets, never
+    re-assign them)."""
+    from pyspark.sql import functions as F
+
+    from ad_data_pipelines_spark.operators import similarity as sim
+    from ad_data_pipelines_spark.plans import testdata_queries as tq
+
+    root = str(tmp_path / "arts")
+    paths = materialize_shared_artifacts(spark, SF_SMALL, root)
+    emb = tq.t(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    from_artifact = sim.lsh_topk(
+        emb, queries, k=5,
+        corpus_buckets=spark.read.parquet(paths["lsh_corpus_buckets"]),
+    )
+    from_session = sim.lsh_topk(
+        emb, queries, k=5,
+        corpus_buckets=tq._lsh_buckets_shared(spark, SF_SMALL),
+    )
+    a = sorted(map(tuple, from_artifact.collect()))
+    b = sorted(map(tuple, from_session.collect()))
+    assert a == b and len(a) > 0
