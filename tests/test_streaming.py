@@ -698,3 +698,74 @@ def test_streaming_near_dedup_refreshes_history_per_trigger(
     assert len(calls) == 2, "history must re-resolve per micro-batch"
     assert kept == {1, 3}, kept          # doc 1 novel then; doc 3 novel
     assert drops == {2: 1}, drops        # doc 2 rejected by refreshed history
+
+
+def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
+    """Both sides streaming: the watermarked time-range join over an
+    AvailableNow drain equals the batch inequality join on the same
+    data — including cross-micro-batch pairs (click in file 1,
+    purchase in file 2) — and the half-open [click, click+window)
+    bound holds at both edges."""
+    import datetime as dt
+
+    from ad_data_pipelines_spark.streaming import stream_join
+
+    T = dt.datetime(2024, 1, 1)
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [
+                (i, ts, u, "x", 0.0, "{}")
+                for i, ts, u in rows
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+
+    H = dt.timedelta(hours=1)
+    clicks_1 = ev([(1, T, 10), (2, T + 2 * H, 11)])
+    clicks_2 = ev([(3, T + 50 * H, 10)])
+    purch_1 = ev([(101, T + 5 * H, 10)])        # matches click 1
+    purch_2 = ev([
+        (102, T + 51 * H, 10),                  # matches clicks 1? (51h<168h: yes) and 3
+        (103, T, 10),                           # same instant as click 1 → inside
+        (104, T + 168 * H, 10),                 # exactly click1+window → outside
+        (105, T + 3 * H, 99),                   # no such user's click
+    ])
+
+    c_src, p_src = tmp_path / "clicks", tmp_path / "purch"
+    clicks_1.coalesce(1).write.parquet(str(c_src), mode="append")
+    clicks_2.coalesce(1).write.parquet(str(c_src), mode="append")
+    purch_1.coalesce(1).write.parquet(str(p_src), mode="append")
+    purch_2.coalesce(1).write.parquet(str(p_src), mode="append")
+
+    stream_join.run_attribution_available_now(
+        spark,
+        str(c_src),
+        str(p_src),
+        checkpoint=str(tmp_path / "ck"),
+        out_path=str(tmp_path / "out"),
+        max_files_per_trigger=1,
+    )
+    got = {
+        (r.click_id, r.purchase_id): r.lag_hours
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+
+    clicks_all = clicks_1.unionAll(clicks_2)
+    purch_all = purch_1.unionAll(purch_2)
+    want = {
+        (r.click_id, r.purchase_id): r.lag_hours
+        for r in stream_join.clicks_purchases_joined(
+            clicks_all, purch_all
+        ).collect()
+    }
+    assert got == want and got, (got, want)
+    assert (1, 101) in got and got[(1, 101)] == 5.0
+    assert (1, 103) in got and got[(1, 103)] == 0.0   # same-instant: inside
+    assert (3, 102) in got and got[(3, 102)] == 1.0
+    # purchase at exactly click1+window is OUTSIDE click 1's half-open
+    # window (it still matches the later click 3, legitimately)
+    assert (1, 104) not in got, "purchase at +window leaked into click 1"
+    assert (3, 104) in got
+    assert all(pid != 105 for _, pid in got), "userless purchase leaked in"
