@@ -568,6 +568,18 @@ def psi_vs_reference(
     costs the same as many small ones.
     """
     n_bins = len(ref_props)
+    if n_bins == 0:
+        raise ValueError("ref_props must carry at least one bin")
+    if any(p < 0 for p in ref_props):
+        raise ValueError("reference proportions must be non-negative")
+    total = sum(ref_props)
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(
+            f"reference proportions must sum to 1 (got {total}) — "
+            "normalize upstream so PSI magnitudes stay comparable"
+        )
+    if hi <= lo:
+        raise ValueError(f"empty value range [{lo}, {hi})")
     gcols = list(group_cols)
     width = (hi - lo) / n_bins
     v = F.col(value_col)

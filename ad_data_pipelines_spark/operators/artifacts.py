@@ -78,6 +78,12 @@ def materialize(
     The returned DataFrame reads from disk, so consumers get parquet
     scan benefits (column pruning, predicate pushdown, footer stats)
     rather than a recomputed lineage.
+
+    Single-writer contract: concurrent rebuilds of the SAME artifact
+    path race on the shared tmp directory — serialize refreshes per
+    artifact in the orchestrator (the refresh job is the intended
+    sole writer; concurrent READERS are always safe, they see either
+    the old committed directory or the new one).
     """
     meta = artifact_status(path)
     if meta is not None and meta.get("version") == version:

@@ -1746,3 +1746,45 @@ def test_bpe_encode_roundtrip_and_unseen_words(spark):
     assert "".join(out[2]) == "slower"
     assert len(out[2]) > 1  # partial merges, not one unseen blob
     assert all(piece for piece in out[2])  # no empty pieces
+
+
+def test_psi_vs_reference_rejects_bad_references(spark):
+    """Hostile reference histograms fail loudly: empty, negative,
+    non-normalized, or an empty value range."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import agg
+
+    df = spark.createDataFrame([(1, "a", 1.0)], "id bigint, g string, v double")
+    for bad_ref, lo, hi in [
+        ([], 0.0, 1.0),
+        ([0.5, -0.1, 0.6], 0.0, 1.0),
+        ([0.3, 0.3], 0.0, 1.0),       # sums to 0.6
+        ([0.5, 0.5], 1.0, 1.0),       # empty range
+    ]:
+        with pytest.raises(ValueError):
+            agg.psi_vs_reference(df, "v", ["g"], bad_ref, lo, hi)
+
+
+def test_cooccurrence_and_zipf_degenerate_inputs(spark):
+    """Empty corpora and single-token docs produce empty/NULL-safe
+    results, never errors — the paths a scoped filter can reach."""
+    from ad_data_pipelines_spark.operators import corpusstats
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    assert corpusstats.cooccurrence_pmi(empty).count() == 0
+
+    single = spark.createDataFrame(
+        [(0, "lonely"), (1, "  "), (2, "a b")],
+        "doc_id bigint, text string",
+    )
+    out = corpusstats.cooccurrence_pmi(single, min_pair=1).collect()
+    assert [r.pair for r in out] == ["a b"]
+
+    empty_l = spark.createDataFrame([], "doc_id bigint, text string, lang string")
+    assert corpusstats.zipf_slope(empty_l).count() == 0
+    one_word = spark.createDataFrame(
+        [(0, "x x x", "en")], "doc_id bigint, text string, lang string"
+    )
+    row = corpusstats.zipf_slope(one_word).collect()[0]
+    assert row.n_top == 1 and row.zipf_slope is None  # slope undefined
