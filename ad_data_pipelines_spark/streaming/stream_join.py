@@ -35,6 +35,7 @@ def clicks_purchases_joined(
     purchases: DataFrame,
     window: str = "7 days",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """(user_id, click_id, click_ts, purchase_id, purchase_ts,
     lag_hours) for every purchase within `window` AFTER a click by the
@@ -46,7 +47,17 @@ def clicks_purchases_joined(
     window): a purchase at the exact click instant attributes, one at
     exactly +window does not — the same convention as the interval
     operators.
+
+    `how="left_outer"` additionally emits UNCONVERTED clicks (NULL
+    purchase columns) — but only once the watermark passes the end of
+    the click's window, when "no purchase" is final rather than "not
+    yet". Clicks whose window is still open stay in checkpointed
+    state; a later drain resuming from the same checkpoint emits them
+    as the watermark advances (asserted in tests). That is the
+    streaming contract: outer results are eventual, never retracted.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type {how!r}")
     c = (
         clicks.withWatermark("ts", watermark)
         .select(
@@ -71,7 +82,7 @@ def clicks_purchases_joined(
             F.col("purchase_ts")
             < F.col("click_ts") + F.expr(f"INTERVAL {window}")
         ),
-        "inner",
+        how,
     )
     lag_h = (
         F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
@@ -95,9 +106,11 @@ def run_attribution_available_now(
     window: str = "7 days",
     watermark: str = "1 hour",
     max_files_per_trigger: int = 8,
+    how: str = "inner",
 ) -> None:
     """Drain the two file streams through the watermarked interval
-    join, appending finalized (click, purchase) attributions."""
+    join, appending finalized (click, purchase) attributions (plus,
+    with how='left_outer', watermark-finalized unconverted clicks)."""
     from ad_data_pipelines_spark.streaming.enrich_asof import (
         read_events_stream,
     )
@@ -107,6 +120,7 @@ def run_attribution_available_now(
         read_events_stream(spark, purchases_path, max_files_per_trigger),
         window=window,
         watermark=watermark,
+        how=how,
     )
     q = (
         joined.writeStream.format("parquet")

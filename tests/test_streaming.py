@@ -769,3 +769,73 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
     assert (1, 104) not in got, "purchase at +window leaked into click 1"
     assert (3, 104) in got
     assert all(pid != 105 for _, pid in got), "userless purchase leaked in"
+
+
+def test_stream_stream_left_outer_emits_on_watermark_finality(
+    spark, tmp_path
+):
+    """Left-outer stream-stream join: an unconverted click emits its
+    NULL-purchase row only once the watermark passes its window end;
+    a click whose window is still open stays in checkpointed state and
+    emits in a LATER drain when new data advances the watermark."""
+    import datetime as dt
+
+    from ad_data_pipelines_spark.streaming import stream_join
+
+    T = dt.datetime(2024, 1, 1)
+    D = dt.timedelta(days=1)
+
+    def ev(rows):
+        return spark.createDataFrame(
+            [(i, ts, u, "x", 0.0, "{}") for i, ts, u in rows],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+
+    c_src, p_src = tmp_path / "clicks", tmp_path / "purch"
+    # click A (user 10): never converts, window [T, T+1d)
+    # click B (user 11) at T+30d: never converts, window still open
+    # click C (user 13) at T+29d: converts 2h later
+    ev([(1, T, 10), (2, T + 30 * D, 11), (3, T + 29 * D, 13)]).coalesce(
+        1
+    ).write.parquet(str(c_src), mode="append")
+    ev([(101, T + 29 * D + dt.timedelta(hours=2), 13)]).coalesce(
+        1
+    ).write.parquet(str(p_src), mode="append")
+
+    kw = dict(
+        checkpoint=str(tmp_path / "ck"),
+        out_path=str(tmp_path / "out"),
+        window="1 day",
+        watermark="1 hour",
+        how="left_outer",
+    )
+    stream_join.run_attribution_available_now(
+        spark, str(c_src), str(p_src), **kw
+    )
+    rows1 = {
+        r.click_id: r.purchase_id
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert rows1.get(3) == 101          # converted pair emits
+    assert 1 in rows1 and rows1[1] is None  # A finalized unconverted
+    assert 2 not in rows1               # B's window still open
+
+    # drain 2: far-future events on BOTH streams (the query watermark
+    # is the MIN across inputs) push the watermark past B's window
+    # end; the checkpointed state releases B as unconverted
+    ev([(102, T + 40 * D, 99)]).coalesce(1).write.parquet(
+        str(p_src), mode="append"
+    )
+    ev([(4, T + 40 * D, 98)]).coalesce(1).write.parquet(
+        str(c_src), mode="append"
+    )
+    stream_join.run_attribution_available_now(
+        spark, str(c_src), str(p_src), **kw
+    )
+    rows2 = {
+        r.click_id: r.purchase_id
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert rows2.get(2, "absent") is None, rows2  # B emitted, unconverted
+    assert len([k for k in rows2]) == 3
