@@ -843,3 +843,59 @@ def test_overlap_join_matches_nested_loop(spark, case):
                 if ls < rs + rd and rs < ls + ld:
                     want.add((i, j))
     assert set(got) == want
+
+
+# --- PSI vs pinned reference: numpy cross-implementation -------------------
+
+psi_case = st.tuples(
+    st.lists(  # values in [0, 100)
+        st.floats(min_value=0.0, max_value=99.99,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(  # unnormalized positive reference weights, 4 bins
+        st.floats(min_value=0.01, max_value=10.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=4,
+        max_size=4,
+    ),
+)
+
+
+@given(psi_case)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_psi_vs_reference_matches_numpy(spark, case):
+    """The Spark PSI equals an independent NumPy implementation of the
+    same definition (same binning, eps floor, rounding) on random
+    samples and random normalized references — including samples that
+    leave bins empty."""
+    import numpy as np
+
+    from ad_data_pipelines_spark.operators.agg import psi_vs_reference
+
+    values, weights = case
+    ref = [w / sum(weights) for w in weights]
+    # re-normalize exactly the way the operator's validator expects
+    ref[-1] = 1.0 - sum(ref[:-1])
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in values], "g string, v double"
+    )
+    row = psi_vs_reference(df, "v", ["g"], ref, 0.0, 100.0).collect()[0]
+
+    eps, n_bins = 1e-4, 4
+    width = 100.0 / n_bins
+    counts = np.zeros(n_bins)
+    for v in values:
+        b = min(max(int(np.floor(v / width)), 0), n_bins - 1)
+        counts[b] += 1
+    p = np.maximum(counts / counts.sum(), eps)
+    r = np.maximum(np.array(ref), eps)
+    want = round(float(np.sum((p - r) * np.log(p / r))), 6)
+    assert row.n_values == len(values)
+    assert row.psi == want
