@@ -72,11 +72,23 @@ def cooccurrence_pmi(
         F.explode(F.concat(*pair_arrays)).alias("pair")
     )
     cp = pairs.groupBy("pair").agg(F.count("*").alias("n_pair"))
-    total_pairs = cp.agg(F.sum("n_pair").cast("double").alias("tp"))
-
     toks = base.select(F.explode("toks").alias("w"))
     cu = toks.groupBy("w").agg(F.count("*").alias("cw"))
-    total_toks = cu.agg(F.sum("cw").cast("double").alias("tt"))
+
+    # BOTH scalar totals come from one narrow arithmetic aggregate
+    # over array sizes — summing cp/cu would re-run the corpus-sized
+    # explode+shuffle for a 1-row answer (Spark's exchange reuse does
+    # not unify the scalar branch with the keyed one), while
+    # Σ_docs Σ_j max(n-j, 0) and Σ_docs n are exactly the same totals
+    # with no Generate and no shuffle beyond the 1-row combine.
+    n_pairs_per_doc = sum(
+        [F.greatest(n - j, F.lit(0)) for j in range(1, window + 1)],
+        F.lit(0),
+    )
+    totals = base.agg(
+        F.sum(n_pairs_per_doc).cast("double").alias("tp"),
+        F.sum(n).cast("double").alias("tt"),
+    )
 
     scored = (
         cp.filter(F.col("n_pair") >= min_pair)
@@ -84,8 +96,7 @@ def cooccurrence_pmi(
         .withColumn("wb", F.split("pair", " ")[1])
         .join(cu.select(F.col("w").alias("wa"), F.col("cw").alias("ca")), "wa")
         .join(cu.select(F.col("w").alias("wb"), F.col("cw").alias("cb")), "wb")
-        .crossJoin(F.broadcast(total_pairs))
-        .crossJoin(F.broadcast(total_toks))
+        .crossJoin(F.broadcast(totals))
         .select(
             "pair",
             F.col("n_pair").cast("bigint").alias("n_pair"),
