@@ -459,3 +459,25 @@ def test_ingest_folder_job_entrypoint(spark, tmp_path, capsys, monkeypatch):
     ingest_folder.main(["--root", str(root), "--warehouse", str(wh)])
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2 == {"trips": 0}
+
+
+def test_corrupt_parquet_file_quarantine_read(spark, tmp_path):
+    """A garbage file dropped into a parquet directory: the default
+    read fails loudly (correctness first), and the explicit
+    ignoreCorruptFiles escape hatch recovers the healthy rows — the
+    operational knob for salvage reads, never the default."""
+    import pytest
+
+    path = tmp_path / "data"
+    spark.range(10).write.parquet(str(path))
+    (path / "part-corrupt.parquet").write_bytes(b"PAR1 this is not parquet")
+
+    with pytest.raises(Exception):
+        spark.read.parquet(str(path)).count()
+
+    salvaged = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .parquet(str(path))
+        .count()
+    )
+    assert salvaged == 10
