@@ -314,3 +314,108 @@ def deterministic_shuffle_sql(
         f"ROW_NUMBER() OVER (PARTITION BY {h} % {n_buckets} "
         f"ORDER BY {h}, {expr}) AS shuffle_rank"
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    key: str,
+    budget: int,
+    tau: float = 0.5,
+    salt: str = "tmix",
+    eps: float = 1e-9,
+    *,
+    fast: bool = False,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling: stratum l receives
+    k_l = min(n_l, floor(budget · n_l^τ / Σ n^τ)) rows, picked by the
+    same deterministic hash rank as `mixture_balance` — the
+    multilingual-LM sampling recipe (τ<1 up-weights small strata
+    relative to proportional sampling; τ=1 is proportional, τ=0 is
+    uniform-across-strata). Unlike `mixture_balance`, the per-stratum
+    budgets derive from CORPUS STATISTICS, so the mixture tracks the
+    data as it grows.
+
+    Scale shape: one stratum count aggregate, a 1-row weight-sum
+    broadcast back, a broadcast join of the tiny per-stratum target
+    table, then the single hash-rank window shuffle.
+
+    Cross-engine determinism: τ=0.5 computes weights via sqrt (IEEE
+    correctly-rounded in every engine); other τ go through pow, whose
+    last ulp may differ between libm implementations — the `eps` guard
+    absorbs that unless budget·p_l sits within eps of an integer.
+    """
+    from pyspark.sql import Window
+
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    weight = (
+        F.sqrt(F.col("__n"))
+        if tau == 0.5
+        else F.pow(F.col("__n"), F.lit(float(tau)))
+    )
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("__n"))
+    wsum = counts.agg(F.sum(weight).alias("__w"))
+    targets = (
+        counts.crossJoin(F.broadcast(wsum))
+        .select(
+            strata_col,
+            F.least(
+                F.col("__n"),
+                F.floor(
+                    F.lit(float(budget)) * weight / F.col("__w")
+                    + F.lit(eps)
+                ).cast("long"),
+            ).alias("__k"),
+        )
+    )
+    h = portable_hash64(
+        F.concat(F.col(key).cast("string"), F.lit("#" + salt)), fast=fast
+    )
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.join(F.broadcast(targets), strata_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__k"))
+        .drop("__rk", "__k")
+    )
+
+
+def temperature_mix_sql(
+    table: str,
+    strata_col: str,
+    key: str,
+    budget: int,
+    tau: float = 0.5,
+    salt: str = "tmix",
+    eps: float = 1e-9,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin of `temperature_mix` (τ=0.5 mirrors the sqrt path)."""
+    wexpr = "sqrt(n)" if tau == 0.5 else f"pow(n, {tau!r})"
+    keyed = f"(CAST({key} AS VARCHAR) || '#{salt}')"
+    h = f"CAST('0x' || substr(md5({keyed}), 1, 15) AS BIGINT)"
+    return f"""
+        WITH counts AS (
+            SELECT {strata_col} AS s, COUNT(*) AS n
+            FROM {table} GROUP BY 1
+        ),
+        wsum AS (SELECT SUM({wexpr}) AS w FROM counts),
+        targets AS (
+            SELECT s,
+                   LEAST(n, CAST(FLOOR({budget} * {wexpr} / w + {eps!r})
+                                 AS BIGINT)) AS k
+            FROM counts CROSS JOIN wsum
+        ),
+        ranked AS (
+            SELECT {select_cols},
+                   ROW_NUMBER() OVER (
+                       PARTITION BY {strata_col}
+                       ORDER BY {h} ASC, {key} ASC
+                   ) AS rk
+            FROM {table}
+        )
+        SELECT {select_cols} FROM ranked
+        JOIN targets ON {strata_col} = targets.s
+        WHERE rk <= targets.k
+    """

@@ -3247,6 +3247,27 @@ def q_llm_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_temperature_mix",
+    oracle=_sampling.temperature_mix_sql(
+        "documents", "lang", "doc_id", budget=200,
+        select_cols="doc_id, lang",
+    ),
+    doc="Temperature-weighted mixture sampling (τ=0.5): per-language "
+    "budgets derive from corpus statistics — k_l ∝ sqrt(n_l) — so "
+    "small languages are up-weighted vs proportional sampling and the "
+    "mixture tracks the corpus as it grows (the multilingual-LM "
+    "sampling recipe). One count aggregate, a broadcast target table, "
+    "one hash-rank window shuffle. "
+    "operators/sampling.py:temperature_mix.",
+)
+def q_llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return _sampling.temperature_mix(
+        docs, "lang", "doc_id", budget=200
+    ).select("doc_id", "lang")
+
+
+@register(
     "llm_semantic_dedup",
     oracle=_sim.semantic_dedup_sql(threshold=0.9, n_cells=4),
     doc="SemDeDup-style embedding-space pruning (arXiv:2303.09540): "
@@ -4457,6 +4478,7 @@ _GATE_PRIORITY = [
     "llm_pq_recall",
     "o14_join_skew_report",
     "llm_ivf_recall",
+    "llm_temperature_mix",
     "llm_weighted_sample",
     "llm_source_mix",
     "llm_semantic_dedup",

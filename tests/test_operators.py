@@ -1788,3 +1788,53 @@ def test_cooccurrence_and_zipf_degenerate_inputs(spark):
     )
     row = corpusstats.zipf_slope(one_word).collect()[0]
     assert row.n_top == 1 and row.zipf_slope is None  # slope undefined
+
+
+def test_temperature_mix_budgets_and_determinism(spark):
+    """τ shapes the per-stratum budgets exactly — τ=0.5 ∝ sqrt(n),
+    τ=1 proportional, τ=0 uniform — capped at stratum size, and the
+    picked rows are identical across reruns (hash-rank determinism)."""
+    import math
+
+    from ad_data_pipelines_spark.operators import sampling
+
+    sizes = {"a": 400, "b": 100, "c": 25}
+    rows = [
+        (i + 1000 * j, s)
+        for j, (s, n) in enumerate(sorted(sizes.items()))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string")
+
+    def got_counts(tau, budget):
+        out = sampling.temperature_mix(
+            df, "src", "doc_id", budget=budget, tau=tau
+        ).collect()
+        c = {}
+        for r in out:
+            c[r.src] = c.get(r.src, 0) + 1
+        return c
+
+    # τ=0.5: weights 20/10/5 → shares 4/7, 2/7, 1/7 of 70
+    assert got_counts(0.5, 70) == {"a": 40, "b": 20, "c": 10}
+    # τ=1: proportional to 400/100/25
+    w = sum(sizes.values())
+    assert got_counts(1.0, 105) == {
+        s: math.floor(105 * n / w + 1e-9) for s, n in sizes.items()
+    }
+    # τ=0: uniform across strata, capped at the smallest stratum's size
+    assert got_counts(0.0, 90) == {"a": 30, "b": 30, "c": 25}
+
+    a = sorted(
+        r.doc_id
+        for r in sampling.temperature_mix(
+            df, "src", "doc_id", budget=70
+        ).collect()
+    )
+    b = sorted(
+        r.doc_id
+        for r in sampling.temperature_mix(
+            df, "src", "doc_id", budget=70
+        ).collect()
+    )
+    assert a == b and len(a) == 70
