@@ -1,0 +1,130 @@
+"""End-to-end corpus curation: the training-data pipeline the LLM
+operator layer exists for, as ONE runnable composition.
+
+    spark-submit -m ad_data_pipelines_spark.jobs.curate_corpus \
+        --corpus /data/corpus/sf1 --out /data/curated/run1 \
+        --budget 100000 --tau 0.5 --seq-tokens 2048
+
+Stages (each an already-tested operator; this job only wires them):
+
+  1. normalize   — lowercase/whitespace canonicalization BEFORE any
+                   hashing, so case/spacing variants collide
+                   (operators/scrub.normalize_text);
+  2. quality     — composite Gopher/C4 keep-or-drop verdict
+                   (operators/textstats.quality_verdicts);
+  3. dedup       — MinHash→LSH→connected components on the surviving
+                   docs, keep one representative per cluster
+                   (operators/dedup.dup_components);
+  4. mix         — optional temperature-weighted per-language budgets
+                   (operators/sampling.temperature_mix);
+  5. pack        — concat-and-chunk sequence packing plan
+                   (operators/packing.pack_sequences).
+
+Writes `<out>/documents` (curated docs, normalized text) and
+`<out>/packing` (per-doc token offsets and sequence ranges), and
+prints ONE JSON line of per-stage row counts — the waterfall a
+curation run is judged by. Every stage is deterministic (hash-rank
+sampling, min-id keepers), so reruns reproduce byte-identical
+outputs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.operators import dedup as _dedup
+from ad_data_pipelines_spark.operators import packing as _packing
+from ad_data_pipelines_spark.operators import sampling as _sampling
+from ad_data_pipelines_spark.operators import scrub as _scrub
+from ad_data_pipelines_spark.operators import textstats as _ts
+
+
+def curate(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_path: str,
+    budget: int | None = None,
+    tau: float = 0.5,
+    seq_tokens: int = 2048,
+    min_eq: int = 8,
+) -> dict[str, int]:
+    """Run the curation waterfall over `docs` (doc_id, text, lang, …),
+    write curated documents + packing plan under `out_path`, return
+    per-stage counts."""
+    stats: dict[str, int] = {"n_input": docs.count()}
+
+    # 1. normalize — replace text with its canonical form
+    norm = _scrub.normalize_text(docs).select("doc_id", "norm_text")
+    canon = (
+        docs.drop("n_chars")
+        .join(norm, "doc_id")
+        .withColumn("text", F.col("norm_text"))
+        .drop("norm_text")
+        .withColumn("n_chars", F.length("text"))
+    )
+
+    # 2. quality verdicts (doc-local signals)
+    verdicts = _ts.quality_verdicts(canon).filter(F.col("pass"))
+    quality_docs = canon.join(verdicts.select("doc_id"), "doc_id")
+    # the filtered frame feeds two chain stages — persist once
+    quality_docs = quality_docs.persist()
+    stats["n_after_quality"] = quality_docs.count()
+
+    # 3. near-dedup: drop non-keeper cluster members
+    losers = _dedup.dup_components(quality_docs, min_eq=min_eq).filter(
+        F.col("is_keeper") == 0
+    )
+    deduped = quality_docs.join(
+        losers.select("doc_id"), "doc_id", "left_anti"
+    ).persist()
+    stats["n_after_dedup"] = deduped.count()
+
+    # 4. optional temperature mix to a row budget
+    if budget is not None:
+        mixed = _sampling.temperature_mix(
+            deduped, "lang", "doc_id", budget=budget, tau=tau
+        ).select(*deduped.columns)
+    else:
+        mixed = deduped
+    stats["n_curated"] = mixed.count()
+
+    # 5. packing plan for the curated corpus
+    packing = _packing.pack_sequences(mixed, seq_tokens=seq_tokens)
+    stats["n_sequences"] = (
+        packing.agg(F.max("last_seq").cast("bigint")).collect()[0][0] or -1
+    ) + 1
+
+    mixed.write.mode("overwrite").parquet(f"{out_path}/documents")
+    packing.write.mode("overwrite").parquet(f"{out_path}/packing")
+    quality_docs.unpersist()
+    deduped.unpersist()
+    return stats
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--corpus", required=True,
+                    help="corpus dir containing documents.parquet")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--budget", type=int, default=None,
+                    help="optional row budget for the temperature mix")
+    ap.add_argument("--tau", type=float, default=0.5)
+    ap.add_argument("--seq-tokens", type=int, default=2048)
+    args = ap.parse_args(argv)
+
+    from ad_data_pipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="curate_corpus")
+    docs = spark.read.parquet(f"{args.corpus}/documents.parquet")
+    print(json.dumps(curate(
+        spark, docs, args.out,
+        budget=args.budget, tau=args.tau, seq_tokens=args.seq_tokens,
+    )))
+
+
+if __name__ == "__main__":
+    main()
