@@ -15,9 +15,13 @@ Stages (each an already-tested operator; this job only wires them):
   3. dedup       — MinHash→LSH→connected components on the surviving
                    docs, keep one representative per cluster
                    (operators/dedup.dup_components);
-  4. mix         — optional temperature-weighted per-language budgets
+  4. decontam    — optional benchmark decontamination: drop corpus
+                   docs sharing an 8-gram with the held-out eval set,
+                   and the eval docs themselves
+                   (operators/dedup.contamination_check);
+  5. mix         — optional temperature-weighted per-language budgets
                    (operators/sampling.temperature_mix);
-  5. pack        — concat-and-chunk sequence packing plan
+  6. pack        — concat-and-chunk sequence packing plan
                    (operators/packing.pack_sequences).
 
 Writes `<out>/documents` (curated docs, normalized text) and
@@ -51,6 +55,7 @@ def curate(
     tau: float = 0.5,
     seq_tokens: int = 2048,
     min_eq: int = 8,
+    eval_source: str | None = None,
 ) -> dict[str, int]:
     """Run the curation waterfall over `docs` (doc_id, text, lang, …),
     write curated documents + packing plan under `out_path`, return
@@ -83,7 +88,21 @@ def curate(
     ).persist()
     stats["n_after_dedup"] = deduped.count()
 
-    # 4. optional temperature mix to a row budget
+    # 4. optional benchmark decontamination: the eval docs AND every
+    # corpus doc sharing an 8-gram with them leave the training set
+    if eval_source is not None:
+        eval_pred = F.col("source") == eval_source
+        contaminated = _dedup.contamination_check(deduped, eval_pred)
+        clean = (
+            deduped.filter(~eval_pred)
+            .join(contaminated.select("doc_id"), "doc_id", "left_anti")
+            .persist()
+        )
+        stats["n_after_decontam"] = clean.count()
+        deduped.unpersist()
+        deduped = clean
+
+    # 5. optional temperature mix to a row budget
     if budget is not None:
         mixed = _sampling.temperature_mix(
             deduped, "lang", "doc_id", budget=budget, tau=tau
@@ -92,7 +111,7 @@ def curate(
         mixed = deduped
     stats["n_curated"] = mixed.count()
 
-    # 5. packing plan for the curated corpus
+    # 6. packing plan for the curated corpus
     packing = _packing.pack_sequences(mixed, seq_tokens=seq_tokens)
     stats["n_sequences"] = (
         packing.agg(F.max("last_seq").cast("bigint")).collect()[0][0] or -1
@@ -114,6 +133,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="optional row budget for the temperature mix")
     ap.add_argument("--tau", type=float, default=0.5)
     ap.add_argument("--seq-tokens", type=int, default=2048)
+    ap.add_argument("--eval-source", default=None,
+                    help="source value marking held-out eval docs; "
+                    "enables benchmark decontamination")
     args = ap.parse_args(argv)
 
     from ad_data_pipelines_spark.session import get_spark
@@ -123,6 +145,7 @@ def main(argv: list[str] | None = None) -> None:
     print(json.dumps(curate(
         spark, docs, args.out,
         budget=args.budget, tau=args.tau, seq_tokens=args.seq_tokens,
+        eval_source=args.eval_source,
     )))
 
 

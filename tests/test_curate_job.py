@@ -40,3 +40,20 @@ def test_curate_waterfall_counts_and_determinism(spark, tmp_path):
     a = sorted(map(tuple, curated.collect()))
     b = sorted(map(tuple, spark.read.parquet(out2 + "/documents").collect()))
     assert a == b
+
+
+def test_curate_decontamination_stage(spark, tmp_path):
+    """With an eval source, the waterfall drops BOTH the eval docs and
+    every corpus doc sharing an 8-gram with them."""
+    import pyspark.sql.functions as F
+
+    docs = tq.t(spark, SF_SMALL, "documents")
+    out = str(tmp_path / "run")
+    stats = curate(
+        spark, docs, out, seq_tokens=256, eval_source="src0"
+    )
+    assert "n_after_decontam" in stats
+    assert stats["n_after_decontam"] <= stats["n_after_dedup"]
+    curated = spark.read.parquet(out + "/documents")
+    assert curated.filter(F.col("source") == "src0").count() == 0
+    assert stats["n_curated"] == stats["n_after_decontam"]
