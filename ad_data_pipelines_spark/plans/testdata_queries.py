@@ -996,6 +996,51 @@ def _lang_id_oracle() -> str:
     """
 
 
+def _lang_confusion_oracle() -> str:
+    scores = _ts.lang_scores_sql("text")
+    cols = ",\n               ".join(
+        f"{sql} AS score_{lang}" for lang, sql in scores.items()
+    )
+    langs = list(scores)
+    m = "GREATEST(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    case = " ".join(f"WHEN score_{la} = {m} THEN '{la}'" for la in langs)
+    return f"""
+        WITH scored AS (
+            SELECT lang,
+               {cols}
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN {m} > 0 THEN (CASE {case} END)
+                    ELSE 'und' END AS pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM scored GROUP BY 1, 2
+    """
+
+
+@register(
+    "llm_lang_confusion",
+    oracle=_lang_confusion_oracle(),
+    doc="Label-QA confusion matrix: declared language label × marker-"
+    "scorer prediction, counted — the report that catches mislabeled "
+    "or drifting language metadata before it biases a mixture. Reuses "
+    "the shared one-pass scorer; one combinable (label, pred) count. "
+    "(Same synthetic-corpus caveat as llm_lang_id: accuracy here is "
+    "meaningless by construction; the matrix MECHANICS are what the "
+    "oracle checks.)",
+)
+def q_llm_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    scores = _ts.lang_scores("text")
+    return (
+        docs.select(
+            "lang", _ts.lang_id_from_scores(scores).alias("pred_lang")
+        )
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
 @register(
     "llm_lang_id",
     oracle=_lang_id_oracle(),
@@ -4479,6 +4524,7 @@ _GATE_PRIORITY = [
     "o14_join_skew_report",
     "llm_ivf_recall",
     "llm_temperature_mix",
+    "llm_lang_confusion",
     "llm_weighted_sample",
     "llm_source_mix",
     "llm_semantic_dedup",
