@@ -313,3 +313,43 @@ def test_write_zordered_prunes_on_both_columns(spark, tmp_path):
     assert z_supp < 0.6, f"zorder l_suppkey coverage {z_supp:.2f}"
     # the single-column sort can't prune the other column
     assert s_supp > 0.9, f"single-sort suppkey coverage {s_supp:.2f}"
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """The Spark Morton key equals a pure-Python bit-interleave of the
+    same bucket indices on values whose buckets are known exactly."""
+    from ad_data_pipelines_spark.operators.partitioning import zorder_key
+
+    bits = 4
+    n_buckets = 1 << bits
+    # values at bucket centers over [0, 16): bucket == int(value)
+    rows = [
+        (float(a) + 0.5, float(b) + 0.5)
+        for a in range(n_buckets)
+        for b in range(0, n_buckets, 3)
+    ]
+    # pin the min/max so normalization maps bucket i to [i, i+1)
+    rows.append((0.0, 0.0))
+    rows.append((15.9999, 15.9999))
+    df = spark.createDataFrame(rows, "x double, y double")
+    joined, key = zorder_key(df, ["x", "y"], bits=bits)
+    got = {
+        (r.x, r.y): r.z
+        for r in joined.withColumn("z", key).collect()
+    }
+
+    lo, hi = 0.0, 15.9999
+
+    def bucket(v):
+        return min(max(int((v - lo) / (hi - lo) * n_buckets), 0),
+                   n_buckets - 1)
+
+    def morton(bx, by):
+        z = 0
+        for j in range(bits):
+            z |= ((bx >> j) & 1) << (2 * j)
+            z |= ((by >> j) & 1) << (2 * j + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(bucket(x), bucket(y)), (x, y, z)

@@ -288,3 +288,64 @@ def test_cooccurrence_and_zipf_10x_linear(spark):
     # top-N TakeOrdered
     assert "hashpartitioning(pair" in plan, plan
     assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_overlap_join_10x_explode_bound_and_linear(spark):
+    """The interval-overlap join at 10× volume: the exploded interval
+    row count respects ceil(span/width)+1 per interval, runtime grows
+    ~linearly, and no keyed stage collapses to one partition."""
+    import datetime as dt
+
+    from ad_data_pipelines_spark.operators.intervals import (
+        bucketed_intervals,
+        overlap_join,
+        width_micros,
+    )
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def intervals(n, span_hours=30):
+        # deterministic staggered intervals over ~90 days, 20 keys
+        return spark.range(n).select(
+            F.col("id").alias("iv_id"),
+            (F.col("id") % 20).alias("k"),
+            F.timestamp_seconds(
+                F.lit(int(T0.timestamp())) + (F.col("id") % 2160) * 3600
+            ).alias("a_start"),
+            F.timestamp_seconds(
+                F.lit(int(T0.timestamp()))
+                + (F.col("id") % 2160) * 3600
+                + span_hours * 3600
+            ).alias("a_end"),
+        )
+
+    def run(n):
+        left = intervals(n)
+        right = (
+            intervals(n // 4)
+            .withColumnRenamed("iv_id", "b_id")
+            .withColumnRenamed("a_start", "b_start")
+            .withColumnRenamed("a_end", "b_end")
+        )
+        t0 = time.perf_counter()
+        out = overlap_join(left, right, keys=["k"], bucket_width="1 week")
+        cnt = out.count()
+        elapsed = time.perf_counter() - t0
+        return cnt, elapsed
+
+    n1, t1 = run(2_000)
+    n10, t10 = run(20_000)
+    assert n10 > n1 > 0
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"overlap 10x runtime {t10:.1f}s vs 1x {t1:.1f}s"
+    )
+
+    # explode bound: ceil(span/width)+1 per interval (span 30h, 1w)
+    import math
+
+    w_us = width_micros("1 week")
+    per_iv = math.ceil(30 * 3600 * 1e6 / w_us) + 1
+    exploded = bucketed_intervals(
+        intervals(20_000), "a_start", "a_end", "1 week"
+    ).count()
+    assert exploded <= 20_000 * per_iv
