@@ -599,3 +599,102 @@ def frame_sample_sql(frame_chars: int = 64, stride: int = 2) -> str:
         FROM frames
         WHERE frame_idx % {stride} = 0 AND length(frame) > 0
     """
+
+
+def wav_pcm16_samples(data: bytes):
+    """Extract interleaved int16 samples from an uncompressed 16-bit
+    PCM WAV (the training-corpus storage format): returns
+    (sample_rate, n_channels, numpy int16 array). Other bit depths /
+    float WAVs raise for the codec-enabled path — loud, never lossy."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, body = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        chunk = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+        if cid == b"fmt " and len(chunk) >= 16:
+            fmt = struct.unpack("<HHIIHH", chunk[:16])
+        elif cid == b"data":
+            body = chunk
+    if fmt is None or body is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, channels, rate, _br, _ba, bits = fmt
+    if tag != 1 or bits != 16:
+        raise ValueError(
+            f"need uncompressed 16-bit PCM (tag={tag}, bits={bits})"
+        )
+    return rate, channels, np.frombuffer(body, dtype="<i2")
+
+
+AUDIO_ENERGY_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_windows", LongType()),
+        StructField("energies", ArrayType(DoubleType())),
+    ]
+)
+
+
+def audio_energy(
+    docs_with_payload: DataFrame, window_ms: int = 25
+) -> DataFrame:
+    """Per-window RMS energy over real PCM samples — the first DSP
+    feature every audio curation pipeline computes (silence trimming,
+    voice-activity gating, loudness stratification). Windows are
+    `window_ms` long, channels mean-mixed to mono, RMS normalized to
+    [0, 1] by full scale and rounded to 6dp; a trailing partial window
+    is dropped (deterministic window count). Non-PCM16 payloads yield
+    NULL feature rows — visible, not silently skipped. Same Arrow
+    mapInPandas shape as every multimodal stage."""
+    import math
+
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload):
+            if payload is None:
+                return None, None, None
+            try:
+                rate, channels, samples = wav_pcm16_samples(bytes(payload))
+            except ValueError:
+                return None, None, None
+            if channels > 1:
+                usable = len(samples) - (len(samples) % channels)
+                mono = (
+                    samples[:usable]
+                    .reshape(-1, channels)
+                    .mean(axis=1)
+                )
+            else:
+                mono = samples.astype("float64")
+            win = max(1, rate * window_ms // 1000)
+            n_win = len(mono) // win
+            if n_win == 0:
+                return int(rate), 0, []
+            x = mono[: n_win * win].reshape(n_win, win) / 32768.0
+            rms = np.sqrt((x * x).mean(axis=1))
+            return (
+                int(rate),
+                int(n_win),
+                [round(float(v), 6) for v in rms],
+            )
+
+        for b in batches:
+            out = b["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "sample_rate": out.map(lambda t: t[0]),
+                    "n_windows": out.map(lambda t: t[1]),
+                    "energies": out.map(lambda t: t[2]),
+                }
+            )
+
+    return docs_with_payload.mapInPandas(extract, AUDIO_ENERGY_SCHEMA)

@@ -280,3 +280,41 @@ def test_decode_image_corrupt_idat_yields_null_not_crash(spark):
     )
     rows = mm.decode_image(df).collect()
     assert rows[0].width is None and rows[0].mode is None
+
+
+def _wav16(rate, channels, samples_int16):
+    """Craft a minimal RIFF/WAVE with one fmt + data chunk."""
+    import struct
+
+    body = b"".join(struct.pack("<h", s) for s in samples_int16)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * 2, channels * 2, 16)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(body)) + body)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_audio_energy_windows_known_signal(spark):
+    """Silence then a half-scale square wave: per-window RMS is exactly
+    [0.0, 0.5]; stereo mean-mixing halves an antiphase signal to 0;
+    non-PCM16 payloads yield NULL rows, and partial windows drop."""
+    from ad_data_pipelines_spark.operators import multimodal as mm
+
+    rate = 8000
+    win = rate * 25 // 1000  # 200 samples per 25 ms window
+    mono = _wav16(rate, 1, [0] * win + [16384, -16384] * (win // 2) + [7] * 3)
+    # stereo, channels in exact antiphase → mono mix is silence
+    stereo_frames = []
+    for _ in range(win):
+        stereo_frames += [16384, -16384]
+    stereo = _wav16(rate, 2, stereo_frames)
+    docs = spark.createDataFrame(
+        [(1, bytearray(mono)), (2, bytearray(stereo)),
+         (3, bytearray(b"not audio at all"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in mm.audio_energy(docs).collect()}
+    assert rows[1].n_windows == 2  # the 3 trailing samples drop
+    assert rows[1].energies == [0.0, 0.5]
+    assert rows[2].n_windows == 1 and rows[2].energies == [0.0]
+    assert rows[3].sample_rate is None and rows[3].energies is None
