@@ -318,3 +318,26 @@ def test_audio_energy_windows_known_signal(spark):
     assert rows[1].energies == [0.0, 0.5]
     assert rows[2].n_windows == 1 and rows[2].energies == [0.0]
     assert rows[3].sample_rate is None and rows[3].energies is None
+
+
+def test_image_brightness_stats_known_pixels(spark):
+    """Hand-constructed images: a half-black/half-white grayscale PNG
+    gives mean 127.5, std 127.5, dark_frac 0.5; a solid mid-gray RGB
+    image gives zero std; garbage payloads yield NULL rows."""
+    from ad_data_pipelines_spark.operators import multimodal as mm
+
+    half = _make_png(4, 4, [0] * 8 + [255] * 8, color_type=0)
+    gray = _make_png(2, 2, [100, 100, 100] * 4, color_type=2)
+    docs = spark.createDataFrame(
+        [(1, bytearray(half)), (2, bytearray(gray)),
+         (3, bytearray(b"nope"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in mm.image_brightness_stats(docs).collect()}
+    assert (rows[1].width, rows[1].height) == (4, 4)
+    assert rows[1].mean_luma == 127.5
+    assert rows[1].std_luma == 127.5
+    assert rows[1].dark_frac == 0.5
+    assert rows[2].mean_luma == 100.0 and rows[2].std_luma == 0.0
+    assert rows[2].dark_frac == 0.0
+    assert rows[3].mean_luma is None
