@@ -770,3 +770,97 @@ def image_brightness_stats(docs_with_payload: DataFrame) -> DataFrame:
             )
 
     return docs_with_payload.mapInPandas(extract, IMAGE_STATS_SCHEMA)
+
+
+def parse_mp4_meta(data: bytes) -> tuple[float, int, int]:
+    """Dependency-free ISO-BMFF (MP4/MOV) container parse: top-level
+    box walk → `moov/mvhd` (timescale + duration) and track count —
+    returns (duration_seconds, timescale, n_tracks). Container-level
+    metadata needs no codec (the same stdlib-real principle as the
+    PNG/BMP/WAV paths); decoding FRAMES still requires the gated
+    codec path. Supports mvhd versions 0 (32-bit) and 1 (64-bit)."""
+    import struct
+
+    def boxes(buf, pos, end):
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            btype = buf[pos + 4 : pos + 8]
+            header = 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                header = 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+            if size < header:
+                raise ValueError("malformed box size")
+            yield btype, pos + header, pos + size
+            pos += size
+
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4) file")
+    duration_s, timescale, n_tracks = None, None, 0
+    for btype, body, end in boxes(data, 0, len(data)):
+        if btype != b"moov":
+            continue
+        for ityp, ibody, iend in boxes(data, body, end):
+            if ityp == b"mvhd":
+                ver = data[ibody]
+                if ver == 1:
+                    ts, dur = struct.unpack(
+                        ">IQ", data[ibody + 20 : ibody + 32]
+                    )
+                else:
+                    ts, dur = struct.unpack(
+                        ">II", data[ibody + 12 : ibody + 20]
+                    )
+                if not ts:
+                    raise ValueError("zero timescale")
+                timescale, duration_s = ts, dur / ts
+            elif ityp == b"trak":
+                n_tracks += 1
+    if duration_s is None:
+        raise ValueError("missing moov/mvhd box")
+    return duration_s, timescale, n_tracks
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("timescale", LongType()),
+        StructField("n_tracks", LongType()),
+    ]
+)
+
+
+def video_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """Video metadata stage — the container twin of `audio_meta`:
+    MP4/MOV payloads parse FOR REAL through `parse_mp4_meta`
+    (duration, timescale, track count from the box structure, no codec
+    involved); non-ISO-BMFF or malformed payloads yield NULL rows
+    visibly. Same Arrow mapInPandas shape as every multimodal stage."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload):
+            if payload is None:
+                return None, None, None
+            import struct as _struct
+
+            try:
+                d, ts, n = parse_mp4_meta(bytes(payload))
+                return round(d, 4), ts, n
+            except (ValueError, IndexError, _struct.error):
+                return None, None, None
+
+        for b in batches:
+            out = b["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "duration_s": out.map(lambda t: t[0]),
+                    "timescale": out.map(lambda t: t[1]),
+                    "n_tracks": out.map(lambda t: t[2]),
+                }
+            )
+
+    return docs_with_payload.mapInPandas(extract, VIDEO_META_SCHEMA)

@@ -341,3 +341,41 @@ def test_image_brightness_stats_known_pixels(spark):
     assert rows[2].mean_luma == 100.0 and rows[2].std_luma == 0.0
     assert rows[2].dark_frac == 0.0
     assert rows[3].mean_luma is None
+
+
+def _mp4(duration, timescale, n_tracks, version=0):
+    """Minimal ISO-BMFF: ftyp + moov(mvhd + n empty trak boxes)."""
+    import struct
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    if version == 1:
+        mvhd = (bytes([1]) + b"\x00" * 3 + b"\x00" * 16
+                + struct.pack(">IQ", timescale, duration) + b"\x00" * 80)
+    else:
+        mvhd = (bytes([0]) + b"\x00" * 3 + b"\x00" * 8
+                + struct.pack(">II", timescale, duration) + b"\x00" * 80)
+    moov = box(b"mvhd", mvhd) + b"".join(
+        box(b"trak", b"") for _ in range(n_tracks)
+    )
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isom") + box(b"moov", moov)
+
+
+def test_video_meta_parses_real_mp4_boxes(spark):
+    """Crafted MP4 containers: version-0 and version-1 mvhd durations
+    and track counts parse exactly; garbage payloads yield NULL rows."""
+    from ad_data_pipelines_spark.operators import multimodal as mm
+
+    v0 = _mp4(duration=90_000, timescale=600, n_tracks=2)
+    v1 = _mp4(duration=48_000, timescale=1_000, n_tracks=1, version=1)
+    docs = spark.createDataFrame(
+        [(1, bytearray(v0)), (2, bytearray(v1)),
+         (3, bytearray(b"definitely not a video"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in mm.video_meta(docs).collect()}
+    assert rows[1].duration_s == 150.0  # 90000/600
+    assert rows[1].timescale == 600 and rows[1].n_tracks == 2
+    assert rows[2].duration_s == 48.0 and rows[2].n_tracks == 1
+    assert rows[3].duration_s is None
