@@ -379,3 +379,42 @@ def test_video_meta_parses_real_mp4_boxes(spark):
     assert rows[1].timescale == 600 and rows[1].n_tracks == 2
     assert rows[2].duration_s == 48.0 and rows[2].n_tracks == 1
     assert rows[3].duration_s is None
+
+
+def test_media_near_dup_via_feature_cosine(spark):
+    """Composition: byte-histogram features → L2 normalization →
+    embedding-cosine near-dup — media dedup end-to-end with the
+    existing stages. Payloads with matching byte distributions pair
+    at sim≈1; a differently-distributed payload stays out."""
+    from pyspark.sql import functions as F
+
+    from ad_data_pipelines_spark.operators import multimodal as mm
+    from ad_data_pipelines_spark.operators import similarity as sim
+
+    # with_payload encodes `text`; matching character distributions
+    # give matching byte histograms
+    near_a = "abcdefgh" * 200
+    near_b = "abcdefgh" * 200 + "a"  # one extra char
+    far = "zzzzzzzz" * 200
+    docs = spark.createDataFrame(
+        [(1, near_a), (2, near_b), (3, far)],
+        "doc_id bigint, text string",
+    )
+    feats = mm.byte_histogram_features(docs)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("features", lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    emb = feats.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform("features", lambda x: x / norm).alias("embedding"),
+    )
+    pairs = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in sim.cosine_near_dup(emb, threshold=0.9).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.99
