@@ -56,6 +56,7 @@ def curate(
     seq_tokens: int = 2048,
     min_eq: int = 8,
     eval_source: str | None = None,
+    export_jsonl: bool = False,
 ) -> dict[str, int]:
     """Run the curation waterfall over `docs` (doc_id, text, lang, …),
     write curated documents + packing plan under `out_path`, return
@@ -119,6 +120,23 @@ def curate(
 
     mixed.write.mode("overwrite").parquet(f"{out_path}/documents")
     packing.write.mode("overwrite").parquet(f"{out_path}/packing")
+
+    # optional delivery format: gzip JSONL shards at ~target size —
+    # what a training loader consumes directly
+    if export_jsonl:
+        from ad_data_pipelines_spark.operators.partitioning import (
+            partitions_for_target_size,
+        )
+        from ad_data_pipelines_spark.sources.jsonl import write_jsonl
+
+        n_shards = partitions_for_target_size(mixed, target_mb=256)
+        write_jsonl(
+            mixed.repartition(n_shards),
+            f"{out_path}/jsonl",
+            compression="gzip",
+        )
+        stats["n_jsonl_shards"] = n_shards
+
     quality_docs.unpersist()
     deduped.unpersist()
     return stats
@@ -136,6 +154,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--eval-source", default=None,
                     help="source value marking held-out eval docs; "
                     "enables benchmark decontamination")
+    ap.add_argument("--export-jsonl", action="store_true",
+                    help="also write gzip JSONL shards (training "
+                    "loader delivery format)")
     args = ap.parse_args(argv)
 
     from ad_data_pipelines_spark.session import get_spark
@@ -145,7 +166,7 @@ def main(argv: list[str] | None = None) -> None:
     print(json.dumps(curate(
         spark, docs, args.out,
         budget=args.budget, tau=args.tau, seq_tokens=args.seq_tokens,
-        eval_source=args.eval_source,
+        eval_source=args.eval_source, export_jsonl=args.export_jsonl,
     )))
 
 

@@ -57,3 +57,26 @@ def test_curate_decontamination_stage(spark, tmp_path):
     curated = spark.read.parquet(out + "/documents")
     assert curated.filter(F.col("source") == "src0").count() == 0
     assert stats["n_curated"] == stats["n_after_decontam"]
+
+
+def test_curate_jsonl_export_round_trips(spark, tmp_path):
+    """--export-jsonl writes gzip JSONL shards the JSONL reader loads
+    back losslessly (same doc_ids, same text)."""
+    import glob
+
+    from ad_data_pipelines_spark.sources.jsonl import read_jsonl
+
+    docs = tq.t(spark, SF_SMALL, "documents")
+    out = str(tmp_path / "run")
+    stats = curate(
+        spark, docs, out, budget=60, seq_tokens=256, export_jsonl=True
+    )
+    assert stats["n_jsonl_shards"] >= 1
+    shards = glob.glob(out + "/jsonl/*.json.gz")
+    assert shards, "expected gzip JSONL shards"
+
+    back = read_jsonl(spark, out + "/jsonl")
+    curated = spark.read.parquet(out + "/documents")
+    a = {(r.doc_id, r.text) for r in back.select("doc_id", "text").collect()}
+    b = {(r.doc_id, r.text) for r in curated.select("doc_id", "text").collect()}
+    assert a == b and len(a) == stats["n_curated"]
