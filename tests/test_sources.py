@@ -481,3 +481,28 @@ def test_corrupt_parquet_file_quarantine_read(spark, tmp_path):
         .count()
     )
     assert salvaged == 10
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC as an alternative warehouse format: lossless round-trip of
+    typed columns (timestamps included) and predicate pushdown into
+    the ORC scan — the format swap is a writer string, nothing else
+    changes."""
+    li = tq.t(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
+        "l_shipdate",
+    )
+    path = str(tmp_path / "orc")
+    li.write.orc(path)
+
+    back = spark.read.orc(path)
+    assert back.schema == li.schema
+    assert back.count() == li.count()
+    assert back.exceptAll(li).count() == 0
+
+    filtered = back.filter(F.col("l_suppkey") < 5)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_suppkey" in plan.split(
+        "PushedFilters"
+    )[1][:120]
+    assert filtered.count() == li.filter(F.col("l_suppkey") < 5).count()
