@@ -262,34 +262,127 @@ def bpe_symbol_vocab(word_syms: DataFrame) -> DataFrame:
     )
 
 
-def bpe_encode(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+def _apply_merges_word(word: str, ranks: dict) -> list[str]:
+    """Rank-priority BPE encoding of one word (the GPT-2 `bpe()` loop):
+    repeatedly merge every left-to-right non-overlapping occurrence of
+    the lowest-ranked adjacent pair present. Equivalent to replaying
+    the merge list in order (`_merge_pair` per merge) because a merge
+    can only create adjacencies involving its NEW symbol — and any
+    trained merge referencing that symbol necessarily ranks later —
+    so applying a later merge never re-enables an earlier one. Cost is
+    O(len(word)^2) regardless of merge-list size, vs O(n_merges)
+    Catalyst passes for the expression path."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best = None
+        best_rank = None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, pair
+        if best is None:
+            break
+        a, b = best
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _word_pieces_arrow(
+    words: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(token, word_pieces) for every distinct word via ONE Arrow
+    `mapInPandas` pass — the production path for vocabulary-scale
+    merge lists (30k+ merges), where chaining one Catalyst fold per
+    merge would build an unplannable expression tree. The merge-rank
+    dict ships once per task in the serialized closure (a 30k-merge
+    list is ~1 MB — broadcast-variable territory on a real cluster,
+    closure capture is the same mechanics here)."""
+    import pandas as pd  # deferred: Arrow path only
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode_batches(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "token": pdf["word"],
+                    "word_pieces": [
+                        _apply_merges_word(w, ranks) for w in pdf["word"]
+                    ],
+                }
+            )
+
+    return words.select("word").mapInPandas(
+        encode_batches, "token string, word_pieces array<string>"
+    )
+
+
+#: merge-list size above which `bpe_encode` switches from per-merge
+#: Catalyst folds to the single-pass Arrow encoder. 64 chained folds
+#: plan fine; a real 30k-merge tokenizer vocabulary does not.
+ARROW_ENCODE_THRESHOLD = 64
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    engine: str | None = None,
+) -> DataFrame:
     """(doc_id, pieces): each document's whitespace words split to
     subword pieces by replaying the trained merge list IN ORDER —
     tokenization-side BPE (the trainer's counterpart; exact on words
     never seen in training, which simply merge as far as the list
     allows).
 
-    Plan shape: merges replay over the DISTINCT-WORD table (the same
-    `_merge_pair` fold the trainer uses — each pass is narrow and runs
-    on |distinct words| rows, not the corpus), then the word→pieces
-    map broadcast-joins back onto the token stream, and documents
-    reassemble with one aggregate on doc_id. The corpus itself is
-    touched by exactly one tokenize pass and one shuffle — the same
-    contract as `encode_docs`."""
+    Plan shape: merges replay over the DISTINCT-WORD table, then the
+    word→pieces map broadcast-joins back onto the token stream, and
+    documents reassemble with one aggregate on doc_id. The corpus
+    itself is touched by exactly one tokenize pass and one shuffle —
+    the same contract as `encode_docs`.
+
+    Two equivalent replay engines (`engine`, default auto by
+    `ARROW_ENCODE_THRESHOLD`):
+      * 'expr'  — one narrow Catalyst fold per merge (`_merge_pair`,
+        the trainer's own operator); all-JVM, ideal for short lists.
+      * 'arrow' — ONE `mapInPandas` pass running the rank-priority
+        loop per word (`_apply_merges_word`); O(1) plan depth, the
+        production path for vocabulary-scale merge lists.
+    Both run on |distinct words| rows, never the corpus.
+    """
+    if engine is None:
+        engine = (
+            "arrow" if len(merges) > ARROW_ENCODE_THRESHOLD else "expr"
+        )
     toks = _tokens(docs, with_pos=True)
-    syms = F.filter(
-        F.split(F.col("token"), "(?!^)"), lambda x: x != F.lit("")
-    )
-    words = toks.select("token").distinct().select(
-        F.col("token").alias("word"),
-        F.lit(1).alias("count"),
-        syms.alias("syms"),
-    )
-    for a, b in merges:
-        words = _merge_pair(words, a, b)
-    pieces_map = words.select(
-        F.col("word").alias("token"), F.col("syms").alias("word_pieces")
-    )
+    distinct_words = toks.select(
+        F.col("token").alias("word")
+    ).distinct()
+    if engine == "arrow":
+        pieces_map = _word_pieces_arrow(distinct_words, merges)
+    elif engine == "expr":
+        syms = F.filter(
+            F.split(F.col("word"), "(?!^)"), lambda x: x != F.lit("")
+        )
+        words = distinct_words.select(
+            "word", F.lit(1).alias("count"), syms.alias("syms")
+        )
+        for a, b in merges:
+            words = _merge_pair(words, a, b)
+        pieces_map = words.select(
+            F.col("word").alias("token"),
+            F.col("syms").alias("word_pieces"),
+        )
+    else:
+        raise ValueError(f"unknown bpe_encode engine: {engine!r}")
     return (
         toks.join(F.broadcast(pieces_map), "token")
         .groupBy("doc_id")
