@@ -667,3 +667,100 @@ def psi_vs_reference_sql(
         FROM filled
         GROUP BY {g}, n_values
     """
+
+
+def group_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS y = a·x + b) as ONE
+    combinable aggregate — the grouped trend-fit primitive (price vs
+    quantity elasticity, daily-volume trend per route, token-count
+    drift per source) that needs no window and no second pass.
+
+    Output: (group..., n, slope, intercept) with
+      slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²),
+      intercept = (Σy − slope·Σx) / n;
+    degenerate groups (constant x, so the denominator is 0) report
+    NULL slope/intercept rather than ±inf.
+
+    Scale + determinism shape: the five moments (n, Σx, Σy, Σxy, Σx²)
+    are partial/final combinable sums — Catalyst pushes them map-side,
+    so the shuffle carries 5 numbers per group. They accumulate in
+    DECIMAL, not DOUBLE: float sums are order-dependent across
+    partitions (and engines), while decimal sums are exact, so the
+    closed-form arithmetic — done in IEEE double AFTER the exact sums,
+    identical operation order in the DuckDB twin — is bit-reproducible
+    under any partitioning. Inputs are snapped to 2 decimal places on
+    the way in (exact for currency/quantity feeds; a measured-double
+    feed loses sub-cent noise, not ranking).
+    """
+    xd = F.col(x_col).cast("decimal(14,2)")
+    yd = F.col(y_col).cast("decimal(14,2)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = F.when(denom != 0, (n * sxy - sx * sy) / denom)
+    intercept = (sy - slope * sx) / n
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(slope, round_dp).alias("slope"),
+        F.round(intercept, round_dp).alias("intercept"),
+    )
+
+
+def group_ols_sql(
+    table: str,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of `group_ols` — same decimal-exact moments, same
+    double-arithmetic closed form in the same operation order."""
+    g = ", ".join(group_cols)
+    return f"""
+        WITH m AS (
+            SELECT {g},
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST({x_col} AS DECIMAL(14,2))) AS sx,
+                   SUM(CAST({y_col} AS DECIMAL(14,2))) AS sy,
+                   SUM(CAST({x_col} AS DECIMAL(14,2))
+                       * CAST({y_col} AS DECIMAL(14,2))) AS sxy,
+                   SUM(CAST({x_col} AS DECIMAL(14,2))
+                       * CAST({x_col} AS DECIMAL(14,2))) AS sxx
+            FROM {table}
+            GROUP BY {g}
+        ),
+        d AS (
+            SELECT {g}, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sy AS DOUBLE) AS syd,
+                   CAST(sxy AS DOUBLE) AS sxyd,
+                   CAST(sxx AS DOUBLE) AS sxxd
+            FROM m
+        )
+        SELECT {g}, n,
+               ROUND(CASE WHEN nd * sxxd - sxd * sxd <> 0 THEN
+                   (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+               END, {round_dp}) AS slope,
+               ROUND((syd - (CASE WHEN nd * sxxd - sxd * sxd <> 0 THEN
+                   (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+               END) * sxd) / nd, {round_dp}) AS intercept
+        FROM d
+    """

@@ -779,6 +779,139 @@ def dup_components_sql(min_eq: int = 8) -> str:
     """
 
 
+# --- exact duplicated-substring coverage -----------------------------------
+
+def dup_span_coverage(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Per-doc EXACTSUBSTR-style duplicated-span coverage (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    every character position opening a k-gram that also appears in a
+    DIFFERENT document is a duplicated span [p, p+k); overlapping
+    spans merge, and each doc reports how many of its characters fall
+    under merged duplicated spans.
+
+    Returns (doc_id, n_chars, dup_chars, dup_frac); docs shorter than
+    k (or with no cross-doc k-gram) report 0 / 0.0, never a missing
+    row.
+
+    Scale shape (the paper's suffix-array pass re-expressed as three
+    relational steps, each shuffle-minimal):
+      * position explode is a narrow map (~n_chars rows/doc — the same
+        cost family as `char_shingles`);
+      * "gram appears in ≥2 docs" is `min(doc_id) <> max(doc_id)` — a
+        fully combinable aggregate, NOT a count-distinct (no two-phase
+        distinct shuffle; partial min/max merge map-side);
+      * interval merge is the gaps-and-islands window per doc_id —
+        state is one running max per doc, no cross-doc exchange after
+        the gram join.
+    The gram groupBy/join shuffles k-char strings; at 100 TB swap the
+    join key for `portable_hash64(gram)` on BOTH sides (engine-
+    consistent, so any collision affects Spark and oracle alike).
+    """
+    # NB: sequence(1, 0) is a DESCENDING [1, 0] in Spark — short docs
+    # need the explicit length guard (same gotcha as word_ngram_hashes)
+    grams = F.expr(
+        f"if(length(text) < {k}, array(), "
+        f"transform(sequence(1, length(text) - {k - 1}), "
+        f"i -> struct(i AS p, substring(text, i, {k}) AS gram)))"
+    )
+    pos = docs.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.p").alias("p"), F.col("g.gram").alias("gram")
+    )
+    cross_doc = (
+        pos.groupBy("gram")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("gram")
+    )
+    hits = pos.join(cross_doc, "gram").select("doc_id", "p")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        hits.withColumn("e", F.col("p") + F.lit(k))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("p") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_isl").over(w_run))
+    )
+    per_doc = (
+        islands.groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("p")).alias("chars"))
+        .groupBy("doc_id")
+        .agg(F.sum("chars").alias("dup_chars"))
+    )
+    return (
+        docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0))
+                / F.greatest("n_chars", F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def dup_span_coverage_sql(k: int = 20, scope: str = "documents") -> str:
+    """DuckDB twin of `dup_span_coverage` (same islands logic)."""
+    return f"""
+        WITH pos AS (
+            SELECT doc_id, i AS p, substring(text, i, {k}) AS gram
+            FROM {scope}, LATERAL unnest(
+                generate_series(1, length(text) - {k} + 1)) AS g(i)
+            WHERE length(text) >= {k}
+        ),
+        dup AS (
+            SELECT gram FROM pos
+            GROUP BY gram HAVING min(doc_id) <> max(doc_id)
+        ),
+        hits AS (SELECT doc_id, p FROM pos JOIN dup USING (gram)),
+        isl AS (
+            SELECT doc_id, p, p + {k} AS e,
+                   CASE WHEN p > COALESCE(MAX(p + {k}) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), -1) THEN 1 ELSE 0 END AS new_isl
+            FROM hits
+        ),
+        isl2 AS (
+            SELECT doc_id, e, p, SUM(new_isl) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS island
+            FROM isl
+        ),
+        cov AS (
+            SELECT doc_id, island, MAX(e) - MIN(p) AS chars
+            FROM isl2 GROUP BY 1, 2
+        ),
+        per_doc AS (
+            SELECT doc_id, SUM(chars) AS dup_chars FROM cov GROUP BY 1
+        )
+        SELECT d.doc_id,
+               CAST(length(d.text) AS BIGINT) AS n_chars,
+               CAST(COALESCE(pd.dup_chars, 0) AS BIGINT) AS dup_chars,
+               ROUND(COALESCE(pd.dup_chars, 0)
+                     / GREATEST(length(d.text), 1), 6) AS dup_frac
+        FROM {scope} d LEFT JOIN per_doc pd USING (doc_id)
+    """
+
+
 # --- eval-set contamination ------------------------------------------------
 
 def word_ngram_hashes(docs: DataFrame, n: int = 8) -> DataFrame:

@@ -124,3 +124,117 @@ def label_by_polygons(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     labeled = expr.otherwise(default) if expr is not None else F.lit(default)
     return df.withColumn(out_col, labeled)
+
+
+def grid_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    lx: str,
+    ly: str,
+    rx: str,
+    ry: str,
+    cell: int,
+) -> DataFrame:
+    """Exact nearest-neighbor join via grid blocking: for every left
+    point, the right point minimizing squared Euclidean distance
+    (ties broken on smallest right id). Returns
+    (left_id, nearest_<right_id>, dist2).
+
+    Scale shape — the standard spatial-join plan, never a cross join:
+      * each right point replicates to its 3×3 neighbor cells (9×, a
+        narrow explode), each left point maps to its single cell; the
+        candidate join is an equi-join on (cell_x, cell_y);
+      * distances are INTEGER squared distances (coords are ints) —
+        exact, combinable min(struct(dist2, id)), no float-tie
+        ambiguity between engines;
+      * geometry guarantee: any point closer than `cell` lies inside
+        the 3×3 neighborhood, so a grid match with dist2 < cell² is
+        PROVABLY the global nearest. Left rows whose best candidate
+        is farther (or missing — empty neighborhood) fall back to a
+        brute-force pass against broadcast(right): exactness is
+        unconditional, and the fallback touches only the sparse rows
+        (log the fraction; a high rate means the cell size is too
+        small for the data's density).
+    `cell` should be ≳ the typical nearest-neighbor distance; the
+    brute fallback assumes `right` is broadcastable — for a huge
+    sparse right side, re-run the grid pass with a larger cell
+    instead.
+    """
+    lcell = left.select(
+        F.col(left_id),
+        F.col(lx).alias("_ax"),
+        F.col(ly).alias("_ay"),
+        F.floor(F.col(lx) / cell).alias("cx"),
+        F.floor(F.col(ly) / cell).alias("cy"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), "
+        "dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    rcell = (
+        right.select(
+            F.col(right_id),
+            F.col(rx).alias("_bx"),
+            F.col(ry).alias("_by"),
+            F.floor(F.col(rx) / cell).alias("rcx"),
+            F.floor(F.col(ry) / cell).alias("rcy"),
+        )
+        .select("*", offsets.alias("o"))
+        .select(
+            F.col(right_id),
+            "_bx",
+            "_by",
+            (F.col("rcx") + F.col("o.dx")).alias("cx"),
+            (F.col("rcy") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("_ax") - F.col("_bx")) * (F.col("_ax") - F.col("_bx")) + (
+        F.col("_ay") - F.col("_by")
+    ) * (F.col("_ay") - F.col("_by"))
+    grid_best = (
+        lcell.join(rcell, ["cx", "cy"])
+        .select(
+            left_id,
+            F.struct(
+                d2.cast("bigint").alias("dist2"),
+                F.col(right_id).alias("rid"),
+            ).alias("cand"),
+        )
+        .groupBy(left_id)
+        .agg(F.min("cand").alias("best"))
+    )
+    resolved = grid_best.filter(
+        F.col("best.dist2") < F.lit(cell) * F.lit(cell)
+    )
+    # rows the 3×3 neighborhood cannot certify → exact brute pass
+    # against the broadcast right side (sparse by construction)
+    unresolved = left.select(
+        left_id, F.col(lx).alias("_ax"), F.col(ly).alias("_ay")
+    ).join(resolved.select(left_id), left_id, "left_anti")
+    brute = (
+        unresolved.join(
+            F.broadcast(
+                right.select(
+                    F.col(right_id),
+                    F.col(rx).alias("_bx"),
+                    F.col(ry).alias("_by"),
+                )
+            )
+        )
+        .select(
+            left_id,
+            F.struct(
+                d2.cast("bigint").alias("dist2"),
+                F.col(right_id).alias("rid"),
+            ).alias("cand"),
+        )
+        .groupBy(left_id)
+        .agg(F.min("cand").alias("best"))
+    )
+    return resolved.unionByName(brute).select(
+        left_id,
+        F.col("best.rid").alias(f"nearest_{right_id}"),
+        F.col("best.dist2").alias("dist2"),
+    )

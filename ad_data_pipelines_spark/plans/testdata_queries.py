@@ -744,6 +744,7 @@ from ad_data_pipelines_spark.operators import audit as _audit  # noqa: E402
 from ad_data_pipelines_spark.operators import agg as _agg  # noqa: E402
 from ad_data_pipelines_spark.operators import intervals as _intervals  # noqa: E402
 from ad_data_pipelines_spark.operators import corpusstats as _cs  # noqa: E402
+from ad_data_pipelines_spark.operators import fuzzy as _fuzzy  # noqa: E402
 
 
 @register(
@@ -824,6 +825,18 @@ def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id") < 150
         ),
     )
+
+
+@register(
+    "llm_dup_spans",
+    oracle=_dedup.dup_span_coverage_sql(k=20),
+    doc="EXACTSUBSTR duplicated-span coverage (Lee et al. 2022): per-doc "
+    "fraction of characters under merged cross-doc 20-gram spans — the "
+    "exact-substring complement to MinHash near-dup. "
+    "operators/dedup.py:dup_span_coverage.",
+)
+def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.dup_span_coverage(t(spark, sf_dir, "documents"), k=20)
 
 
 @register(
@@ -1397,6 +1410,70 @@ def q_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labeled.groupBy("region_id").agg(F.count("*").alias("n_points"))
 
 
+@register(
+    "j21_grid_knn",
+    oracle="""
+        WITH a AS (
+            SELECT c_custkey,
+                   (c_custkey * 37) % 200 AS ax,
+                   (c_custkey * 73) % 200 AS ay
+            FROM customer
+        ),
+        b AS (
+            SELECT s_suppkey,
+                   (s_suppkey * 41) % 200 AS bx0,
+                   (s_suppkey * 89) % 200 AS by0
+            FROM supplier
+        ),
+        pairs AS (
+            SELECT c_custkey, s_suppkey,
+                   (ax - bx0) * (ax - bx0) + (ay - by0) * (ay - by0)
+                       AS dist2
+            FROM a CROSS JOIN b
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_custkey ORDER BY dist2, s_suppkey
+            ) AS rn FROM pairs
+        )
+        SELECT c_custkey,
+               s_suppkey AS nearest_s_suppkey,
+               CAST(dist2 AS BIGINT) AS dist2
+        FROM ranked WHERE rn = 1
+    """,
+    doc="Exact nearest-neighbor spatial join via grid blocking "
+    "(cell=25): right points replicate to 3×3 neighbor cells, "
+    "equi-join on cell, integer squared distances, min(struct) per "
+    "left point; a grid match closer than one cell is provably global "
+    "nearest, the rest fall back to a brute pass against the "
+    "broadcast right side — never an unscoped cross join (the "
+    "oracle's cross join is oracle-scale only). "
+    "operators/geo.py:grid_knn_join.",
+)
+def q_j21_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_pts = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37) % 200).alias("ax"),
+        ((F.col("c_custkey") * 73) % 200).alias("ay"),
+    )
+    supp_pts = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 41) % 200).alias("bx0"),
+        ((F.col("s_suppkey") * 89) % 200).alias("by0"),
+    )
+    return _geo.grid_knn_join(
+        cust_pts,
+        supp_pts,
+        left_id="c_custkey",
+        right_id="s_suppkey",
+        lx="ax",
+        ly="ay",
+        rx="bx0",
+        ry="by0",
+        cell=25,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sessionization + remaining conditional-sum coverage
 # ---------------------------------------------------------------------------
@@ -1417,6 +1494,62 @@ from ad_data_pipelines_spark.operators.sessionize import (  # noqa: E402
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(t(spark, sf_dir, "events"), timeout_min=30.0)
+
+
+@register(
+    "t8_session_window",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN ts >= COALESCE(LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ), ts) + INTERVAL 15 MINUTE THEN 1 ELSE 0 END AS new_s
+            FROM events
+        ),
+        isl AS (
+            SELECT user_id, ts, value, SUM(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS s
+            FROM gaps
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts) + INTERVAL 15 MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM isl GROUP BY user_id, s
+    """,
+    doc="Native session windows: Spark's built-in session_window "
+    "aggregation (15-min gap; merge semantics ts_diff < gap, window "
+    "end = last_ts + gap) — the SAME operator runs stateful in "
+    "Structured Streaming with a watermark, so batch and stream "
+    "sessionization share one definition. Oracle is the equivalent "
+    "gaps-and-islands SQL. Complements t3_sessionize (hand-rolled "
+    "lag-gap variant).",
+)
+def q_t8_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sw = F.session_window("ts", "15 minutes")
+    return (
+        ev.groupBy("user_id", sw.alias("sw"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
 
 
 @register(
@@ -3813,6 +3946,52 @@ def q_j19_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j20_fuzzy_name_match",
+    oracle=_fuzzy.blocked_levenshtein_sql(
+        scope="part",
+        text_expr="p_name",
+        block_expr="list_extract(regexp_split_to_array(text, '\\s+'), -1)",
+        max_dist=3,
+    ),
+    doc="Fuzzy entity matching: distinct part names paired by shared "
+    "last-word block and verified by Levenshtein ≤3 — the scalable "
+    "block→verify record-linkage shape (all-pairs edit distance is "
+    "banned; the self-join equi-joins a deterministic blocking key). "
+    "operators/fuzzy.py:blocked_levenshtein_pairs.",
+)
+def q_j20_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fuzzy.blocked_levenshtein_pairs(
+        t(spark, sf_dir, "part"),
+        "p_name",
+        block=_fuzzy.last_word("text"),
+        max_dist=3,
+    )
+
+
+@register(
+    "o15_entity_clusters",
+    oracle=_fuzzy.entity_clusters_sql(
+        scope="part",
+        text_expr="p_name",
+        block_expr="list_extract(regexp_split_to_array(text, '\\s+'), -1)",
+        max_dist=3,
+    ),
+    doc="Entity resolution end-to-end: j20's fuzzy pairs fed through "
+    "connected components — every distinct part name labeled with its "
+    "lexicographic-min canonical form (singletons self-canonical). "
+    "Composition proof that the dedup clustering machinery is "
+    "value-generic. operators/fuzzy.py:entity_clusters.",
+)
+def q_o15_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fuzzy.entity_clusters(
+        t(spark, sf_dir, "part"),
+        "p_name",
+        block=_fuzzy.last_word("text"),
+        max_dist=3,
+    )
+
+
+@register(
     "llm_chunk_dedup",
     oracle="""
         WITH c AS (
@@ -4257,6 +4436,26 @@ def q_a21_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a23_groupwise_ols",
+    oracle=_agg.group_ols_sql(
+        "lineitem", ["l_returnflag"], "l_quantity", "l_extendedprice"
+    ),
+    doc="Per-group OLS trend fit (extendedprice vs quantity slope per "
+    "returnflag) as ONE combinable five-moment aggregate — no window, "
+    "shuffle carries 5 numbers per group; DECIMAL-exact moments make "
+    "the double closed form bit-reproducible under any partitioning. "
+    "operators/agg.py:group_ols.",
+)
+def q_a23_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _agg.group_ols(
+        t(spark, sf_dir, "lineitem"),
+        ["l_returnflag"],
+        "l_quantity",
+        "l_extendedprice",
+    )
+
+
+@register(
     "a22_psi_reference",
     oracle=_agg.psi_vs_reference_sql(
         "events", "value", ["event_type"], [0.1] * 10, lo=0.0, hi=500.0
@@ -4559,6 +4758,14 @@ _GATE_PRIORITY = [
     "llm_pq_topk",
     "llm_pq_ivf_topk",
     "llm_packing_efficiency",
+    # round-5 registrations (standing rule: new queries enter here,
+    # ahead of the re-confirmation tiers)
+    "llm_dup_spans",
+    "j20_fuzzy_name_match",
+    "t8_session_window",
+    "a23_groupwise_ols",
+    "o15_entity_clusters",
+    "j21_grid_knn",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

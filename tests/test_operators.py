@@ -1557,6 +1557,149 @@ def test_ngram_containment_asymmetric_subset(spark):
     assert jac < 0.5  # symmetric measure misses the subset relation
 
 
+def test_grid_knn_join_exact_including_fallback(spark):
+    """grid_knn_join equals brute-force nearest for every left point —
+    including points whose nearest neighbor is farther than one cell
+    (the 3×3 certificate fails and the broadcast-brute fallback must
+    engage) and tie distances (smallest right id wins)."""
+    from ad_data_pipelines_spark.operators import geo
+
+    # cell=10; right points: a dense pair near origin, one far outlier
+    right = [(1, 3, 4), (2, 3, 4), (3, 95, 95)]
+    # left: near origin (grid-resolved), equidistant tie to ids 1/2,
+    # and a lonely point at (60, 60) whose nearest is ~49 away (>cell)
+    left = [(10, 0, 0), (11, 6, 8), (12, 60, 60)]
+    ldf = spark.createDataFrame(left, "lid bigint, x bigint, y bigint")
+    rdf = spark.createDataFrame(right, "rid bigint, x bigint, y bigint")
+    out = {r.lid: (r.nearest_rid, r.dist2)
+           for r in geo.grid_knn_join(
+               ldf, rdf, "lid", "rid", "x", "y", "x", "y", cell=10
+           ).collect()}
+    # brute reference
+    want = {}
+    for lid, lx, ly in left:
+        best = min(((rx - lx) ** 2 + (ry - ly) ** 2, rid)
+                   for rid, rx, ry in right)
+        want[lid] = (best[1], best[0])
+    assert out == want
+    assert want[10] == (1, 25)    # tie on dist2=25 → min rid
+    assert want[12][1] > 10 * 10  # proves the fallback row is exercised
+
+
+def test_group_ols_matches_numpy_and_guards_degenerate(spark):
+    """group_ols reproduces numpy's least-squares fit per group and
+    returns NULL (not ±inf) for a constant-x group."""
+    import numpy as np
+
+    from ad_data_pipelines_spark.operators import agg
+
+    rows = []
+    for g, pts in {
+        "a": [(1.0, 2.1), (2.0, 3.9), (3.0, 6.2), (4.0, 7.8)],
+        "b": [(10.0, 5.0), (20.0, 4.0), (30.0, 3.5)],
+        "c": [(7.0, 1.0), (7.0, 9.0)],  # constant x → no slope
+    }.items():
+        rows += [(g, x, y) for x, y in pts]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r.g: r for r in agg.group_ols(df, ["g"], "x", "y").collect()}
+
+    for g, pts in {"a": 4, "b": 3}.items():
+        xs = np.array([x for gg, x, y in rows if gg == g])
+        ys = np.array([y for gg, x, y in rows if gg == g])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert out[g].n == pts
+        assert abs(out[g].slope - slope) < 1e-6, g
+        assert abs(out[g].intercept - intercept) < 1e-6, g
+    assert out["c"].slope is None and out["c"].intercept is None
+
+
+def test_blocked_levenshtein_pairs_and_block_report(spark):
+    """Blocking bounds the candidate set (cross-block near-matches are
+    intentionally unseen), distance window [min,max] is honored, exact
+    duplicates collapse in the distinct-normalize, and the block-size
+    report prices each block at n·(n−1)/2."""
+    from ad_data_pipelines_spark.operators import fuzzy
+
+    rows = [
+        (0, "small ring"), (1, "smell ring"),   # dist 1, same block
+        (2, "small ring"),                      # exact dup → collapses
+        (3, "swell ring"),                      # 2 from small, 1 from smell
+        (4, "small rings"),                     # different block (rings)
+        (5, "blue bolt"),                       # lone block
+    ]
+    df = spark.createDataFrame(rows, "id bigint, name string")
+    out = {(r.text_a, r.text_b): r.dist
+           for r in fuzzy.blocked_levenshtein_pairs(
+               df, "name", block=fuzzy.last_word("text"), max_dist=3
+           ).collect()}
+    assert out == {
+        ("small ring", "smell ring"): 1,
+        ("small ring", "swell ring"): 2,
+        ("smell ring", "swell ring"): 1,
+    }
+    # 'small rings' is 1 edit from 'small ring' but blocked apart — the
+    # documented trade; a finer/looser key would surface it
+    assert ("small ring", "small rings") not in out
+
+    rep = {r.blk: (r.n_values, r.n_candidate_pairs)
+           for r in fuzzy.block_size_report(
+               df, "name", block=fuzzy.last_word("text")).collect()}
+    assert rep == {"ring": (3, 3), "rings": (1, 0), "bolt": (1, 0)}
+
+    # entity resolution: the ring variants chain into ONE cluster under
+    # the lexicographic-min canonical; unmatched names self-canonicalize
+    clusters = {r.name: (r.canonical, r.is_canonical)
+                for r in fuzzy.entity_clusters(
+                    df, "name", block=fuzzy.last_word("text"), max_dist=3
+                ).collect()}
+    assert clusters == {
+        "small ring": ("small ring", 1),
+        "smell ring": ("small ring", 0),
+        "swell ring": ("small ring", 0),
+        "small rings": ("small rings", 1),
+        "blue bolt": ("blue bolt", 1),
+    }
+
+
+def test_dup_span_coverage_interval_merge(spark):
+    """Hand-built corpus pins the islands semantics: overlapping spans
+    merge (no double count), disjoint repeats form separate islands,
+    within-doc-only repeats don't count, and docs shorter than k (or
+    with nothing shared) report zeroed rows, never missing ones."""
+    from ad_data_pipelines_spark.operators import dedup
+
+    k = 5
+    shared = "ABCDEFGH"          # 8 chars → 4 k-grams, one merged island
+    texts = {
+        0: shared + "xq1zw",     # island [1,9) → 8 dup chars
+        1: "r2v" + shared + "t",  # same island shifted
+        2: shared + "-" * 6 + shared,  # two disjoint islands → 16
+        3: "zzzzzzzzzz",          # within-doc repeats only → 0
+        4: "abc",                 # shorter than k → 0
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in dedup.dup_span_coverage(docs, k=k).collect()}
+    assert set(out) == set(texts)
+    assert out[0].dup_chars == 8
+    assert out[1].dup_chars == 8
+    assert out[2].dup_chars == 16  # two islands, not one 21-char stretch
+    assert out[3].dup_chars == 0
+    assert out[4].dup_chars == 0 and out[4].n_chars == 3
+    assert out[0].dup_frac == round(8 / len(texts[0]), 6)
+
+    # adjacent-but-not-overlapping spans coalesce into one island when
+    # they touch exactly end-to-start
+    docs2 = spark.createDataFrame(
+        [(0, "AAAAABBBBB"), (1, "AAAAA"), (2, "BBBBB")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.dup_chars
+           for r in dedup.dup_span_coverage(docs2, k=5).collect()}
+    assert got == {0: 10, 1: 5, 2: 5}
+
+
 def test_cooccurrence_pmi_matches_brute_force(spark):
     """Every pair/count/PMI value equals a pure-Python brute-force
     reference over the same corpus (window=2), and the strongly glued
@@ -1746,6 +1889,68 @@ def test_bpe_encode_roundtrip_and_unseen_words(spark):
     assert "".join(out[2]) == "slower"
     assert len(out[2]) > 1  # partial merges, not one unseen blob
     assert all(piece for piece in out[2])  # no empty pieces
+
+
+def test_bpe_encode_arrow_engine_matches_expr(spark):
+    """The single-pass Arrow encoder (the production path for 30k-merge
+    vocabularies) segments identically to the per-merge Catalyst fold
+    replay — trained words, unseen words, and an in-order Python
+    replay reference all agree; auto engine selection kicks in above
+    ARROW_ENCODE_THRESHOLD."""
+    from ad_data_pipelines_spark.operators import vocab
+
+    train = spark.createDataFrame(
+        [
+            (0, "low lower lowest low low new newer newest new"),
+            (1, "widest wider wide wide widest new low"),
+            (2, "slow slowest slower slow low low"),
+        ],
+        "doc_id bigint, text string",
+    )
+    merges, table = vocab.train_bpe(train, n_merges=12)
+    table.unpersist()
+    test_docs = spark.createDataFrame(
+        [(1, "low newest wide slow low"), (2, "slowest unseenword"),
+         (3, "x"), (4, "lowlowlow widestest")],
+        "doc_id bigint, text string",
+    )
+    expr_out = {r.doc_id: list(r.pieces)
+                for r in vocab.bpe_encode(
+                    test_docs, merges, engine="expr").collect()}
+    arrow_out = {r.doc_id: list(r.pieces)
+                 for r in vocab.bpe_encode(
+                     test_docs, merges, engine="arrow").collect()}
+    assert arrow_out == expr_out
+
+    # in-order replay reference (the semantics both engines claim)
+    def replay(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for doc_id, text in [(1, "low newest wide slow low"),
+                         (2, "slowest unseenword"), (3, "x"),
+                         (4, "lowlowlow widestest")]:
+        want = [p for w in text.split() for p in replay(w)]
+        assert arrow_out[doc_id] == want, doc_id
+
+    # auto selection: a >threshold merge list (padded with inert merge
+    # pairs) routes to arrow and still matches the expr semantics
+    padded = merges + [(f"q{i}", f"z{i}") for i in range(
+        vocab.ARROW_ENCODE_THRESHOLD)]
+    assert len(padded) > vocab.ARROW_ENCODE_THRESHOLD
+    auto_out = {r.doc_id: list(r.pieces)
+                for r in vocab.bpe_encode(test_docs, padded).collect()}
+    assert auto_out == expr_out
 
 
 def test_psi_vs_reference_rejects_bad_references(spark):
