@@ -840,6 +840,26 @@ def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_prefix_jaccard",
+    oracle=_dedup.prefix_jaccard_sql(
+        threshold=0.8,
+        scope="(SELECT * FROM documents WHERE doc_id < 200)",
+    ),
+    doc="EXACT all-pairs word-set Jaccard ≥0.8 via prefix filtering "
+    "(PPJoin family) — guaranteed-complete candidates from each set's "
+    "rarest tokens under a global df order, then exact verification "
+    "on candidates only; the deterministic regression baseline LSH "
+    "recall is graded against. Scoped because the testdata's ~30-word "
+    "vocabulary makes every prefix token hot (real corpora have "
+    "Zipfian tails — prefixes there are genuinely rare). "
+    "operators/dedup.py:prefix_jaccard_pairs.",
+)
+def q_llm_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return _dedup.prefix_jaccard_pairs(docs, threshold=0.8)
+
+
+@register(
     "llm_dedup_threshold_curve",
     oracle=f"""
         WITH counts AS (
@@ -4766,6 +4786,7 @@ _GATE_PRIORITY = [
     "a23_groupwise_ols",
     "o15_entity_clusters",
     "j21_grid_knn",
+    "llm_prefix_jaccard",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

@@ -1557,6 +1557,42 @@ def test_ngram_containment_asymmetric_subset(spark):
     assert jac < 0.5  # symmetric measure misses the subset relation
 
 
+def test_prefix_jaccard_pairs_complete_vs_brute_force(spark):
+    """Prefix filtering must lose NO qualifying pair: compare against a
+    Python brute force over all pairs on a corpus designed so some
+    qualifying pairs share only ONE common token inside their prefix
+    window (the boundary the ⌈t·|S|⌉ arithmetic must get right), and
+    near-miss pairs sit just under the threshold."""
+    import itertools
+
+    from ad_data_pipelines_spark.operators import dedup
+
+    texts = {
+        0: "aa bb cc dd ee",
+        1: "aa bb cc dd ff",      # J = 4/6 with doc 0
+        2: "aa bb cc dd ee ff gg hh",  # J = 5/8 with 0 (= 0.625)
+        3: "zz yy xx ww vv",      # disjoint from 0-2
+        4: "zz yy xx ww vv",      # identical to 3 → J = 1
+        5: "qq",                  # singleton set
+        6: "qq rr",               # J = 1/2 with 5
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    for t_ in (0.5, 0.6, 0.7, 1.0):
+        got = {(r.doc_a, r.doc_b): (r.inter_n, r.jac)
+               for r in dedup.prefix_jaccard_pairs(
+                   docs, threshold=t_).collect()}
+        want = {}
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = set(texts[a].split()), set(texts[b].split())
+            inter = len(sa & sb)
+            jac = inter / len(sa | sb)
+            if jac >= t_:
+                want[(a, b)] = (inter, round(jac, 6))
+        assert got == want, f"threshold {t_}"
+
+
 def test_grid_knn_join_exact_including_fallback(spark):
     """grid_knn_join equals brute-force nearest for every left point —
     including points whose nearest neighbor is farther than one cell

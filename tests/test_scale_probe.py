@@ -349,3 +349,46 @@ def test_overlap_join_10x_explode_bound_and_linear(spark):
         intervals(20_000), "a_start", "a_end", "1 week"
     ).count()
     assert exploded <= 20_000 * per_iv
+
+
+def test_dup_span_coverage_10x_linear_and_partitioned(spark):
+    """The EXACTSUBSTR pass grows ~linearly in corpus size (position
+    grams are ~n_chars/doc, the cross-doc test is a combinable
+    min/max agg, islands are per-doc window state), keyed stages stay
+    hash-partitioned, and the planted-pair corpus comes back with the
+    expected high duplicated coverage (shared prefix blocks) while
+    the differing tails stay uncovered."""
+    from ad_data_pipelines_spark.operators import dedup
+
+    def run(n):
+        docs = _planted_corpus(spark, n)
+        t0 = time.perf_counter()
+        out = dedup.dup_span_coverage(docs, k=20)
+        rows = out.count()
+        elapsed = time.perf_counter() - t0
+        assert rows == n
+        return out, elapsed
+
+    out1, t1 = run(2_000)
+    out10, t10 = run(20_000)
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"dup-span 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
+        "grows super-linearly"
+    )
+    # every doc shares its six 32-hex blocks with its planted partner:
+    # coverage is high but NEVER total (the 8-char tail region differs)
+    stats = out10.agg(
+        F.min("dup_frac").alias("mn"), F.max("dup_frac").alias("mx")
+    ).collect()[0]
+    assert stats.mn > 0.8, stats
+    assert stats.mx < 1.0, stats
+    # presence asserts only, so search the WHOLE plan string. The gram
+    # aggregate must hash-partition; the islands window must be KEYED
+    # on doc_id but needs no exchange of its own here — the generated
+    # corpus is already partitioned by doc_id (Range lineage), and
+    # Spark satisfies the window's clustering without a shuffle, which
+    # is exactly the co-location reuse the operator's docstring claims.
+    plan = out10._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(gram" in plan, plan
+    assert "windowspecdefinition(doc_id" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
