@@ -57,6 +57,8 @@ def curate(
     min_eq: int = 8,
     eval_source: str | None = None,
     export_jsonl: bool = False,
+    exactsubstr_k: int | None = None,
+    min_kept_chars: int = 50,
 ) -> dict[str, int]:
     """Run the curation waterfall over `docs` (doc_id, text, lang, …),
     write curated documents + packing plan under `out_path`, return
@@ -88,6 +90,29 @@ def curate(
         losers.select("doc_id"), "doc_id", "left_anti"
     ).persist()
     stats["n_after_dedup"] = deduped.count()
+
+    # 3b. optional EXACTSUBSTR span removal (Lee et al. 2022) inside
+    # the kept corpus: document-level near-dedup can't see a boilerplate
+    # paragraph shared by otherwise-distinct docs — this excises it from
+    # every non-owner copy and drops docs whose remaining text is too
+    # short to train on
+    if exactsubstr_k is not None:
+        cleaned = _dedup.remove_dup_spans(deduped, k=exactsubstr_k)
+        rebuilt = (
+            deduped.drop("text", "n_chars")
+            .join(
+                cleaned.select(
+                    "doc_id", F.col("kept_text").alias("text")
+                ),
+                "doc_id",
+            )
+            .withColumn("n_chars", F.length("text"))
+            .filter(F.col("n_chars") >= min_kept_chars)
+            .persist()
+        )
+        stats["n_after_exactsubstr"] = rebuilt.count()
+        deduped.unpersist()
+        deduped = rebuilt
 
     # 4. optional benchmark decontamination: the eval docs AND every
     # corpus doc sharing an 8-gram with them leave the training set
@@ -157,6 +182,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--export-jsonl", action="store_true",
                     help="also write gzip JSONL shards (training "
                     "loader delivery format)")
+    ap.add_argument("--exactsubstr-k", type=int, default=None,
+                    help="enable EXACTSUBSTR span removal with this "
+                    "k-gram length (e.g. 50); off by default")
+    ap.add_argument("--min-kept-chars", type=int, default=50,
+                    help="drop docs shorter than this after span "
+                    "removal")
     args = ap.parse_args(argv)
 
     from ad_data_pipelines_spark.session import get_spark
@@ -167,6 +198,8 @@ def main(argv: list[str] | None = None) -> None:
         spark, docs, args.out,
         budget=args.budget, tau=args.tau, seq_tokens=args.seq_tokens,
         eval_source=args.eval_source, export_jsonl=args.export_jsonl,
+        exactsubstr_k=args.exactsubstr_k,
+        min_kept_chars=args.min_kept_chars,
     )))
 
 

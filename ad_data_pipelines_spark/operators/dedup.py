@@ -897,7 +897,62 @@ def dup_components_sql(min_eq: int = 8) -> str:
 
 # --- exact duplicated-substring coverage -----------------------------------
 
-def dup_span_coverage(docs: DataFrame, k: int = 20) -> DataFrame:
+def position_gram_bounds(docs: DataFrame, k: int = 20) -> DataFrame:
+    """(doc_id, p, mn, mx): every k-gram position annotated with the
+    min/max doc_id holding that gram — the shared upstream stage of
+    `dup_span_coverage` (needs mn≠mx) and `remove_dup_spans` (needs
+    mn<doc_id). ONE position explode + ONE gram-partition window;
+    persist/materialize this once per corpus revision and both
+    consumers run windows-only from here."""
+    grams = F.expr(
+        f"if(length(text) < {k}, array(), "
+        f"transform(sequence(1, length(text) - {k - 1}), "
+        f"i -> substring(text, i, {k})))"
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode(grams).alias("p0", "gram")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "gram")
+    wg = Window.partitionBy("gram")
+    return pos.select(
+        "doc_id",
+        "p",
+        F.min("doc_id").over(wg).alias("mn"),
+        F.max("doc_id").over(wg).alias("mx"),
+    )
+
+
+def _merged_islands(hits: DataFrame, k: int) -> DataFrame:
+    """Gaps-and-islands merge of [p, p+k) spans per doc: (doc_id,
+    island, s, e). Shared by the coverage metric and the removal
+    transform; window state is ONE running max per doc."""
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        hits.withColumn("e", F.col("p") + F.lit(k))
+        .withColumn(
+            "new_isl",
+            F.when(
+                F.col("p") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_isl").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("p").alias("s"), F.max("e").alias("e"))
+    )
+
+
+def dup_span_coverage(
+    docs: DataFrame, k: int = 20, bounds: DataFrame | None = None
+) -> DataFrame:
     """Per-doc EXACTSUBSTR-style duplicated-span coverage (Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better"):
     every character position opening a k-gram that also appears in a
@@ -925,57 +980,18 @@ def dup_span_coverage(docs: DataFrame, k: int = 20) -> DataFrame:
     window key for `portable_hash64(gram)` on BOTH sides (engine-
     consistent, so any collision affects Spark and oracle alike).
     """
-    # NB: sequence(1, 0) is a DESCENDING [1, 0] in Spark — short docs
-    # need the explicit length guard (same gotcha as word_ngram_hashes)
-    grams = F.expr(
-        f"if(length(text) < {k}, array(), "
-        f"transform(sequence(1, length(text) - {k - 1}), "
-        f"i -> substring(text, i, {k})))"
-    )
-    pos = docs.select(
-        "doc_id", F.posexplode(grams).alias("p0", "gram")
-    ).select("doc_id", (F.col("p0") + 1).alias("p"), "gram")
-    # cross-doc flag via ONE gram-partitioned window instead of a
-    # groupBy + join-back: the position table is exploded once, pays
-    # one exchange on gram, and no second corpus scan / broadcast
-    # build (measured 2.4× faster at sf0.1)
-    wg = Window.partitionBy("gram")
-    hits = (
-        pos.select(
-            "doc_id",
-            "p",
-            F.min("doc_id").over(wg).alias("mn"),
-            F.max("doc_id").over(wg).alias("mx"),
-        )
-        .filter(F.col("mn") != F.col("mx"))
-        .select("doc_id", "p")
-    )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = (
-        hits.withColumn("e", F.col("p") + F.lit(k))
-        .withColumn(
-            "new_isl",
-            F.when(
-                F.col("p") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("island", F.sum("new_isl").over(w_run))
-    )
+    # cross-doc flag via ONE gram-partitioned window (in
+    # position_gram_bounds) instead of a groupBy + join-back: the
+    # position table is exploded once, pays one exchange on gram, and
+    # no second corpus scan / broadcast build (measured 2.4× faster at
+    # sf0.1); pass a persisted `bounds` to share that stage with
+    # `remove_dup_spans`
+    b = bounds if bounds is not None else position_gram_bounds(docs, k)
+    hits = b.filter(F.col("mn") != F.col("mx")).select("doc_id", "p")
     per_doc = (
-        islands.groupBy("doc_id", "island")
-        .agg((F.max("e") - F.min("p")).alias("chars"))
+        _merged_islands(hits, k)
         .groupBy("doc_id")
-        .agg(F.sum("chars").alias("dup_chars"))
+        .agg(F.sum(F.col("e") - F.col("s")).alias("dup_chars"))
     )
     return (
         docs.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
@@ -991,6 +1007,140 @@ def dup_span_coverage(docs: DataFrame, k: int = 20) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame, k: int = 20, bounds: DataFrame | None = None
+) -> DataFrame:
+    """EXACTSUBSTR dedup TRANSFORM (the removal step of Lee et al.
+    2022, completing `dup_span_coverage`'s metric): every merged
+    duplicated span whose k-gram owner is a smaller doc_id is excised
+    from the text; the owner (global min doc_id per gram) keeps its
+    copy, so each duplicated substring survives exactly once in the
+    corpus under a deterministic keeper rule (SURVEY §4.4-6: never
+    order-dependent).
+
+    Returns (doc_id, n_chars, removed_chars, kept_chars, kept_text);
+    untouched docs pass through with their full text.
+
+    Plan shape: identical to `dup_span_coverage` through the islands
+    stage (one position explode, gram-window cross-doc+owner test,
+    per-doc interval merge); the text rebuild is a per-doc
+    `F.aggregate` fold over the sorted island array — array-side
+    string stitching, no UDF, no extra shuffle beyond the island
+    collect."""
+    # foreign hit: the gram exists in a smaller doc_id → this copy goes
+    b = bounds if bounds is not None else position_gram_bounds(docs, k)
+    hits = b.filter(F.col("mn") < F.col("doc_id")).select("doc_id", "p")
+    islands = (
+        _merged_islands(hits, k)
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivs"),
+            F.sum(F.col("e") - F.col("s")).alias("removed_chars"),
+        )
+    )
+    kept_text = F.expr(
+        "aggregate(ivs, "
+        "struct(CAST(1 AS INT) AS cur, CAST('' AS STRING) AS acc), "
+        "(a, x) -> struct(CAST(x.e AS INT) AS cur, "
+        "concat(a.acc, substring(text, a.cur, x.s - a.cur)) AS acc), "
+        "a -> concat(a.acc, substring(text, a.cur, "
+        "length(text) - a.cur + 1)))"
+    )
+    return (
+        docs.select("doc_id", "text")
+        .join(islands, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars"),
+            F.coalesce("removed_chars", F.lit(0))
+            .cast("bigint")
+            .alias("removed_chars"),
+            F.when(F.col("ivs").isNull(), F.col("text"))
+            .otherwise(kept_text)
+            .alias("kept_text"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "removed_chars",
+            F.length("kept_text").cast("bigint").alias("kept_chars"),
+            "kept_text",
+        )
+    )
+
+
+def remove_dup_spans_sql(k: int = 20, scope: str = "documents") -> str:
+    """DuckDB twin of `remove_dup_spans` (same owner rule and islands;
+    rebuild via ordered string_agg over the kept segments)."""
+    return f"""
+        WITH pos AS (
+            SELECT doc_id, i AS p, substring(text, i, {k}) AS gram
+            FROM {scope}, LATERAL unnest(
+                generate_series(1, length(text) - {k} + 1)) AS g(i)
+            WHERE length(text) >= {k}
+        ),
+        owned AS (
+            SELECT doc_id, p,
+                   MIN(doc_id) OVER (PARTITION BY gram) AS owner
+            FROM pos
+        ),
+        hits AS (
+            SELECT doc_id, p FROM owned WHERE owner < doc_id
+        ),
+        isl AS (
+            SELECT doc_id, p, p + {k} AS e,
+                   CASE WHEN p > COALESCE(MAX(p + {k}) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), -1) THEN 1 ELSE 0 END AS new_isl
+            FROM hits
+        ),
+        isl2 AS (
+            SELECT doc_id, p, e, SUM(new_isl) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS island
+            FROM isl
+        ),
+        isl3 AS (
+            SELECT doc_id, island, MIN(p) AS s, MAX(e) AS e
+            FROM isl2 GROUP BY 1, 2
+        ),
+        segs AS (
+            SELECT doc_id,
+                   COALESCE(LAG(e) OVER (
+                       PARTITION BY doc_id ORDER BY s), 1) AS ks,
+                   s AS ke
+            FROM isl3
+            UNION ALL
+            SELECT doc_id, MAX(e) AS ks, NULL AS ke
+            FROM isl3 GROUP BY doc_id
+        ),
+        rebuilt AS (
+            SELECT d.doc_id,
+                   string_agg(substring(d.text, ks,
+                       COALESCE(ke, length(d.text) + 1) - ks),
+                       '' ORDER BY ks) AS kept_text
+            FROM {scope} d JOIN segs USING (doc_id)
+            GROUP BY d.doc_id
+        ),
+        removed AS (
+            SELECT doc_id, SUM(e - s) AS removed_chars
+            FROM isl3 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(length(d.text) AS BIGINT) AS n_chars,
+               CAST(COALESCE(r.removed_chars, 0) AS BIGINT)
+                   AS removed_chars,
+               CAST(length(COALESCE(b.kept_text, d.text)) AS BIGINT)
+                   AS kept_chars,
+               COALESCE(b.kept_text, d.text) AS kept_text
+        FROM {scope} d
+        LEFT JOIN rebuilt b USING (doc_id)
+        LEFT JOIN removed r USING (doc_id)
+    """
 
 
 def dup_span_coverage_sql(k: int = 20, scope: str = "documents") -> str:

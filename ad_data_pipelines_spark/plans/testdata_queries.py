@@ -836,7 +836,11 @@ def q_llm_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/dedup.py:dup_span_coverage.",
 )
 def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.dup_span_coverage(t(spark, sf_dir, "documents"), k=20)
+    return _dedup.dup_span_coverage(
+        t(spark, sf_dir, "documents"),
+        k=20,
+        bounds=_span_bounds_shared(spark, sf_dir),
+    )
 
 
 @register(
@@ -857,6 +861,24 @@ def q_llm_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return _dedup.prefix_jaccard_pairs(docs, threshold=0.8)
+
+
+@register(
+    "llm_dup_span_removal",
+    oracle=_dedup.remove_dup_spans_sql(k=20),
+    doc="EXACTSUBSTR dedup transform (Lee et al. 2022 removal step): "
+    "merged cross-doc 20-gram spans excised from every non-owner doc "
+    "(owner = global min doc_id per gram — deterministic keeper, "
+    "SURVEY §4.4-6), text rebuilt array-side with an aggregate fold; "
+    "each duplicated substring survives exactly once in the corpus. "
+    "operators/dedup.py:remove_dup_spans.",
+)
+def q_llm_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dedup.remove_dup_spans(
+        t(spark, sf_dir, "documents"),
+        k=20,
+        bounds=_span_bounds_shared(spark, sf_dir),
+    )
 
 
 @register(
@@ -2322,6 +2344,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _repetition_shared,
         "word_grams": _word_grams_shared,
         "pq_codes": _pq_codes_shared,
+        "span_bounds": _span_bounds_shared,
     }
 
 
@@ -2384,6 +2407,19 @@ def _word_grams_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word_grams",
         lambda: _dedup.word_ngram_hashes(
             t(spark, sf_dir, "documents"), n=8
+        ),
+    )
+
+
+def _span_bounds_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the EXACTSUBSTR upstream: one position-gram explode + one gram
+    # window feeds BOTH the coverage metric (llm_dup_spans) and the
+    # removal transform (llm_dup_span_removal) — the two heaviest
+    # registry queries share their dominant stage
+    return _shared(
+        spark, sf_dir, "span_bounds",
+        lambda: _dedup.position_gram_bounds(
+            t(spark, sf_dir, "documents"), k=20
         ),
     )
 
@@ -4787,6 +4823,7 @@ _GATE_PRIORITY = [
     "o15_entity_clusters",
     "j21_grid_knn",
     "llm_prefix_jaccard",
+    "llm_dup_span_removal",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage

@@ -80,3 +80,57 @@ def test_curate_jsonl_export_round_trips(spark, tmp_path):
     a = {(r.doc_id, r.text) for r in back.select("doc_id", "text").collect()}
     b = {(r.doc_id, r.text) for r in curated.select("doc_id", "text").collect()}
     assert a == b and len(a) == stats["n_curated"]
+
+
+def test_curate_exactsubstr_stage(spark, tmp_path):
+    """With --exactsubstr-k, a boilerplate paragraph shared by
+    otherwise-distinct docs survives in exactly ONE curated doc (the
+    owner) and is excised from the rest; docs reduced below the
+    min-kept length drop out; the stage is deterministic."""
+    import pyspark.sql.functions as F
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu").split()
+    # long, VARIED boilerplate (no internal repeated grams, so the
+    # per-doc repetition gate stays green) — 55 distinct tokens
+    boiler = "subscribe newsletter " + " ".join(
+        f"{words[j % len(words)]}b{j}" for j in range(53)
+    )
+    rows = []
+    for i in range(8):
+        # varied, quality-passing bodies unique to each doc
+        picks = " ".join(words[(i * 3 + j) % len(words)] + str(i * 7 + j)
+                         for j in range(30))
+        body = f"document body number {i} {picks} "
+        rows.append((i, (body + boiler).lower(), "en", "web"))
+    # one doc that is ~only boilerplate: quality-passing (plenty of
+    # tokens) but reduced below min_kept_chars once the span is excised
+    rows.append((8, (boiler + " tiny tail").lower(), "en", "web"))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+
+    out = str(tmp_path / "es")
+    stats = curate(
+        spark, docs, out, seq_tokens=256, min_eq=99,  # disable near-dedup
+        exactsubstr_k=30, min_kept_chars=60,
+    )
+    assert stats["n_after_dedup"] == 9  # quality gate passed everything
+    assert stats["n_after_exactsubstr"] == 8  # doc 8 shrank below 60
+    curated = spark.read.parquet(out + "/documents")
+    with_boiler = curated.filter(
+        F.col("text").contains("subscribe newsletter")
+    ).collect()
+    # the boilerplate survives in exactly one doc — the owner (min id)
+    assert len(with_boiler) == 1
+    assert with_boiler[0].doc_id == 0
+    # non-owners keep their unique bodies
+    assert curated.filter(F.col("text").contains(
+        "document body number 5")).count() == 1
+    # rerun = identical
+    stats2 = curate(
+        spark, docs, str(tmp_path / "es2"), seq_tokens=256, min_eq=99,
+        exactsubstr_k=30, min_kept_chars=60,
+    )
+    assert stats2 == stats

@@ -1557,6 +1557,39 @@ def test_ngram_containment_asymmetric_subset(spark):
     assert jac < 0.5  # symmetric measure misses the subset relation
 
 
+def test_remove_dup_spans_owner_keeps_and_rebuild(spark):
+    """The removal transform excises foreign duplicated spans and
+    rebuilds text exactly: the owner (min doc_id) keeps its copy, a
+    doc that is entirely a copy collapses to empty, interior excision
+    stitches prefix+suffix, and clean docs pass through untouched."""
+    from ad_data_pipelines_spark.operators import dedup
+
+    k = 5
+    shared = "ABCDEFGH"  # 8 chars
+    texts = {
+        0: "xy" + shared + "qz",   # owner of the shared block → intact
+        1: shared,                 # pure copy → everything removed
+        2: "12345" + shared + "67890",  # interior excision
+        3: "no dups here!!",       # untouched
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    out = {r.doc_id: r for r in dedup.remove_dup_spans(docs, k=k).collect()}
+    assert out[0].kept_text == texts[0]
+    assert out[0].removed_chars == 0
+    assert out[1].kept_text == ""
+    assert out[1].removed_chars == len(shared)
+    # doc 2 shares exactly the 8-char block → islands cover [6, 14)
+    assert out[2].kept_text == "12345" + "67890"
+    assert out[2].removed_chars == len(shared)
+    assert out[3].kept_text == texts[3]
+    for d in texts:
+        assert out[d].n_chars == len(texts[d])
+        assert out[d].kept_chars == len(out[d].kept_text)
+        assert out[d].n_chars - out[d].removed_chars == out[d].kept_chars
+
+
 def test_prefix_jaccard_pairs_complete_vs_brute_force(spark):
     """Prefix filtering must lose NO qualifying pair: compare against a
     Python brute force over all pairs on a corpus designed so some

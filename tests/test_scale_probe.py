@@ -392,3 +392,31 @@ def test_dup_span_coverage_10x_linear_and_partitioned(spark):
     assert "hashpartitioning(gram" in plan, plan
     assert "windowspecdefinition(doc_id" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_prefix_jaccard_10x_complete_and_linear(spark):
+    """The prefix-filtered set-similarity join stays ~linear when the
+    corpus grows 10× (the planted corpus has a huge vocabulary, so
+    prefix tokens are genuinely rare — df=2 — and the candidate join
+    is pair-bounded) and finds EVERY planted partner pair (J=0.75 ≥
+    0.5) with zero false positives (unrelated docs share no token)."""
+    from ad_data_pipelines_spark.operators import dedup
+
+    def run(n):
+        docs = _planted_corpus(spark, n)
+        t0 = time.perf_counter()
+        out = dedup.prefix_jaccard_pairs(docs, threshold=0.5)
+        pairs = out.count()
+        elapsed = time.perf_counter() - t0
+        return out, pairs, elapsed
+
+    _, p1, t1 = run(2_000)
+    out10, p10, t10 = run(20_000)
+    assert p1 == 1_000 and p10 == 10_000  # exactly the planted pairs
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"prefix-jaccard 10x runtime {t10:.1f}s vs 1x {t1:.1f}s"
+    )
+    sample = out10.limit(5).collect()
+    for r in sample:
+        assert r.doc_b == r.doc_a + 1 and r.doc_a % 2 == 0
+        assert r.jac == 0.75  # 6 shared of 8 union, exact
