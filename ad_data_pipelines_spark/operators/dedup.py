@@ -921,6 +921,22 @@ def position_gram_bounds(docs: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def corpus_gram_table(docs: DataFrame, k: int = 20) -> DataFrame:
+    """Distinct k-grams of an accepted corpus: (gram,) — the history
+    artifact the STREAMING exactsubstr gate joins each micro-batch
+    against (the grams-side twin of the minhash-signature history
+    table). In-row `array_distinct` before explode keeps the heavy
+    dedup map-side; the global distinct shuffles only what survives."""
+    grams = F.expr(
+        f"if(length(text) < {k}, array(), "
+        f"array_distinct(transform(sequence(1, length(text) - {k - 1}), "
+        f"i -> substring(text, i, {k}))))"
+    )
+    return (
+        docs.select(F.explode(grams).alias("gram")).distinct()
+    )
+
+
 def _merged_islands(hits: DataFrame, k: int) -> DataFrame:
     """Gaps-and-islands merge of [p, p+k) spans per doc: (doc_id,
     island, s, e). Shared by the coverage metric and the removal
@@ -1032,6 +1048,16 @@ def remove_dup_spans(
     # foreign hit: the gram exists in a smaller doc_id → this copy goes
     b = bounds if bounds is not None else position_gram_bounds(docs, k)
     hits = b.filter(F.col("mn") < F.col("doc_id")).select("doc_id", "p")
+    return excise_spans(docs, hits, k)
+
+
+def excise_spans(docs: DataFrame, hits: DataFrame, k: int) -> DataFrame:
+    """Remove the merged [p, p+k) spans in `hits` (doc_id, p) from each
+    doc's text and return (doc_id, n_chars, removed_chars, kept_chars,
+    kept_text). The excision back-end shared by `remove_dup_spans`
+    (batch owner rule) and the streaming ingest gate
+    (`streaming/exactsubstr.py`, history-ownership rule) — one
+    islands merge + one per-doc `F.aggregate` fold, no UDF."""
     islands = (
         _merged_islands(hits, k)
         .groupBy("doc_id")

@@ -69,6 +69,16 @@ def last_word(col: str) -> Column:
     return F.element_at(F.split(F.col(col), r"\s+"), -1)
 
 
+def soundex_last_word(col: str) -> Column:
+    """Blocking key: Soundex code of the last word — groups phonetic
+    misspellings ('smith'/'smyth') that edit-distance blocking on raw
+    substrings would scatter. JVM built-in, codegen-friendly.
+    Pytest-only coverage (no DuckDB twin: the oracle engine has no
+    soundex; pair results remain engine-checkable through the plain
+    `last_word` registry query)."""
+    return F.soundex(F.upper(last_word(col)))
+
+
 def block_size_report(df: DataFrame, text_col: str, block: Column) -> DataFrame:
     """(blk, n_values, n_candidate_pairs) per block — the skew
     diagnostic to run BEFORE the pair join at a new scale; a block

@@ -1715,6 +1715,23 @@ def test_blocked_levenshtein_pairs_and_block_report(spark):
                df, "name", block=fuzzy.last_word("text")).collect()}
     assert rep == {"ring": (3, 3), "rings": (1, 0), "bolt": (1, 0)}
 
+    # soundex blocking pairs phonetic variants that last-word blocking
+    # scatters: 'john smith' / 'jon smyth' share no literal last word
+    # but S530 blocks them together
+    ph = spark.createDataFrame(
+        [(0, "john smith"), (1, "jon smyth"), (2, "mary jones")],
+        "id bigint, name string",
+    )
+    ph_pairs = {(r.text_a, r.text_b)
+                for r in fuzzy.blocked_levenshtein_pairs(
+                    ph, "name", block=fuzzy.soundex_last_word("text"),
+                    max_dist=3).collect()}
+    assert ph_pairs == {("john smith", "jon smyth")}
+    literal_pairs = fuzzy.blocked_levenshtein_pairs(
+        ph, "name", block=fuzzy.last_word("text"), max_dist=3
+    ).count()
+    assert literal_pairs == 0  # literal blocking misses the pair
+
     # entity resolution: the ring variants chain into ONE cluster under
     # the lexicographic-min canonical; unmatched names self-canonicalize
     clusters = {r.name: (r.canonical, r.is_canonical)

@@ -839,3 +839,120 @@ def test_stream_stream_left_outer_emits_on_watermark_finality(
     }
     assert rows2.get(2, "absent") is None, rows2  # B emitted, unconverted
     assert len([k for k in rows2]) == 3
+
+
+def test_streaming_exactsubstr_gate_matches_single_shot(spark, tmp_path):
+    """The streamed keep/drop split against a static history gram table
+    equals one-shot application of the per-batch verdict function (a
+    doc's verdict depends only on history, never on its micro-batch
+    companions, so ANY file split gives identical results); the split
+    is exhaustive and disjoint and kept docs carry excised text."""
+    from ad_data_pipelines_spark.operators import dedup as d
+    from ad_data_pipelines_spark.streaming import exactsubstr
+
+    docs = tq.t(spark, SF_SMALL, "documents")
+    history = docs.filter(F.col("doc_id") >= 100)
+    incoming = docs.filter(F.col("doc_id") < 100)
+    history_grams = d.corpus_gram_table(history, k=20).persist()
+    history_grams.count()
+
+    src = tmp_path / "incoming"
+    incoming.repartition(3).write.parquet(str(src))
+
+    exactsubstr.run_exactsubstr_gate_available_now(
+        spark,
+        str(src),
+        history_grams,
+        checkpoint=str(tmp_path / "ck"),
+        keep_path=str(tmp_path / "keep"),
+        drop_path=str(tmp_path / "drop"),
+        k=20,
+        min_kept_chars=50,
+    )
+
+    expected = {
+        r.doc_id: (r.removed_chars, r.kept_chars, r.kept_text)
+        for r in exactsubstr.exactsubstr_batch_verdicts(
+            incoming, history_grams, k=20
+        ).collect()
+    }
+    kept = {r.doc_id: r for r in spark.read.parquet(
+        str(tmp_path / "keep")).collect()}
+    import os
+
+    dropped = (
+        {r.doc_id: r for r in spark.read.parquet(
+            str(tmp_path / "drop")).collect()}
+        if os.listdir(str(tmp_path / "drop"))
+        else {}
+    )
+    assert set(kept) | set(dropped) == set(expected)
+    assert set(kept).isdisjoint(dropped)
+    for d_, r in kept.items():
+        want = expected[d_]
+        assert want[1] >= 50
+        assert (r.removed_chars, r.kept_chars, r.text) == want, d_
+    for d_, r in dropped.items():
+        assert expected[d_][1] < 50
+        assert r.kept_chars == expected[d_][1]
+    # the word-salad corpus guarantees real excision happened
+    assert any(r.removed_chars > 0 for r in kept.values()) or dropped
+    history_grams.unpersist()
+
+
+def test_streaming_exactsubstr_history_refreshes_per_trigger(
+    spark, tmp_path
+):
+    """With a callable history, a block first seen in micro-batch 1 is
+    already owned by the corpus when micro-batch 2 arrives: the later
+    copy is excised, the first stays intact — the per-trigger artifact
+    refresh shape (upstream batch job republishes the gram table)."""
+    from ad_data_pipelines_spark.operators import dedup as d
+    from ad_data_pipelines_spark.streaming import exactsubstr
+    from ad_data_pipelines_spark.streaming.quality import DOCS_SCHEMA
+
+    block = "SHARED-BOILERPLATE-BLOCK-0123456789"  # 35 chars ≥ k
+    fill_a = "unique first document body " * 3
+    fill_b = "entirely different second body " * 3
+    rows1 = [(1, fill_a + block, "en", "web", len(fill_a + block))]
+    rows2 = [(2, fill_b + block, "en", "web", len(fill_b + block))]
+    src = tmp_path / "in"
+    import os
+
+    os.makedirs(str(src))
+    for i, rows in enumerate([rows1, rows2]):
+        spark.createDataFrame(rows, DOCS_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    keep = str(tmp_path / "keep")
+    empty_docs = spark.createDataFrame([], DOCS_SCHEMA)
+
+    def resolve():
+        base = d.corpus_gram_table(empty_docs, k=20)
+        if os.path.exists(keep) and any(
+            f.endswith(".parquet") for f in os.listdir(keep)
+        ):
+            accepted = spark.read.parquet(keep).select(
+                "doc_id", "text"
+            )
+            return base.unionByName(d.corpus_gram_table(accepted, k=20))
+        return base
+
+    exactsubstr.run_exactsubstr_gate_available_now(
+        spark,
+        str(src),
+        resolve,
+        checkpoint=str(tmp_path / "ck"),
+        keep_path=keep,
+        drop_path=str(tmp_path / "drop"),
+        k=20,
+        min_kept_chars=10,
+        max_files_per_trigger=1,
+    )
+    out = {r.doc_id: r for r in spark.read.parquet(keep).collect()}
+    assert set(out) == {1, 2}
+    assert block in out[1].text          # first arrival keeps the block
+    assert block not in out[2].text      # later copy excised
+    assert out[2].removed_chars >= len(block)
+    assert out[2].text.startswith(fill_b[:20])
