@@ -377,3 +377,56 @@ def test_parquet_text_compression_meets_reference_band(spark, tmp_path):
     docs.coalesce(1).write.option("compression", "zstd").parquet(zstd)
     saving = 1.0 - size(zstd) / size(raw)
     assert saving >= 0.40, f"zstd saving only {saving:.0%}"
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """The 100 TB selective-join story: when a filtered dim joins a big
+    fact and neither broadcasts, Spark's runtime bloom filter injects a
+    might_contain predicate on the fact's join key — rows that cannot
+    match are dropped AT THE SCAN, before the shuffle. Thresholds are
+    lowered to trigger at test scale (the big-cluster defaults play the
+    same role at real size); results must be identical either way."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "10GB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{SF_MEDIUM}/lineitem.parquet")
+        od = (
+            spark.read.parquet(f"{SF_MEDIUM}/orders.parquet")
+            .filter(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        j = li.join(od, li.l_orderkey == od.o_orderkey).agg(
+            F.sum("l_quantity").alias("q"), F.count("*").alias("n")
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:3000]
+        with_bloom = j.collect()[0]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    li = spark.read.parquet(f"{SF_MEDIUM}/lineitem.parquet")
+    od = (
+        spark.read.parquet(f"{SF_MEDIUM}/orders.parquet")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey")
+    )
+    plain = li.join(od, li.l_orderkey == od.o_orderkey).agg(
+        F.sum("l_quantity").alias("q"), F.count("*").alias("n")
+    ).collect()[0]
+    assert (with_bloom.q, with_bloom.n) == (plain.q, plain.n)
