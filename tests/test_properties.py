@@ -899,3 +899,90 @@ def test_psi_vs_reference_matches_numpy(spark, case):
     want = round(float(np.sum((p - r) * np.log(p / r))), 6)
     assert row.n_values == len(values)
     assert row.psi == want
+
+
+# docs: small random corpora over a 6-word vocabulary so overlap
+# varies wildly; thresholds sweep the interesting range including 1.0.
+_pj_docs = st.lists(
+    st.lists(
+        st.sampled_from(["ape", "bee", "cat", "dog", "elk", "fox"]),
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(_pj_docs, st.sampled_from([0.34, 0.5, 0.67, 1.0]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_prefix_jaccard_matches_brute_force(spark, word_lists, threshold):
+    """Prefix filtering is lossless at ANY threshold: the pair set,
+    intersection counts and Jaccard values equal an all-pairs Python
+    brute force (empty-token docs excluded, exact rational compare)."""
+    import itertools
+
+    from ad_data_pipelines_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(word_lists)],
+        "doc_id bigint, text string",
+    )
+    got = {(r.doc_a, r.doc_b): (r.inter_n, r.jac)
+           for r in dedup.prefix_jaccard_pairs(
+               docs, threshold=threshold).collect()}
+    want = {}
+    for a, b in itertools.combinations(range(len(word_lists)), 2):
+        sa, sb = set(word_lists[a]), set(word_lists[b])
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        # exact rational comparison — no float threshold ambiguity
+        if inter * 1.0 / len(sa | sb) >= threshold:
+            want[(a, b)] = (inter, round(inter / len(sa | sb), 6))
+    assert got == want
+
+
+_knn_pts = st.lists(
+    st.tuples(st.integers(0, 59), st.integers(0, 59)),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(_knn_pts, _knn_pts, st.sampled_from([7, 10, 25]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_grid_knn_matches_brute_force(spark, lpts, rpts, cell):
+    """grid_knn_join is exact for ANY cell size: every left point gets
+    the brute-force nearest right point (ties → min id), whether the
+    3x3 certificate resolves it or the fallback does."""
+    from ad_data_pipelines_spark.operators import geo
+
+    ldf = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(lpts)],
+        "lid bigint, x bigint, y bigint",
+    )
+    rdf = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(rpts)],
+        "rid bigint, x bigint, y bigint",
+    )
+    got = {r.lid: (r.nearest_rid, r.dist2)
+           for r in geo.grid_knn_join(
+               ldf, rdf, "lid", "rid", "x", "y", "x", "y", cell=cell
+           ).collect()}
+    want = {}
+    for i, (lx, ly) in enumerate(lpts):
+        d2, rid = min(
+            ((rx - lx) ** 2 + (ry - ly) ** 2, j)
+            for j, (rx, ry) in enumerate(rpts)
+        )
+        want[i] = (rid, d2)
+    assert got == want
