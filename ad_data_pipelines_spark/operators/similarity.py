@@ -848,6 +848,51 @@ def pq_codebooks(
     return out
 
 
+def pq_train_codebooks(
+    emb: DataFrame,
+    n_sub: int = PQ_N_SUB,
+    k: int = PQ_K,
+    sub_dim: int = PQ_SUB_DIM,
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Production codebook path: Spark ML KMeans trained PER SUBSPACE
+    over the corpus's sliced subvectors (the FAISS PQ training step),
+    returning the same cb[s][j][t] nested-list structure as the seeded
+    `pq_codebooks` — so `pq_encode`/`pq_topk` consume either
+    interchangeably and the quantization algebra never changes.
+
+    Scale shape: n_sub independent KMeans fits, each over (N, sub_dim)
+    slices extracted by a narrow `slice()` map (no shuffle beyond
+    KMeans' own aggregations); centers come back driver-side as
+    n_sub × k × sub_dim doubles — kilobytes. The seeded variant stays
+    for cross-engine oracle checks (KMeans has no SQL twin); this one
+    is for real recall — on data with any cluster structure, trained
+    cells tighten quantization error and the compressed-domain ranking
+    (recall gate in tests/test_operators.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    books: list[list[list[float]]] = []
+    for s in range(n_sub):
+        ds = emb.select(
+            array_to_vector(
+                F.expr(
+                    f"CAST(slice(embedding, {s * sub_dim + 1}, {sub_dim}) "
+                    "AS array<double>)"
+                )
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + s, maxIter=max_iter).fit(ds)
+        books.append(
+            [
+                [round(float(x), 6) for x in c]
+                for c in model.clusterCenters()
+            ]
+        )
+    return books
+
+
 def _pq_sq_dist(s: int, centroid: list[float], elem) -> str:
     """Σ_t (v[t] − c_t)² as an explicit left-associated chain."""
     terms = []

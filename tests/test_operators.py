@@ -1515,6 +1515,49 @@ def test_pq_topk_self_match_and_recall(spark):
     assert recall >= 0.15, f"PQ recall collapsed: {recall}"
 
 
+def test_pq_trained_codebooks_beat_seeded_recall(spark):
+    """KMeans-trained per-subspace codebooks plug into the same
+    encode/search algebra and must NOT lose to the seeded LCG books on
+    real data: top-5 recall vs exact euclidean ground truth is at
+    least as good, and comfortably above the seeded floor."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    vecs = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+
+    def recall(codebooks):
+        out = similarity.pq_topk(
+            emb, queries, k=5, codebooks=codebooks
+        ).collect()
+        by_q: dict[int, set] = {}
+        for r in out:
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = total = 0
+        for qid in range(20):
+            q = vecs[qid]
+            exact = sorted(
+                vecs, key=lambda v: (float(np.sum((vecs[v] - q) ** 2)), v)
+            )[:5]
+            hits += len(by_q[qid] & set(exact))
+            total += 5
+        return hits / total
+
+    seeded = recall(similarity.pq_codebooks())
+    trained = recall(similarity.pq_train_codebooks(emb))
+    assert trained >= seeded, (trained, seeded)
+    # the synthetic embeddings are near-isotropic, so k=4 training
+    # gains little (0.25 vs 0.24 measured) — the real lever is codebook
+    # size, and the trained path must expose it: k=16 (4-bit codes)
+    # jumps recall well clear of the 2-bit floor (0.35 measured)
+    trained16 = recall(similarity.pq_train_codebooks(emb, k=16))
+    assert trained16 > trained, (trained16, trained)
+    assert trained16 >= 0.3, f"trained k=16 PQ recall too low: {trained16}"
+
+
 def test_pq_ivf_topk_consistent_with_full_pq(spark):
     """IVFPQ distances agree with full-corpus PQ scoring on the pairs
     it returns (same LUT algebra, candidate set narrowed by cell
