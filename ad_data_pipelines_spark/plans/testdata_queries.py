@@ -1539,6 +1539,153 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j22_min_cost_supplier",
+    oracle="""
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(ROUND(l_extendedprice / l_quantity, 2))
+                       AS unit_cost
+            FROM lineitem GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT p.p_partkey, ps.l_suppkey, ps.unit_cost,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.p_partkey
+                       ORDER BY ps.unit_cost, ps.l_suppkey
+                   ) AS rn
+            FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+            WHERE p.p_size < 15
+        )
+        SELECT r.p_partkey, s.s_name, n.n_name, r.unit_cost
+        FROM ranked r
+        JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE r.rn = 1
+    """,
+    doc="TPC-H Q2 SHAPE on the available tables (no partsupp in this "
+    "testdata): cheapest-supplier-per-part from lineitem facts — "
+    "per-(part,supp) MIN of per-row rounded unit price (deterministic; "
+    "an AVG of float divisions is summation-order-dependent across "
+    "engines), window rank 1 per part with a unique tiebreak, "
+    "broadcast name lookups, p_size predicate pushed to the part scan. "
+    "The correlated-subquery pattern as one window pass.",
+)
+def q_j22_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
+        ).alias("unit_cost")
+    )
+    pp = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") < 15)
+        .select("p_partkey")
+    )
+    ranked = ps.join(
+        pp, ps.l_partkey == pp.p_partkey
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("p_partkey").orderBy(
+                "unit_cost", "l_suppkey"
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    supp = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        ranked.join(F.broadcast(supp), ranked.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("p_partkey", "s_name", "n_name", "unit_cost")
+    )
+
+
+@register(
+    "a24_cube_totals",
+    oracle="""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+               COALESCE(l_linestatus, 'ALL') AS lstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE aggregate: every (returnflag × linestatus) combination "
+    "plus both one-dim margins plus the grand total in ONE pass — "
+    "Catalyst plans a single Expand + one shuffle (vs 4 unioned "
+    "aggregates); rolled dims surface as 'ALL' sentinels. Completes "
+    "the grouping-sets family next to a9's rollup-to-overall.",
+)
+def q_a24_cube_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("lstatus"),
+            "n_rows",
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "a25_time_weighted_avg",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   CAST(value AS DECIMAL(14,4)) AS v,
+                   CAST(date_diff('second', ts, LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )) AS BIGINT) AS w
+            FROM events
+        )
+        SELECT user_id,
+               CAST(SUM(w) AS BIGINT) AS observed_seconds,
+               ROUND(CAST(SUM(v * w) AS DOUBLE)
+                     / CAST(SUM(w) AS DOUBLE), 6) AS twa_value
+        FROM seq
+        WHERE w IS NOT NULL AND w > 0
+        GROUP BY user_id
+    """,
+    doc="Time-weighted average per user: each event's value holds until "
+    "the next event, so the mean weights values by their holding "
+    "DURATION, not their count (the sensor/price-feed aggregate a "
+    "plain AVG gets wrong under irregular sampling). One lead window + "
+    "one combinable aggregate; products accumulate in DECIMAL so the "
+    "result is summation-order-independent (same discipline as a23).",
+)
+def q_a25_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w_next = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(14,4)").alias("v"),
+        (
+            F.unix_timestamp(F.lead("ts").over(w_next))
+            - F.unix_timestamp("ts")
+        ).cast("bigint").alias("w"),
+    ).filter(F.col("w").isNotNull() & (F.col("w") > 0))
+    return seq.groupBy("user_id").agg(
+        F.sum("w").cast("bigint").alias("observed_seconds"),
+        F.round(
+            F.sum(F.col("v") * F.col("w")).cast("double")
+            / F.sum("w").cast("double"),
+            6,
+        ).alias("twa_value"),
+    )
+
+
+@register(
     "t8_session_window",
     oracle="""
         WITH gaps AS (
@@ -4824,6 +4971,9 @@ _GATE_PRIORITY = [
     "j21_grid_knn",
     "llm_prefix_jaccard",
     "llm_dup_span_removal",
+    "j22_min_cost_supplier",
+    "a24_cube_totals",
+    "a25_time_weighted_avg",
     # tier 1 (round 4): the 32 queries whose latest green row is r2
     # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
     # the four whose physical plans changed with the shared-stage
