@@ -864,3 +864,131 @@ def video_meta(docs_with_payload: DataFrame) -> DataFrame:
             )
 
     return docs_with_payload.mapInPandas(extract, VIDEO_META_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def image_dhash(docs_with_payload: DataFrame) -> DataFrame:
+    """64-bit difference-hash (dHash) per image from REAL decoded
+    pixels: luma block-means on a 9×8 grid, each bit = left cell
+    brighter than its right neighbor — the classic perceptual
+    fingerprint that survives resizing/re-encoding but flips few bits
+    under small edits. Undecodable/palette payloads → NULL hash
+    (visible, never skipped). Arrow mapInPandas, one crossing; output
+    is ONE bigint per image, so downstream near-dup joins shuffle
+    8-byte hashes, never pixels."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload):
+            if payload is None:
+                return None
+            b = bytes(payload)
+            try:
+                if b.startswith(_PNG_SIG):
+                    w, h, mode, px = decode_png_stdlib(b)
+                elif b[:2] == b"BM":
+                    w, h, mode, px = decode_bmp_stdlib(b)
+                else:
+                    return None
+                if mode == "P":
+                    return None
+            except (ValueError, NotImplementedError):
+                return None
+            arr = np.frombuffer(px, dtype=np.uint8).astype(np.float64)
+            ch = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}[mode]
+            arr = arr.reshape(h, w, ch)
+            if ch >= 3:
+                luma = (
+                    0.299 * arr[:, :, 0]
+                    + 0.587 * arr[:, :, 1]
+                    + 0.114 * arr[:, :, 2]
+                )
+            else:
+                luma = arr[:, :, 0]
+            # block-mean downsample to 8 rows × 9 cols (row/col edges
+            # from linspace so any input size maps deterministically)
+            re = np.linspace(0, h, 9).astype(int)
+            ce = np.linspace(0, w, 10).astype(int)
+            grid = np.empty((8, 9))
+            for i in range(8):
+                for j in range(9):
+                    block = luma[re[i]:max(re[i + 1], re[i] + 1),
+                                 ce[j]:max(ce[j + 1], ce[j] + 1)]
+                    grid[i, j] = block.mean()
+            bits = (grid[:, :-1] > grid[:, 1:]).flatten()
+            v = 0
+            for bit in bits:
+                v = (v << 1) | int(bit)
+            # keep within signed int64 (bit 63 set → negative long)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            return v
+
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "dhash": b["payload"].map(one).astype("object"),
+                }
+            )
+
+    return docs_with_payload.mapInPandas(extract, DHASH_SCHEMA)
+
+
+def dhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(doc_a, doc_b, hamming) for images whose dHashes differ by ≤
+    `max_hamming` bits. EXACT for max_hamming ≤ 3 by pigeonhole: the
+    64-bit hash splits into 4 16-bit bands, and ≤3 flipped bits leave
+    ≥1 band identical — so candidates come from 4 band equi-joins
+    (shuffling 8-byte hashes), never an all-pairs comparison; the
+    exact Hamming filter (bit_count of xor, JVM-side) then verifies.
+    The same band discipline as SimHash candidates, specialized to the
+    image fingerprint."""
+    h = hashes.filter(F.col("dhash").isNotNull())
+    bands = h.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("dhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "dhash", F.col("b.band").alias("band"),
+             F.col("b.key").alias("key"))
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash").alias("ha"),
+        "band",
+        "key",
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash").alias("hb"),
+        "band",
+        "key",
+    )
+    ham = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ).cast("int")
+    return (
+        a.join(bb, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -418,3 +418,57 @@ def test_media_near_dup_via_feature_cosine(spark):
     }
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] > 0.99
+
+
+def test_image_dhash_and_near_dup_pairs(spark):
+    """dHash: a one-pixel edit of a gradient image lands within 3
+    Hamming bits of the original (banded candidate join finds the
+    pair), an inverted gradient lands far away, and undecodable
+    payloads yield NULL hashes that never pair. Python reference
+    reproduces the exact hash."""
+    import numpy as np
+
+    w, h = 18, 16
+    grad = [((x * 14 + y) % 256,) * 3 for y in range(h) for x in range(w)]
+    near = list(grad)
+    near[5 * w + 7] = tuple(min(255, c + 6) for c in near[5 * w + 7])
+    inverted = [(255 - r, 255 - g, 255 - b) for r, g, b in grad]
+    rows = [
+        (0, bytearray(_make_bmp(w, h, grad))),
+        (1, bytearray(_make_bmp(w, h, near))),
+        (2, bytearray(_make_bmp(w, h, inverted))),
+        (3, bytearray(b"not an image at all")),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = mm.image_dhash(docs)
+    got = {r.doc_id: r.dhash for r in hashes.collect()}
+    assert got[3] is None
+    assert got[0] is not None and got[2] is not None
+
+    # Python reference of the same definition for the base image
+    luma = np.array(
+        [0.299 * r + 0.587 * g + 0.114 * b for r, g, b in grad]
+    ).reshape(h, w)
+    re_, ce = np.linspace(0, h, 9).astype(int), np.linspace(0, w, 10).astype(int)
+    grid = np.array([
+        [luma[re_[i]:max(re_[i+1], re_[i]+1),
+              ce[j]:max(ce[j+1], ce[j]+1)].mean() for j in range(9)]
+        for i in range(8)
+    ])
+    v = 0
+    for bit in (grid[:, :-1] > grid[:, 1:]).flatten():
+        v = (v << 1) | int(bit)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    assert got[0] == v
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(got[0], got[1]) <= 3       # near-identical
+    assert ham(got[0], got[2]) > 10       # inverted = far
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in mm.dhash_near_dup_pairs(hashes, max_hamming=3).collect()}
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] == ham(got[0], got[1])
