@@ -4,7 +4,7 @@ Beyond-reference (BASELINE.json north star): the record-linkage /
 entity-resolution primitive a curation pipeline needs when joining
 dirty catalogs (vendor names, product titles, station labels) that
 exact keys can't line up. The reference's pipelines join on clean
-surrogate keys only (e.g. `data_processing/ads_travel_info.R:63`'s
+surrogate keys only (e.g. `scripts/ads_passenger_travel_time_di.R:112-114`'s
 route-key joins); this operator is the standard scalable answer for
 when those keys don't exist.
 

@@ -3,7 +3,8 @@
 look like on date X" table every warehouse eventually needs.
 
 Beyond-reference: the reference tracks only first appearance
-(first-seen create_time store, data_processing/first_seen.R — our S13,
+(first-seen create_time store,
+scripts/ads_passenger_travel_distance_di.py:26-52 — our S13,
 sources/firstseen.py). SCD-2 is its full-history generalization.
 
 Gaps-and-islands, Spark-first, ONE shuffle: callers should

@@ -3230,7 +3230,8 @@ def q_llm_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order-priority intervals [valid_from, valid_to) collapsed from "
     "daily snapshots via gaps-and-islands (operators/scd.py). "
     "Generalizes the reference's first-seen store "
-    "(data_processing/first_seen.R = S13) to full history. Snapshot "
+    "(scripts/ads_passenger_travel_distance_di.py:26-52 = S13) to "
+    "full history. Snapshot "
     "dedup keeps max o_orderkey per (custkey, date) — deterministic "
     "(SURVEY §4.4-6). One repartition(key), zero further exchanges.",
 )
@@ -4908,61 +4909,13 @@ _GATE_TAIL_ROWS_ONLY = [
     "llm_quality_quantile_approx",
 ]
 _GATE_PRIORITY = [
-    # tier 0: operators newly registered in round 4 (standing rule —
-    # every registration enters tier 1 of the same commit's list);
-    # never-gated registrations lead, newest first
-    "llm_containment",
-    "llm_dedup_threshold_curve",
-    "llm_cooccurrence",
-    "llm_zipf",
-    "j19_overlap_join",
-    "t6_user_streaks",
-    "llm_candidate_agreement",
-    "llm_ann_recall",
-    "a22_psi_reference",
-    "t7_last_touch_attribution",
-    "llm_l2_topk",
-    "llm_pq_recall",
-    "o14_join_skew_report",
-    "llm_ivf_recall",
-    "llm_temperature_mix",
-    "llm_lang_confusion",
-    "llm_weighted_sample",
-    "llm_source_mix",
-    "llm_semantic_dedup",
-    "llm_budget_select",
-    "o10_profile",
-    "llm_incremental_dedup",
-    "llm_vocab",
-    "llm_encode_docs",
-    "llm_remove_boilerplate",
-    "llm_snapshot_diff",
-    "llm_bigram_lm",
-    "llm_tfidf_keywords",
-    "llm_random_projection",
-    "s15_json_props",
-    "o11_constraint_audit",
-    "o12_table_checksum",
-    "a18_winsorize",
-    "llm_normalize_text",
-    "j17_interval_join",
-    "llm_chunk_dedup",
-    "llm_novelty",
-    "llm_embedding_drift",
-    "llm_cross_source_dup",
-    "o13_gap_audit",
-    "llm_lang_mix",
-    "j18_shipping_priority",
-    "a19_robust_outliers",
-    "llm_dedup_stats",
-    "w7_cumulative_share",
-    "a20_ks_drift",
-    "a21_psi_drift",
-    "llm_pq_topk",
-    "llm_pq_ivf_topk",
-    "llm_packing_efficiency",
-    # round-5 registrations (standing rule: new queries enter here,
-    # ahead of the re-confirmation tiers)
+    # tier 0 (round 6): new round-6 registrations enter HERE, at the
+    # very head (standing rule — every registration enters tier 0 of
+    # the same commit's list)
+    # tier 1: the 11 round-5 registrations. The r5 gate consumed
+    # exactly positions 0-49 of the r5-era list; these sat at 50-60
+    # and have never received a driver CORRECTNESS row. They lead
+    # round 6's budget.
     "llm_dup_spans",
     "j20_fuzzy_name_match",
     "t8_session_window",
@@ -4974,11 +4927,9 @@ _GATE_PRIORITY = [
     "j22_min_cost_supplier",
     "a24_cube_totals",
     "a25_time_weighted_avg",
-    # tier 1 (round 4): the 32 queries whose latest green row is r2
-    # (every name in CORRECTNESS_r02 but not CORRECTNESS_r03) — led by
-    # the four whose physical plans changed with the shared-stage
-    # rewiring (commits 4e41fb8/81f39db) AFTER their last driver check,
-    # then cheap-first (r2/r3 bench medians; a*-group ≤0.6 s per r2)
+    # tier 2 (oldest-green first): the 32 queries whose latest green
+    # row is r2 (every name in CORRECTNESS_r02 but not r03/r05),
+    # cheap-first (r2/r3 bench medians; a*-group ≤0.6 s per r2)
     "llm_ngram_jaccard",
     "llm_boilerplate_ngrams",
     "llm_minhash_sig",
@@ -5011,11 +4962,10 @@ _GATE_PRIORITY = [
     "j9_j10_composite_join",
     "w4_keep_last",
     "llm_quality_quantile",
-    # tier 2: r3-green re-confirmations — led by the four whose plans
-    # changed with the shared-signal rewiring AFTER their r3 check,
-    # then cheap-first (r3 bench medians where the driver tail has
-    # them; a*-group placed by local medians). Budget cutoff lands in
-    # here — losing the tail costs only a just-verified green.
+    # tier 3: r3-green re-confirmations, cheap-first (r3 bench medians
+    # where the driver tail has them; a*-group placed by local
+    # medians). Budget cutoff lands around here — losing the tail
+    # costs only an already-verified green.
     "llm_quality_filter",
     "llm_quality",
     "llm_entropy",
@@ -5066,6 +5016,60 @@ _GATE_PRIORITY = [
     "llm_pack_sequences",
     "llm_simhash_pairs",
     "llm_cosine_topk",
+    # tier 4 (freshest greens last): the 50 queries the r5 gate just
+    # verified (CORRECTNESS_r05 positions 0-49) — re-confirming these
+    # is the lowest-value use of a budget slot, so they sort after
+    # every older tier, cheap-first
+    "llm_zipf",
+    "llm_candidate_agreement",
+    "llm_ann_recall",
+    "a22_psi_reference",
+    "llm_pq_recall",
+    "o14_join_skew_report",
+    "llm_ivf_recall",
+    "llm_lang_confusion",
+    "llm_source_mix",
+    "llm_budget_select",
+    "o10_profile",
+    "llm_vocab",
+    "llm_snapshot_diff",
+    "llm_bigram_lm",
+    "llm_tfidf_keywords",
+    "s15_json_props",
+    "o11_constraint_audit",
+    "o12_table_checksum",
+    "a18_winsorize",
+    "llm_normalize_text",
+    "o13_gap_audit",
+    "llm_lang_mix",
+    "a19_robust_outliers",
+    "llm_dedup_stats",
+    "w7_cumulative_share",
+    "a20_ks_drift",
+    "a21_psi_drift",
+    "llm_packing_efficiency",
+    "t6_user_streaks",
+    "t7_last_touch_attribution",
+    "llm_dedup_threshold_curve",
+    "llm_temperature_mix",
+    "llm_weighted_sample",
+    "llm_semantic_dedup",
+    "llm_incremental_dedup",
+    "llm_encode_docs",
+    "llm_remove_boilerplate",
+    "llm_random_projection",
+    "j17_interval_join",
+    "llm_chunk_dedup",
+    "llm_novelty",
+    "llm_embedding_drift",
+    "llm_cross_source_dup",
+    "j18_shipping_priority",
+    "j19_overlap_join",
+    "llm_containment",
+    "llm_cooccurrence",
+    "llm_l2_topk",
+    "llm_pq_topk",
+    "llm_pq_ivf_topk",
 ] + _GATE_TAIL_ROWS_ONLY
 assert set(_GATE_PRIORITY) == set(REGISTRY), (
     "gate-priority list drifted from registry: "
