@@ -337,9 +337,17 @@ def prefix_jaccard_pairs(
         .withColumn("rnk", F.row_number().over(w))
         .join(sizes, "doc_id")
     )
+    # ceil(t*sz) computed with an epsilon guard: if the double product
+    # rounds strictly above an exact integer t*sz, a bare ceil would
+    # shorten the prefix by one and break candidate completeness for
+    # that threshold. ceil(x - 1e-9) only ever LENGTHENS the prefix
+    # (more candidates), so completeness is preserved for any caller
+    # threshold, not just the tested ones.
     prefix = ranked.filter(
         F.col("rnk")
-        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+        <= F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+        + 1
     ).select("doc_id", "tok")
     cands = (
         prefix.alias("a")

@@ -136,6 +136,7 @@ def grid_knn_join(
     rx: str,
     ry: str,
     cell: int,
+    max_brute_frac: float | None = None,
 ) -> DataFrame:
     """Exact nearest-neighbor join via grid blocking: for every left
     point, the right point minimizing squared Euclidean distance
@@ -161,7 +162,20 @@ def grid_knn_join(
     brute fallback assumes `right` is broadcastable — for a huge
     sparse right side, re-run the grid pass with a larger cell
     instead.
+
+    Guards: an EMPTY right side raises ValueError immediately (the
+    brute pass would otherwise silently drop every left row — there is
+    no nearest neighbor to return). Pass `max_brute_frac` (e.g. 0.05)
+    to additionally assert that at most that fraction of left rows
+    needs the brute fallback — it costs two counts, but catches a
+    `cell` mis-sized for the data's density before the fallback
+    cross-join gets expensive.
     """
+    if right.isEmpty():
+        raise ValueError(
+            "grid_knn_join: right side is empty — no nearest neighbor "
+            "exists for any left row"
+        )
     lcell = left.select(
         F.col(left_id),
         F.col(lx).alias("_ax"),
@@ -213,6 +227,16 @@ def grid_knn_join(
     unresolved = left.select(
         left_id, F.col(lx).alias("_ax"), F.col(ly).alias("_ay")
     ).join(resolved.select(left_id), left_id, "left_anti")
+    if max_brute_frac is not None:
+        n_left = left.count()
+        n_brute = unresolved.count()
+        if n_left > 0 and n_brute > max_brute_frac * n_left:
+            raise ValueError(
+                f"grid_knn_join: {n_brute}/{n_left} left rows "
+                f"({n_brute / n_left:.1%}) fall back to the brute pass "
+                f"(> max_brute_frac={max_brute_frac}); increase `cell` "
+                "for this point density"
+            )
     brute = (
         unresolved.join(
             F.broadcast(

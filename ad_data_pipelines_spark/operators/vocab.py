@@ -357,8 +357,44 @@ def bpe_encode(
         loop per word (`_apply_merges_word`); O(1) plan depth, the
         production path for vocabulary-scale merge lists.
     Both run on |distinct words| rows, never the corpus.
+
+    Engine-equivalence precondition: the two engines replay merges in
+    different orders ('expr' strictly in list order, 'arrow' by rank
+    priority wherever applicable), so they are only guaranteed to
+    agree on TRAINED merge lists — each merge's operands buildable
+    from single characters and STRICTLY EARLIER merges, which is what
+    `bpe_train` emits by construction. A hand-crafted list that
+    violates this (e.g. [('ab','c'), ('a','b')]) tokenizes differently
+    per engine; auto-selection would silently switch semantics at the
+    threshold, so `engine=None` VALIDATES buildability and raises on
+    violation — pass an explicit engine to opt into that engine's
+    replay order for such lists.
     """
     if engine is None:
+        # Divergence requires a FORWARD reference: a multi-char operand
+        # produced only by a LATER merge ('expr' replays past it before
+        # it exists; 'arrow' rank-priority applies it after). An operand
+        # no merge ever produces is inert under both engines (the
+        # symbol can never exist), so it's allowed — the trainer's
+        # in-order-buildable lists trivially pass.
+        outputs = [a + b for a, b in merges]
+        produced = set(outputs)
+        built: set[str] = set()
+        for i, (a, b) in enumerate(merges):
+            for operand in (a, b):
+                if (
+                    len(operand) > 1
+                    and operand not in built
+                    and operand in produced
+                ):
+                    raise ValueError(
+                        f"bpe_encode: merge {i} {(a, b)!r} references "
+                        f"symbol {operand!r} produced only by a later "
+                        "merge — the 'expr' and 'arrow' engines diverge "
+                        "on such lists; pass engine='expr' or "
+                        "engine='arrow' explicitly"
+                    )
+            built.add(outputs[i])
         engine = (
             "arrow" if len(merges) > ARROW_ENCODE_THRESHOLD else "expr"
         )

@@ -1233,6 +1233,73 @@ def q_llm_mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.binary_meta(t(spark, sf_dir, "documents"))
 
 
+#: md5-portable 60-bit hash + controlled bit flips, shared by the
+#: llm_mm_dhash_pairs query and its oracle: docs in groups of 10 share
+#: a base hash; slots 1-3 flip 1/2/3 distinct bits (near-dups), the
+#: rest get isolated per-doc hashes. Deterministic in both engines.
+_DHASH_BASE = (
+    "CAST(conv(substring(md5(CAST(doc_id DIV 10 AS STRING)), 1, 15), "
+    "16, 10) AS BIGINT)"
+)
+_DHASH_ISO = (
+    "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15), "
+    "16, 10) AS BIGINT)"
+)
+_DHASH_B = [
+    "shiftleft(CAST(1 AS BIGINT), CAST((doc_id DIV 10) % 60 AS INT))",
+    "shiftleft(CAST(1 AS BIGINT), "
+    "CAST(((doc_id DIV 10) * 7 + 17) % 60 AS INT))",
+    "shiftleft(CAST(1 AS BIGINT), "
+    "CAST(((doc_id DIV 10) * 13 + 29) % 60 AS INT))",
+]
+_DHASH_SQL = f"""CASE CAST(doc_id % 10 AS INT)
+        WHEN 0 THEN {_DHASH_BASE}
+        WHEN 1 THEN {_DHASH_BASE} ^ {_DHASH_B[0]}
+        WHEN 2 THEN {_DHASH_BASE} ^ {_DHASH_B[0]} ^ {_DHASH_B[1]}
+        WHEN 3 THEN {_DHASH_BASE} ^ {_DHASH_B[0]} ^ {_DHASH_B[1]} ^ {_DHASH_B[2]}
+        ELSE {_DHASH_ISO} END"""
+
+
+@register(
+    "llm_mm_dhash_pairs",
+    oracle=f"""
+        WITH hb AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 10 AS INT)
+                     WHEN 0 THEN CAST('0x' || substr(md5(CAST(doc_id // 10 AS VARCHAR)), 1, 15) AS BIGINT)
+                     WHEN 1 THEN xor(CAST('0x' || substr(md5(CAST(doc_id // 10 AS VARCHAR)), 1, 15) AS BIGINT),
+                                     1::BIGINT << CAST((doc_id // 10) % 60 AS INTEGER))
+                     WHEN 2 THEN xor(xor(CAST('0x' || substr(md5(CAST(doc_id // 10 AS VARCHAR)), 1, 15) AS BIGINT),
+                                         1::BIGINT << CAST((doc_id // 10) % 60 AS INTEGER)),
+                                     1::BIGINT << CAST(((doc_id // 10) * 7 + 17) % 60 AS INTEGER))
+                     WHEN 3 THEN xor(xor(xor(CAST('0x' || substr(md5(CAST(doc_id // 10 AS VARCHAR)), 1, 15) AS BIGINT),
+                                             1::BIGINT << CAST((doc_id // 10) % 60 AS INTEGER)),
+                                         1::BIGINT << CAST(((doc_id // 10) * 7 + 17) % 60 AS INTEGER)),
+                                     1::BIGINT << CAST(((doc_id // 10) * 13 + 29) % 60 AS INTEGER))
+                     ELSE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   END AS dhash
+            FROM documents WHERE doc_id < 2000
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+        FROM hb a JOIN hb b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+    """,
+    doc="Perceptual-hash near-dup pairing (operators/multimodal.py:"
+    "dhash_near_dup_pairs) under an oracle: Spark runs the production "
+    "4×16-bit-band pigeonhole join (shuffles 8-byte hashes, never "
+    "pixels, never all-pairs); the DuckDB oracle BRUTE-FORCES every "
+    "pair, independently proving the banding is exact for Hamming ≤3. "
+    "Hashes are md5-derived with controlled 1/2/3-bit flips so true "
+    "near-dups exist (the pixel→dHash stage itself is pytest-covered: "
+    "test_image_dhash_and_near_dup_pairs — not SQL-expressible).",
+)
+def q_llm_mm_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 2000)
+    hashes = docs.select("doc_id", F.expr(_DHASH_SQL).alias("dhash"))
+    return _mm.dhash_near_dup_pairs(hashes, max_hamming=3)
+
+
 # ---------------------------------------------------------------------------
 # Geometry, coordinate, journey-grain and avg-of-daily-ratio operators
 # ---------------------------------------------------------------------------
@@ -4912,6 +4979,7 @@ _GATE_PRIORITY = [
     # tier 0 (round 6): new round-6 registrations enter HERE, at the
     # very head (standing rule — every registration enters tier 0 of
     # the same commit's list)
+    "llm_mm_dhash_pairs",
     # tier 1: the 11 round-5 registrations. The r5 gate consumed
     # exactly positions 0-49 of the r5-era list; these sat at 50-60
     # and have never received a driver CORRECTNESS row. They lead

@@ -73,9 +73,12 @@ def _gate_batch(
         .persist()
     )
     kept = out.filter(F.col("kept_chars") >= min_kept_chars)
-    kept.withColumn("text", F.col("kept_text")).drop(
-        "kept_text"
-    ).write.mode("append").parquet(keep_path)
+    # keep-sink rows re-establish the docs-schema invariant
+    # n_chars == length(text) for the post-excision text; the original
+    # length survives as kept_chars + removed_chars
+    kept.withColumn("text", F.col("kept_text")).withColumn(
+        "n_chars", F.col("kept_chars")
+    ).drop("kept_text").write.mode("append").parquet(keep_path)
     out.filter(F.col("kept_chars") < min_kept_chars).drop(
         "kept_text"
     ).write.mode("append").parquet(drop_path)

@@ -1698,6 +1698,60 @@ def test_grid_knn_join_exact_including_fallback(spark):
     assert want[12][1] > 10 * 10  # proves the fallback row is exercised
 
 
+def test_grid_knn_join_guards(spark):
+    """An empty right side fails fast instead of silently dropping all
+    left rows; max_brute_frac rejects a cell mis-sized for the data
+    (every left row would hit the brute fallback) but passes when the
+    grid certifies everything."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import geo
+
+    ldf = spark.createDataFrame(
+        [(10, 0, 0), (11, 6, 8)], "lid bigint, x bigint, y bigint"
+    )
+    empty = spark.createDataFrame([], "rid bigint, x bigint, y bigint")
+    with pytest.raises(ValueError, match="right side is empty"):
+        geo.grid_knn_join(ldf, empty, "lid", "rid", "x", "y", "x", "y", 10)
+
+    far = spark.createDataFrame([(1, 500, 500)], "rid bigint, x bigint, y bigint")
+    with pytest.raises(ValueError, match="brute"):
+        geo.grid_knn_join(
+            ldf, far, "lid", "rid", "x", "y", "x", "y", 10,
+            max_brute_frac=0.5,
+        )
+    near = spark.createDataFrame([(1, 1, 1)], "rid bigint, x bigint, y bigint")
+    ok = geo.grid_knn_join(
+        ldf, near, "lid", "rid", "x", "y", "x", "y", 100,
+        max_brute_frac=0.0,
+    )
+    assert ok.count() == 2
+
+
+def test_bpe_encode_auto_rejects_forward_reference_merges(spark):
+    """Auto engine selection validates the trained-list precondition:
+    a merge whose operand is produced only by a LATER merge replays
+    differently under 'expr' (in-order) vs 'arrow' (rank-priority), so
+    engine=None raises; an explicit engine opts in, and an operand no
+    merge ever produces stays allowed (inert under both engines)."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import vocab
+
+    docs = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    divergent = [("ab", "c"), ("a", "b")]
+    with pytest.raises(ValueError, match="later"):
+        vocab.bpe_encode(docs, divergent)
+    # explicit engines both run (and demonstrably disagree on 'abc')
+    expr_pieces = vocab.bpe_encode(docs, divergent, engine="expr").collect()[0].pieces
+    arrow_pieces = vocab.bpe_encode(docs, divergent, engine="arrow").collect()[0].pieces
+    assert list(expr_pieces) == ["ab", "c"]
+    assert list(arrow_pieces) == ["abc"]
+    # inert operands (never produced) pass auto validation
+    out = vocab.bpe_encode(docs, [("a", "b"), ("q0", "z0")]).collect()
+    assert list(out[0].pieces) == ["ab", "c"]
+
+
 def test_group_ols_matches_numpy_and_guards_degenerate(spark):
     """group_ols reproduces numpy's least-squares fit per group and
     returns NULL (not ±inf) for a constant-x group."""
