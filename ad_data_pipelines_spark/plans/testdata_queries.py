@@ -3319,6 +3319,68 @@ def q_s14_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "s16_merge_apply",
+    oracle="""
+        WITH merged AS (
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 NOT IN (0, 1)
+            UNION ALL
+            SELECT o_orderkey, o_totalprice + 10.0, '0-MERGED'
+            FROM orders WHERE o_orderkey % 10 = 0
+            UNION ALL
+            SELECT o_orderkey + 100000000, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 2
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS n_rows,
+               ROUND(SUM(o_totalprice), 2) AS sum_price,
+               CAST(SUM(CASE WHEN o_orderkey > 100000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inserted
+        FROM merged GROUP BY 1
+    """,
+    doc="S16 (beyond-reference): keyed MERGE / CDC batch apply "
+    "(operators/merge.py merge_plan) — the Delta-MERGE restatement of "
+    "the reference's first-seen store "
+    "(scripts/ads_passenger_travel_distance_di.py:26-52) and "
+    "create-vs-append ingest (data_ingestion/folder_import.R:94-98). "
+    "Deterministic change batch from orders: keys %10==0 update "
+    "(priority+price), %10==1 delete, %10==2 insert under shifted "
+    "keys. Broadcast strategy: the change batch broadcasts, the "
+    "target fact NEVER shuffles for the update/delete pass; the "
+    "insert anti-join ships only the projected key column. Oracle is "
+    "the MERGE-equivalent UNION CTE. The physical versioned-pointer "
+    "commit (atomic os.replace, crash fault injection) is "
+    "pytest-covered: tests/test_merge.py.",
+)
+def q_s16_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ad_data_pipelines_spark.operators import merge as _merge
+
+    orders = t(spark, sf_dir, "orders")
+    m = F.col("o_orderkey") % 10
+    updates = (
+        orders.filter(m == 0)
+        .withColumn("o_orderpriority", F.lit("0-MERGED"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+        .withColumn("_op", F.lit("U"))
+    )
+    deletes = orders.filter(m == 1).withColumn("_op", F.lit("D"))
+    inserts = (
+        orders.filter(m == 2)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+        .withColumn("_op", F.lit("I"))
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = _merge.merge_plan(orders, changes, ["o_orderkey"], op_col="_op")
+    return merged.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(
+            F.when(F.col("o_orderkey") > 100000000, 1).otherwise(0)
+        ).cast("bigint").alias("n_inserted"),
+    )
+
+
+@register(
     "llm_contamination",
     oracle=_dedup.contamination_sql("doc_id < 25", n=8),
     doc="Benchmark decontamination: corpus docs sharing ≥1 word-8-gram "
@@ -4979,6 +5041,7 @@ _GATE_PRIORITY = [
     # tier 0 (round 6): new round-6 registrations enter HERE, at the
     # very head (standing rule — every registration enters tier 0 of
     # the same commit's list)
+    "s16_merge_apply",
     "llm_mm_dhash_pairs",
     # tier 1: the 11 round-5 registrations. The r5 gate consumed
     # exactly positions 0-49 of the r5-era list; these sat at 50-60

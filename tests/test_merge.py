@@ -1,0 +1,197 @@
+"""MERGE / upsert (CDC batch apply): logical semantics, the atomic
+versioned-pointer commit, crash fault injection, and the
+partition-scoped apply."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.operators import merge as M
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", 20.0),
+            (3, "c", 30.0),
+            (4, "d", 40.0),
+        ],
+        "id bigint, name string, amount double",
+    )
+
+
+def _changes(spark):
+    # update id=2 (partial: only amount), delete id=3,
+    # delete id=99 (unmatched → no-op), insert id=5
+    return spark.createDataFrame(
+        [
+            (2, None, 21.5, "U"),
+            (3, None, None, "D"),
+            (99, None, None, "D"),
+            (5, "e", 50.0, "I"),
+        ],
+        "id bigint, name string, amount double, op string",
+    )
+
+
+EXPECTED = {
+    1: ("a", 10.0),
+    2: (None, 21.5),  # full-column update: name column IS in changes
+    4: ("d", 40.0),
+    5: ("e", 50.0),
+}
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_merge_plan_semantics(spark, broadcast):
+    """Matched update takes change values (including explicit NULLs),
+    matched delete drops, unmatched delete no-ops, unmatched upsert
+    inserts — identical under the broadcast and full-outer
+    strategies, with the target's exact schema."""
+    out = M.merge_plan(
+        _target(spark),
+        _changes(spark),
+        ["id"],
+        op_col="op",
+        broadcast_changes=broadcast,
+    )
+    assert out.columns == ["id", "name", "amount"]
+    got = {r.id: (r.name, r.amount) for r in out.collect()}
+    assert got == EXPECTED
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_merge_plan_partial_update_keeps_missing_columns(spark, broadcast):
+    """A change batch WITHOUT some target columns updates only what it
+    carries: missing columns keep the target value on update and are
+    NULL on insert."""
+    changes = spark.createDataFrame(
+        [(2, 21.5, "U"), (5, 50.0, "I")],
+        "id bigint, amount double, op string",
+    )
+    out = M.merge_plan(
+        _target(spark), changes, ["id"], op_col="op",
+        broadcast_changes=broadcast,
+    )
+    got = {r.id: (r.name, r.amount) for r in out.collect()}
+    assert got[2] == ("b", 21.5)   # name kept from target
+    assert got[5] == (None, 50.0)  # inserted row: missing col NULL
+    assert got[1] == ("a", 10.0) and got[3] == ("c", 30.0)
+
+
+def test_merge_plan_seq_col_takes_latest_change(spark):
+    """A multi-event CDC batch collapses to the highest-seq change per
+    key before applying: an update then delete deletes; a delete then
+    re-insert re-inserts."""
+    changes = spark.createDataFrame(
+        [
+            (2, "x", 99.0, "U", 1),
+            (2, None, None, "D", 2),   # latest for id=2 → delete
+            (3, None, None, "D", 1),
+            (3, "c2", 31.0, "U", 2),   # latest for id=3 → upsert
+        ],
+        "id bigint, name string, amount double, op string, seq bigint",
+    )
+    out = M.merge_plan(
+        _target(spark), changes, ["id"], op_col="op", seq_col="seq"
+    )
+    got = {r.id: (r.name, r.amount) for r in out.collect()}
+    assert 2 not in got
+    assert got[3] == ("c2", 31.0)
+    assert got[1] == ("a", 10.0) and got[4] == ("d", 40.0)
+
+
+def test_merge_apply_versioned_commit_and_idempotence(spark, tmp_path):
+    """End-to-end: init → apply commits v000002 with the merged state;
+    re-applying the same batch commits v000003 with an identical
+    state (idempotent in effect); vacuum reclaims old versions but
+    never the committed one."""
+    root = str(tmp_path / "tbl")
+    assert M.table_init(_target(spark), root) == "v000001"
+    v2 = M.merge_apply(spark, root, _changes(spark), ["id"], op_col="op")
+    assert v2 == "v000002"
+    assert M.table_current_version(root) == "v000002"
+    got = {r.id: (r.name, r.amount) for r in M.table_read(spark, root).collect()}
+    assert got == EXPECTED
+
+    v3 = M.merge_apply(spark, root, _changes(spark), ["id"], op_col="op")
+    assert v3 == "v000003"
+    again = {r.id: (r.name, r.amount) for r in M.table_read(spark, root).collect()}
+    assert again == EXPECTED
+
+    removed = M.table_vacuum(root)
+    assert set(removed) == {"v000002", "v000001"}
+    assert {r.id for r in M.table_read(spark, root).collect()} == {1, 2, 4, 5}
+
+
+def test_merge_apply_crash_leaves_live_table_intact(spark, tmp_path):
+    """Fault injection: a 'crashed' apply that wrote a partial version
+    directory but never committed the pointer is invisible to readers;
+    the next successful apply skips past the orphan version number and
+    vacuum reclaims the debris."""
+    root = str(tmp_path / "tbl")
+    M.table_init(_target(spark), root)
+
+    # simulate a mid-write kill: data files exist, pointer not moved
+    orphan = os.path.join(root, "v000002")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000.parquet"), "wb") as f:
+        f.write(b"\x00partial garbage, never committed")
+
+    assert M.table_current_version(root) == "v000001"
+    live = {r.id: (r.name, r.amount) for r in M.table_read(spark, root).collect()}
+    assert live == {1: ("a", 10.0), 2: ("b", 20.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    v = M.merge_apply(spark, root, _changes(spark), ["id"], op_col="op")
+    assert v == "v000003"  # orphan number consumed, never reused
+    got = {r.id: (r.name, r.amount) for r in M.table_read(spark, root).collect()}
+    assert got == EXPECTED
+    assert "v000002" in M.table_vacuum(root)
+
+
+def test_merge_apply_partitions_touches_only_changed_partitions(spark, tmp_path):
+    """Partition-scoped apply: a change batch confined to day=2 leaves
+    day=1's parquet files byte-identical on disk (cold partitions are
+    never rewritten) while day=2 reflects the merge."""
+    path = str(tmp_path / "part_tbl")
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (3, 2, "c"), (4, 2, "d")],
+        "id bigint, day int, v string",
+    )
+    df.write.partitionBy("day").parquet(path)
+
+    def day_files(day):
+        d = os.path.join(path, f"day={day}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_day1 = day_files(1)
+    changes = spark.createDataFrame(
+        [(3, 2, "c2", "U"), (5, 2, "e", "I"), (4, 2, None, "D")],
+        "id bigint, day int, v string, op string",
+    )
+    M.merge_apply_partitions(
+        spark, path, changes, ["id", "day"], ["day"], op_col="op"
+    )
+    assert day_files(1) == before_day1  # cold partition untouched
+    got = {(r.id, r.day): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {(1, 1): "a", (2, 1): "b", (3, 2): "c2", (5, 2): "e"}
+
+
+def test_merge_plan_broadcast_keeps_target_unshuffled(spark):
+    """Plan shape: with the default broadcast strategy the
+    update/delete pass joins the target map-side — the physical plan's
+    update branch contains a BroadcastHashJoin and the target scan
+    feeds it without an Exchange above it."""
+    out = M.merge_plan(_target(spark), _changes(spark), ["id"], op_col="op")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "CartesianProduct" not in final
