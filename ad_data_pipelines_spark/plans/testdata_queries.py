@@ -1671,6 +1671,118 @@ def q_j22_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j23_small_quantity_revenue",
+    oracle="""
+        SELECT p_brand,
+               ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (
+            SELECT 0.2 * AVG(l2.l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+        )
+        GROUP BY 1
+    """,
+    doc="TPC-H Q17 shape: per-group-aggregate threshold (line items "
+    "below 20% of their part's average quantity). The oracle is the "
+    "CORRELATED scalar subquery; the Spark plan is its decorrelation "
+    "— ONE per-part aggregate joined back on l_partkey (never a "
+    "correlated re-scan per row), then the broadcast part-dim join. "
+    "Exact cross-engine: quantities are integer-valued doubles, so "
+    "SUM is exact and AVG*0.2 is a deterministic pair of IEEE ops. "
+    "At 100 TB: the aggregate and the fact shuffle once on the same "
+    "key; AQE picks the physical join.",
+)
+def q_j23_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    pb = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .join(F.broadcast(pb), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "j24_sole_late_supplier",
+    oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders   ON o_orderkey = l1.l_orderkey
+                     AND o_orderstatus = 'F'
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey
+              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY 1
+    """,
+    doc="TPC-H Q21 shape: multi-EXISTS semi/anti join — late line items "
+    "(shipped >60 days after an 'F' order's date) of the ONLY late "
+    "supplier on a multi-supplier order. The oracle keeps the two "
+    "correlated EXISTS; the Spark plan decorrelates both into ONE "
+    "per-(order,supplier) aggregate + ONE per-order aggregate: "
+    "n_supp>1 replaces the EXISTS, n_late_suppliers==1 replaces the "
+    "NOT EXISTS — the fact is scanned once and shuffles once on "
+    "l_orderkey (the second aggregate reuses that partitioning), "
+    "instead of three correlated re-scans. Supplier names broadcast.",
+)
+def q_j24_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ords = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    per_os = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(late, 1).otherwise(0)).alias("n_late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum(F.when(F.col("n_late") > 0, 1).otherwise(0)).alias(
+            "n_late_supp"
+        ),
+    )
+    qual = (
+        per_os.join(per_o, "l_orderkey")
+        .filter(
+            (F.col("n_late") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_late").cast("bigint").alias("numwait"))
+    )
+
+
+@register(
     "a24_cube_totals",
     oracle="""
         SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
@@ -5041,6 +5153,8 @@ _GATE_PRIORITY = [
     # tier 0 (round 6): new round-6 registrations enter HERE, at the
     # very head (standing rule — every registration enters tier 0 of
     # the same commit's list)
+    "j23_small_quantity_revenue",
+    "j24_sole_late_supplier",
     "s16_merge_apply",
     "llm_mm_dhash_pairs",
     # tier 1: the 11 round-5 registrations. The r5 gate consumed
