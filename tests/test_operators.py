@@ -88,11 +88,15 @@ def test_simhash_identical_docs_equal(spark):
     assert out.select("doc_id", "simhash").distinct().count() == 5
 
 
-@pytest.mark.parametrize("driver_threshold", [5_000_000, 0])
-def test_connected_components_shapes(spark, driver_threshold):
+@pytest.mark.parametrize(
+    "driver_threshold, algo",
+    [(5_000_000, "star"), (0, "star"), (0, "jump")],
+)
+def test_connected_components_shapes(spark, driver_threshold, algo):
     """Chain, triangle, and disjoint pair must each collapse to min-id
-    components — identically on the driver union-find path (default)
-    and the distributed label-propagation path (threshold=0)."""
+    components — identically on the driver union-find path (default),
+    the distributed large-star/small-star path, and the distributed
+    pointer-jumping path (threshold=0)."""
     edges = spark.createDataFrame(
         # chain 1-2-3-4-5, triangle 10-11-12 (+ redundant edge), pair 20-21
         [(1, 2), (2, 3), (3, 4), (4, 5),
@@ -103,7 +107,8 @@ def test_connected_components_shapes(spark, driver_threshold):
     got = {
         (r.doc_id, r.component)
         for r in dedup.connected_components(
-            edges, driver_threshold=driver_threshold
+            edges, driver_threshold=driver_threshold,
+            distributed_algo=algo,
         ).collect()
     }
     want = {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1),

