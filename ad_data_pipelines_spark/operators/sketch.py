@@ -1,0 +1,172 @@
+"""Mergeable frequency sketches for hot-key / boilerplate monitoring.
+
+The exact heavy-hitter queries (registry `llm_boilerplate_ngrams`, the
+`o14` join-skew report) are correct but cost a full COUNT aggregate
+over the key universe — at 100 TB that is a second full shuffle just
+for monitoring. This module gives the one-pass / tiny-shuffle
+monitoring twins:
+
+  * `count_min_table` — a Count-Min sketch (Cormode & Muthukrishnan
+    2005) materialized as a (depth × width) counter table. Fixed size
+    regardless of key cardinality, MERGEABLE by bucket-wise addition
+    (`cms_merge`) — per-partition, per-day, per-source sketches add
+    into corpus totals without re-touching data. Estimates are
+    OVERESTIMATES only: true_count ≤ est ≤ true_count + εN with
+    ε = e/width at confidence 1 − e^−depth.
+  * `approx_top_keys` — heavy hitters by deterministic sample →
+    candidate → exact-verify: a hash-sample of rows nominates
+    `candidate_factor × k` keys (any key with frequency ≥ n/k appears
+    in a sample of m rows with probability ≥ 1 − (1 − 1/k)^m — for
+    m = 20k·ln k the miss probability is k^−20k/k… effectively zero),
+    then ONE filtered aggregate computes exact counts for candidates
+    only. Both passes shuffle bounded key sets, never the universe.
+
+All hashing uses the md5-portable path (functions/hashing.py) so the
+DuckDB oracle reproduces sketches bit-for-bit (swap `fast=True`
+xxhash64 in production).
+
+Beyond-reference (SURVEY.md §2 north star): the reference's pipelines
+count exactly at pandas scale; these are the operators that keep the
+same monitoring questions answerable at corpus scale.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ad_data_pipelines_spark.functions.hashing import portable_hash64
+
+
+def _bucket(key: F.Column, row: int, width: int) -> F.Column:
+    """Row-salted md5 bucket in [0, width) — the portable CMS hash."""
+    return F.pmod(
+        portable_hash64(F.concat(key, F.lit(f"#cms{row}"))), F.lit(width)
+    )
+
+
+def count_min_table(
+    df: DataFrame, key_col: str, width: int = 1024, depth: int = 4
+) -> DataFrame:
+    """(row, bucket, cnt): the Count-Min counter table of `key_col`
+    occurrences. Each input row increments one bucket per hash row —
+    a narrow depth-× explode, then ONE partial-aggregated count
+    shuffle of at most depth×width groups (fixed memory at any input
+    size; this is the whole point vs exact counting)."""
+    key = F.col(key_col).cast("string")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _bucket(key, r, width).alias("bucket"),
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("rb")
+    return (
+        df.select(rows)
+        .select("rb.row", "rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(tables: list[DataFrame]) -> DataFrame:
+    """Bucket-wise sum of Count-Min tables built with the SAME
+    width/depth — the mergeability that lets per-shard / per-day
+    sketches add into totals without revisiting data."""
+    return (
+        reduce(DataFrame.unionByName, tables)
+        .groupBy("row", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimates(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """(key_col, est): Count-Min point estimates for each distinct key
+    in `keys` — min over the depth rows of the key's bucket counters
+    (width/depth must match the table's build parameters). The sketch
+    side is ≤ depth×width rows (broadcast); absent buckets count 0.
+    Estimates NEVER undercount."""
+    k = keys.select(F.col(key_col)).distinct()
+    probes = k.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        _bucket(
+                            F.col(key_col).cast("string"), r, width
+                        ).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(key_col, "rb.row", "rb.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+
+
+def approx_top_keys(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    k: int,
+    sample_pct: int = 20,
+    candidate_factor: int = 4,
+) -> DataFrame:
+    """(key_col, n, rank): the top-k keys by row count, found WITHOUT
+    aggregating the full key universe:
+
+      1. deterministic hash-sample of rows (`id_col` md5-bucketed,
+         keeping `sample_pct`% — layout-independent, re-runs
+         identical),
+      2. exact counts WITHIN the sample, top candidate_factor×k
+         candidate keys (ties broken on the key for determinism),
+      3. exact counts over the FULL data for candidates only — the
+         aggregate's key set is ≤ candidate_factor×k, so map-side
+         combine reduces every partition to at most that many rows.
+
+    Returned counts are EXACT for the returned keys; a true top-k key
+    is missed only if the sample under-represents it (probability
+    vanishing in sample size for keys above the n/k heavy-hitter
+    threshold — see module docstring). For the exact-always answer at
+    full-shuffle cost, use a plain groupBy count."""
+    sampled = df.filter(
+        F.pmod(
+            portable_hash64(F.col(id_col).cast("string")), F.lit(100)
+        )
+        < sample_pct
+    )
+    cand = (
+        sampled.groupBy(key_col)
+        .agg(F.count("*").alias("n_sample"))
+        .orderBy(F.desc("n_sample"), key_col)
+        .limit(candidate_factor * k)
+        .select(key_col)
+    )
+    counts = (
+        df.join(F.broadcast(cand), key_col)
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), key_col)
+        .limit(k)
+    )
+    # global window over ≤ k rows (post-limit) — trivially single-task
+    w = F.row_number().over(Window.orderBy(F.desc("n"), key_col))
+    return counts.withColumn("rank", w)

@@ -3249,6 +3249,115 @@ def q_llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_heavy_hitters_sketch",
+    oracle="""
+        WITH pos AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, GREATEST(n_chars - 4, 1))) AS i
+            FROM documents
+        ),
+        sh AS (SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle FROM pos),
+        samp AS (
+            SELECT * FROM sh
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 100 < 20
+        ),
+        cand AS (
+            SELECT shingle FROM (
+                SELECT shingle, COUNT(*) AS n_sample FROM samp
+                GROUP BY 1 ORDER BY n_sample DESC, shingle LIMIT 80
+            )
+        ),
+        cnt AS (
+            SELECT sh.shingle, COUNT(*) AS n
+            FROM sh JOIN cand USING (shingle) GROUP BY 1
+            ORDER BY n DESC, shingle LIMIT 20
+        )
+        SELECT shingle, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, shingle) AS INT)
+                   AS rank
+        FROM cnt
+    """,
+    doc="Heavy hitters WITHOUT aggregating the key universe "
+    "(operators/sketch.py approx_top_keys): the monitoring twin of "
+    "llm_boilerplate_ngrams's exact count. A deterministic 20% "
+    "doc-hash sample nominates 4×k=80 candidate shingles (exact within "
+    "the sample), then ONE filtered aggregate computes exact counts "
+    "for candidates only — at 100 TB the aggregate's key set is ≤80 "
+    "instead of the shingle universe, so map-side combine reduces "
+    "every partition to ≤80 rows before the (tiny) shuffle. Returned "
+    "counts are exact for returned keys; the miss probability for "
+    "true heavy hitters is vanishing (module docstring). Accuracy "
+    "vs exact and CMS bounds: tests/test_operators.py sketch tests.",
+)
+def q_llm_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ad_data_pipelines_spark.operators import sketch as _sketch
+
+    sh = _shingles_shared(spark, sf_dir)
+    return _sketch.approx_top_keys(
+        sh, "shingle", "doc_id", k=20, sample_pct=20, candidate_factor=4
+    )
+
+
+@register(
+    "llm_cms_estimates",
+    oracle="""
+        WITH ev AS (SELECT event_type FROM events),
+        hashed AS (
+            SELECT event_type, r,
+                   CAST('0x' || substr(
+                        md5(event_type || '#cms' || CAST(r AS VARCHAR)),
+                        1, 15) AS BIGINT) % 1024 AS bucket
+            FROM ev, (SELECT unnest(generate_series(0, 3)) AS r)
+        ),
+        cms AS (
+            SELECT r, bucket, COUNT(*) AS cnt FROM hashed GROUP BY 1, 2
+        ),
+        keys AS (SELECT DISTINCT event_type FROM events),
+        probes AS (
+            SELECT event_type, r,
+                   CAST('0x' || substr(
+                        md5(event_type || '#cms' || CAST(r AS VARCHAR)),
+                        1, 15) AS BIGINT) % 1024 AS bucket
+            FROM keys, (SELECT unnest(generate_series(0, 3)) AS r)
+        ),
+        est AS (
+            SELECT event_type, MIN(COALESCE(cnt, 0)) AS est
+            FROM probes LEFT JOIN cms USING (r, bucket) GROUP BY 1
+        ),
+        exact AS (
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+        )
+        SELECT e.event_type, est, n, est - n AS overcount
+        FROM est e JOIN exact USING (event_type)
+    """,
+    doc="Count-Min sketch round trip (operators/sketch.py "
+    "count_min_table + cms_estimates): a 4×1024 counter table over "
+    "event_type occurrences — FIXED memory at any cardinality and "
+    "mergeable bucket-wise across shards/days (cms_merge) — then "
+    "point estimates for every key beside the exact counts, with "
+    "the overestimate-only invariant surfaced as `overcount`. "
+    "md5-portable bucket hashing makes the oracle reproduce the "
+    "sketch bit-for-bit; production swaps fast=True xxhash64.",
+)
+def q_llm_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ad_data_pipelines_spark.operators import sketch as _sketch
+
+    ev = t(spark, sf_dir, "events").select("event_type")
+    cms = _sketch.count_min_table(ev, "event_type", width=1024, depth=4)
+    est = _sketch.cms_estimates(
+        cms, ev, "event_type", width=1024, depth=4
+    )
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "est",
+        "n",
+        (F.col("est") - F.col("n")).alias("overcount"),
+    )
+
+
+@register(
     "j15_asof_enrich",
     oracle="""
         WITH p AS (
@@ -5153,6 +5262,8 @@ _GATE_PRIORITY = [
     # tier 0 (round 6): new round-6 registrations enter HERE, at the
     # very head (standing rule — every registration enters tier 0 of
     # the same commit's list)
+    "llm_heavy_hitters_sketch",
+    "llm_cms_estimates",
     "j23_small_quantity_revenue",
     "j24_sole_late_supplier",
     "s16_merge_apply",

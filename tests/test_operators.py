@@ -2231,3 +2231,74 @@ def test_temperature_mix_budgets_and_determinism(spark):
         ).collect()
     )
     assert a == b and len(a) == 70
+
+
+def test_cms_overestimates_merges_and_bounds(spark):
+    """Count-Min estimates never undercount, the hot key's estimate is
+    within the eps*N theoretical bound, and merging per-shard sketches
+    bucket-wise equals the sketch of the union (mergeability — the
+    property that makes it a one-pass monitoring structure)."""
+    from ad_data_pipelines_spark.operators import sketch
+
+    # 1k occurrences of 'hot', 10 each of 200 cold keys → N = 3000
+    data = spark.range(3000).select(
+        F.when(F.col("id") < 1000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 200)))
+        .alias("k")
+    )
+    width, depth = 256, 4
+    cms = sketch.count_min_table(data, "k", width=width, depth=depth)
+    est = {
+        r.k: r.est
+        for r in sketch.cms_estimates(
+            cms, data, "k", width=width, depth=depth
+        ).collect()
+    }
+    exact = {r.k: r.cnt for r in data.groupBy("k").agg(
+        F.count("*").alias("cnt")).collect()}
+    n_total = 3000
+    eps = 2.718281828 / width
+    for k, true in exact.items():
+        assert est[k] >= true, (k, est[k], true)
+    assert est["hot"] <= exact["hot"] + eps * n_total * 4  # generous slack
+
+    # two deterministic shards re-derived from the same range
+    left = spark.range(1500).select(
+        F.when(F.col("id") < 1000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 200))).alias("k"))
+    right = spark.range(1500, 3000).select(
+        F.when(F.col("id") < 1000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 200))).alias("k"))
+    merged = sketch.cms_merge([
+        sketch.count_min_table(left, "k", width=width, depth=depth),
+        sketch.count_min_table(right, "k", width=width, depth=depth),
+    ])
+    whole = {(r.row, r.bucket): r.cnt for r in cms.collect()}
+    got = {(r.row, r.bucket): r.cnt for r in merged.collect()}
+    assert got == whole
+
+
+def test_approx_top_keys_exact_on_planted_heavy_hitters(spark):
+    """On a skewed key distribution the sample→candidate→verify path
+    returns the TRUE top-k with EXACT counts: heavy keys (100× the
+    cold frequency) cannot dodge a 20% sample."""
+    from ad_data_pipelines_spark.operators import sketch
+
+    # 10 heavy keys × 500 rows, 500 cold keys × 5 rows
+    df = spark.range(7500).select(
+        F.col("id"),
+        F.when(F.col("id") < 5000, F.concat(F.lit("heavy"), F.col("id") % 10))
+        .otherwise(F.concat(F.lit("cold"), F.col("id") % 500))
+        .alias("k"),
+    )
+    got = [
+        (r.k, r.n, r.rank)
+        for r in sketch.approx_top_keys(
+            df, "k", "id", k=10, sample_pct=20
+        ).orderBy("rank").collect()
+    ]
+    want = sorted(
+        [(f"heavy{i}", 500) for i in range(10)], key=lambda x: x[0]
+    )
+    assert [(k, n) for k, n, _ in got] == want
+    assert [r for _, _, r in got] == list(range(1, 11))
