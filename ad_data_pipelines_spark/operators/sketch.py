@@ -32,6 +32,7 @@ same monitoring questions answerable at corpus scale.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
 from functools import reduce
 
 from pyspark.sql import DataFrame, Window
@@ -170,3 +171,40 @@ def approx_top_keys(
     # global window over ≤ k rows (post-limit) — trivially single-task
     w = F.row_number().over(Window.orderBy(F.desc("n"), key_col))
     return counts.withColumn("rank", w)
+
+
+def hll_shard_table(
+    df: DataFrame,
+    key_col: str,
+    shard_cols: Sequence[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """(shard_cols…, hll): one Apache DataSketches HLL sketch of
+    `key_col`'s distinct values per shard (day / source / partition) —
+    the MERGEABLE distinct-count artifact. Each sketch is a fixed
+    ~2^lg_k-byte binary; `hll_union_estimate` answers "distinct over
+    ANY shard subset" without re-touching data, which an
+    approx_count_distinct NUMBER cannot (numbers don't union). The
+    one-shot exact/HLL count twins live in the registry as
+    a5_distinct_exact / a5_distinct_approx; this is the incremental
+    variant a 100 TB daily pipeline actually stores."""
+    return df.groupBy(*shard_cols).agg(
+        F.hll_sketch_agg(F.col(key_col).cast("string"), F.lit(lg_k)).alias(
+            "hll"
+        )
+    )
+
+
+def hll_union_estimate(
+    shards: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Union the per-shard sketches (optionally regrouped to a coarser
+    grain) and return the distinct-count estimate per group — sketch
+    algebra only, no data re-scan. With no `group_cols`: one global
+    row."""
+    agg = F.hll_sketch_estimate(
+        F.hll_union_agg(F.col("hll"))
+    ).alias("n_distinct_est")
+    if group_cols:
+        return shards.groupBy(*group_cols).agg(agg)
+    return shards.agg(agg)

@@ -221,6 +221,32 @@ def q_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a26_hll_shard_union",
+    oracle=None,  # DataSketches binaries — rows-only by design; accuracy
+    # + shard-union-equals-whole asserted in tests (test_hll_shard_union…)
+    doc="A5's INCREMENTAL sibling (operators/sketch.py hll_shard_table / "
+    "hll_union_estimate): per-month DataSketches HLL sketches of "
+    "distinct suppliers, then 'distinct over H1' answered by sketch "
+    "UNION ALGEBRA alone — no re-scan. This is what a 100 TB daily "
+    "pipeline stores: approx_count_distinct returns a NUMBER (numbers "
+    "don't union); the sketch artifact answers any shard subset later. "
+    "Shard build = one groupBy over the fact; union = 6 binary "
+    "merges.",
+)
+def q_a26_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ad_data_pipelines_spark.operators import sketch as _sketch
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", month_str("l_shipdate").alias("month")
+    )
+    shards = _sketch.hll_shard_table(li, "l_suppkey", ["month"], lg_k=12)
+    h1 = shards.filter(F.col("month") <= "1995-06")
+    return _sketch.hll_union_estimate(h1).select(
+        F.col("n_distinct_est").cast("bigint").alias("n_distinct_est")
+    )
+
+
+@register(
     "a9_rollup_overall",
     oracle="""
         SELECT CASE WHEN GROUPING(n_name) = 1 THEN 'overall'
@@ -1780,6 +1806,159 @@ def q_j24_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.sum("n_late").cast("bigint").alias("numwait"))
     )
+
+
+@register(
+    "j25_idle_rich_customers",
+    oracle="""
+        SELECT c_nationkey, COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT)
+              * (SELECT COUNT(*) FROM customer c2
+                 WHERE ROUND(c2.c_acctbal * 100) > 0)
+              > (SELECT SUM(CAST(ROUND(c3.c_acctbal * 100) AS BIGINT))
+                 FROM customer c3 WHERE ROUND(c3.c_acctbal * 100) > 0)
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1999-01-01'
+          )
+        GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape: customers above the positive-balance average "
+    "with NO RECENT orders (none since 1999), by nation. Decorrelation: the scalar average "
+    "broadcasts as a 1-row cross join (never a per-row re-scan), the "
+    "NOT EXISTS becomes one left-anti join on the order keys. "
+    "EXACT threshold cross-engine: balances are cents, so the "
+    "avg comparison is done in integers — cents·n_pos > Σcents — "
+    "instead of a float average whose summation order could flip a "
+    "boundary row.",
+)
+def q_j25_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").withColumn(
+        "cents", F.round(F.col("c_acctbal") * 100).cast("bigint")
+    )
+    pos = cust.filter(F.col("cents") > 0).agg(
+        F.count("*").alias("n_pos"),
+        F.sum("cents").alias("sum_pos_cents"),
+    )
+    rich = cust.crossJoin(F.broadcast(pos)).filter(
+        F.col("cents") * F.col("n_pos") > F.col("sum_pos_cents")
+    )
+    idle = rich.join(
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "1999-01-01")
+        .select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
+    "j26_dominant_suppliers",
+    oracle="""
+        SELECT s_name, COUNT(*) AS n_parts
+        FROM (
+            SELECT l1.l_partkey AS pk, l1.l_suppkey AS sk
+            FROM lineitem l1
+            GROUP BY 1, 2
+            HAVING SUM(CAST(l_quantity AS BIGINT)) * 5
+                 > (SELECT SUM(CAST(l2.l_quantity AS BIGINT))
+                    FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+        ) d JOIN supplier ON s_suppkey = sk
+        GROUP BY 1
+    """,
+    doc="TPC-H Q20 shape: two-level aggregate threshold — suppliers "
+    "shipping >20% of a part's total quantity ('dominant'), counted "
+    "per supplier. The oracle keeps the correlated scalar in HAVING; "
+    "the Spark plan decorrelates to one (part,supplier) aggregate + "
+    "one part aggregate joined on the part key (the second aggregate "
+    "is a re-aggregation of the first — the fact scans ONCE), "
+    "integer-exact threshold (quantities are integral, ×5 "
+    "avoids float division), supplier names broadcast.",
+)
+def q_j26_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty_ps")
+    )
+    per_part = ps.groupBy("l_partkey").agg(
+        F.sum("qty_ps").alias("qty_p")
+    )
+    dominant = ps.join(per_part, "l_partkey").filter(
+        F.col("qty_ps") * 5 > F.col("qty_p")
+    )
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        dominant.join(
+            F.broadcast(supp), dominant.l_suppkey == supp.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@register(
+    "o16_zorder_cells",
+    oracle="""
+        WITH pts AS (
+            SELECT p_partkey,
+                   (p_partkey * 7919) % 1024 AS x,
+                   (p_partkey * 104729) % 1024 AS y
+            FROM part
+        ),
+        z AS (
+            SELECT x, y, ({z_expr}) AS zv FROM pts
+        )
+        SELECT zv >> 14 AS cell,
+               COUNT(*) AS n_pts,
+               CAST(MAX(x) - MIN(x) AS BIGINT) AS x_spread,
+               CAST(MAX(y) - MIN(y) AS BIGINT) AS y_spread
+        FROM z GROUP BY 1
+    """,
+    doc="Z-order (Morton) clustering key (operators/zorder.py): "
+    "interleaved-bit sort key as PURE column arithmetic (codegen, no "
+    "UDF), the layout device behind multi-dimensional parquet data "
+    "skipping — `zorder_write` range-partitions on it so every file "
+    "gets tight min/max on EVERY interleaved dimension (file-pruning "
+    "win over a single-column sort proven on real parquet footers: "
+    "tests/test_merge.py zorder test). This query checks the "
+    "interleave itself: per coarse z-cell (top 3 bits of each dim), "
+    "both dimensions' spreads are bounded by the 128-unit cell edge — "
+    "locality in EVERY dimension at once. Oracle rebuilds the "
+    "interleave bit-by-bit via z_value_sql.",
+)
+def q_o16_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ad_data_pipelines_spark.operators import zorder as _zorder
+
+    pts = t(spark, sf_dir, "part").select(
+        ((F.col("p_partkey") * 7919) % 1024).alias("x"),
+        ((F.col("p_partkey") * 104729) % 1024).alias("y"),
+    )
+    z = _zorder.z_value([F.col("x"), F.col("y")], bits=10)
+    return (
+        pts.withColumn("zv", z)
+        .groupBy(F.shiftrightunsigned("zv", 14).alias("cell"))
+        .agg(
+            F.count("*").alias("n_pts"),
+            (F.max("x") - F.min("x")).cast("bigint").alias("x_spread"),
+            (F.max("y") - F.min("y")).cast("bigint").alias("y_spread"),
+        )
+    )
+
+
+from ad_data_pipelines_spark.operators.zorder import (  # noqa: E402
+    z_value_sql as _z_value_sql,
+)
+
+REGISTRY["o16_zorder_cells"].oracle = REGISTRY["o16_zorder_cells"].oracle.format(
+    z_expr=_z_value_sql(["x", "y"], bits=10)
+)
 
 
 @register(
@@ -5255,6 +5434,7 @@ def q_llm_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # assert below fails the suite otherwise.
 _GATE_TAIL_ROWS_ONLY = [
     # intentionally-oracle-free approximate twins of exact green queries
+    "a26_hll_shard_union",
     "a5_distinct_approx",
     "llm_quality_quantile_approx",
 ]
@@ -5262,6 +5442,9 @@ _GATE_PRIORITY = [
     # tier 0 (round 6): new round-6 registrations enter HERE, at the
     # very head (standing rule — every registration enters tier 0 of
     # the same commit's list)
+    "j25_idle_rich_customers",
+    "j26_dominant_suppliers",
+    "o16_zorder_cells",
     "llm_heavy_hitters_sketch",
     "llm_cms_estimates",
     "j23_small_quantity_revenue",

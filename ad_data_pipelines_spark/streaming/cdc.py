@@ -1,0 +1,98 @@
+"""Streaming CDC apply: micro-batches of keyed change events MERGEd
+into the versioned parquet table — the ingest-time twin of the batch
+`operators/merge.merge_apply` (registry s16_merge_apply), the same way
+`streaming/neardedup.py` twins the batch incremental dedup.
+
+Beyond-reference (SURVEY.md §2.1-S13 names Delta `MERGE` as the
+general restatement of the reference's first-seen/append ingest —
+`scripts/ads_passenger_travel_distance_di.py:26-52`,
+`data_ingestion/folder_import.R:94-98`). A warehouse fed by a CDC log
+applies inserts/updates/deletes continuously; on Spark that is
+Structured Streaming + `foreachBatch`, with each micro-batch running
+the EXACT batch merge operator:
+
+  * Per-batch streaming state is ZERO — no aggregation, no watermark;
+    the table itself (versioned directory + atomic `_CURRENT`
+    pointer) carries all state, and the checkpoint carries offsets.
+  * Each batch collapses to its latest change per key (`seq_col`,
+    deterministic) before applying, so replay order within a batch
+    cannot matter; ACROSS batches the source must be seq-ordered
+    (a CDC log is), making the final state equal to one collapsed
+    batch apply — proven by the stream-vs-batch parity test.
+  * Crash mid-batch: the pointer commit is atomic, so the table is
+    either pre- or post-batch. On restart Spark replays the batch;
+    re-applying the same changes is idempotent in effect (same
+    values upsert, absent keys delete as no-ops).
+  * 100 TB: the change batch broadcasts (merge_plan default), so the
+    stored table never shuffles for updates/deletes; for
+    partition-aligned feeds use `merge_apply_partitions` in the
+    `apply_fn` instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from ad_data_pipelines_spark.operators import merge as _merge
+
+
+def read_changes_stream(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """File-source CDC stream: each parquet file under `path` is a
+    change batch (op/seq columns included in `schema`)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def run_cdc_apply_available_now(
+    spark: SparkSession,
+    source_path: str,
+    schema: StructType | str,
+    table_root: str,
+    keys: Sequence[str],
+    checkpoint: str,
+    op_col: str | None = "op",
+    seq_col: str | None = "seq",
+    max_files_per_trigger: int = 8,
+) -> None:
+    """Drain all currently-available change files into the versioned
+    table at `table_root` (availableNow trigger; the continuous
+    deployment drops the trigger). The table must exist
+    (`merge.table_init`)."""
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        drop = [c for c in (op_col, seq_col) if c]
+        changes = _merge.latest_change_per_key(batch, list(keys), seq_col)
+        # keep op for merge_plan's delete routing; seq already consumed
+        _merge.merge_apply(
+            spark,
+            table_root,
+            changes.drop(*[c for c in drop if c == seq_col]),
+            keys,
+            op_col=op_col,
+            seq_col=None,
+        )
+
+    (
+        read_changes_stream(
+            spark, source_path, schema,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

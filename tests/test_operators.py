@@ -2302,3 +2302,30 @@ def test_approx_top_keys_exact_on_planted_heavy_hitters(spark):
     )
     assert [(k, n) for k, n, _ in got] == want
     assert [r for _, _, r in got] == list(range(1, 11))
+
+
+def test_hll_shard_union_matches_whole_and_bounds_error(spark):
+    """Per-shard HLL sketches union to EXACTLY the sketch of the whole
+    (same binary algebra), and the estimate lands within the
+    DataSketches error envelope of the true distinct count."""
+    from ad_data_pipelines_spark.operators import sketch
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 3000).alias("k"), (F.col("id") % 10).alias("day")
+    )
+    shards = sketch.hll_shard_table(df, "k", ["day"], lg_k=12)
+    assert shards.count() == 10
+    est_union = sketch.hll_union_estimate(shards).collect()[0].n_distinct_est
+    est_whole = sketch.hll_union_estimate(
+        sketch.hll_shard_table(df.withColumn("one", F.lit(1)), "k", ["one"])
+    ).collect()[0].n_distinct_est
+    true = 3000
+    assert abs(est_union - true) / true < 0.05
+    assert abs(est_whole - true) / true < 0.05
+    # subset query without re-scanning data: day d holds only keys
+    # ≡ d (mod 10) — gcd(10, 3000) = 10 — so days 0-4 hold exactly
+    # 1500 distinct keys, and the unioned subset estimate tracks THAT
+    sub = sketch.hll_union_estimate(
+        shards.filter(F.col("day") < 5)
+    ).collect()[0].n_distinct_est
+    assert abs(sub - 1500) / 1500 < 0.05
