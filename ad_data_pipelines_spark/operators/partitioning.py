@@ -246,6 +246,93 @@ def compact_parquet(
     }
 
 
+def normalize_to_bits(
+    col, lo: float, hi: float, bits: int
+) -> "Column":
+    """Map [lo, hi] linearly onto the integer grid [0, 2^bits), clamped
+    at both ends (out-of-bounds values land on the edge cells rather
+    than corrupting the interleave). The EXPLICIT-domain normalizer:
+    no stats job, so the layout is deterministic under appends —
+    `zorder_key` below is the stats-derived sibling."""
+    if hi <= lo:
+        raise ValueError(f"normalize_to_bits: need lo < hi, got [{lo}, {hi}]")
+    c = F.col(col) if isinstance(col, str) else col
+    top = (1 << bits) - 1
+    scaled = F.floor(
+        (c.cast("double") - F.lit(float(lo)))
+        * F.lit(top / (float(hi) - float(lo)))
+    ).cast("long")
+    return F.greatest(F.least(scaled, F.lit(top)), F.lit(0))
+
+
+def z_value(cols: Sequence["Column"], bits: int = 16) -> "Column":
+    """Morton interleave of already-normalized integer columns (each in
+    [0, 2^bits)): bit b of column i lands at position b*len(cols)+i.
+    len(cols)*bits must stay ≤ 62 (sign bit clear). Pure
+    shift/mask/or — whole-stage codegen, no UDF. The single canonical
+    interleave: `zorder_key` and `zorder_write` both build on it, and
+    `z_value_sql` is its ANSI-SQL twin for oracles."""
+    from functools import reduce
+
+    n = len(cols)
+    if n == 0:
+        raise ValueError("z_value: need at least one column")
+    if n * bits > 62:
+        raise ValueError(
+            f"z_value: {n} cols × {bits} bits = {n * bits} exceeds 62"
+        )
+    terms = []
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftrightunsigned(c.cast("long"), b).bitwiseAND(
+                F.lit(1)
+            )
+            terms.append(F.shiftleft(bit, b * n + i))
+    return reduce(lambda a, t: a.bitwiseOR(t), terms)
+
+
+def z_value_sql(exprs: Sequence[str], bits: int = 16) -> str:
+    """The identical interleave as an ANSI-SQL expression over
+    already-normalized integer SQL expressions — the DuckDB oracle
+    twin (generated the same way dedup.simhash_sql is)."""
+    n = len(exprs)
+    terms = [
+        f"((({e}) >> {b} & 1) << {b * n + i})"
+        for b in range(bits)
+        for i, e in enumerate(exprs)
+    ]
+    return " | ".join(terms)
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[tuple[str, float, float]],
+    bits: int = 16,
+    num_files: int | None = None,
+) -> None:
+    """Write `df` as parquet clustered by the z-order of `cols`
+    ((name, lo, hi) EXPLICIT domain triples — no stats pass, so the
+    layout is append-deterministic; `write_zordered` below derives
+    domains from data instead): range partitioning on the z-key gives
+    each output file a contiguous z-run → tight per-file min/max for
+    EVERY interleaved column; the within-partition sort tightens
+    row-group bounds too. The z-key is dropped before writing (a
+    layout device, not data)."""
+    z = z_value(
+        [normalize_to_bits(c, lo, hi, bits) for c, lo, hi in cols], bits
+    )
+    keyed = df.withColumn("__z", z)
+    parts = (
+        keyed.repartitionByRange(num_files, "__z")
+        if num_files
+        else keyed.repartitionByRange("__z")
+    )
+    parts.sortWithinPartitions("__z").drop("__z").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def zorder_key(
     df: DataFrame, cols, bits: int = 16
 ) -> tuple[DataFrame, "Column"]:
@@ -273,25 +360,23 @@ def zorder_key(
     )
     joined = df.crossJoin(F.broadcast(stats))
     n_buckets = 1 << bits
-    key = F.lit(0).cast("long")
-    for i, c in enumerate(names):
+    buckets = []
+    for c in names:
         lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
         span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
-        bucket = F.least(
-            F.greatest(
-                F.floor(
-                    (F.col(c).cast("double") - lo) / span * n_buckets
-                ).cast("long"),
-                F.lit(0).cast("long"),
-            ),
-            F.lit(n_buckets - 1).cast("long"),
-        )
-        for j in range(bits):
-            key = key + (
-                F.shiftright(bucket, j).bitwiseAND(F.lit(1).cast("long"))
-                * F.lit(1 << (j * d + i)).cast("long")
+        buckets.append(
+            F.least(
+                F.greatest(
+                    F.floor(
+                        (F.col(c).cast("double") - lo) / span * n_buckets
+                    ).cast("long"),
+                    F.lit(0).cast("long"),
+                ),
+                F.lit(n_buckets - 1).cast("long"),
             )
-    return joined, key
+        )
+    # one canonical interleave — shared with zorder_write/z_value_sql
+    return joined, z_value(buckets, bits)
 
 
 def write_zordered(

@@ -1921,7 +1921,7 @@ def q_j26_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MAX(y) - MIN(y) AS BIGINT) AS y_spread
         FROM z GROUP BY 1
     """,
-    doc="Z-order (Morton) clustering key (operators/zorder.py): "
+    doc="Z-order (Morton) clustering key (operators/partitioning.py z_value): "
     "interleaved-bit sort key as PURE column arithmetic (codegen, no "
     "UDF), the layout device behind multi-dimensional parquet data "
     "skipping — `zorder_write` range-partitions on it so every file "
@@ -1934,7 +1934,7 @@ def q_j26_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "interleave bit-by-bit via z_value_sql.",
 )
 def q_o16_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ad_data_pipelines_spark.operators import zorder as _zorder
+    from ad_data_pipelines_spark.operators import partitioning as _zorder
 
     pts = t(spark, sf_dir, "part").select(
         ((F.col("p_partkey") * 7919) % 1024).alias("x"),
@@ -1952,7 +1952,7 @@ def q_o16_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from ad_data_pipelines_spark.operators.zorder import (  # noqa: E402
+from ad_data_pipelines_spark.operators.partitioning import (  # noqa: E402
     z_value_sql as _z_value_sql,
 )
 

@@ -274,7 +274,7 @@ def test_zorder_write_prunes_files_on_secondary_dimension(spark, tmp_path):
     read-back rows are identical."""
     import pyarrow.parquet as pq
 
-    from ad_data_pipelines_spark.operators import zorder
+    from ad_data_pipelines_spark.operators import partitioning as zorder
 
     n = 40_000
     # independent md5-derived coordinates (linear-multiplier pairs mod

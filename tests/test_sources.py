@@ -506,3 +506,67 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
         "PushedFilters"
     )[1][:120]
     assert filtered.count() == li.filter(F.col("l_suppkey") < 5).count()
+
+
+def test_compact_partitions_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Compaction rewrites only over-fragmented partitions (day=1: 12
+    files → 1), leaves right-sized partitions' files untouched on
+    disk, preserves every row bit-for-bit, and a re-run is a no-op."""
+    import os
+
+    from ad_data_pipelines_spark.sources import maintenance as mt
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    frag = spark.range(1200).select(
+        F.col("id"), F.lit(1).alias("day"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    ).repartition(12)
+    tidy = spark.range(1200, 1300).select(
+        F.col("id"), F.lit(2).alias("day"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    ).coalesce(1)
+    frag.write.partitionBy("day").parquet(path)
+    tidy.write.mode("append").partitionBy("day").parquet(path)
+
+    def files(day):
+        d = os.path.join(path, f"day={day}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    assert len(files(1)) == 12 and len(files(2)) == 1
+    before = spark.read.parquet(path)
+    before_rows = {(r.id, r.day, r.v) for r in before.collect()}
+    tidy_before = files(2)
+
+    report = mt.compact_partitions(spark, path, ["day"])
+    assert [r["day"] for r in report] == ["1"]
+    assert len(files(1)) == 1           # 12 small files → 1
+    assert files(2) == tidy_before      # right-sized partition untouched
+    after_rows = {(r.id, r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert after_rows == before_rows
+
+    assert mt.compact_partitions(spark, path, ["day"]) == []  # idempotent
+
+
+def test_table_compact_versioned_atomic(spark, tmp_path):
+    """Versioned-table compaction commits a new version with fewer
+    files and identical rows; the fragmented version survives until
+    vacuum."""
+    from ad_data_pipelines_spark.operators import merge as M
+    from ad_data_pipelines_spark.sources import maintenance as mt
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "vt")
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") % 7).alias("g")
+    ).repartition(16)
+    M.table_init(df, root)
+    stats = mt.table_compact(spark, root)
+    assert stats["files_before"] == 16 and stats["files_after"] == 1
+    assert M.table_current_version(root) == stats["version"]
+    got = {(r.id, r.g) for r in M.table_read(spark, root).collect()}
+    assert got == {(i, i % 7) for i in range(2000)}
+    assert "v000001" in M.table_vacuum(root)
