@@ -3479,6 +3479,101 @@ def q_llm_heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_nb_quality",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024
+                       AS bucket
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(trim(text)),
+                                                    '\\s+')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ),
+        lb AS (SELECT doc_id, lang = 'en' AS pos FROM documents),
+        b AS (SELECT t.doc_id, bucket, pos FROM toks t JOIN lb USING (doc_id)),
+        pb AS (
+            SELECT bucket,
+                   SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS c_pos,
+                   SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS c_neg
+            FROM b GROUP BY 1
+        ),
+        tot AS (
+            SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+                   SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg
+            FROM b
+        ),
+        dtot AS (
+            SELECT SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS d_pos,
+                   SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS d_neg
+            FROM lb
+        ),
+        w AS (
+            SELECT bucket,
+                   ln((c_pos + 1.0) / (n_pos + 1024.0))
+                 - ln((c_neg + 1.0) / (n_neg + 1024.0)) AS w
+            FROM pb, tot
+        ),
+        consts AS (
+            SELECT ln((d_pos + 1.0) / (d_neg + 1.0)) AS prior,
+                   ln(1.0 / (n_pos + 1024.0))
+                 - ln(1.0 / (n_neg + 1024.0)) AS w_unseen
+            FROM tot, dtot
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   SUM(CASE WHEN w.w IS NULL THEN 1 ELSE 0 END) AS n_unseen,
+                   SUM(COALESCE(w.w, 0)) AS w_sum
+            FROM toks t LEFT JOIN w USING (bucket) GROUP BY 1
+        ),
+        final AS (
+            SELECT d.doc_id, d.lang,
+                   prior + COALESCE(w_sum, 0)
+                         + COALESCE(n_unseen, 0) * w_unseen AS score
+            FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id,
+                 consts
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pred_en,
+               ROUND(AVG(score), 4) AS avg_score
+        FROM final GROUP BY 1
+    """,
+    doc="Model-based quality/domain filter (operators/classify.py): a "
+    "fasttext-style hashed-feature Naive Bayes classifier TRAINED and "
+    "APPLIED inside the engine — train = ONE aggregate (per-bucket "
+    "class counts + add-1 smoothing, no gradient loop), score = one "
+    "token explode + broadcast join against the ≤1024-row weight "
+    "table + per-doc sum, all codegen; corpus text never shuffles. "
+    "Here trained to recognize lang='en' and evaluated per language "
+    "(per-class above-threshold rates + mean scores — the validation "
+    "a real filter threshold needs). The DuckDB oracle replays "
+    "training AND scoring bit-for-bit off the md5 buckets.",
+)
+def q_llm_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ad_data_pipelines_spark.operators import classify as _classify
+
+    docs = t(spark, sf_dir, "documents")
+    weights, consts = _classify.train_nb(
+        docs, F.col("lang") == "en", n_features=1024
+    )
+    scored = _classify.nb_score(docs, weights, consts, n_features=1024)
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("score") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pred_en"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+    )
+
+
+@register(
     "llm_cms_estimates",
     oracle="""
         WITH ev AS (SELECT event_type FROM events),
@@ -5442,6 +5537,7 @@ _GATE_PRIORITY = [
     # tier 0 (round 6): new round-6 registrations enter HERE, at the
     # very head (standing rule — every registration enters tier 0 of
     # the same commit's list)
+    "llm_nb_quality",
     "j25_idle_rich_customers",
     "j26_dominant_suppliers",
     "o16_zorder_cells",

@@ -2329,3 +2329,41 @@ def test_hll_shard_union_matches_whole_and_bounds_error(spark):
         shards.filter(F.col("day") < 5)
     ).collect()[0].n_distinct_est
     assert abs(sub - 1500) / 1500 < 0.05
+
+
+def test_nb_classifier_separates_distinct_vocabularies(spark):
+    """Trained on documents with disjoint class vocabularies, the
+    hashed-NB scorer classifies a held-out set perfectly, unseen
+    tokens get the smoothed unseen weight (not 0 or NULL), and empty
+    docs score the bare prior."""
+    from ad_data_pipelines_spark.operators import classify
+
+    pos_words = ["alpha", "bravo", "charlie", "delta"]
+    neg_words = ["zulu", "yankee", "xray", "whiskey"]
+    rows = []
+    for i in range(40):
+        w = pos_words if i % 2 == 0 else neg_words
+        rows.append((i, " ".join(w[(i + j) % 4] for j in range(6)), i % 2 == 0))
+    train = spark.createDataFrame(rows, "doc_id bigint, text string, y boolean")
+    weights, consts = classify.train_nb(train, F.col("y"), n_features=256)
+
+    held = spark.createDataFrame(
+        [
+            (100, "alpha delta charlie"),          # pure positive vocab
+            (101, "zulu whiskey zulu"),            # pure negative vocab
+            (102, ""),                              # empty → prior only
+            (103, "neverseenword anotherunknown"),  # all unseen
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.score
+        for r in classify.nb_score(held, weights, consts, n_features=256).collect()
+    }
+    assert got[100] > 0 and got[101] < 0
+    prior = consts.collect()[0].prior
+    assert abs(got[102] - prior) < 1e-12
+    w_unseen = consts.collect()[0].w_unseen
+    assert abs(got[103] - (prior + 2 * w_unseen)) < 1e-9
+    # balanced classes, symmetric vocab → prior ≈ 0, unseen ≈ neutral
+    assert abs(prior) < 1e-9 and abs(w_unseen) < 1e-9

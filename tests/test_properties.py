@@ -993,3 +993,68 @@ def test_grid_knn_matches_brute_force(spark, lpts, rpts, cell):
         )
         want[i] = (rid, d2)
     assert got == want
+
+
+# MERGE semantics: random targets + change batches vs a Python
+# reference model. Keys 0-7 (forced collisions), ops I/U/D, optional
+# partial columns via NULLs, unique seqs per batch.
+merge_case_strategy = st.tuples(
+    st.lists(  # target rows: (key, payload)
+        st.tuples(st.integers(0, 7), st.integers(0, 100)),
+        max_size=8,
+        unique_by=lambda r: r[0],
+    ),
+    st.lists(  # change events: (key, payload, op)
+        st.tuples(
+            st.integers(0, 7),
+            st.integers(0, 100),
+            st.sampled_from(["U", "D", "I"]),
+        ),
+        max_size=12,
+    ),
+)
+
+
+@given(merge_case_strategy)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_merge_plan_matches_reference_model(spark, case):
+    """merge_plan (both join strategies) equals a sequential-replay
+    reference model on arbitrary target/change combinations: latest
+    change per key wins, D deletes, I/U upsert, untouched rows
+    survive."""
+    from ad_data_pipelines_spark.operators import merge as M
+
+    target_rows, change_rows = case
+    # reference model: replay changes in seq order over a dict
+    state = {k: v for k, v in target_rows}
+    for k, v, op in change_rows:  # list order == seq order
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+
+    target = spark.createDataFrame(
+        target_rows or [(None, None)], "k bigint, payload bigint"
+    ).filter(F.col("k").isNotNull())
+    changes = spark.createDataFrame(
+        [
+            (k, v, op, i)
+            for i, (k, v, op) in enumerate(change_rows)
+        ]
+        or [(None, None, None, None)],
+        "k bigint, payload bigint, op string, seq bigint",
+    ).filter(F.col("k").isNotNull())
+
+    for broadcast in (True, False):
+        out = {
+            r.k: r.payload
+            for r in M.merge_plan(
+                target, changes, ["k"], op_col="op", seq_col="seq",
+                broadcast_changes=broadcast,
+            ).collect()
+        }
+        assert out == state, (broadcast, target_rows, change_rows)
