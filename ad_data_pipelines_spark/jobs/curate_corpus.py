@@ -59,6 +59,8 @@ def curate(
     export_jsonl: bool = False,
     exactsubstr_k: int | None = None,
     min_kept_chars: int = 50,
+    classifier_seed_source: str | None = None,
+    classifier_min_score: float = 0.0,
 ) -> dict[str, int]:
     """Run the curation waterfall over `docs` (doc_id, text, lang, …),
     write curated documents + packing plan under `out_path`, return
@@ -81,6 +83,30 @@ def curate(
     # the filtered frame feeds two chain stages — persist once
     quality_docs = quality_docs.persist()
     stats["n_after_quality"] = quality_docs.count()
+
+    # 2b. optional model-based filter (CCNet-style): train the hashed
+    # NB classifier with `classifier_seed_source` docs as the positive
+    # class (the curated reference subset), score everything, keep
+    # docs at or above the log-odds threshold — PLUS the seed itself
+    # (the reference set must not filter itself out on boundary
+    # scores). Train+score are pure aggregation (operators/classify).
+    if classifier_seed_source is not None:
+        from ad_data_pipelines_spark.operators import classify as _classify
+
+        seed_pred = F.col("source") == classifier_seed_source
+        weights, consts = _classify.train_nb(quality_docs, seed_pred)
+        scored = _classify.nb_score(quality_docs, weights, consts)
+        keep_ids = (
+            quality_docs.join(scored, "doc_id")
+            .filter(
+                (F.col("score") >= classifier_min_score) | seed_pred
+            )
+            .select("doc_id")
+        )
+        filtered = quality_docs.join(keep_ids, "doc_id").persist()
+        stats["n_after_classifier"] = filtered.count()
+        quality_docs.unpersist()
+        quality_docs = filtered
 
     # 3. near-dedup: drop non-keeper cluster members
     losers = _dedup.dup_components(quality_docs, min_eq=min_eq).filter(
@@ -188,6 +214,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--min-kept-chars", type=int, default=50,
                     help="drop docs shorter than this after span "
                     "removal")
+    ap.add_argument("--classifier-seed-source", default=None,
+                    help="source value marking the positive-class "
+                    "reference subset; enables the CCNet-style "
+                    "model-based filter (operators/classify.py)")
+    ap.add_argument("--classifier-min-score", type=float, default=0.0,
+                    help="keep docs with NB log-odds score >= this")
     args = ap.parse_args(argv)
 
     from ad_data_pipelines_spark.session import get_spark
@@ -200,6 +232,8 @@ def main(argv: list[str] | None = None) -> None:
         eval_source=args.eval_source, export_jsonl=args.export_jsonl,
         exactsubstr_k=args.exactsubstr_k,
         min_kept_chars=args.min_kept_chars,
+        classifier_seed_source=args.classifier_seed_source,
+        classifier_min_score=args.classifier_min_score,
     )))
 
 
