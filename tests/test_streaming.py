@@ -956,3 +956,74 @@ def test_streaming_exactsubstr_history_refreshes_per_trigger(
     assert block not in out[2].text      # later copy excised
     assert out[2].removed_chars >= len(block)
     assert out[2].text.startswith(fill_b[:20])
+
+
+def test_streaming_hotkey_monitor_equals_batch_sketch_and_skips_replay(
+    spark, tmp_path
+):
+    """The streamed Count-Min sketch over two micro-batches equals the
+    batch sketch of the whole feed (CMS is deterministic, merge is
+    exact addition); a crash-replayed batch_id is a no-op (no
+    double-count); a second availableNow run changes nothing."""
+    import shutil
+
+    from ad_data_pipelines_spark.operators import sketch as sk
+    from ad_data_pipelines_spark.streaming import hotkeys
+
+    src = tmp_path / "src"
+    src.mkdir()
+    b1 = spark.range(500).select(
+        (F.col("id") % 40).cast("string").alias("k")
+    )
+    b2 = spark.range(500, 900).select(
+        F.when(F.col("id") % 3 == 0, "hot").otherwise(
+            (F.col("id") % 40).cast("string")
+        ).alias("k")
+    )
+    for i, b in enumerate([b1, b2], start=1):
+        d = tmp_path / f"stage{i}"
+        b.coalesce(1).write.parquet(str(d))
+        part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), str(src / f"f{i}.parquet"))
+
+    root = str(tmp_path / "sketch")
+    hotkeys.run_hotkey_monitor_available_now(
+        spark, str(src), "k string", "k", root,
+        checkpoint=str(tmp_path / "ck"), width=256, depth=4,
+        max_files_per_trigger=1,
+    )
+
+    whole = b1.unionByName(b2)
+    want = {
+        (r.row, r.bucket): r.cnt
+        for r in sk.count_min_table(whole, "k", width=256, depth=4).collect()
+    }
+    got_df = hotkeys.read_sketch(spark, root)
+    got = {(r.row, r.bucket): r.cnt for r in got_df.collect()}
+    assert got == want
+
+    # estimates from the streamed sketch never undercount the truth
+    est = {
+        r.k: r.est
+        for r in sk.cms_estimates(
+            got_df, whole, "k", width=256, depth=4
+        ).collect()
+    }
+    exact = {r.k: r.cnt for r in whole.groupBy("k").count()
+             .withColumnRenamed("count", "cnt").collect()}
+    assert all(est[k] >= v for k, v in exact.items())
+
+    # replayed batch_id → no-op, sketch unchanged
+    st = hotkeys._state(root)
+    assert not hotkeys.apply_batch(spark, root, b2, st["batch_id"], "k",
+                                   width=256, depth=4)
+    assert {(r.row, r.bucket): r.cnt
+            for r in hotkeys.read_sketch(spark, root).collect()} == want
+
+    # second availableNow run over the same source: checkpoint skips
+    hotkeys.run_hotkey_monitor_available_now(
+        spark, str(src), "k string", "k", root,
+        checkpoint=str(tmp_path / "ck"), width=256, depth=4,
+    )
+    assert {(r.row, r.bucket): r.cnt
+            for r in hotkeys.read_sketch(spark, root).collect()} == want
