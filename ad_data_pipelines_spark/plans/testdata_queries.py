@@ -1904,6 +1904,53 @@ def q_j26_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a27_large_volume_orders",
+    oracle="""
+        SELECT c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+               ROUND(o_totalprice, 2) AS total_price,
+               CAST(sum_qty AS BIGINT) AS sum_qty
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN (
+            SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+            FROM lineitem GROUP BY 1
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+        ) big ON o_orderkey = big.l_orderkey
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): HAVING-filtered "
+    "aggregate joined back to its parents. The per-order aggregate "
+    "shrinks the fact BEFORE any join (HAVING > 300 keeps a sliver), "
+    "so the orders join is small-vs-large and the customer dim "
+    "broadcasts — the aggregate-then-join ordering that matters at "
+    "100 TB (joining first would shuffle every line item against "
+    "orders). Integer-exact quantities; price rounded.",
+)
+def q_a27_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+@register(
     "o16_zorder_cells",
     oracle="""
         WITH pts AS (
@@ -5537,6 +5584,7 @@ _GATE_PRIORITY = [
     # tier 0 (round 6): new round-6 registrations enter HERE, at the
     # very head (standing rule — every registration enters tier 0 of
     # the same commit's list)
+    "a27_large_volume_orders",
     "llm_nb_quality",
     "j25_idle_rich_customers",
     "j26_dominant_suppliers",

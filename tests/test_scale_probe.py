@@ -549,3 +549,35 @@ def test_fuzzy_block_pricing_predicts_join_fanout(spark):
     assert t10 <= 3.0 * 10 * max(t1, 2.0), (
         f"fuzzy blocked join 10x runtime {t10:.1f}s vs 1x {t1:.1f}s"
     )
+
+
+def test_merge_broadcast_10x_target_linear(spark):
+    """merge_plan's broadcast strategy scales with the TARGET scan,
+    not the join: a fixed 1k-row change batch applied to 10× the
+    target rows stays ~linear (the update/delete pass is map-side;
+    only the projected key column of the target feeds the insert
+    anti-join), and the result cardinality is exact at both scales."""
+    from ad_data_pipelines_spark.operators import merge as M
+
+    changes = spark.range(1_000).select(
+        (F.col("id") * 7).alias("k"),         # hits every 7th key
+        (F.col("id") + 1_000_000).alias("payload"),
+        F.when(F.col("id") % 5 == 0, "D").otherwise("U").alias("op"),
+    )
+
+    def run(n):
+        target = spark.range(n).select(
+            F.col("id").alias("k"), F.col("id").alias("payload")
+        )
+        t0 = time.perf_counter()
+        out = M.merge_plan(target, changes, ["k"], op_col="op")
+        n_out = out.count()
+        return n_out, time.perf_counter() - t0
+
+    # keys 0..6993 step 7; deletes are ids ≡ 0 (mod 5) → 200 of 1000
+    n1, t1 = run(100_000)
+    n10, t10 = run(1_000_000)
+    assert n1 == 100_000 - 200 and n10 == 1_000_000 - 200
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"merge broadcast 10x runtime {t10:.1f}s vs 1x {t1:.1f}s"
+    )
