@@ -1951,6 +1951,107 @@ def q_a27_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a28_important_suppliers",
+    oracle="""
+        WITH v AS (
+            SELECT l_suppkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                       AS value_e4
+            FROM lineitem GROUP BY 1
+        )
+        SELECT l_suppkey,
+               ROUND(value_e4 / 10000.0, 2) AS supp_value
+        FROM v, (SELECT SUM(value_e4) AS total_e4, COUNT(*) AS n_supp
+                 FROM v) t
+        WHERE value_e4 * n_supp * 10 > total_e4 * 11
+    """,
+    doc="TPC-H Q11 shape: groups above a FRACTION of the global total "
+    "(suppliers carrying >1.1x the mean supplier share — scale-free, "
+    "so the query stays non-trivial at any SF). The "
+    "correlated-scalar oracle vs the decorrelated plan: ONE supplier "
+    "aggregate, ONE 1-row global re-aggregation broadcast back — the "
+    "global total is a re-sum of the group table, so the fact scans "
+    "once. EXACT threshold: revenue in integer 1e-4 units "
+    "(cents × (100−discount%)), so double summation order cannot "
+    "flip a boundary supplier.",
+)
+def q_a28_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    value = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint")
+        * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+    ).alias("value_e4")
+    v = li.groupBy("l_suppkey").agg(value)
+    total = v.agg(
+        F.sum("value_e4").alias("total_e4"),
+        F.count("*").alias("n_supp"),
+    )
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_e4") * F.col("n_supp") * 10
+            > F.col("total_e4") * 11
+        )
+        .select(
+            "l_suppkey",
+            F.round(F.col("value_e4") / 10000.0, 2).alias("supp_value"),
+        )
+    )
+
+
+@register(
+    "a29_top_revenue_suppliers",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                       AS rev_e4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1995-04-01'
+            GROUP BY 1
+        )
+        SELECT s_suppkey, s_name,
+               ROUND(rev_e4 / 10000.0, 2) AS total_revenue
+        FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        WHERE rev_e4 = (SELECT MAX(rev_e4) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: the group(s) achieving the MAX of an "
+    "aggregate (top revenue supplier for a quarter — the reference's "
+    "top-N KPI glossary pattern taken to its max-of-aggregate "
+    "edge). Decorrelated: quarterly supplier aggregate + 1-row max "
+    "re-aggregation broadcast back; ties all surface (no arbitrary "
+    "LIMIT 1). Integer 1e-4 revenue units make the max comparison "
+    "exact; pushed quarter filter reaches the scan.",
+)
+def q_a29_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1995-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("rev_e4")
+    )
+    mx = rev.agg(F.max("rev_e4").alias("max_e4"))
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_e4") == F.col("max_e4"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_e4") / 10000.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
     "o16_zorder_cells",
     oracle="""
         WITH pts AS (
@@ -5584,6 +5685,8 @@ _GATE_PRIORITY = [
     # tier 0 (round 6): new round-6 registrations enter HERE, at the
     # very head (standing rule — every registration enters tier 0 of
     # the same commit's list)
+    "a28_important_suppliers",
+    "a29_top_revenue_suppliers",
     "a27_large_volume_orders",
     "llm_nb_quality",
     "j25_idle_rich_customers",
