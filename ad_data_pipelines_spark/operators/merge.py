@@ -83,9 +83,15 @@ def merge_plan(
     op_col: str | None = None,
     seq_col: str | None = None,
     broadcast_changes: bool = True,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """The merged state of `target` after applying `changes`, as a
-    DataFrame with exactly the target's schema.
+    DataFrame with exactly the target's schema — or, with
+    `evolve_schema=True`, the target schema WIDENED by any new
+    change-batch columns (Delta-style schema evolution: existing
+    target rows read NULL for the new columns, updates/inserts carry
+    their values). Default False: unknown change columns are ignored,
+    so a malformed feed cannot silently mutate the table schema.
 
     Semantics (Delta `MERGE` defaults):
       * matched  + op == 'D'  → row deleted,
@@ -105,6 +111,16 @@ def merge_plan(
     `broadcast_changes=False`: one full-outer shuffle join.
     """
     keys = list(keys)
+    if evolve_schema:
+        ctypes = dict(changes.dtypes)
+        for c in changes.columns:
+            if (
+                c not in target.columns
+                and c not in keys
+                and c != op_col
+                and c != seq_col
+            ):
+                target = target.withColumn(c, F.lit(None).cast(ctypes[c]))
     data_cols = [c for c in target.columns if c not in keys]
     chg_cols = [
         c
@@ -250,6 +266,7 @@ def merge_apply(
     op_col: str | None = None,
     seq_col: str | None = None,
     broadcast_changes: bool = True,
+    evolve_schema: bool = False,
 ) -> str:
     """Apply a change batch to the versioned table at `root` and
     atomically commit the result as a new version; returns the new
@@ -266,6 +283,7 @@ def merge_apply(
         op_col=op_col,
         seq_col=seq_col,
         broadcast_changes=broadcast_changes,
+        evolve_schema=evolve_schema,
     )
     version = _next_version(root)
     merged.write.mode("overwrite").parquet(os.path.join(root, version))

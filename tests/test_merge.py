@@ -327,3 +327,29 @@ def test_zorder_write_prunes_files_on_secondary_dimension(spark, tmp_path):
     got = spark.read.parquet(zpath).filter(F.col("y") < 64).count()
     want = pts.filter(F.col("y") < 64).count()
     assert got == want
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_merge_plan_schema_evolution(spark, broadcast):
+    """evolve_schema=True widens the table by new change columns:
+    untouched target rows read NULL, updates and inserts carry
+    values; default False ignores unknown columns entirely."""
+    changes = spark.createDataFrame(
+        [(2, 21.5, "gold", "U"), (5, 50.0, "silver", "I")],
+        "id bigint, amount double, tier string, op string",
+    )
+    out = M.merge_plan(
+        _target(spark), changes, ["id"], op_col="op",
+        broadcast_changes=broadcast, evolve_schema=True,
+    )
+    assert out.columns == ["id", "name", "amount", "tier"]
+    got = {r.id: (r.name, r.amount, r.tier) for r in out.collect()}
+    assert got[2] == ("b", 21.5, "gold")
+    assert got[5] == (None, 50.0, "silver")
+    assert got[1] == ("a", 10.0, None) and got[3] == ("c", 30.0, None)
+
+    strict = M.merge_plan(
+        _target(spark), changes, ["id"], op_col="op",
+        broadcast_changes=broadcast,
+    )
+    assert strict.columns == ["id", "name", "amount"]
