@@ -2052,6 +2052,103 @@ def q_a29_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j27_customer_order_distribution",
+    oracle="""
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY 1
+        ) c_orders
+        GROUP BY 1
+    """,
+    doc="TPC-H Q13 shape: the DISTRIBUTION of per-group sizes "
+    "including empty groups (orders per customer, urgent excluded — "
+    "the left join is what makes zero-order customers countable; an "
+    "inner join would silently drop them). Two aggregates: per-key "
+    "count, then a histogram of counts — the degree-distribution "
+    "report every join-planning decision wants (it is o14's skew "
+    "report generalized to the full histogram). COUNT(col) not "
+    "COUNT(*): unmatched left rows must count 0, not 1.",
+)
+def q_j27_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+@register(
+    "p24_disjunctive_revenue",
+    oracle="""
+        SELECT COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+               AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    doc="TPC-H Q19 shape: an OR of conjunct bundles spanning BOTH join "
+    "sides. The planner must split the disjunction: the part-only "
+    "prefix (brand ∈ {12,23,34}, size ≤ 35) pushes into the part "
+    "scan and the quantity envelope (1..30) into the lineitem scan "
+    "BEFORE the join, with the exact disjunction re-checked after — "
+    "Catalyst does this given the declarative predicate; the query "
+    "exists to pin that it stays true. Part side broadcasts.",
+)
+def q_p24_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    bundle = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(bundle)
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
     "o16_zorder_cells",
     oracle="""
         WITH pts AS (
@@ -5685,6 +5782,8 @@ _GATE_PRIORITY = [
     # tier 0 (round 6): new round-6 registrations enter HERE, at the
     # very head (standing rule — every registration enters tier 0 of
     # the same commit's list)
+    "j27_customer_order_distribution",
+    "p24_disjunctive_revenue",
     "a28_important_suppliers",
     "a29_top_revenue_suppliers",
     "a27_large_volume_orders",
