@@ -1636,20 +1636,23 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH ps AS (
             SELECT l_partkey, l_suppkey,
-                   MIN(ROUND(l_extendedprice / l_quantity, 2))
-                       AS unit_cost
+                   MIN((2 * CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                        + CAST(l_quantity AS BIGINT))
+                       // (2 * CAST(l_quantity AS BIGINT)))
+                       AS unit_cents
             FROM lineitem GROUP BY 1, 2
         ),
         ranked AS (
-            SELECT p.p_partkey, ps.l_suppkey, ps.unit_cost,
+            SELECT p.p_partkey, ps.l_suppkey, ps.unit_cents,
                    ROW_NUMBER() OVER (
                        PARTITION BY p.p_partkey
-                       ORDER BY ps.unit_cost, ps.l_suppkey
+                       ORDER BY ps.unit_cents, ps.l_suppkey
                    ) AS rn
             FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
             WHERE p.p_size < 15
         )
-        SELECT r.p_partkey, s.s_name, n.n_name, r.unit_cost
+        SELECT r.p_partkey, s.s_name, n.n_name,
+               r.unit_cents / 100.0 AS unit_cost
         FROM ranked r
         JOIN supplier s ON s.s_suppkey = r.l_suppkey
         JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -1657,18 +1660,24 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q2 SHAPE on the available tables (no partsupp in this "
     "testdata): cheapest-supplier-per-part from lineitem facts — "
-    "per-(part,supp) MIN of per-row rounded unit price (deterministic; "
-    "an AVG of float divisions is summation-order-dependent across "
-    "engines), window rank 1 per part with a unique tiebreak, "
-    "broadcast name lookups, p_size predicate pushed to the part scan. "
-    "The correlated-subquery pattern as one window pass.",
+    "per-(part,supp) MIN of per-row unit price in EXACT INTEGER "
+    "cents: round(ep/q, 2) restated as the half-up integer division "
+    "(2·ep_cents + q) DIV (2q), because Spark and DuckDB ROUND "
+    "diverge within 1 ulp of the .005 boundary (bit the sf0.1 parity "
+    "sweep in round 6; same fix as p20's coordinate rounding). "
+    "Window rank 1 per part with a unique tiebreak, broadcast name "
+    "lookups, p_size predicate pushed to the part scan. The "
+    "correlated-subquery pattern as one window pass.",
 )
 def q_j22_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
+    unit_cents = F.expr(
+        "(2 * CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+        " + CAST(l_quantity AS BIGINT))"
+        " DIV (2 * CAST(l_quantity AS BIGINT))"
+    )
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(
-            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2)
-        ).alias("unit_cost")
+        F.min(unit_cents).alias("unit_cents")
     )
     pp = (
         t(spark, sf_dir, "part")
@@ -1681,7 +1690,7 @@ def q_j22_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.row_number().over(
             Window.partitionBy("p_partkey").orderBy(
-                "unit_cost", "l_suppkey"
+                "unit_cents", "l_suppkey"
             )
         ),
     ).filter(F.col("rn") == 1)
@@ -1692,7 +1701,12 @@ def q_j22_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.join(F.broadcast(supp), ranked.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .select("p_partkey", "s_name", "n_name", "unit_cost")
+        .select(
+            "p_partkey",
+            "s_name",
+            "n_name",
+            (F.col("unit_cents") / 100.0).alias("unit_cost"),
+        )
     )
 
 
