@@ -2163,6 +2163,82 @@ def q_p24_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j28_nation_trade_volume",
+    oracle="""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(strftime(l_shipdate, '%Y') AS BIGINT) AS ship_year,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                   AS volume
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation sn ON sn.n_nationkey = s_nationkey
+        JOIN nation cn ON cn.n_nationkey = c_nationkey
+        WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: cross-nation trade volume — the 5-table star "
+    "join (fact → orders → customer, fact → supplier, two nation "
+    "aliases) with a pair predicate. Scale shape: the nation dims "
+    "and supplier broadcast; orders⋈customer resolves the customer "
+    "nation BEFORE touching the fact, and the selective nation-pair "
+    "filter reaches both dim joins so the fact rows that survive to "
+    "the aggregate are the ~2/N² sliver. One shuffle on the fact "
+    "(the orders join); the year extraction and rounded volume "
+    "follow the standard determinism rules.",
+)
+def q_j28_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = ("NATION_1", "NATION_2")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nat.filter(F.col("n_name").isin(*nations))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nat.filter(F.col("n_name").isin(*nations))),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount",
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("volume"),
+        )
+    )
+
+
+@register(
     "o16_zorder_cells",
     oracle="""
         WITH pts AS (
@@ -5796,6 +5872,7 @@ _GATE_PRIORITY = [
     # tier 0 (round 6): new round-6 registrations enter HERE, at the
     # very head (standing rule — every registration enters tier 0 of
     # the same commit's list)
+    "j28_nation_trade_volume",
     "j27_customer_order_distribution",
     "p24_disjunctive_revenue",
     "a28_important_suppliers",
