@@ -430,3 +430,42 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         F.sum("l_quantity").alias("q"), F.count("*").alias("n")
     ).collect()[0]
     assert (with_bloom.q, with_bloom.n) == (plain.q, plain.n)
+
+
+def test_z_value_matches_python_morton_and_is_bijective(spark):
+    """The shared z_value interleave equals a bit-twiddling Python
+    reference for 2-D and 3-D bucket tuples, and is bijective on the
+    bucket grid (distinct tuples → distinct keys)."""
+    from pyspark.sql import functions as F
+
+    from ad_data_pipelines_spark.operators.partitioning import z_value
+
+    bits = 5
+    grid = spark.range(32 * 32).select(
+        (F.col("id") % 32).alias("x"),
+        (F.col("id") / 32).cast("long").alias("y"),
+    )
+    rows = grid.withColumn(
+        "z", z_value([F.col("x"), F.col("y")], bits)
+    ).collect()
+
+    def morton2(x, y, bits):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for r in rows:
+        assert r.z == morton2(r.x, r.y, bits), (r.x, r.y)
+    assert len({r.z for r in rows}) == 32 * 32  # bijective
+
+    tri = spark.range(8 * 8 * 8).select(
+        (F.col("id") % 8).alias("a"),
+        ((F.col("id") / 8).cast("long") % 8).alias("b"),
+        (F.col("id") / 64).cast("long").alias("c"),
+    )
+    rows3 = tri.withColumn(
+        "z", z_value([F.col("a"), F.col("b"), F.col("c")], 3)
+    ).collect()
+    assert len({r.z for r in rows3}) == 512  # bijective in 3-D too
