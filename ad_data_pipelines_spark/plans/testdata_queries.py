@@ -1975,7 +1975,7 @@ def q_a27_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem GROUP BY 1
         )
         SELECT l_suppkey,
-               ROUND(value_e4 / 10000.0, 2) AS supp_value
+               ((value_e4 + 50) // 100) / 100.0 AS supp_value
         FROM v, (SELECT SUM(value_e4) AS total_e4, COUNT(*) AS n_supp
                  FROM v) t
         WHERE value_e4 * n_supp * 10 > total_e4 * 11
@@ -2009,7 +2009,8 @@ def q_a28_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_suppkey",
-            F.round(F.col("value_e4") / 10000.0, 2).alias("supp_value"),
+            (F.expr("(value_e4 + 50) DIV 100") / 100.0)
+            .alias("supp_value"),
         )
     )
 
@@ -2028,7 +2029,7 @@ def q_a28_important_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1
         )
         SELECT s_suppkey, s_name,
-               ROUND(rev_e4 / 10000.0, 2) AS total_revenue
+               ((rev_e4 + 50) // 100) / 100.0 AS total_revenue
         FROM rev JOIN supplier ON s_suppkey = l_suppkey
         WHERE rev_e4 = (SELECT MAX(rev_e4) FROM rev)
     """,
@@ -2060,7 +2061,8 @@ def q_a29_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("rev_e4") / 10000.0, 2).alias("total_revenue"),
+            (F.expr("(rev_e4 + 50) DIV 100") / 100.0)
+            .alias("total_revenue"),
         )
     )
 
@@ -2234,6 +2236,115 @@ def q_j28_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
                 2,
             ).alias("volume"),
+        )
+    )
+
+
+@register(
+    "w8_balance_deciles",
+    oracle="""
+        SELECT decile,
+               COUNT(*) AS n_cust,
+               ROUND(MIN(c_acctbal), 2) AS lo_bal,
+               ROUND(MAX(c_acctbal), 2) AS hi_bal
+        FROM (
+            SELECT c_acctbal,
+                   CAST(NTILE(10) OVER (
+                       ORDER BY c_acctbal, c_custkey
+                   ) AS BIGINT) AS decile
+            FROM customer
+        )
+        GROUP BY 1
+    """,
+    doc="W8 (beyond-reference): global NTILE decile assignment — the "
+    "rank-bucket window completing the window family (lead/lag/rank/"
+    "rolling/cumulative-share), reported as per-decile counts and "
+    "balance ranges. ORDER includes c_custkey so equal balances "
+    "assign deterministically (the windows-on-unique-keys rule). "
+    "SCALE NOTE, stated not hidden: a global NTILE is a single-"
+    "partition sort — correct for ranked REPORTS (this shape), wrong "
+    "as a 100 TB transform; the distributed equivalent is "
+    "approx_percentile bucketing (llm_quality_quantile) or "
+    "repartitionByRange, both already in the registry.",
+)
+def q_w8_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    dec = cust.select(
+        "c_acctbal",
+        F.ntile(10)
+        .over(Window.orderBy("c_acctbal", "c_custkey"))
+        .cast("bigint")
+        .alias("decile"),
+    )
+    return dec.groupBy("decile").agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.min("c_acctbal"), 2).alias("lo_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("hi_bal"),
+    )
+
+
+@register(
+    "j29_local_supplier_volume",
+    oracle="""
+        SELECT n_name,
+               CAST(strftime(o_orderdate, '%Y') AS BIGINT) AS order_year,
+               COUNT(*) AS n_items,
+               ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                 + 50) // 100) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+                     AND s_nationkey = c_nationkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        GROUP BY 1, 2
+    """,
+    doc="TPC-H Q5 shape: LOCAL supplier volume — the join predicate "
+    "BETWEEN two dimensions (supplier nation == customer nation) "
+    "that makes Q5 more than a star: the fact row survives only if "
+    "its two dim paths agree. Plan: supplier (with nation name) "
+    "broadcasts into the fact, orders⋈customer resolves the "
+    "customer's nation, the equality applies at the final join — "
+    "one fact shuffle total, dims broadcast.",
+)
+def q_j29_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            # exact integer 1e-4 revenue units -> half-up cents -> /100.0:
+            # ROUND(SUM(double),2) diverges 1 ulp around .005 boundaries
+            # between engines (the j22 lesson); integer algebra cannot
+            (
+                F.expr(
+                    "(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))"
+                    " + 50) DIV 100"
+                )
+                / 100.0
+            ).alias("revenue"),
         )
     )
 
@@ -5872,6 +5983,8 @@ _GATE_PRIORITY = [
     # tier 0 (round 6): new round-6 registrations enter HERE, at the
     # very head (standing rule — every registration enters tier 0 of
     # the same commit's list)
+    "w8_balance_deciles",
+    "j29_local_supplier_volume",
     "j28_nation_trade_volume",
     "j27_customer_order_distribution",
     "p24_disjunctive_revenue",
