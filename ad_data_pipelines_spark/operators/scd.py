@@ -97,3 +97,92 @@ def scd2_history_sql(
                ) AS valid_to
         FROM firsts WHERE rn = 1
     """
+
+
+def scd2_apply(
+    history: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    effective_col: str = "effective",
+) -> DataFrame:
+    """Apply one change batch to an SCD2 history (the S14 + S16
+    composition: incremental history maintenance, the warehouse's
+    daily dimension load): returns the NEW full history with the same
+    (keys, attrs, valid_from, valid_to) schema.
+
+    Per key with a change row (`changes`: keys + attrs +
+    `effective_col`; at most one row per key — collapse upstream with
+    `merge.latest_change_per_key`):
+      * attrs EQUAL the key's current interval → no-op (re-sending an
+        unchanged snapshot must not fragment the history — this is
+        what makes daily re-loads idempotent),
+      * attrs differ → the current interval closes at the effective
+        time (valid_to = effective) and a new open interval starts
+        there,
+      * unknown key → a new open interval (valid_from = effective).
+    Closed intervals are immutable: only each key's CURRENT row can
+    be touched, so late/out-of-order feeds need the batch rebuild
+    (`scd2_history`) instead — stated, not hidden.
+
+    Plan shape: the change batch broadcasts (same contract as
+    merge_plan's default); history rows join it map-side — the stored
+    history NEVER shuffles. Null-safe attr comparison mirrors
+    `scd2_history`.
+    """
+    keys = list(keys)
+    attrs = list(attrs)
+    chg = changes.select(
+        *keys,
+        *[F.col(a).alias(f"__c_{a}") for a in attrs],
+        F.col(effective_col).alias("__eff"),
+    )
+    j = history.join(F.broadcast(chg), keys, "left")
+    same = F.struct(*attrs).eqNullSafe(
+        F.struct(*[F.col(f"__c_{a}").alias(a) for a in attrs])
+    )
+    is_current = F.col("valid_to").isNull()
+    # existing rows: close the current interval iff attrs changed
+    kept = j.select(
+        *keys,
+        *attrs,
+        "valid_from",
+        F.when(
+            is_current & F.col("__eff").isNotNull() & ~same,
+            F.col("__eff"),
+        )
+        .otherwise(F.col("valid_to"))
+        .alias("valid_to"),
+    )
+    # new open intervals: changed keys + brand-new keys. The history's
+    # current rows are first SEMI-REDUCED to the change keys (map-side
+    # against the broadcast batch — the big history never broadcasts
+    # and never shuffles), leaving ≤|changes| rows that can safely
+    # broadcast into the change batch with an explicit presence flag.
+    relevant_current = (
+        history.filter(is_current)
+        .join(F.broadcast(chg.select(*keys)), keys, "leftsemi")
+        .select(
+            *keys,
+            F.struct(*attrs).alias("__h_attrs"),
+            F.lit(True).alias("__h_present"),
+        )
+    )
+    opened = (
+        chg.join(F.broadcast(relevant_current), keys, "left")
+        .filter(
+            F.col("__h_present").isNull()
+            | ~F.col("__h_attrs").eqNullSafe(
+                F.struct(*[F.col(f"__c_{a}").alias(a) for a in attrs])
+            )
+        )
+        .select(
+            *keys,
+            *[F.col(f"__c_{a}").alias(a) for a in attrs],
+            F.col("__eff").alias("valid_from"),
+            F.lit(None).cast(dict(history.dtypes)["valid_to"]).alias(
+                "valid_to"
+            ),
+        )
+    )
+    return kept.unionByName(opened).select(*history.columns)

@@ -2367,3 +2367,74 @@ def test_nb_classifier_separates_distinct_vocabularies(spark):
     assert abs(got[103] - (prior + 2 * w_unseen)) < 1e-9
     # balanced classes, symmetric vocab → prior ≈ 0, unseen ≈ neutral
     assert abs(prior) < 1e-9 and abs(w_unseen) < 1e-9
+
+
+def test_scd2_apply_incremental_equals_batch_rebuild(spark):
+    """Applying daily change batches one by one to an SCD2 history
+    produces exactly the history `scd2_history` rebuilds from the
+    full snapshot sequence; unchanged re-sends never fragment
+    intervals; re-applying a batch is a no-op; new keys open
+    correctly."""
+    import datetime as dt
+
+    from ad_data_pipelines_spark.operators import scd
+
+    D = lambda d: dt.datetime(2025, 1, d)
+    # per-day snapshots: key 1 changes day 3; key 2 stable; key 3
+    # appears day 2; key 1 re-sends the same value day 4 (no-op)
+    days = {
+        1: [(1, "a"), (2, "x")],
+        2: [(1, "a"), (2, "x"), (3, "p")],
+        3: [(1, "b"), (2, "x"), (3, "p")],
+        4: [(1, "b"), (2, "x"), (3, "q")],
+    }
+    hist = None
+    for d, rows in days.items():
+        changes = spark.createDataFrame(
+            [(k, v, D(d)) for k, v in rows],
+            "k bigint, attr string, effective timestamp",
+        )
+        if hist is None:
+            hist = scd.scd2_apply(
+                spark.createDataFrame(
+                    [], "k bigint, attr string, valid_from timestamp, "
+                        "valid_to timestamp"
+                ),
+                changes, ["k"], ["attr"],
+            )
+        else:
+            hist = scd.scd2_apply(hist, changes, ["k"], ["attr"])
+        hist = spark.createDataFrame(hist.collect(), hist.schema)  # pin
+
+    snapshots = spark.createDataFrame(
+        [(k, v, D(d)) for d, rows in days.items() for k, v in rows],
+        "k bigint, attr string, snap_ts timestamp",
+    )
+    want = {
+        (r.k, r.attr, r.valid_from, r.valid_to)
+        for r in scd.scd2_history(
+            snapshots, ["k"], ["attr"], "snap_ts"
+        ).collect()
+    }
+    got = {
+        (r.k, r.attr, r.valid_from, r.valid_to) for r in hist.collect()
+    }
+    assert got == want
+    # exactly one open interval per key
+    open_rows = [r for r in hist.collect() if r.valid_to is None]
+    assert sorted((r.k, r.attr) for r in open_rows) == [
+        (1, "b"), (2, "x"), (3, "q")
+    ]
+
+    # idempotence: re-applying day 4's batch changes nothing
+    again = scd.scd2_apply(
+        hist,
+        spark.createDataFrame(
+            [(k, v, D(4)) for k, v in days[4]],
+            "k bigint, attr string, effective timestamp",
+        ),
+        ["k"], ["attr"],
+    )
+    assert {
+        (r.k, r.attr, r.valid_from, r.valid_to) for r in again.collect()
+    } == want
