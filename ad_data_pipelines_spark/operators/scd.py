@@ -120,9 +120,13 @@ def scd2_apply(
       * attrs differ → the current interval closes at the effective
         time (valid_to = effective) and a new open interval starts
         there,
-      * unknown key → a new open interval (valid_from = effective).
+      * unknown key → a new open interval (valid_from = effective),
+      * STALE change (effective ≤ the current interval's valid_from)
+        → ignored: an out-of-order or replayed old batch cannot
+        rewrite history backwards — this is what makes stream replay
+        (`streaming/cdc.run_scd2_apply_available_now`) safe.
     Closed intervals are immutable: only each key's CURRENT row can
-    be touched, so late/out-of-order feeds need the batch rebuild
+    be touched, so genuinely late corrections need the batch rebuild
     (`scd2_history`) instead — stated, not hidden.
 
     Plan shape: the change batch broadcasts (same contract as
@@ -142,13 +146,17 @@ def scd2_apply(
         F.struct(*[F.col(f"__c_{a}").alias(a) for a in attrs])
     )
     is_current = F.col("valid_to").isNull()
-    # existing rows: close the current interval iff attrs changed
+    # existing rows: close the current interval iff attrs changed AND
+    # the change is newer than the interval (stale changes ignored)
     kept = j.select(
         *keys,
         *attrs,
         "valid_from",
         F.when(
-            is_current & F.col("__eff").isNotNull() & ~same,
+            is_current
+            & F.col("__eff").isNotNull()
+            & (F.col("__eff") > F.col("valid_from"))
+            & ~same,
             F.col("__eff"),
         )
         .otherwise(F.col("valid_to"))
@@ -165,6 +173,7 @@ def scd2_apply(
         .select(
             *keys,
             F.struct(*attrs).alias("__h_attrs"),
+            F.col("valid_from").alias("__h_from"),
             F.lit(True).alias("__h_present"),
         )
     )
@@ -172,8 +181,13 @@ def scd2_apply(
         chg.join(F.broadcast(relevant_current), keys, "left")
         .filter(
             F.col("__h_present").isNull()
-            | ~F.col("__h_attrs").eqNullSafe(
-                F.struct(*[F.col(f"__c_{a}").alias(a) for a in attrs])
+            | (
+                (F.col("__eff") > F.col("__h_from"))
+                & ~F.col("__h_attrs").eqNullSafe(
+                    F.struct(
+                        *[F.col(f"__c_{a}").alias(a) for a in attrs]
+                    )
+                )
             )
         )
         .select(

@@ -96,3 +96,54 @@ def run_cdc_apply_available_now(
         .start()
         .awaitTermination()
     )
+
+
+def run_scd2_apply_available_now(
+    spark: SparkSession,
+    source_path: str,
+    schema: StructType | str,
+    table_root: str,
+    keys: Sequence[str],
+    attrs: Sequence[str],
+    checkpoint: str,
+    effective_col: str = "effective",
+    seq_col: str | None = "seq",
+    max_files_per_trigger: int = 8,
+) -> None:
+    """Streaming SCD2 maintenance: micro-batches of attribute changes
+    applied to the versioned history table with `scd.scd2_apply` —
+    current intervals close at the change's effective time, unchanged
+    re-sends are no-ops, so replayed batches cannot fragment the
+    history (the same idempotence that makes the plain CDC apply
+    replay-safe). Per-batch collapse keeps the latest `seq_col` change
+    per key. The table must exist (`merge.table_init` with columns
+    keys + attrs + valid_from + valid_to)."""
+    from ad_data_pipelines_spark.operators import scd as _scd
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        changes = _merge.latest_change_per_key(batch, list(keys), seq_col)
+        history = _merge.table_read(spark, table_root)
+        new_hist = _scd.scd2_apply(
+            history, changes, keys, attrs, effective_col=effective_col
+        )
+        version = _merge._next_version(table_root)
+        import os as _os
+
+        new_hist.write.mode("overwrite").parquet(
+            _os.path.join(table_root, version)
+        )
+        _merge._commit_pointer(table_root, version)
+
+    (
+        read_changes_stream(
+            spark, source_path, schema,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -353,3 +353,72 @@ def test_merge_plan_schema_evolution(spark, broadcast):
         broadcast_changes=broadcast,
     )
     assert strict.columns == ["id", "name", "amount"]
+
+
+def test_streaming_scd2_apply_matches_batch_rebuild(spark, tmp_path):
+    """Micro-batched SCD2 maintenance converges to the same history a
+    batch rebuild computes from the full snapshot sequence; replaying
+    the drained source changes nothing (unchanged re-sends are
+    no-ops by scd2_apply's semantics)."""
+    import datetime as dt
+    import shutil
+
+    from ad_data_pipelines_spark.operators import scd
+    from ad_data_pipelines_spark.streaming import cdc
+
+    D = lambda d: dt.datetime(2025, 1, d)
+    days = {
+        1: [(1, "a"), (2, "x")],
+        2: [(1, "a"), (2, "x"), (3, "p")],
+        3: [(1, "b"), (2, "x"), (3, "p")],
+    }
+    root = str(tmp_path / "hist")
+    M.table_init(
+        spark.createDataFrame(
+            [], "k bigint, attr string, valid_from timestamp, "
+                "valid_to timestamp"
+        ),
+        root,
+    )
+    src = tmp_path / "changes"
+    src.mkdir()
+    schema = "k bigint, attr string, effective timestamp, seq bigint"
+    for d, rows in days.items():
+        b = spark.createDataFrame(
+            [(k, v, D(d), d) for k, v in rows], schema
+        )
+        stage = tmp_path / f"stage{d}"
+        b.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in stage.iterdir() if p.name.endswith(".parquet"))
+        shutil.move(str(part), str(src / f"f{d}.parquet"))
+
+    cdc.run_scd2_apply_available_now(
+        spark, str(src), schema, root, ["k"], ["attr"],
+        checkpoint=str(tmp_path / "ck"), max_files_per_trigger=1,
+    )
+
+    snapshots = spark.createDataFrame(
+        [(k, v, D(d)) for d, rows in days.items() for k, v in rows],
+        "k bigint, attr string, snap_ts timestamp",
+    )
+    want = {
+        (r.k, r.attr, r.valid_from, r.valid_to)
+        for r in scd.scd2_history(snapshots, ["k"], ["attr"], "snap_ts")
+        .collect()
+    }
+    got = {
+        (r.k, r.attr, r.valid_from, r.valid_to)
+        for r in M.table_read(spark, root).collect()
+    }
+    assert got == want
+
+    # fresh checkpoint replays every file — history must not fragment
+    cdc.run_scd2_apply_available_now(
+        spark, str(src), schema, root, ["k"], ["attr"],
+        checkpoint=str(tmp_path / "ck2"), max_files_per_trigger=1,
+    )
+    again = {
+        (r.k, r.attr, r.valid_from, r.valid_to)
+        for r in M.table_read(spark, root).collect()
+    }
+    assert again == want
