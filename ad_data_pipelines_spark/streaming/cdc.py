@@ -64,11 +64,15 @@ def run_cdc_apply_available_now(
     op_col: str | None = "op",
     seq_col: str | None = "seq",
     max_files_per_trigger: int = 8,
+    vacuum_keep: int | None = 2,
 ) -> None:
     """Drain all currently-available change files into the versioned
     table at `table_root` (availableNow trigger; the continuous
     deployment drops the trigger). The table must exist
-    (`merge.table_init`)."""
+    (`merge.table_init`). `vacuum_keep` bounds version accumulation
+    on a long-running stream: after each batch commits, all but the
+    newest N versions are reclaimed (keep ≥2 so a reader resolved
+    just before the commit can still finish; None disables)."""
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
@@ -84,6 +88,8 @@ def run_cdc_apply_available_now(
             op_col=op_col,
             seq_col=None,
         )
+        if vacuum_keep is not None:
+            _merge.table_vacuum(table_root, keep=vacuum_keep)
 
     (
         read_changes_stream(
@@ -109,6 +115,7 @@ def run_scd2_apply_available_now(
     effective_col: str = "effective",
     seq_col: str | None = "seq",
     max_files_per_trigger: int = 8,
+    vacuum_keep: int | None = 2,
 ) -> None:
     """Streaming SCD2 maintenance: micro-batches of attribute changes
     applied to the versioned history table with `scd.scd2_apply` —
@@ -135,6 +142,8 @@ def run_scd2_apply_available_now(
             _os.path.join(table_root, version)
         )
         _merge._commit_pointer(table_root, version)
+        if vacuum_keep is not None:
+            _merge.table_vacuum(table_root, keep=vacuum_keep)
 
     (
         read_changes_stream(

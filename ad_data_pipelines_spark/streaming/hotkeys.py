@@ -89,6 +89,17 @@ def apply_batch(
         os.path.join(root, f"v{version:06d}")
     )
     _commit(root, version, batch_id)
+    # bound version accumulation: keep current + one prior (a reader
+    # that resolved the pointer just before the commit can finish)
+    import shutil
+
+    for name in os.listdir(root):
+        if (
+            name.startswith("v")
+            and name[1:].isdigit()
+            and int(name[1:]) < version - 1
+        ):
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
     return True
 
 
