@@ -17,7 +17,10 @@ The fasttext-style recipe maps exactly onto Spark:
     100 TB is a groupBy.
   * scoring — score(doc) = prior + Σ_tokens w(bucket(token)): one
     token explode, one broadcast join against the (≤ n_features)-row
-    weight table, one per-doc sum. Whole-stage codegen throughout;
+    weight table, one per-doc sum. When training and scoring run over
+    the SAME corpus (self-scoring, the registry query), pass one
+    persisted `token_buckets` table into both so the corpus explodes
+    ONCE. Whole-stage codegen throughout;
     the corpus text never shuffles (only doc_id + bucket ids reach
     the aggregate).
 
@@ -62,6 +65,7 @@ def train_nb(
     n_features: int = 1024,
     alpha: float = 1.0,
     text_col: str = "text",
+    buckets: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Train multinomial-NB log-odds weights on `docs` with boolean
     `label` (positive class where true). Returns (weights, consts):
@@ -77,9 +81,12 @@ def train_nb(
     One aggregate over the corpus; both outputs are tiny (≤ F rows)
     and broadcastable."""
     lb = docs.withColumn("__pos", label)
-    b = token_buckets(lb, n_features, text_col).join(
-        lb.select("doc_id", "__pos"), "doc_id"
+    tb = (
+        buckets
+        if buckets is not None
+        else token_buckets(lb, n_features, text_col)
     )
+    b = tb.join(lb.select("doc_id", "__pos"), "doc_id")
     per_bucket = b.groupBy("bucket").agg(
         F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("c_pos"),
         F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("c_neg"),
@@ -118,11 +125,16 @@ def nb_score(
     consts: DataFrame,
     n_features: int = 1024,
     text_col: str = "text",
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, score): prior + Σ_token w(bucket); buckets unseen in
     training contribute w_unseen. Empty docs score the bare prior.
     Weight table broadcasts; only (doc_id, bucket) pairs shuffle."""
-    b = token_buckets(docs, n_features, text_col)
+    b = (
+        buckets
+        if buckets is not None
+        else token_buckets(docs, n_features, text_col)
+    )
     summed = (
         b.join(F.broadcast(weights), "bucket", "left")
         .groupBy("doc_id")

@@ -3258,6 +3258,20 @@ def _shared(spark: SparkSession, sf_dir: str, what: str, build) -> DataFrame:
     return _SHARED_CACHE[key]
 
 
+def _nb_buckets_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one token explode per session feeds BOTH NB training and scoring
+    # (classify.token_buckets) — self-scoring would otherwise explode
+    # the corpus twice
+    from ad_data_pipelines_spark.operators import classify as _classify
+
+    return _shared(
+        spark, sf_dir, "nb_buckets",
+        lambda: _classify.token_buckets(
+            t(spark, sf_dir, "documents"), n_features=1024
+        ),
+    )
+
+
 def warm_shared_stages(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     """Materialize every session-shared persisted stage up front and
     return per-stage build seconds.
@@ -3296,6 +3310,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_grams": _word_grams_shared,
         "pq_codes": _pq_codes_shared,
         "span_bounds": _span_bounds_shared,
+        "nb_buckets": _nb_buckets_shared,
     }
 
 
@@ -4002,10 +4017,13 @@ def q_llm_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ad_data_pipelines_spark.operators import classify as _classify
 
     docs = t(spark, sf_dir, "documents")
+    tb = _nb_buckets_shared(spark, sf_dir)
     weights, consts = _classify.train_nb(
-        docs, F.col("lang") == "en", n_features=1024
+        docs, F.col("lang") == "en", n_features=1024, buckets=tb
     )
-    scored = _classify.nb_score(docs, weights, consts, n_features=1024)
+    scored = _classify.nb_score(
+        docs, weights, consts, n_features=1024, buckets=tb
+    )
     return (
         scored.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
