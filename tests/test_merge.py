@@ -255,6 +255,12 @@ def test_streaming_cdc_apply_matches_batch_merge(spark, tmp_path):
     assert got == expected
     assert 2 not in got and got[3] == ("c2", 33.0) and got[5] == ("e2", 55.0)
 
+    # vacuum bound: a long-running stream keeps ≤ vacuum_keep versions
+    import os as _os
+
+    n_versions = len([d for d in _os.listdir(root) if d.startswith("v")])
+    assert n_versions <= 2, n_versions
+
     v_before = M.table_current_version(root)
     cdc.run_cdc_apply_available_now(
         spark, str(src), schema, root, ["id"],

@@ -1013,6 +1013,12 @@ def test_streaming_hotkey_monitor_equals_batch_sketch_and_skips_replay(
              .withColumnRenamed("count", "cnt").collect()}
     assert all(est[k] >= v for k, v in exact.items())
 
+    # version accumulation bounded: current + at most one prior
+    import os as _os
+
+    n_vers = len([d for d in _os.listdir(root) if d.startswith("v")])
+    assert n_vers <= 2, n_vers
+
     # replayed batch_id → no-op, sketch unchanged
     st = hotkeys._state(root)
     assert not hotkeys.apply_batch(spark, root, b2, st["batch_id"], "k",
