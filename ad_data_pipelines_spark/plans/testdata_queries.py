@@ -2350,6 +2350,110 @@ def q_j29_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a30_market_share",
+    oracle="""
+        WITH sold AS (
+            SELECT CAST(strftime(o_orderdate, '%Y') AS BIGINT)
+                       AS order_year,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                       AS rev_e4,
+                   sn.n_name = 'NATION_5' AS is_target
+            FROM lineitem
+            JOIN orders   ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            JOIN region   ON r_regionkey = cn.n_regionkey
+                         AND r_name = 'ASIA'
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+        )
+        SELECT order_year,
+               CAST(SUM(CASE WHEN is_target THEN rev_e4 ELSE 0 END)
+                    AS BIGINT) AS target_rev_e4,
+               CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4,
+               ROUND(SUM(CASE WHEN is_target THEN rev_e4 ELSE 0 END)
+                     * 1.0 / SUM(rev_e4), 6) AS mkt_share
+        FROM sold GROUP BY 1
+    """,
+    doc="TPC-H Q8 shape: market share — the ratio of a CONDITIONAL "
+    "aggregate to the total aggregate per group (NATION_5 suppliers' "
+    "share of revenue to ASIA customers, by year), the "
+    "nested-aggregate shape Q8 decorrelates into one conditional-sum "
+    "pass (never aggregate-twice-and-join). Numerator and "
+    "denominator surface as EXACT integer 1e-4 units so the hash "
+    "check is boundary-proof; the ratio itself rounds at 6dp (a12's "
+    "guarded-ratio precedent). Six joins, every dim broadcast, the "
+    "fact shuffles once for the orders join.",
+)
+def q_a30_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = t(spark, sf_dir, "nation")
+    asia_nations = (
+        nat.join(
+            F.broadcast(
+                t(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("c_nat"))
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(asia_nations),
+            F.col("c_nationkey") == F.col("c_nat"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            (F.col("n_name") == "NATION_5").alias("is_target"),
+        )
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        100 - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    sold = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+            rev_e4.alias("rev_e4"),
+            "is_target",
+        )
+    )
+    return sold.groupBy("order_year").agg(
+        F.sum(F.when(F.col("is_target"), F.col("rev_e4")).otherwise(0))
+        .alias("target_rev_e4"),
+        F.sum("rev_e4").alias("total_rev_e4"),
+        F.round(
+            F.sum(
+                F.when(F.col("is_target"), F.col("rev_e4")).otherwise(0)
+            )
+            * 1.0
+            / F.sum("rev_e4"),
+            6,
+        ).alias("mkt_share"),
+    )
+
+
+@register(
     "o16_zorder_cells",
     oracle="""
         WITH pts AS (
@@ -6001,6 +6105,7 @@ _GATE_PRIORITY = [
     # tier 0 (round 6): new round-6 registrations enter HERE, at the
     # very head (standing rule — every registration enters tier 0 of
     # the same commit's list)
+    "a30_market_share",
     "w8_balance_deciles",
     "j29_local_supplier_volume",
     "j28_nation_trade_volume",
