@@ -2454,6 +2454,98 @@ def q_a30_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j30_late_order_priorities",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY 1
+    """,
+    doc="TPC-H Q4 shape: per-priority counts of orders with at least "
+    "one late line item (shipped >60 days after order). The EXISTS "
+    "decorrelates to a LEFT SEMI join — the fact side reduces to "
+    "distinct qualifying order keys BEFORE the join, so the semi "
+    "join carries each order at most once and the half-open date "
+    "window pushes into the orders scan.",
+)
+def q_j30_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late_orders = (
+        li.join(
+            orders.select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(late_orders, "o_orderkey", "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "a31_supplier_variety",
+    oracle="""
+        WITH bad AS (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+        )
+        SELECT p_brand,
+               CASE WHEN p_size <= 10 THEN 'small'
+                    WHEN p_size <= 30 THEN 'medium'
+                    ELSE 'large' END AS size_class,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+        GROUP BY 1, 2
+    """,
+    doc="TPC-H Q16 shape: how many DISTINCT suppliers serve each "
+    "(brand, size class), excluding a disqualified supplier set "
+    "(negative balances standing in for Q16's complaint filter). The "
+    "NOT IN decorrelates to a left-anti join against the tiny "
+    "broadcast exclusion set BEFORE the distinct-count aggregate; "
+    "the count-distinct itself is the two-phase partial-distinct "
+    "Catalyst plans (per-partition dedup before the shuffle). Part "
+    "dim broadcasts; size bucketing is a pure CASE.",
+)
+def q_a31_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bad = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    size_class = (
+        F.when(F.col("p_size") <= 10, "small")
+        .when(F.col("p_size") <= 30, "medium")
+        .otherwise("large")
+    )
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", size_class.alias("size_class"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
     "o16_zorder_cells",
     oracle="""
         WITH pts AS (
@@ -6105,6 +6197,8 @@ _GATE_PRIORITY = [
     # tier 0 (round 6): new round-6 registrations enter HERE, at the
     # very head (standing rule — every registration enters tier 0 of
     # the same commit's list)
+    "j30_late_order_priorities",
+    "a31_supplier_variety",
     "a30_market_share",
     "w8_balance_deciles",
     "j29_local_supplier_volume",
