@@ -104,6 +104,14 @@ def merge_plan(
         from `changes` become NULL).
     Without `op_col`, every change row upserts.
 
+    NULL keys: SQL join semantics apply — a NULL never matches, so a
+    NULL-key change row always INSERTS a fresh row and a NULL-key
+    target row is never updated or deleted (identical under both
+    strategies; same as Delta `MERGE`). Re-applying a NULL-key batch
+    therefore ACCUMULATES NULL rows — scrub or key-synthesize NULLs
+    upstream (functions/cleaning.deep_clean exists for exactly this).
+    Behavior pinned by test_merge_plan_null_keys_never_match.
+
     `broadcast_changes=True` (default, for change batches ≪ target):
     target does a map-side left join against the broadcast change
     batch — NO shuffle of the target; the insert pass anti-joins

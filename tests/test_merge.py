@@ -428,3 +428,33 @@ def test_streaming_scd2_apply_matches_batch_rebuild(spark, tmp_path):
         for r in M.table_read(spark, root).collect()
     }
     assert again == want
+
+
+@pytest.mark.parametrize("broadcast", [True, False])
+def test_merge_plan_null_keys_never_match(spark, broadcast):
+    """SQL join semantics pinned: a NULL-key change row always inserts
+    (never updates the NULL-key target row), a NULL-key target row is
+    never touched — identical under both strategies and aligned with
+    Delta MERGE; the docstring directs callers to scrub NULL keys
+    upstream because re-applies accumulate."""
+    target = spark.createDataFrame(
+        [(None, "t", 1.0), (1, "a", 2.0)],
+        "id bigint, name string, amount double",
+    )
+    changes = spark.createDataFrame(
+        [(None, "c", 9.0, "U"), (1, "a2", 3.0, "U")],
+        "id bigint, name string, amount double, op string",
+    )
+    out = sorted(
+        [
+            (r.id, r.name, r.amount)
+            for r in M.merge_plan(
+                target, changes, ["id"], op_col="op",
+                broadcast_changes=broadcast,
+            ).collect()
+        ],
+        key=str,
+    )
+    assert out == sorted(
+        [(1, "a2", 3.0), (None, "c", 9.0), (None, "t", 1.0)], key=str
+    )
