@@ -762,6 +762,7 @@ def _cc_star_contraction(
     )
     prev_sig = None
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         sym = cur.unionByName(
@@ -797,8 +798,19 @@ def _cc_star_contraction(
             ).collect()[0]
         )
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # an unconverged edge set can leave one doc_id pointing at
+        # multiple components — the final left join would then fan out
+        # and emit conflicting labels. Fail loudly rather than return
+        # silently-wrong clusters; O(log² n) rounds suffice for any
+        # real graph, so hitting this means max_iter is set too low.
+        raise RuntimeError(
+            f"connected components did not converge within {max_iter} "
+            f"star-contraction rounds; raise max_iter"
+        )
     nodes = (
         pairs.select(F.col("u").alias("doc_id"))
         .unionByName(pairs.select(F.col("v").alias("doc_id")))

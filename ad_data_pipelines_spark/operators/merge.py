@@ -210,7 +210,10 @@ def merge_plan(
 # --------------------------------------------------------------------------
 
 _POINTER = "_CURRENT"
-_VERSION_RE = re.compile(r"^v(\d{6})$")
+# 6-digit MINIMUM: `_next_version` zero-pads to six but keeps counting
+# past v999999 (a streaming CDC applier commits one version per
+# micro-batch), so v1000000 must stay a valid pointer value.
+_VERSION_RE = re.compile(r"^v(\d{6,})$")
 
 
 def _commit_pointer(root: str, version: str) -> None:
@@ -306,11 +309,19 @@ def table_vacuum(root: str, keep: int = 1) -> list[str]:
     import shutil
 
     current = table_current_version(root)
+    # numeric sort: lexicographic would order "v999999" after
+    # "v1000000" once the version counter outgrows the 6-digit pad
     versions = sorted(
         (name for name in os.listdir(root) if _VERSION_RE.match(name)),
+        key=lambda name: int(name[1:]),
         reverse=True,
     )
-    protected = set(versions[: max(keep - 1, 0)]) | {current}
+    # the committed version is usually also the newest, so the
+    # "keep-1 newest OTHERS" must be counted excluding it — otherwise
+    # keep=2 (the reader-grace default of the streaming appliers)
+    # would protect only the current version
+    others = [v for v in versions if v != current]
+    protected = set(others[: max(keep - 1, 0)]) | {current}
     removed = []
     for v in versions:
         if v not in protected:
@@ -347,7 +358,14 @@ def merge_apply_partitions(
     for p in parts:
         clause = F.lit(True)
         for c in partition_cols:
-            clause = clause & (F.col(c) == F.lit(p[c]))
+            # eqNullSafe: a NULL partition value in the change batch
+            # must still SELECT the existing NULL partition
+            # (__HIVE_DEFAULT_PARTITION__) for the merge — plain `=`
+            # would skip it, and the dynamic overwrite below would then
+            # replace that partition with only the batch rows, silently
+            # dropping its pre-existing rows. Pinned by
+            # test_merge_apply_partitions_null_partition_value.
+            clause = clause & F.col(c).eqNullSafe(F.lit(p[c]))
         pred = clause if pred is None else (pred | clause)
     target = spark.read.parquet(path).filter(pred)
     merged = merge_plan(

@@ -22,7 +22,12 @@ the EXACT batch merge operator:
   * Crash mid-batch: the pointer commit is atomic, so the table is
     either pre- or post-batch. On restart Spark replays the batch;
     re-applying the same changes is idempotent in effect (same
-    values upsert, absent keys delete as no-ops).
+    values upsert, absent keys delete as no-ops). NULL-key rows are
+    the one exception — merge_plan pins them as always-INSERT, so a
+    replayed NULL-key row would duplicate. The streaming applier
+    therefore DROPS rows with any NULL merge key (logged count)
+    before applying, making replay safety unconditional; scrub or
+    key-synthesize NULLs upstream if those rows matter.
   * 100 TB: the change batch broadcasts (merge_plan default), so the
     stored table never shuffles for updates/deletes; for
     partition-aligned feeds use `merge_apply_partitions` in the
@@ -31,12 +36,39 @@ the EXACT batch merge operator:
 
 from __future__ import annotations
 
+import functools
+import logging
+import operator
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ad_data_pipelines_spark.operators import merge as _merge
+
+_log = logging.getLogger(__name__)
+
+
+def _drop_null_key_rows(batch: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Replay-safety guard: merge_plan pins NULL-key rows as
+    always-INSERT (a NULL never joins), so a crash-replayed micro-batch
+    containing them would duplicate table rows. Drop them with a logged
+    count — one bounded aggregate over the key projection."""
+    null_pred = functools.reduce(
+        operator.or_, [F.col(k).isNull() for k in keys]
+    )
+    n_dropped = batch.select(*keys).filter(null_pred).count()
+    if n_dropped:
+        _log.warning(
+            "dropping %d NULL-key change row(s) from micro-batch "
+            "(keys=%s): NULL-key rows always INSERT and would "
+            "duplicate on crash replay",
+            n_dropped,
+            list(keys),
+        )
+        return batch.filter(~null_pred)
+    return batch
 
 
 def read_changes_stream(
@@ -77,6 +109,7 @@ def run_cdc_apply_available_now(
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
+        batch = _drop_null_key_rows(batch, keys)
         drop = [c for c in (op_col, seq_col) if c]
         changes = _merge.latest_change_per_key(batch, list(keys), seq_col)
         # keep op for merge_plan's delete routing; seq already consumed

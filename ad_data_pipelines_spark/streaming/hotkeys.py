@@ -12,11 +12,21 @@ sketch answers "how hot has key K been, ever" in O(depth) lookups
 
 Exactly-once under replay: a CMS is ADDITIVE, so re-applying a
 replayed micro-batch would double-count. The committed state is
-therefore {version, last_batch_id} in ONE pointer file (atomic
-`os.replace`, same protocol as `operators/merge.py`); the per-batch
-apply SKIPS any batch_id ≤ the committed one, making crash-replay a
-no-op — the idempotent-foreachBatch pattern Structured Streaming
-requires of additive sinks.
+therefore {version, last_batch_id, stream_id} in ONE pointer file
+(atomic `os.replace`, same protocol as `operators/merge.py`); the
+per-batch apply SKIPS any batch_id ≤ the committed one, making
+crash-replay a no-op — the idempotent-foreachBatch pattern Structured
+Streaming requires of additive sinks.
+
+The skip guard is only sound while batch ids come from the SAME
+checkpoint lineage: a deleted or relocated checkpoint restarts batch
+ids at 0, and a bare last-batch_id guard would then silently skip
+every new micro-batch forever. The committed state therefore also
+carries the stream identity (the checkpoint's query id from its
+`metadata` file — regenerated whenever the checkpoint is recreated,
+stable across restarts of the same checkpoint); a mismatch RAISES
+instead of skipping, forcing the operator to either restore the
+checkpoint or rebuild the sketch.
 """
 
 from __future__ import annotations
@@ -40,13 +50,35 @@ def _state(root: str) -> dict | None:
         return None
 
 
-def _commit(root: str, version: int, batch_id: int) -> None:
+def _commit(
+    root: str, version: int, batch_id: int, stream_id: str | None
+) -> None:
     tmp = os.path.join(root, f"{_POINTER}.tmp")
     with open(tmp, "w", encoding="ascii") as f:
-        json.dump({"version": version, "batch_id": batch_id}, f)
+        json.dump(
+            {
+                "version": version,
+                "batch_id": batch_id,
+                "stream_id": stream_id,
+            },
+            f,
+        )
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def _checkpoint_query_id(checkpoint: str) -> str | None:
+    """The streaming query id persisted in `{checkpoint}/metadata` —
+    written at stream start (so it exists by the first foreachBatch
+    call), stable across restarts of the same checkpoint, regenerated
+    if the checkpoint directory is deleted or relocated. Exactly the
+    identity the replay-skip guard needs."""
+    try:
+        with open(os.path.join(checkpoint, "metadata"), encoding="utf-8") as f:
+            return json.load(f).get("id")
+    except (OSError, ValueError):
+        return None
 
 
 def read_sketch(spark: SparkSession, root: str) -> DataFrame | None:
@@ -67,14 +99,36 @@ def apply_batch(
     key_col: str,
     width: int = 1024,
     depth: int = 4,
+    stream_id: str | None = None,
 ) -> bool:
     """Merge one micro-batch into the persisted sketch; returns False
-    (no-op) for an already-applied batch_id — replay safety for the
-    additive sketch."""
+    (no-op) for an already-applied batch_id of the SAME stream —
+    replay safety for the additive sketch. `stream_id` (the
+    checkpoint's query id) guards against a recreated checkpoint whose
+    batch ids restart at 0: a mismatch against the committed stream_id
+    raises instead of silently skipping every new batch. None skips
+    the identity check (direct/batch callers); a sketch committed
+    without an identity adopts the first one it sees."""
     os.makedirs(root, exist_ok=True)
     st = _state(root)
-    if st is not None and batch_id <= st["batch_id"]:
-        return False
+    if st is not None:
+        committed_sid = st.get("stream_id")
+        if (
+            stream_id is not None
+            and committed_sid is not None
+            and committed_sid != stream_id
+        ):
+            raise RuntimeError(
+                f"sketch at {root} was committed by stream "
+                f"{committed_sid!r} but this stream is {stream_id!r} "
+                "(checkpoint deleted or relocated?) — batch ids are "
+                "not comparable across checkpoints; restore the "
+                "original checkpoint or rebuild the sketch"
+            )
+        if batch_id <= st["batch_id"]:
+            return False
+        if stream_id is None:
+            stream_id = committed_sid
     new = _sketch.count_min_table(
         batch.select(key_col), key_col, width=width, depth=depth
     )
@@ -88,7 +142,7 @@ def apply_batch(
     merged.write.mode("overwrite").parquet(
         os.path.join(root, f"v{version:06d}")
     )
-    _commit(root, version, batch_id)
+    _commit(root, version, batch_id, stream_id)
     # bound version accumulation: keep current + one prior (a reader
     # that resolved the pointer just before the commit can finish)
     import shutil
@@ -125,6 +179,7 @@ def run_hotkey_monitor_available_now(
             lambda b, bid: apply_batch(
                 spark, sketch_root, b, bid, key_col,
                 width=width, depth=depth,
+                stream_id=_checkpoint_query_id(checkpoint),
             )
             and None
         )

@@ -458,3 +458,71 @@ def test_merge_plan_null_keys_never_match(spark, broadcast):
     assert out == sorted(
         [(1, "a2", 3.0), (None, "c", 9.0), (None, "t", 1.0)], key=str
     )
+
+
+def test_merge_apply_partitions_null_partition_value(spark, tmp_path):
+    """NULL partition values round-trip through the partition-scoped
+    apply: the pruning predicate is null-safe (`eqNullSafe`), so a
+    change batch touching the NULL partition (__HIVE_DEFAULT_PARTITION__
+    on disk) merges AGAINST its existing rows instead of replacing the
+    whole partition with only the batch rows — the silent-loss mode
+    this test pins shut."""
+    path = str(tmp_path / "null_part_tbl")
+    df = spark.createDataFrame(
+        [(1, None, "a"), (2, None, "b"), (3, 1, "c")],
+        "id bigint, day int, v string",
+    )
+    df.write.partitionBy("day").parquet(path)
+
+    changes = spark.createDataFrame(
+        [(2, None, "b2", "U"), (9, None, "i", "I")],
+        "id bigint, day int, v string, op string",
+    )
+    M.merge_apply_partitions(
+        spark, path, changes, ["id"], ["day"], op_col="op"
+    )
+    got = {(r.id, r.day): r.v for r in spark.read.parquet(path).collect()}
+    assert got == {
+        (1, None): "a",   # pre-existing NULL-partition row survives
+        (2, None): "b2",  # update applied in place, not duplicated
+        (9, None): "i",   # insert lands in the NULL partition
+        (3, 1): "c",      # cold partition untouched
+    }
+
+
+def test_version_pointer_survives_six_digit_rollover(spark, tmp_path):
+    """v999999 → v1000000: the pointer regex accepts widths beyond the
+    six-digit zero-pad and vacuum's newest-first ordering is numeric
+    (lexicographically 'v999999' > 'v1000000', which would misorder
+    the protected set) — the long-running streaming applier commits
+    one version per micro-batch, so the rollover is reachable."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(root, "v999999"))
+    M._commit_pointer(root, "v999999")
+    assert M.table_current_version(root) == "v999999"
+    assert M._next_version(root) == "v1000000"
+
+    os.makedirs(os.path.join(root, "v1000000"))
+    M._commit_pointer(root, "v1000000")
+    assert M.table_current_version(root) == "v1000000"
+    assert M._next_version(root) == "v1000001"
+    # keep=2 protects the committed version AND the newest other
+    assert M.table_vacuum(root, keep=2) == []
+    # keep=1 reclaims the prior; numeric sort keeps the right one
+    assert M.table_vacuum(root, keep=1) == ["v999999"]
+    assert M.table_current_version(root) == "v1000000"
+
+
+def test_table_vacuum_keep2_retains_one_prior_version(spark, tmp_path):
+    """The reader-grace contract of the streaming appliers
+    (vacuum_keep=2): after a commit, the immediately prior version is
+    still on disk so a reader that resolved the pointer just before
+    the commit can finish."""
+    root = str(tmp_path / "tbl")
+    M.table_init(_target(spark), root)
+    M.merge_apply(spark, root, _changes(spark), ["id"], op_col="op")
+    M.merge_apply(spark, root, _changes(spark), ["id"], op_col="op")
+    removed = M.table_vacuum(root, keep=2)
+    assert removed == ["v000001"]
+    left = sorted(d for d in os.listdir(root) if d.startswith("v"))
+    assert left == ["v000002", "v000003"]

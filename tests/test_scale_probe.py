@@ -27,6 +27,8 @@ from __future__ import annotations
 import time
 from functools import reduce
 
+import pytest
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -581,3 +583,15 @@ def test_merge_broadcast_10x_target_linear(spark):
     assert t10 <= 3.0 * 10 * max(t1, 2.0), (
         f"merge broadcast 10x runtime {t10:.1f}s vs 1x {t1:.1f}s"
     )
+
+
+def test_star_cc_raises_on_max_iter_exhaustion(spark):
+    """An unconverged star contraction can leave a node with multiple
+    labels (the final join would fan out); the operator must fail
+    loudly, not return silently-wrong clusters. max_iter=1 can never
+    confirm the fixpoint, so any edge set raises."""
+    edges = spark.range(50).filter(F.col("id") < 49).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup._cc_star_contraction(edges, 1)

@@ -1033,3 +1033,100 @@ def test_streaming_hotkey_monitor_equals_batch_sketch_and_skips_replay(
     )
     assert {(r.row, r.bucket): r.cnt
             for r in hotkeys.read_sketch(spark, root).collect()} == want
+
+
+def test_streaming_cdc_drops_null_key_rows_for_replay_safety(
+    spark, tmp_path
+):
+    """merge_plan pins NULL-key change rows as always-INSERT, so a
+    crash-replayed micro-batch containing them would duplicate table
+    rows. The streaming applier drops them (logged) before applying:
+    the final table carries no NULL-key row from the feed and the
+    non-NULL changes apply normally."""
+    import shutil
+
+    from ad_data_pipelines_spark.operators import merge as M
+    from ad_data_pipelines_spark.streaming import cdc
+
+    root = str(tmp_path / "tbl")
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)],
+        "id bigint, name string, amount double",
+    )
+    M.table_init(target, root)
+
+    schema = "id bigint, name string, amount double, op string, seq bigint"
+    src = tmp_path / "changes"
+    src.mkdir()
+    batch = spark.createDataFrame(
+        [
+            (None, "ghost", 99.0, "I", 1),  # NULL key → dropped
+            (2, "b1", 21.0, "U", 2),
+            (3, "c", 30.0, "I", 3),
+        ],
+        schema,
+    )
+    d = tmp_path / "stage"
+    batch.coalesce(1).write.parquet(str(d))
+    part = next(p for p in d.iterdir() if p.name.endswith(".parquet"))
+    shutil.move(str(part), str(src / "f1.parquet"))
+
+    cdc.run_cdc_apply_available_now(
+        spark, str(src), schema, root, ["id"],
+        checkpoint=str(tmp_path / "ck"),
+    )
+    got = {r.id: (r.name, r.amount)
+           for r in M.table_read(spark, root).collect()}
+    assert got == {1: ("a", 10.0), 2: ("b1", 21.0), 3: ("c", 30.0)}
+    assert None not in got
+
+
+def test_hotkey_sketch_rejects_foreign_checkpoint_batch_ids(
+    spark, tmp_path
+):
+    """Batch ids are only comparable within one checkpoint lineage: a
+    sketch committed by stream A must RAISE when stream B (recreated /
+    relocated checkpoint, ids restarting at 0) tries to apply — the
+    silent-skip mode that would freeze the sketch forever. Identity is
+    adopted on first commit and None (direct batch callers) skips the
+    check."""
+    from ad_data_pipelines_spark.streaming import hotkeys
+
+    root = str(tmp_path / "sketch")
+    b = spark.range(100).select((F.col("id") % 7).cast("string").alias("k"))
+
+    # adopt identity on first commit
+    assert hotkeys.apply_batch(
+        spark, root, b, 0, "k", width=64, depth=2, stream_id="qid-A"
+    )
+    assert hotkeys._state(root)["stream_id"] == "qid-A"
+
+    # same stream: replayed batch_id → no-op, later batch applies
+    assert not hotkeys.apply_batch(
+        spark, root, b, 0, "k", width=64, depth=2, stream_id="qid-A"
+    )
+    assert hotkeys.apply_batch(
+        spark, root, b, 1, "k", width=64, depth=2, stream_id="qid-A"
+    )
+
+    # foreign stream with restarted ids: raise, never silently skip
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="qid-B"):
+        hotkeys.apply_batch(
+            spark, root, b, 0, "k", width=64, depth=2, stream_id="qid-B"
+        )
+
+    # identity-less caller keeps the committed identity
+    assert not hotkeys.apply_batch(
+        spark, root, b, 1, "k", width=64, depth=2
+    )
+    assert hotkeys._state(root)["stream_id"] == "qid-A"
+
+    # the streaming runner derives the identity from the checkpoint's
+    # metadata file (query id) — verify the reader helper
+    ck = tmp_path / "ck2"
+    ck.mkdir()
+    (ck / "metadata").write_text('{"id": "qid-from-metadata"}')
+    assert hotkeys._checkpoint_query_id(str(ck)) == "qid-from-metadata"
+    assert hotkeys._checkpoint_query_id(str(tmp_path / "absent")) is None
