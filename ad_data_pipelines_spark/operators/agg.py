@@ -764,3 +764,104 @@ def group_ols_sql(
                END) * sxd) / nd, {round_dp}) AS intercept
         FROM d
     """
+
+
+def distributed_ntile(
+    df: DataFrame,
+    n: int,
+    order_by: Sequence[str],
+    out_col: str = "ntile",
+    shard_buckets: int = 64,
+) -> DataFrame:
+    """Exact global ``NTILE(n)`` without a single-partition sort — the
+    scale-safe form of the rank-bucket report (W8).
+
+    ``Window.orderBy(...)`` with no partitionBy collapses the whole
+    input onto ONE task — the canonical 100×-scale killer. This is the
+    same global-order problem the packing prefix sums solve
+    (operators/packing.py), restated for ranks:
+
+      1. range-shard on the FIRST order column's value (shard index
+         monotone in the sort order, so shard order preserves global
+         order; equal values share a shard, so later tiebreak columns
+         order entirely within shards),
+      2. within-shard ``row_number`` (bounded window partitions),
+      3. per-shard row counts — ``shard_buckets`` rows — give exclusive
+         shard offsets and the global total through the only
+         single-partition window, over kilobytes,
+      4. broadcast-join offsets back: global rank = offset + within,
+         and the standard NTILE split (first ``N mod n`` buckets get
+         one extra row) is pure integer algebra on (rank, total).
+
+    Shard boundaries never affect results (ranks are exact integers
+    regardless of where a shard splits), so the min/max probe needs no
+    cross-engine parity. `order_by` must order rows uniquely (the
+    windows-on-unique-keys rule, SURVEY §4.4-6) and its first column
+    must be numeric and NULL-free — NULLs are unrankable and rejected
+    loudly, like `budget_select`.
+
+    Output: the input columns plus ``out_col`` (bigint, 1-based),
+    identical row-for-row to ``NTILE(n) OVER (ORDER BY order_by)``.
+    """
+    if n < 1:
+        raise ValueError(f"distributed_ntile: n must be ≥ 1, got {n}")
+    first = order_by[0]
+    n_null = df.filter(F.col(first).isNull()).limit(1).count()
+    if n_null:
+        raise ValueError(
+            f"distributed_ntile: {first} contains NULLs — impute or "
+            "filter them before ranking (a NULL cannot be ordered)"
+        )
+    lo, hi = df.agg(
+        F.min(F.col(first).cast("double")),
+        F.max(F.col(first).cast("double")),
+    ).first()
+    if lo is None:  # empty input: keep the (empty) frame, schema intact
+        return df.withColumn(out_col, F.lit(None).cast("bigint")).limit(0)
+    span = (hi - lo) or 1.0
+    shard = F.least(
+        F.floor((F.col(first).cast("double") - lo) / span * shard_buckets),
+        F.lit(shard_buckets - 1),
+    ).cast("bigint")
+    sharded = df.withColumn("__shard", shard)
+    w_in = Window.partitionBy("__shard").orderBy(*order_by)
+    shard_counts = sharded.groupBy("__shard").agg(
+        F.count("*").alias("__sh_n")
+    )
+    w_sh = Window.orderBy("__shard")
+    offsets = shard_counts.select(
+        "__shard",
+        F.coalesce(
+            F.sum("__sh_n").over(
+                w_sh.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__sh_off"),
+        F.sum("__sh_n")
+        .over(
+            w_sh.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("__n_total"),
+    )
+    ranked = (
+        sharded.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__shard")
+        .withColumn("__rank", F.col("__sh_off") + F.col("__rn"))
+    )
+    # standard SQL NTILE split: q = total DIV n rows per bucket, the
+    # first rem = total MOD n buckets take one extra; integer ceil is
+    # (a + b - 1) DIV b, with GREATEST(q, 1) guarding the (unreachable
+    # when q = 0) second branch against ANSI division-by-zero
+    q = f"(__n_total DIV {n})"
+    rem = f"(__n_total % {n})"
+    cut = f"({rem} * ({q} + 1))"
+    ntile = F.expr(
+        f"CASE WHEN __rank <= {cut} THEN (__rank + {q}) DIV ({q} + 1) "
+        f"ELSE {rem} + (__rank - {cut} + GREATEST({q}, 1) - 1) "
+        f"DIV GREATEST({q}, 1) END"
+    )
+    return ranked.withColumn(out_col, ntile.cast("bigint")).drop(
+        "__shard", "__rn", "__sh_off", "__n_total", "__rank"
+    )

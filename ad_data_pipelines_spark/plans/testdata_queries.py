@@ -2256,25 +2256,26 @@ def q_j28_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         GROUP BY 1
     """,
-    doc="W8 (beyond-reference): global NTILE decile assignment — the "
+    doc="W8 (beyond-reference): global decile assignment — the "
     "rank-bucket window completing the window family (lead/lag/rank/"
     "rolling/cumulative-share), reported as per-decile counts and "
     "balance ranges. ORDER includes c_custkey so equal balances "
     "assign deterministically (the windows-on-unique-keys rule). "
-    "SCALE NOTE, stated not hidden: a global NTILE is a single-"
-    "partition sort — correct for ranked REPORTS (this shape), wrong "
-    "as a 100 TB transform; the distributed equivalent is "
-    "approx_percentile bucketing (llm_quality_quantile) or "
-    "repartitionByRange, both already in the registry.",
+    "The oracle keeps the declarative NTILE SQL; the Spark plan is "
+    "the SCALE-SAFE equivalent, `agg.distributed_ntile`: range-shard "
+    "on the balance, within-shard row_number, per-shard counts give "
+    "broadcast offsets and the exact NTILE split as integer algebra "
+    "— row-identical to a global NTILE with NO single-partition sort "
+    "over the fact (only the ≤64-row shard-count table crosses a "
+    "global window). Enforced by test_plan_hygiene's "
+    "single-partition-collapse ban.",
 )
 def q_w8_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = t(spark, sf_dir, "customer")
-    dec = cust.select(
-        "c_acctbal",
-        F.ntile(10)
-        .over(Window.orderBy("c_acctbal", "c_custkey"))
-        .cast("bigint")
-        .alias("decile"),
+    from ad_data_pipelines_spark.operators.agg import distributed_ntile
+
+    cust = t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    dec = distributed_ntile(
+        cust, 10, ["c_acctbal", "c_custkey"], out_col="decile"
     )
     return dec.groupBy("decile").agg(
         F.count("*").alias("n_cust"),

@@ -2438,3 +2438,85 @@ def test_scd2_apply_incremental_equals_batch_rebuild(spark):
     assert {
         (r.k, r.attr, r.valid_from, r.valid_to) for r in again.collect()
     } == want
+
+
+# --------------------------------------------------------------------------
+# distributed NTILE (W8 scale-safe form)
+# --------------------------------------------------------------------------
+
+
+def test_distributed_ntile_equals_global_ntile(spark):
+    """Row-identical to NTILE(n) OVER (ORDER BY v, id) on tied, signed
+    data — including the uneven split (first total%n buckets one row
+    larger) and n > N (one row per leading bucket)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from ad_data_pipelines_spark.operators import agg
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.choice([-4.25, 0.0, 1.5, 2.5, 2.5, 3.0]))
+        for i in range(137)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v double")
+    for n in (1, 3, 10):
+        got = {
+            r.id: r.d
+            for r in agg.distributed_ntile(
+                df, n, ["v", "id"], out_col="d"
+            ).collect()
+        }
+        want = {
+            r.id: r.d
+            for r in df.select(
+                "id",
+                F.ntile(n)
+                .over(Window.orderBy("v", "id"))
+                .cast("bigint")
+                .alias("d"),
+            ).collect()
+        }
+        assert got == want, n
+
+    tiny = spark.createDataFrame(
+        [(i, float(i)) for i in range(4)], "id bigint, v double"
+    )
+    got4 = sorted(
+        (r.id, r.d)
+        for r in agg.distributed_ntile(
+            tiny, 10, ["v", "id"], out_col="d"
+        ).collect()
+    )
+    assert got4 == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+
+def test_distributed_ntile_guards_and_empty(spark):
+    """NULL order values are unrankable → loud error (the
+    budget_select rule); empty input keeps the schema; the plan's only
+    single-partition exchange sits above the shard-count aggregate."""
+    from ad_data_pipelines_spark.operators import agg
+    from tests.test_plan_hygiene import single_partition_collapses
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, None)], "id bigint, v double"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        agg.distributed_ntile(df, 4, ["v", "id"])
+
+    empty = df.filter("id < 0")
+    out = agg.distributed_ntile(empty, 4, ["v", "id"], out_col="d")
+    assert out.count() == 0
+    assert out.columns == ["id", "v", "d"]
+
+    clean = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(200)], "id bigint, v double"
+    )
+    plan = (
+        agg.distributed_ntile(clean, 10, ["v", "id"], out_col="d")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not single_partition_collapses(plan), plan
