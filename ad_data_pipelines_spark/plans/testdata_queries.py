@@ -2501,6 +2501,88 @@ def q_j30_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "j31_returned_item_customers",
+    oracle="""
+        SELECT c_custkey, c_name,
+               ((SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                 + 50) // 100) / 100.0 AS revenue,
+               ROUND(c_acctbal, 2) AS acctbal,
+               n_name
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by revenue lost to "
+    "returned items in one quarter — the returned-item report "
+    "(l_returnflag = 'R', the one Q-shape column the testdata adds "
+    "beyond Q1's). Plan: the quarter-filtered orders slice BROADCASTS "
+    "into the returnflag-filtered lineitem (both filters push to the "
+    "scans), so the fact shuffles exactly once — on o_custkey for the "
+    "aggregate — then customer and nation broadcast onto the "
+    "bounded per-customer result and the top-20 runs as "
+    "TakeOrderedAndProject (revenue DESC, c_custkey tiebreak: "
+    "deterministic under the unique-order rule). Revenue uses the "
+    "exact integer-cents algebra (the j22/j29 lesson: per-row "
+    "ROUND(double) diverges 1 ulp between engines).",
+)
+def q_j31_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-10-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    per_cust = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            (
+                F.expr(
+                    "(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)"
+                    " * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))"
+                    " + 50) DIV 100"
+                )
+                / 100.0
+            ).alias("revenue"),
+        )
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_cust.join(
+            F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+        )
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
     "a31_supplier_variety",
     oracle="""
         WITH bad AS (
@@ -6174,87 +6256,42 @@ def q_llm_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
-# ~50-row budget (r1 and r2 each produced exactly 50 rows for a 65/78-query
-# registry). This list sequences ALL registered queries explicitly:
-#   tier 1 — never received a CORRECTNESS row in any round (r3: the 7 queries
-#            committed after the r2 priority list was written),
-#   tier 2 — green in r1 but rotated out of r2's budget; their oracle text
-#            was touched by the r2 BIGINT-cast sweep, so they need a fresh
-#            driver verdict,
-#   tier 3 — r2 greens, cheapest-first so a time-capped gate re-confirms as
-#            many as the budget allows,
-#   tail   — rows-only approx twins (no oracle possible; can never turn
-#            green) sort dead last so they never consume a verifiable slot.
+# ~50-row budget. Round-7 rotation (the r6 verdict's brief):
+#   tier 0 — round-7 registrations (w8's scale-safe re-plan needs a fresh
+#            verdict on the NEW plan; j31 is the round's Q10 shape),
+#   tier 0b — a26_hll_shard_union, the ONE registered query that has never
+#            received a driver row of any kind (rows-only by design; the
+#            gate records rows_match for oracle-free queries, as it did for
+#            a5_distinct_approx in r2),
+#   tier 1 — the 14 oracle-backed queries whose latest green is still r2
+#            (rotated out of every budget since), oldest-staleness-first,
+#   tier 2 — r3 greens, cheapest-first; the ~50-row budget cuts off inside
+#            this tier, and each round's cut advances through it,
+#   tier 3 — r5 greens, tier 4 — r6 greens (freshest last; re-confirming
+#            these is the lowest-value use of a budget slot),
+#   tail   — the remaining rows-only approx twins (each already has a
+#            rows_match row on file) sort dead last so they never consume a
+#            verifiable slot.
 # Standing rule (enforced by tests/test_gate_priority.py): any commit that
-# registers a query MUST add it to tier 1 of this list; the set-equality
+# registers a query MUST add it to tier 0 of this list; the set-equality
 # assert below fails the suite otherwise.
+_GATE_ROWS_ONLY_ROTATED = [
+    # oracle-free queries deliberately spending a budget slot this round
+    # for their first (rows_match-only) driver row
+    "a26_hll_shard_union",
+]
 _GATE_TAIL_ROWS_ONLY = [
     # intentionally-oracle-free approximate twins of exact green queries
-    "a26_hll_shard_union",
     "a5_distinct_approx",
     "llm_quality_quantile_approx",
 ]
 _GATE_PRIORITY = [
-    # tier 0 (round 6): new round-6 registrations enter HERE, at the
-    # very head (standing rule — every registration enters tier 0 of
-    # the same commit's list)
-    "j30_late_order_priorities",
-    "a31_supplier_variety",
-    "a30_market_share",
+    # tier 0 (round 7): new/re-planned round-7 registrations
     "w8_balance_deciles",
-    "j29_local_supplier_volume",
-    "j28_nation_trade_volume",
-    "j27_customer_order_distribution",
-    "p24_disjunctive_revenue",
-    "a28_important_suppliers",
-    "a29_top_revenue_suppliers",
-    "a27_large_volume_orders",
-    "llm_nb_quality",
-    "j25_idle_rich_customers",
-    "j26_dominant_suppliers",
-    "o16_zorder_cells",
-    "llm_heavy_hitters_sketch",
-    "llm_cms_estimates",
-    "j23_small_quantity_revenue",
-    "j24_sole_late_supplier",
-    "s16_merge_apply",
-    "llm_mm_dhash_pairs",
-    # tier 1: the 11 round-5 registrations. The r5 gate consumed
-    # exactly positions 0-49 of the r5-era list; these sat at 50-60
-    # and have never received a driver CORRECTNESS row. They lead
-    # round 6's budget.
-    "llm_dup_spans",
-    "j20_fuzzy_name_match",
-    "t8_session_window",
-    "a23_groupwise_ols",
-    "o15_entity_clusters",
-    "j21_grid_knn",
-    "llm_prefix_jaccard",
-    "llm_dup_span_removal",
-    "j22_min_cost_supplier",
-    "a24_cube_totals",
-    "a25_time_weighted_avg",
-    # tier 2 (oldest-green first): the 32 queries whose latest green
-    # row is r2 (every name in CORRECTNESS_r02 but not r03/r05),
-    # cheap-first (r2/r3 bench medians; a*-group ≤0.6 s per r2)
-    "llm_ngram_jaccard",
-    "llm_boilerplate_ngrams",
-    "llm_minhash_sig",
-    "llm_dedup_corpus",
-    "j13_anti_join",
-    "a1_trips_daily",
-    "a3_pricing_summary",
-    "a2_conditional_counts",
-    "a13_first_last_ordered",
-    "a12_guarded_ratio",
-    "a8_adjacent_diff",
-    "a5_distinct_exact",
-    "a9_rollup_overall",
-    "llm_simhash",
-    "j14_match_rate",
-    "j1_broadcast_enrich",
-    "o6_topn_revenue",
-    "j7_dedup_then_join",
+    "j31_returned_item_customers",
+    # tier 0b: first-ever driver row for the rows-only shard union
+] + _GATE_ROWS_ONLY_ROTATED + [
+    # tier 1: latest green still r2 — the oldest-stale oracle-backed tail
     "j8_full_outer_3way",
     "llm_chunking",
     "llm_mm_frame_sample",
@@ -6269,10 +6306,7 @@ _GATE_PRIORITY = [
     "j9_j10_composite_join",
     "w4_keep_last",
     "llm_quality_quantile",
-    # tier 3: r3-green re-confirmations, cheap-first (r3 bench medians
-    # where the driver tail has them; a*-group placed by local
-    # medians). Budget cutoff lands around here — losing the tail
-    # costs only an already-verified green.
+    # tier 2: r3 greens, cheapest-first (the budget cut lands in here)
     "llm_quality_filter",
     "llm_quality",
     "llm_entropy",
@@ -6323,10 +6357,7 @@ _GATE_PRIORITY = [
     "llm_pack_sequences",
     "llm_simhash_pairs",
     "llm_cosine_topk",
-    # tier 4 (freshest greens last): the 50 queries the r5 gate just
-    # verified (CORRECTNESS_r05 positions 0-49) — re-confirming these
-    # is the lowest-value use of a budget slot, so they sort after
-    # every older tier, cheap-first
+    # tier 3: r5 greens
     "llm_zipf",
     "llm_candidate_agreement",
     "llm_ann_recall",
@@ -6377,6 +6408,56 @@ _GATE_PRIORITY = [
     "llm_l2_topk",
     "llm_pq_topk",
     "llm_pq_ivf_topk",
+    # tier 4: r6 greens, freshest last
+    "j30_late_order_priorities",
+    "a31_supplier_variety",
+    "a30_market_share",
+    "j29_local_supplier_volume",
+    "j28_nation_trade_volume",
+    "j27_customer_order_distribution",
+    "p24_disjunctive_revenue",
+    "a28_important_suppliers",
+    "a29_top_revenue_suppliers",
+    "a27_large_volume_orders",
+    "llm_nb_quality",
+    "j25_idle_rich_customers",
+    "j26_dominant_suppliers",
+    "o16_zorder_cells",
+    "llm_heavy_hitters_sketch",
+    "llm_cms_estimates",
+    "j23_small_quantity_revenue",
+    "j24_sole_late_supplier",
+    "s16_merge_apply",
+    "llm_mm_dhash_pairs",
+    "llm_dup_spans",
+    "j20_fuzzy_name_match",
+    "t8_session_window",
+    "a23_groupwise_ols",
+    "o15_entity_clusters",
+    "j21_grid_knn",
+    "llm_prefix_jaccard",
+    "llm_dup_span_removal",
+    "j22_min_cost_supplier",
+    "a24_cube_totals",
+    "a25_time_weighted_avg",
+    "llm_ngram_jaccard",
+    "llm_boilerplate_ngrams",
+    "llm_minhash_sig",
+    "llm_dedup_corpus",
+    "j13_anti_join",
+    "a1_trips_daily",
+    "a3_pricing_summary",
+    "a2_conditional_counts",
+    "a13_first_last_ordered",
+    "a12_guarded_ratio",
+    "a8_adjacent_diff",
+    "a5_distinct_exact",
+    "a9_rollup_overall",
+    "llm_simhash",
+    "j14_match_rate",
+    "j1_broadcast_enrich",
+    "o6_topn_revenue",
+    "j7_dedup_then_join",
 ] + _GATE_TAIL_ROWS_ONLY
 assert set(_GATE_PRIORITY) == set(REGISTRY), (
     "gate-priority list drifted from registry: "

@@ -26,8 +26,17 @@ def test_registry_iterates_in_gate_priority_order():
 
 def test_rows_only_queries_sort_dead_last():
     # Queries with no oracle can never turn green; they must not sit ahead
-    # of any verifiable query in the budget.
+    # of any verifiable query in the budget — EXCEPT a deliberate,
+    # documented rotation spending one slot on a first-ever rows_match
+    # row (r7: a26_hll_shard_union, the r6 verdict's item #2).
     no_oracle = [n for n, spec in tq.REGISTRY.items() if spec.oracle is None]
-    assert sorted(no_oracle) == sorted(tq._GATE_TAIL_ROWS_ONLY)
+    assert sorted(no_oracle) == sorted(
+        tq._GATE_TAIL_ROWS_ONLY + tq._GATE_ROWS_ONLY_ROTATED
+    )
     tail = tq._GATE_PRIORITY[-len(tq._GATE_TAIL_ROWS_ONLY):]
     assert sorted(tail) == sorted(tq._GATE_TAIL_ROWS_ONLY)
+    # a rotated rows-only slot must actually land inside the ~50-row
+    # budget, or the rotation spent nothing
+    order = list(tq.REGISTRY)
+    for name in tq._GATE_ROWS_ONLY_ROTATED:
+        assert order.index(name) < 50, name
