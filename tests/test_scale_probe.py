@@ -595,3 +595,115 @@ def test_star_cc_raises_on_max_iter_exhaustion(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup._cc_star_contraction(edges, 1)
+
+
+def test_merge_10x_both_sides_linear_and_no_wide_target_shuffle(
+    spark, tmp_path
+):
+    """10× change batch against a 10× parquet target under the default
+    broadcast strategy: runtime stays ~linear, and NO exchange in the
+    physical plan carries the target's wide rows — every
+    hashpartitioning exchange's subtree bottoms out at the KEY-pruned
+    target scan (ReadSchema struct<k:bigint>) or the tiny change
+    batch; the wide scan feeds the update BroadcastHashJoin directly.
+    This is the merge contract at 100 TB: updates/deletes are
+    map-side, inserts shuffle one projected key column."""
+    from ad_data_pipelines_spark.operators import merge as M
+
+    def run(n):
+        tdir = str(tmp_path / f"target_{n}")
+        spark.range(n).select(
+            F.col("id").alias("k"),
+            F.col("id").alias("p1"),
+            (F.col("id") * 2).alias("p2"),
+            F.md5(F.col("id").cast("string")).alias("p3"),
+        ).write.parquet(tdir)
+        target = spark.read.parquet(tdir)
+        changes = spark.range(n // 10).select(
+            (F.col("id") * 7).alias("k"),
+            (F.col("id") + 1).alias("p1"),
+            F.when(F.col("id") % 5 == 0, "D").otherwise("U").alias("op"),
+        )
+        t0 = time.perf_counter()
+        out = M.merge_plan(target, changes, ["k"], op_col="op")
+        n_out = out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        return n_out, plan, time.perf_counter() - t0
+
+    def wide_cols_below_exchange(plan):
+        """FileScan ReadSchemas reachable from a hashpartitioning
+        exchange without crossing an aggregate/broadcast boundary."""
+        final = plan.split("+- == Initial Plan ==")[0]
+        lines = final.splitlines()
+        schemas = []
+        for i, line in enumerate(lines):
+            if "Exchange hashpartitioning" not in line:
+                continue
+            for below in lines[i + 1:]:
+                if "BroadcastExchange" in below or "HashAggregate" in below:
+                    break
+                if "ReadSchema" in below or "FileScan" in below:
+                    schemas.append(below)
+                    break
+        return [s for s in schemas if "p3" in s or "p2" in s]
+
+    n1, plan1, t1 = run(100_000)
+    n10, plan10, t10 = run(1_000_000)
+    # deletes: change ids ≡ 0 (mod 5) whose key lands inside the target
+    assert n1 == 100_000 - 2_000 and n10 == 1_000_000 - 20_000
+    for plan in (plan1, plan10):
+        assert "BroadcastHashJoin" in plan
+        assert not wide_cols_below_exchange(plan), plan
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"merge 10x-both-sides runtime {t10:.1f}s vs 1x {t1:.1f}s"
+    )
+
+
+def test_merge_hot_key_batch_bounded_collapse_and_sortmerge_path(spark):
+    """A pathologically hot change feed (50% of 1M events on ONE key)
+    cannot skew the merge: (1) latest_change_per_key's rank-1 filter
+    plans a PARTIAL WindowGroupLimit BEFORE the exchange, so the hot
+    key ships at most one row per map partition into the shuffle —
+    collapse output is exact (max-seq event wins); (2) the collapsed
+    batch is unique per key BY CONSTRUCTION, so the
+    broadcast_changes=False sort-merge full-outer join has no
+    fan-out-capable key on either side — per-partition weight is
+    bounded by distinct-key count, the shape AQE rebalances freely.
+    The skew surface of a keyed MERGE is the collapse window, and it
+    is map-side bounded."""
+    from ad_data_pipelines_spark.operators import merge as M
+
+    hot = spark.range(1_000_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+        F.col("id").alias("seq"),
+    )
+    t0 = time.perf_counter()
+    collapsed = M.latest_change_per_key(hot, ["k"], "seq")
+    plan = collapsed._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan, plan
+    rows = {r.k: r.payload for r in collapsed.collect()}
+    t_collapse = time.perf_counter() - t0
+    # hot key 0: evens 0..999998 → max seq 999998 wins; 500_000 odd
+    # singleton keys survive untouched
+    assert rows[0] == 999_998 and len(rows) == 500_001
+
+    target = spark.range(2_000_000).select(
+        F.col("id").alias("k"), F.lit(-1).alias("payload")
+    )
+    t0 = time.perf_counter()
+    out = M.merge_plan(
+        target,
+        collapsed.drop("seq"),
+        ["k"],
+        broadcast_changes=False,
+    )
+    n_out = out.count()
+    t_merge = time.perf_counter() - t0
+    assert n_out == 2_000_000  # pure upserts of existing keys
+    jplan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in jplan or "ShuffledHashJoin" in jplan, jplan
+    # bounded-time sanity on the hot feed (not a tight benchmark)
+    assert t_collapse < 60 and t_merge < 120, (t_collapse, t_merge)
