@@ -865,3 +865,154 @@ def distributed_ntile(
     return ranked.withColumn(out_col, ntile.cast("bigint")).drop(
         "__shard", "__rn", "__sh_off", "__n_total", "__rank"
     )
+
+
+def quantile_bin_edges(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    exact: bool = False,
+    relative_error: float = 1e-4,
+) -> list[float]:
+    """TRAINED histogram boundaries: the n_bins-quantile edges of
+    `value_col` (n_bins - 1 interior cut points), for binning a skewed
+    monitored metric where equal-width bins would starve the tails —
+    the same boundary-broadcast idea as `distributed_ntile`, reduced
+    to its aggregate form: the cut points are a ≤(n_bins-1)-scalar
+    summary, computed in ONE aggregate pass and shipped as literals.
+
+    `exact=False` (production) uses `approx_percentile` (mergeable
+    t-digest — one combinable pass at any scale); True uses exact
+    `percentile` for oracle-comparable edges (exact percentile
+    concentrates per-group state; fine for training samples, not for
+    a 100 TB full scan). Returned edges are rounded to 9 dp so
+    downstream bin predicates are stable literals."""
+    if n_bins < 2:
+        raise ValueError(f"need ≥ 2 bins to have interior edges, got {n_bins}")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    fn = "percentile" if exact else "approx_percentile"
+    err = "" if exact else f", {int(1 / relative_error)}"
+    row = df.agg(
+        F.expr(
+            f"{fn}({value_col}, array({', '.join(map(repr, probs))}){err})"
+        ).alias("qs")
+    ).first()
+    if row.qs is None:
+        raise ValueError(f"{value_col} has no non-NULL values to train on")
+    return [round(float(q), 9) for q in row.qs]
+
+
+def psi_vs_reference_edges(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    ref_props: Sequence[float],
+    edges: Sequence[float],
+    eps: float = 1e-4,
+    round_dp: int = 6,
+) -> DataFrame:
+    """`psi_vs_reference` with ARBITRARY trained bin boundaries
+    instead of equal-width [lo, hi) bins: bin i covers
+    [edges[i-1], edges[i]) with unbounded first/last bins, so
+    len(ref_props) must equal len(edges) + 1. Edges typically come
+    from `quantile_bin_edges` on the training period, making the
+    reference proportions ~uniform and every bin informative even on
+    heavy-tailed metrics. Same scale shape as the equal-width form:
+    map-only binning (a codegen'd array filter over ≤n_bins-1
+    literals), one combinable (group, bin) count, broadcast spine."""
+    n_bins = len(ref_props)
+    if n_bins != len(edges) + 1:
+        raise ValueError(
+            f"{n_bins} proportions need {n_bins - 1} edges, "
+            f"got {len(edges)}"
+        )
+    if list(edges) != sorted(edges):
+        raise ValueError("edges must be non-decreasing")
+    total = sum(ref_props)
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(
+            f"reference proportions must sum to 1 (got {total})"
+        )
+    gcols = list(group_cols)
+    v = F.col(value_col)
+    # bin = number of edges ≤ v: a higher-order filter over a literal
+    # array — whole-stage codegen, no UDF, no join
+    edge_arr = F.array(*[F.lit(float(e)) for e in edges])
+    bin_ = F.size(F.filter(edge_arr, lambda e: e <= v)).cast("int")
+    counts = (
+        df.filter(v.isNotNull())
+        .select(*gcols, bin_.alias("__bin"))
+        .groupBy(*gcols, "__bin")
+        .agg(F.count("*").alias("__n"))
+    )
+    totals = counts.groupBy(*gcols).agg(
+        F.sum("__n").cast("bigint").alias("n_values")
+    )
+    spark = df.sparkSession
+    spine = spark.range(n_bins).select(
+        F.col("id").cast("int").alias("__bin"),
+        F.element_at(
+            F.array(*[F.lit(float(p)) for p in ref_props]),
+            F.col("id").cast("int") + 1,
+        ).alias("__r"),
+    )
+    full = (
+        totals.crossJoin(F.broadcast(spine))
+        .join(counts, [*gcols, "__bin"], "left")
+        .withColumn("__n", F.coalesce(F.col("__n"), F.lit(0)))
+    )
+    p = F.greatest(F.col("__n") / F.col("n_values"), F.lit(eps))
+    r = F.greatest(F.col("__r"), F.lit(eps))
+    return (
+        full.withColumn("__term", (p - r) * F.log(p / r))
+        .groupBy(*gcols, "n_values")
+        .agg(F.round(F.sum("__term"), round_dp).alias("psi"))
+    )
+
+
+def psi_vs_reference_edges_sql(
+    table: str,
+    value_col: str,
+    group_cols: Sequence[str],
+    ref_props: Sequence[float],
+    edges: Sequence[float],
+    eps: float = 1e-4,
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of `psi_vs_reference_edges` (same literal edges)."""
+    n_bins = len(ref_props)
+    g = ", ".join(group_cols)
+    edge_list = ", ".join(repr(float(e)) for e in edges)
+    bin_ = (
+        f"CAST(len(list_filter([{edge_list}], e -> e <= {value_col})) "
+        f"AS INTEGER)"
+    )
+    props = ", ".join(repr(float(p)) for p in ref_props)
+    return f"""
+        WITH counts AS (
+            SELECT {g}, {bin_} AS bin, COUNT(*) AS n
+            FROM {table} WHERE {value_col} IS NOT NULL
+            GROUP BY {g}, bin
+        ),
+        totals AS (
+            SELECT {g}, CAST(SUM(n) AS BIGINT) AS n_values
+            FROM counts GROUP BY {g}
+        ),
+        spine AS (
+            SELECT CAST(i AS INTEGER) AS bin, r
+            FROM (SELECT unnest(range({n_bins})) AS i,
+                         unnest([{props}]) AS r)
+        ),
+        filled AS (
+            SELECT t.*, s.bin, s.r, COALESCE(c.n, 0) AS n
+            FROM totals t CROSS JOIN spine s
+            LEFT JOIN counts c USING ({g}, bin)
+        )
+        SELECT {g}, n_values,
+               ROUND(SUM(
+                   (GREATEST(n * 1.0 / n_values, {eps!r}) - GREATEST(r, {eps!r}))
+                   * ln(GREATEST(n * 1.0 / n_values, {eps!r})
+                        / GREATEST(r, {eps!r}))), {round_dp}) AS psi
+        FROM filled
+        GROUP BY {g}, n_values
+    """

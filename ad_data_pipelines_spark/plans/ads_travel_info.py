@@ -16,13 +16,23 @@ spanning chunk boundaries are handled correctly by construction
 (SURVEY.md §4.4-3).
 
 `exact_distinct=True` (default) uses count(distinct uid) for
-oracle-comparable output; False uses approx_count_distinct(rsd=0.01) ==
-the reference's HyperLogLog(0.01) production path.
+oracle-comparable output. `exact_distinct=False` is the production
+path and matches the reference's HyperLogLog(0.01) sketches
+(:244-344) structurally, not just numerically: the daily
+grouping-sets pass carries a MERGEABLE DataSketches HLL of uids
+(`hll_sketch_agg`, lg_k=14 ≈ 0.8% rsd) as just another aggregate
+column, daily `users` reads it via `hll_sketch_estimate`, and the
+monthly `unique_passengers` is `hll_union_agg` over the (tiny) daily
+rows — sketch algebra, ZERO re-scan of the legs. The exact path
+scans legs twice (daily measures + monthly distinct); the sketch
+path scans once, which at 100 TB is the whole point — and the same
+daily sketch table is the artifact `sketch.hll_shard_table` /
+`hll_union_estimate` persist for any-grain rollups.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ad_data_pipelines_spark.functions import clamp_outliers, minutes_between, month_str
@@ -30,17 +40,12 @@ from ad_data_pipelines_spark.operators.agg import count_if, guarded_ratio
 from ad_data_pipelines_spark.plans.transit_common import enrich_with_region, with_audit
 
 
-def _users(exact: bool) -> Column:
-    return (
-        F.countDistinct("uid") if exact else F.approx_count_distinct("uid", 0.01)
-    ).alias("users")
-
-
 def build(
     afc: DataFrame,
     line: DataFrame,
     opdep: DataFrame,
     exact_distinct: bool = True,
+    hll_lg_k: int = 14,
 ) -> DataFrame:
     enriched = enrich_with_region(afc, line, opdep).filter(
         F.col("region_id") != "Unknown"
@@ -76,10 +81,26 @@ def build(
         ]
 
     # ---- daily grain (both per-region and overall, one shuffle) ----
-    daily = legs.groupingSets(
-        [("month", "ope_date", "region_id"), ("month", "ope_date")],
-        "month", "ope_date", "region_id",
-    ).agg(*measures(), _users(exact_distinct))
+    daily_sets = [("month", "ope_date", "region_id"), ("month", "ope_date")]
+    if exact_distinct:
+        daily = legs.groupingSets(
+            daily_sets, "month", "ope_date", "region_id"
+        ).agg(*measures(), F.countDistinct("uid").alias("users"))
+    else:
+        # production path: the distinct-user STATE travels as a
+        # mergeable HLL sketch column through the same aggregate —
+        # daily users is its point estimate, and every coarser grain
+        # below is sketch union, never a re-scan
+        daily = (
+            legs.groupingSets(daily_sets, "month", "ope_date", "region_id")
+            .agg(
+                *measures(),
+                F.hll_sketch_agg(
+                    F.col("uid").cast("string"), F.lit(hll_lg_k)
+                ).alias("__uid_hll"),
+            )
+            .withColumn("users", F.hll_sketch_estimate("__uid_hll"))
+        )
     daily = daily.withColumn(
         "region_id", F.coalesce("region_id", F.lit("overall"))
     ).withColumn(
@@ -89,16 +110,26 @@ def build(
         ),
     )
 
-    # ---- monthly grain: re-aggregate the daily rows (tiny) + exact
-    # monthly uniques computed from legs in the same grouping-sets pass ----
-    monthly_users = (
-        legs.groupingSets(
-            [("month", "region_id"), ("month",)], "month", "region_id"
+    # ---- monthly uniques: exact mode re-scans legs (a distinct can't
+    # be re-aggregated from daily counts); sketch mode unions the daily
+    # sketches — the rollup the reference rebuilt per grain, done here
+    # as algebra over rows already in hand ----
+    if exact_distinct:
+        monthly_users = (
+            legs.groupingSets(
+                [("month", "region_id"), ("month",)], "month", "region_id"
+            )
+            .agg(F.countDistinct("uid").alias("unique_passengers"))
+            .withColumn(
+                "region_id", F.coalesce("region_id", F.lit("overall"))
+            )
         )
-        .agg(_users(exact_distinct))
-        .withColumn("region_id", F.coalesce("region_id", F.lit("overall")))
-        .withColumnRenamed("users", "unique_passengers")
-    )
+    else:
+        monthly_users = daily.groupBy("month", "region_id").agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__uid_hll")).alias(
+                "unique_passengers"
+            )
+        )
 
     monthly = daily.groupBy("month", "region_id").agg(
         F.sum("passenger_trips").alias("passenger_trips"),

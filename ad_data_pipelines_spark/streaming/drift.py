@@ -20,7 +20,10 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ad_data_pipelines_spark.operators.agg import psi_vs_reference
+from ad_data_pipelines_spark.operators.agg import (
+    psi_vs_reference,
+    psi_vs_reference_edges,
+)
 from ad_data_pipelines_spark.streaming.enrich_asof import (
     read_events_stream,
 )
@@ -32,20 +35,36 @@ def run_psi_monitor_available_now(
     checkpoint: str,
     out_path: str,
     ref_props: Sequence[float],
-    lo: float,
-    hi: float,
+    lo: float = 0.0,
+    hi: float = 1.0,
     value_col: str = "value",
     group_cols: Sequence[str] = ("event_type",),
     max_files_per_trigger: int = 8,
+    edges: Sequence[float] | None = None,
 ) -> None:
     """Drain available event files; for each micro-batch append one
     row per group: (batch_id, group..., n_values, psi). Batches with
-    no usable values emit nothing (no group reaches the aggregate)."""
+    no usable values emit nothing (no group reaches the aggregate).
+
+    Bins: equal-width on [lo, hi) by default; pass `edges` (the
+    trained quantile boundaries from `agg.quantile_bin_edges` on the
+    reference period, with ref_props the training proportions of the
+    SAME bins) to monitor a heavy-tailed metric without starving the
+    tails — either way the boundaries are pinned literals, so every
+    micro-batch still scores alone with zero streaming state."""
 
     def _score(batch: DataFrame, batch_id: int) -> None:
-        psi_vs_reference(
-            batch, value_col, list(group_cols), list(ref_props), lo, hi
-        ).withColumn("batch_id", F.lit(batch_id)).write.mode(
+        if edges is not None:
+            scored = psi_vs_reference_edges(
+                batch, value_col, list(group_cols), list(ref_props),
+                list(edges),
+            )
+        else:
+            scored = psi_vs_reference(
+                batch, value_col, list(group_cols), list(ref_props),
+                lo, hi,
+            )
+        scored.withColumn("batch_id", F.lit(batch_id)).write.mode(
             "append"
         ).parquet(out_path)
 

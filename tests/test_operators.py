@@ -2520,3 +2520,113 @@ def test_distributed_ntile_guards_and_empty(spark):
         .toString()
     )
     assert not single_partition_collapses(plan), plan
+
+
+# --------------------------------------------------------------------------
+# PSI with trained quantile bin edges
+# --------------------------------------------------------------------------
+
+
+def test_psi_edges_uniform_matches_equal_width_form(spark):
+    """With edges placed at the equal-width cut points, the
+    trained-edges PSI must equal the [lo, hi) form bin-for-bin —
+    same binning, same algebra."""
+    from ad_data_pipelines_spark.operators import agg
+
+    rows = [(i % 3, float((i * 37) % 100)) for i in range(600)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    ref = [0.1] * 10
+    lo, hi = 0.0, 100.0
+    edges = [lo + (hi - lo) * i / 10 for i in range(1, 10)]
+    a = {
+        r.g: (r.n_values, r.psi)
+        for r in agg.psi_vs_reference(df, "v", ["g"], ref, lo, hi).collect()
+    }
+    b = {
+        r.g: (r.n_values, r.psi)
+        for r in agg.psi_vs_reference_edges(
+            df, "v", ["g"], ref, edges
+        ).collect()
+    }
+    assert a == b
+
+
+def test_psi_quantile_trained_edges_and_duckdb_twin(spark, tmp_path):
+    """Train decile edges on a heavy-tailed reference (where
+    equal-width bins would put ~everything in bin 0), verify the
+    reference scores itself ~0 under its own trained bins, a shifted
+    sample scores high, and the DuckDB twin reproduces the Spark
+    scores exactly from the same literal edges."""
+    import duckdb
+
+    from ad_data_pipelines_spark.operators import agg
+
+    # lognormal-ish heavy tail via exp of uniform-ish residues
+    ref_rows = [
+        (0, float(2.718 ** ((i * 97 % 1000) / 150.0))) for i in range(2000)
+    ]
+    ref_df = spark.createDataFrame(ref_rows, "g int, v double")
+    edges = agg.quantile_bin_edges(ref_df, "v", 10, exact=True)
+    assert len(edges) == 9 and edges == sorted(edges)
+    # equal-width bins on the same data: the bottom bin swallows >60%
+    # (the pathology trained edges exist to fix)
+    lo, hi = 0.0, max(v for _, v in ref_rows)
+    skew = ref_df.filter(F.col("v") < lo + (hi - lo) / 10).count()
+    assert skew > 0.6 * len(ref_rows)
+
+    # train proportions = the reference binned by its own edges
+    props = [0.1] * 10
+    self_score = agg.psi_vs_reference_edges(
+        ref_df, "v", ["g"], props, edges
+    ).collect()[0]
+    assert abs(self_score.psi) < 0.01  # ~uniform by construction
+
+    shifted = spark.createDataFrame(
+        [(0, float(v)) for v in [1.0, 1.1, 1.2] * 300], "g int, v double"
+    )
+    assert (
+        agg.psi_vs_reference_edges(shifted, "v", ["g"], props, edges)
+        .collect()[0]
+        .psi
+        > 0.25
+    )
+
+    # cross-engine: identical scores from the same literal edges
+    pq = str(tmp_path / "ref.parquet")
+    ref_df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW refv AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    want = con.execute(
+        agg.psi_vs_reference_edges_sql("refv", "v", ["g"], props, edges)
+    ).fetchall()
+    got = [
+        (r.g, r.n_values, r.psi)
+        for r in agg.psi_vs_reference_edges(
+            ref_df, "v", ["g"], props, edges
+        ).collect()
+    ]
+    assert sorted(got) == sorted([tuple(r) for r in want])
+
+
+def test_psi_edges_and_quantile_guards(spark):
+    from ad_data_pipelines_spark.operators import agg
+
+    df = spark.createDataFrame([(0, 1.0)], "g int, v double")
+    with pytest.raises(ValueError, match="edges"):
+        agg.psi_vs_reference_edges(df, "v", ["g"], [0.5, 0.5], [1.0, 2.0])
+    with pytest.raises(ValueError, match="non-decreasing"):
+        agg.psi_vs_reference_edges(df, "v", ["g"], [0.3, 0.3, 0.4], [2.0, 1.0])
+    with pytest.raises(ValueError, match="bins"):
+        agg.quantile_bin_edges(df, "v", 1)
+    empty = df.filter("g < 0")
+    with pytest.raises(ValueError, match="no non-NULL"):
+        agg.quantile_bin_edges(empty, "v", 4)
+    # approx and exact agree on a small frame
+    big = spark.createDataFrame(
+        [(0, float(i)) for i in range(1000)], "g int, v double"
+    )
+    e1 = agg.quantile_bin_edges(big, "v", 4, exact=True)
+    e2 = agg.quantile_bin_edges(big, "v", 4, exact=False)
+    assert all(abs(a - b) <= 1.0 for a, b in zip(e1, e2))

@@ -278,3 +278,41 @@ def test_dwd_stop_info_point_in_polygon(spark):
     assert rows["103"].region_id == "Unknown"   # (56.0, 25.0)
     assert rows["101"].geom == "POINT (54.5 24.5)"
     assert rows["101"].stop_name == "Central"
+
+
+def test_travel_info_sketch_rollup_parity_and_single_scan(afc, line, opdep):
+    """The production path (exact_distinct=False) carries distinct-user
+    state as a mergeable HLL sketch through the daily grain and derives
+    monthly unique_passengers by sketch UNION — at fixture cardinality
+    (≤4 uids) the DataSketches HLL is in exact (sparse) mode, so every
+    users/unique_passengers value must EQUAL the exact build, and all
+    non-distinct measures are identical by construction. Structurally,
+    the sketch build's monthly uniques are a UNION of the daily
+    sketches (hll_union_agg over daily rows, no distinct aggregate
+    anywhere in the plan), and the daily aggregate is computed once at
+    runtime (ReusedExchange dedupes the two textual references);
+    the exact build necessarily runs a second distinct pass."""
+    exact = ads_travel_info.build(afc, line, opdep, exact_distinct=True)
+    approx = ads_travel_info.build(afc, line, opdep, exact_distinct=False)
+    key = lambda r: (r.ope_month, r.region_id)  # noqa: E731
+    e = {key(r): r for r in exact.collect()}
+    a = {key(r): r for r in approx.collect()}
+    assert set(e) == set(a)
+    for k in e:
+        assert a[k].unique_passengers == e[k].unique_passengers, k
+        assert a[k].passenger_trips == e[k].passenger_trips, k
+        assert a[k].avg_daily_trips_per_passenger == pytest.approx(
+            e[k].avg_daily_trips_per_passenger, abs=1e-6
+        ), k
+
+    def final_plan(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.split("+- == Initial Plan ==")[0]
+
+    p_exact, p_approx = final_plan(exact), final_plan(approx)
+    assert "count(distinct" in p_exact  # monthly re-scan, exact mode
+    assert "count(distinct" not in p_approx
+    assert "hll_sketch_agg" in p_approx and "hll_union_agg" in p_approx
+    # the daily aggregate feeds both the monthly measures and the
+    # monthly sketch union; at runtime it is computed ONCE
+    assert "ReusedExchange" in p_approx

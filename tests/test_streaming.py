@@ -1130,3 +1130,65 @@ def test_hotkey_sketch_rejects_foreign_checkpoint_batch_ids(
     (ck / "metadata").write_text('{"id": "qid-from-metadata"}')
     assert hotkeys._checkpoint_query_id(str(ck)) == "qid-from-metadata"
     assert hotkeys._checkpoint_query_id(str(tmp_path / "absent")) is None
+
+
+def test_streaming_psi_monitor_with_trained_quantile_edges(
+    spark, tmp_path
+):
+    """The monitor's trained-edges mode: decile boundaries trained on
+    a heavy-tailed reference period score each micro-batch exactly as
+    the batch `psi_vs_reference_edges` operator does — a
+    reference-like batch ~0, a tail-concentrated batch shifted — with
+    the boundaries as pinned literals (zero streaming state, same as
+    the equal-width mode)."""
+    import datetime as dt
+
+    from ad_data_pipelines_spark.operators import agg
+    from ad_data_pipelines_spark.streaming import drift
+
+    T = dt.datetime(2024, 1, 1)
+
+    def mk(values):
+        return spark.createDataFrame(
+            [
+                (i, T + dt.timedelta(minutes=i), i % 7, "x", float(v), "{}")
+                for i, v in enumerate(values)
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+
+    # heavy-tailed training period → trained decile edges
+    train_vals = [2.718 ** ((i * 97 % 1000) / 150.0) for i in range(2000)]
+    train = mk(train_vals)
+    edges = agg.quantile_bin_edges(train, "value", 10, exact=True)
+    props = [0.1] * 10
+
+    like_ref = mk(train_vals[::4])          # same distribution
+    concentrated = mk([1.05] * 150)         # all in the bottom decile
+    src = tmp_path / "src"
+    like_ref.coalesce(1).write.parquet(str(src), mode="append")
+    concentrated.coalesce(1).write.parquet(str(src), mode="append")
+
+    drift.run_psi_monitor_available_now(
+        spark,
+        str(src),
+        checkpoint=str(tmp_path / "ck"),
+        out_path=str(tmp_path / "out"),
+        ref_props=props,
+        group_cols=["event_type"],
+        max_files_per_trigger=1,
+        edges=edges,
+    )
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(out) == 2
+    by_n = {r.n_values: r for r in out}
+    assert abs(by_n[500].psi) < 0.02, "reference-like batch scores ~0"
+    assert by_n[150].psi > 0.25, "tail-concentrated batch flags"
+
+    # streamed == batch operator, per batch
+    for batch, n in ((like_ref, 500), (concentrated, 150)):
+        want = agg.psi_vs_reference_edges(
+            batch, "value", ["event_type"], props, edges
+        ).collect()[0]
+        assert (want.n_values, want.psi) == (n, by_n[n].psi)
