@@ -6046,6 +6046,37 @@ def q_a22_psi_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Decile boundaries of events.value trained OFFLINE on the reference
+# period (agg.quantile_bin_edges, exact mode) and pinned as literals —
+# the production train-once/monitor-forever workflow. events.value is
+# heavy-tailed (median ≈ 35, max ≈ 490): a22's equal-width [0, 500)
+# bins put ~90% of rows in the bottom two bins, so tail drift is
+# invisible there; under these trained edges every bin carries ~10%
+# and is equally informative.
+_A32_TRAINED_EDGES = [5.2, 11.1, 18.17, 25.7, 34.59, 45.65, 60.02, 79.7, 113.29]
+
+
+@register(
+    "a32_psi_trained_edges",
+    oracle=_agg.psi_vs_reference_edges_sql(
+        "events", "value", ["event_type"], [0.1] * 10, _A32_TRAINED_EDGES
+    ),
+    doc="PSI per event_type over TRAINED decile boundaries (pinned "
+    "literals from agg.quantile_bin_edges on the reference period) "
+    "instead of a22's equal-width bins — the heavy-tailed-metric "
+    "monitoring form. Bin id = count of edges ≤ v, a codegen'd filter "
+    "over a 9-literal array: map-only binning, one combinable "
+    "(group, bin) count, broadcast bin spine — no window, no join on "
+    "data, unchanged at any scale. operators/agg.py:"
+    "psi_vs_reference_edges; streaming twin: drift.py edges mode.",
+)
+def q_a32_psi_trained_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return _agg.psi_vs_reference_edges(
+        ev, "value", ["event_type"], [0.1] * 10, _A32_TRAINED_EDGES
+    )
+
+
 @register(
     "o14_join_skew_report",
     oracle="""
@@ -6289,6 +6320,7 @@ _GATE_PRIORITY = [
     # tier 0 (round 7): new/re-planned round-7 registrations
     "w8_balance_deciles",
     "j31_returned_item_customers",
+    "a32_psi_trained_edges",
     # tier 0b: first-ever driver row for the rows-only shard union
 ] + _GATE_ROWS_ONLY_ROTATED + [
     # tier 1: latest green still r2 — the oldest-stale oracle-backed tail

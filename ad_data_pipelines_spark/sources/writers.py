@@ -14,9 +14,13 @@ temp-table → rename swap (data_ingestion/pg_import.R:154-346). On Spark:
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql.types import StringType
+
+_log = logging.getLogger(__name__)
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
@@ -76,6 +80,59 @@ def swap_ddl(
     raise ValueError(f"unknown jdbc dialect {dialect!r}")
 
 
+def compression_ddl(
+    table: str, text_columns: list[str], dialect: str = "postgres"
+) -> list[str]:
+    """Storage-compression DDL for a freshly written table (reference
+    data_ingestion/pg_import.R:187-221): shrink the TOAST inline
+    threshold so wide rows compress out-of-line, mark text columns
+    EXTENDED (compressed TOAST storage), and request LZ4 column
+    compression on PostgreSQL 14+. The reference's table-level
+    `SET (compression = lz4)` spelling (pg_import.R:213) is not a
+    valid PG reloption — it lives inside a tryCatch and always falls
+    back — so this emits the column-level `SET COMPRESSION lz4`,
+    which is the DDL PG 14+ actually accepts; same intent, valid
+    spelling. Every statement is OPTIONAL tuning: run via
+    `_run_best_effort` (per-statement autocommit, failures logged),
+    matching the reference's warn-and-continue contract.
+
+    Derby (the in-process test engine) has no storage-compression
+    DDL — returns [] so the staged-swap path is byte-identical there."""
+    if dialect == "derby":
+        return []
+    if dialect != "postgres":
+        raise ValueError(f"unknown jdbc dialect {dialect!r}")
+    stmts = [f'ALTER TABLE "{table}" SET (toast_tuple_target = 128)']
+    for c in text_columns:
+        stmts.append(
+            f'ALTER TABLE "{table}" ALTER COLUMN "{c}" SET STORAGE EXTENDED'
+        )
+        stmts.append(
+            f'ALTER TABLE "{table}" ALTER COLUMN "{c}" SET COMPRESSION lz4'
+        )
+    return stmts
+
+
+def _run_best_effort(conn, statements: list[str]) -> list[str]:
+    """Run each statement on its own autocommit transaction; a failure
+    logs a warning and continues (the reference's tryCatch-per-step,
+    pg_import.R:191-221, 317-331). Autocommit ON is also what VACUUM
+    FULL requires — it cannot run inside a transaction block. Returns
+    the statements that succeeded (for tests/telemetry)."""
+    ok: list[str] = []
+    conn.setAutoCommit(True)
+    for sql in statements:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(sql)
+            ok.append(sql)
+        except Exception as exc:  # noqa: BLE001 — warn-and-continue contract
+            _log.warning("post-load statement failed (continuing): %s — %s", sql, exc)
+        finally:
+            stmt.close()
+    return ok
+
+
 def _table_exists(conn, table: str) -> bool:
     """Probe with a zero-row select — dialect-neutral, run with
     autocommit ON so a failed probe can't poison the swap transaction."""
@@ -92,16 +149,33 @@ def _table_exists(conn, table: str) -> bool:
 
 
 def write_jdbc_staged(
-    df: DataFrame, target: JdbcTarget, dialect: str = "postgres"
-) -> None:
+    df: DataFrame,
+    target: JdbcTarget,
+    dialect: str = "postgres",
+    enable_compression: bool = False,
+    post_load_sql: list[str] | None = None,
+) -> list[str]:
     """Write to `<table>__staging` with parallel batched inserts, then
     atomically swap it into place (one transaction: drop old + rename
     staging). Re-running is idempotent — the staging write is
     mode('overwrite') and the swap replaces the previous table.
 
+    `enable_compression=True` reproduces the reference's
+    `enable_compression` path (data_ingestion/pg_import.R:187-221,
+    316-331): storage-compression DDL on the staging table BEFORE the
+    swap (so the rename carries the settings) and a `VACUUM FULL`
+    AFTER it (rewrites the heap so compression applies to already
+    loaded rows). `post_load_sql` appends caller statements (index
+    builds, ANALYZE, grants) to that post-swap step. Both are
+    warn-and-continue best-effort on per-statement autocommit — a
+    missing privilege or an older PG version can never fail the load,
+    and VACUUM cannot run inside a transaction block anyway. The swap
+    itself stays strict and transactional. Returns the post-load
+    statements that succeeded.
+
     Exercised end-to-end in tests against embedded Derby (on the Spark
     classpath); the postgres dialect is the production path and differs
-    only in the DDL spelling from `swap_ddl`.
+    only in the DDL spelling from `swap_ddl` / `compression_ddl`.
     """
     staging = f"{target.table}__staging"
     (
@@ -111,6 +185,9 @@ def write_jdbc_staged(
         .mode("overwrite")
         .save()
     )
+    text_cols = [
+        f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
+    ]
     # driver-side swap through one JDBC connection, one transaction
     jvm = df.sparkSession._sc._jvm
     props = jvm.java.util.Properties()
@@ -119,6 +196,10 @@ def write_jdbc_staged(
             props.setProperty(k, v)
     conn = jvm.java.sql.DriverManager.getConnection(target.url, props)
     try:
+        if enable_compression:
+            _run_best_effort(
+                conn, compression_ddl(staging, text_cols, dialect)
+            )
         exists = _table_exists(conn, target.table)
         conn.setAutoCommit(False)
         stmt = conn.createStatement()
@@ -126,6 +207,10 @@ def write_jdbc_staged(
             stmt.execute(sql)
         stmt.close()
         conn.commit()
+        post = list(post_load_sql or [])
+        if enable_compression and dialect == "postgres":
+            post.append(f'VACUUM FULL "{target.table}"')
+        return _run_best_effort(conn, post) if post else []
     finally:
         conn.close()
 

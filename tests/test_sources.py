@@ -113,6 +113,86 @@ def test_jdbc_staged_swap_end_to_end(spark, tmp_path):
         read_back("ads_x__staging").collect()
 
 
+def test_compression_ddl_statements():
+    """The postgres compression DDL matches the reference's intent
+    (pg_import.R:187-221): TOAST tuple target, EXTENDED storage +
+    LZ4 per text column — emitted in the valid PG14+ column-level
+    spelling (the reference's table-level `SET (compression = lz4)`
+    is not a real reloption; it lives inside its tryCatch). Derby has
+    no equivalent → []."""
+    import pytest
+
+    ddl = writers.compression_ddl("s", ["name", "city"])
+    assert ddl == [
+        'ALTER TABLE "s" SET (toast_tuple_target = 128)',
+        'ALTER TABLE "s" ALTER COLUMN "name" SET STORAGE EXTENDED',
+        'ALTER TABLE "s" ALTER COLUMN "name" SET COMPRESSION lz4',
+        'ALTER TABLE "s" ALTER COLUMN "city" SET STORAGE EXTENDED',
+        'ALTER TABLE "s" ALTER COLUMN "city" SET COMPRESSION lz4',
+    ]
+    assert writers.compression_ddl("s", ["name"], dialect="derby") == []
+    with pytest.raises(ValueError, match="dialect"):
+        writers.compression_ddl("s", [], dialect="oracle")
+
+
+def test_jdbc_post_load_hook_best_effort(spark, tmp_path):
+    """The post-swap hook (the reference's VACUUM FULL step,
+    pg_import.R:316-331, generalized to caller statements): statements
+    run AFTER the swap commits against the FINAL table name, a failing
+    statement warns and continues without failing the load or blocking
+    later statements, and enable_compression on a dialect with no
+    compression DDL (derby) is a clean no-op — the swap itself stays
+    strict."""
+    url = f"jdbc:derby:{tmp_path}/postdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    target = writers.JdbcTarget(
+        url=url, table="ads_z", driver=driver, batchsize=100, num_partitions=1
+    )
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, name string"
+    )
+    ok = writers.write_jdbc_staged(
+        df,
+        target,
+        dialect="derby",
+        enable_compression=True,  # no-op DDL set on derby; must not fail
+        post_load_sql=[
+            'CREATE INDEX "ads_z_id_ix" ON "ads_z" ("id")',  # real: final name
+            'VACUUM FULL "ads_z"',  # derby can't parse this → warn, continue
+            # (an index on "name" would also fail: Spark's Derby dialect
+            # writes StringType as CLOB, which Derby can't index)
+            'UPDATE "ads_z" SET "name" = \'seen\' WHERE "id" = 3',  # still runs
+        ],
+    )
+    assert ok == [
+        'CREATE INDEX "ads_z_id_ix" ON "ads_z" ("id")',
+        'UPDATE "ads_z" SET "name" = \'seen\' WHERE "id" = 3',
+    ]
+    got = (
+        spark.read.format("jdbc")
+        .options(url=url, driver=driver, dbtable='"ads_z"')
+        .load()
+        .collect()
+    )
+    assert {(r.id, r.name) for r in got} == {(1, "a"), (2, "b"), (3, "seen")}
+
+    # the index exists on the live table (proves the hook ran post-swap
+    # against the final name, not the staging name)
+    jvm = spark._sc._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        rs = conn.getMetaData().getIndexInfo(None, None, "ads_z", False, False)
+        names = set()
+        while rs.next():
+            ix = rs.getString("INDEX_NAME")
+            if ix:
+                names.add(ix)
+        rs.close()
+    finally:
+        conn.close()
+    assert "ads_z_id_ix" in names
+
+
 def test_jdbc_staged_swap_survives_midwrite_failure(spark, tmp_path):
     """Fault injection for the reference's chunk-resilience contract
     (data_ingestion/pg_import.R:253-268, 3 retries per chunk): a batch
