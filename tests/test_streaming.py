@@ -1192,3 +1192,99 @@ def test_streaming_psi_monitor_with_trained_quantile_edges(
             batch, "value", ["event_type"], props, edges
         ).collect()[0]
         assert (want.n_values, want.psi) == (n, by_n[n].psi)
+
+
+def test_streaming_hll_shard_maintainer_matches_batch_and_replay(
+    spark, tmp_path
+):
+    """The streaming HLL shard maintainer drained over N micro-batches
+    produces per-shard distinct estimates EQUAL to the one-shot batch
+    `hll_shard_table` over the same data (sparse-mode exactness at
+    test cardinality), composes to the exact global distinct via
+    `hll_union_estimate`, and — unlike the additive CMS monitor —
+    re-applying an identical batch is a no-op by register-max algebra,
+    no batch-id guard needed."""
+    import datetime as dt
+
+    from ad_data_pipelines_spark.operators import merge, sketch
+    from ad_data_pipelines_spark.streaming import distincts
+
+    T = dt.datetime(2024, 1, 1)
+
+    def mk(day, uids):
+        return spark.createDataFrame(
+            [
+                (i, T + dt.timedelta(days=day, minutes=i), int(u), "x", 1.0, "{}")
+                for i, u in enumerate(uids)
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+
+    # three files → three micro-batches; day 1 spans two batches and
+    # uid 7 appears on both days (the cross-shard overlap case)
+    b1 = mk(0, [1, 2, 3, 7, 7, 2])
+    b2 = mk(1, [7, 8, 9])
+    b3 = mk(1, [9, 10, 11, 8])
+    src = tmp_path / "src"
+    for b in (b1, b2, b3):
+        b.coalesce(1).write.parquet(str(src), mode="append")
+
+    derive = lambda df: df.withColumn("day", F.to_date("ts"))  # noqa: E731
+    root = str(tmp_path / "shards")
+    distincts.run_hll_shard_maintainer_available_now(
+        spark,
+        str(src),
+        checkpoint=str(tmp_path / "ck"),
+        shard_root=root,
+        key_col="user_id",
+        shard_cols=("day",),
+        derive=derive,
+        max_files_per_trigger=1,
+    )
+
+    shards = merge.table_read(spark, root)
+    assert shards.count() == 2  # one row per day, however many batches
+
+    whole = b1.unionByName(b2).unionByName(b3)
+    want = {
+        r.day: r.est
+        for r in sketch.hll_union_estimate(
+            sketch.hll_shard_table(derive(whole), "user_id", ["day"]),
+            ["day"],
+        ).selectExpr("day", "n_distinct_est as est").collect()
+    }
+    got = {
+        r.day: r.est
+        for r in sketch.hll_union_estimate(shards, ["day"])
+        .selectExpr("day", "n_distinct_est as est")
+        .collect()
+    }
+    assert got == want == {
+        dt.date(2024, 1, 1): 4.0,   # {1,2,3,7}
+        dt.date(2024, 1, 2): 5.0,   # {7,8,9,10,11}
+    }
+    # global grain: sketch union counts uid 7 once across days
+    assert (
+        sketch.hll_union_estimate(shards).collect()[0].n_distinct_est == 8.0
+    )
+
+    # replay algebra: re-applying an already-applied batch changes
+    # nothing (register-max), though it commits a new version
+    v_before = merge.table_current_version(root)
+    distincts.apply_batch(derive(b2), root, "user_id", ["day"])
+    assert merge.table_current_version(root) != v_before
+    again = {
+        r.day: r.est
+        for r in sketch.hll_union_estimate(merge.table_read(spark, root), ["day"])
+        .selectExpr("day", "n_distinct_est as est")
+        .collect()
+    }
+    assert again == want
+
+    # version accumulation is bounded (vacuum_keep=2 reader-grace
+    # contract): 4 commits happened, ≤2 version dirs remain
+    import os
+
+    versions = [d for d in os.listdir(root) if d.startswith("v")]
+    assert len(versions) <= 2
