@@ -208,3 +208,146 @@ def hll_union_estimate(
     if group_cols:
         return shards.groupBy(*group_cols).agg(agg)
     return shards.agg(agg)
+
+
+def histogram_shard_table(
+    df: DataFrame,
+    value_col: str,
+    bounds: Sequence[float],
+    shard_cols: Sequence[str],
+) -> DataFrame:
+    """(shard_cols…, bin, n): exact counts of `value_col` per TRAINED
+    bin per shard — the mergeable QUANTILE artifact, completing the
+    family (HLL shards = distinct counts, CMS = frequencies, this =
+    quantiles): histograms over the SAME bounds merge by adding
+    counts, so any-grain/any-subset quantile estimates need zero data
+    re-scan. Bounds typically come from `agg.quantile_bin_edges` on a
+    training period plus explicit outer limits.
+
+    `bounds` = [b0 … bK], strictly increasing, defining K bins
+    [b_i, b_i+1); values outside [b0, bK) clamp into bins 0 / K-1 so
+    mass is never lost (the estimate just saturates at the outer
+    bounds). bin id = count of interior edges ≤ v — a codegen'd
+    filter over ≤K-1 literals, same kernel as the trained-edges PSI.
+    NULLs drop. ONE combinable aggregate of ≤ shards×K groups."""
+    bs = [float(b) for b in bounds]
+    if len(bs) < 2 or bs != sorted(set(bs)):
+        raise ValueError("bounds must be >= 2 strictly increasing values")
+    v = F.col(value_col)
+    interior = F.array(*[F.lit(b) for b in bs[1:-1]])
+    bin_ = F.size(F.filter(interior, lambda e: e <= v)).cast("int")
+    return (
+        df.filter(v.isNotNull())
+        .select(*shard_cols, bin_.alias("bin"))
+        .groupBy(*shard_cols, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def histogram_union_quantiles(
+    shards: DataFrame,
+    bounds: Sequence[float],
+    probs: Sequence[float],
+    group_cols: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """(group…, prob, n_values, q_est): merge shard histograms to the
+    `group_cols` grain (SUM of counts — the merge operation) and
+    estimate each quantile by linear interpolation inside the
+    containing bin: q = lo + (hi − lo)·(target − cum_below)/n_bin with
+    target = prob·n_values — worst-case error one bin width, zero at
+    bin boundaries. Probs must lie in (0, 1] (p→0 is the left edge of
+    the first non-empty bin's predecessor boundary, undefined here).
+
+    Everything after the count merge runs on ≤ groups×K rows: the
+    cumulative window orders ≤K bins per group (bounded state), the
+    prob spine broadcasts. Deterministic: counts are exact integers
+    and the interpolation is the same double expression both engines
+    evaluate, rounded to `round_dp`."""
+    bs = [float(b) for b in bounds]
+    if len(bs) < 2 or bs != sorted(set(bs)):
+        raise ValueError("bounds must be >= 2 strictly increasing values")
+    ps = [float(p) for p in probs]
+    if not ps or any(not 0.0 < p <= 1.0 for p in ps):
+        raise ValueError(f"probs must lie in (0, 1], got {probs}")
+    gcols = list(group_cols)
+    merged = shards.groupBy(*gcols, "bin").agg(
+        F.sum("n").cast("bigint").alias("n")
+    )
+    w_tot = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+    w_cum = w_tot.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = merged.select(
+        *gcols,
+        "bin",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).cast("bigint").alias("n_values"),
+    )
+    spark = shards.sparkSession
+    spine = spark.createDataFrame([(p,) for p in ps], "prob double")
+    lo = F.element_at(F.array(*[F.lit(b) for b in bs[:-1]]), F.col("bin") + 1)
+    hi = F.element_at(F.array(*[F.lit(b) for b in bs[1:]]), F.col("bin") + 1)
+    target = F.col("prob") * F.col("n_values")
+    hit = (
+        cum.crossJoin(F.broadcast(spine))
+        # target ∈ (cum − n, cum]: exactly one bin per (group, prob)
+        .filter((F.col("cum") >= target) & ((F.col("cum") - F.col("n")) < target))
+    )
+    frac = (target - (F.col("cum") - F.col("n"))) / F.col("n")
+    return hit.select(
+        *gcols,
+        "prob",
+        "n_values",
+        F.round(lo + (hi - lo) * frac, round_dp).alias("q_est"),
+    )
+
+
+def histogram_quantiles_sql(
+    table: str,
+    value_col: str,
+    bounds: Sequence[float],
+    probs: Sequence[float],
+    group_cols: Sequence[str],
+    round_dp: int = 6,
+) -> str:
+    """DuckDB twin of histogram_shard_table → histogram_union_quantiles
+    at the `group_cols` grain. Merging exact per-shard counts equals
+    counting at the group grain directly, so the oracle skips the
+    shard step by algebra — which is exactly the property that makes
+    the artifact trustworthy."""
+    bs = [float(b) for b in bounds]
+    g = ", ".join(group_cols)
+    interior = ", ".join(repr(b) for b in bs[1:-1])
+    lo_arr = ", ".join(repr(b) for b in bs[:-1])
+    hi_arr = ", ".join(repr(b) for b in bs[1:])
+    ps = ", ".join(repr(float(p)) for p in probs)
+    bin_ = (
+        f"CAST(len(list_filter([{interior}], e -> e <= {value_col}))"
+        " AS INTEGER)"
+    )
+    return f"""
+        WITH counts AS (
+            SELECT {g}, {bin_} AS bin, CAST(COUNT(*) AS BIGINT) AS n
+            FROM {table} WHERE {value_col} IS NOT NULL
+            GROUP BY {g}, bin
+        ),
+        cum AS (
+            SELECT {g}, bin, n,
+                   SUM(n) OVER (PARTITION BY {g} ORDER BY bin) AS cum,
+                   CAST(SUM(n) OVER (PARTITION BY {g}) AS BIGINT)
+                       AS n_values
+            FROM counts
+        ),
+        spine AS (SELECT CAST(unnest([{ps}]) AS DOUBLE) AS prob)
+        SELECT {g}, prob, n_values,
+               ROUND(
+                   list_extract([{lo_arr}], bin + 1)
+                   + (list_extract([{hi_arr}], bin + 1)
+                      - list_extract([{lo_arr}], bin + 1))
+                   * ((prob * n_values - (cum - n)) / n),
+                   {round_dp}) AS q_est
+        FROM cum CROSS JOIN spine
+        WHERE cum >= prob * n_values AND (cum - n) < prob * n_values
+    """

@@ -772,6 +772,7 @@ from ad_data_pipelines_spark.operators import intervals as _intervals  # noqa: E
 from ad_data_pipelines_spark.operators import corpusstats as _cs  # noqa: E402
 from ad_data_pipelines_spark.operators import fuzzy as _fuzzy  # noqa: E402
 from ad_data_pipelines_spark.operators import graph as _graph  # noqa: E402
+from ad_data_pipelines_spark.operators import sketch as _sketch_ops  # noqa: E402
 
 
 @register(
@@ -6078,23 +6079,68 @@ def q_a32_psi_trained_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The trained PSI deciles (a32) plus explicit outer limits: the bin
+# bounds of the mergeable histogram artifact. Same training, two
+# consumers — drift scoring and quantile serving.
+_A33_BOUNDS = [0.0] + _A32_TRAINED_EDGES + [500.0]
+
+
+@register(
+    "a33_binned_quantile_shards",
+    oracle=_sketch_ops.histogram_quantiles_sql(
+        "events", "value", _A33_BOUNDS, [0.5, 0.9, 0.99], ["event_type"]
+    ),
+    doc="p50/p90/p99 of events.value per event_type served from the "
+    "mergeable HISTOGRAM artifact: per-(event_type, day) exact bin "
+    "counts over trained bounds (histogram_shard_table), merged to "
+    "the event_type grain by count addition, quantiles by in-bin "
+    "linear interpolation — any-grain/any-subset quantiles with zero "
+    "re-scan, completing the artifact family (HLL = distinct, CMS = "
+    "frequency, histogram = quantiles). The oracle counts at the "
+    "group grain directly — equal by algebra, which is the property "
+    "that makes the artifact trustworthy. One combinable aggregate "
+    "over the facts; everything after runs on ≤ groups×K rows. "
+    "operators/sketch.py:histogram_shard_table.",
+)
+def q_a33_binned_quantile_shards(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    shards = _sketch_ops.histogram_shard_table(
+        ev, "value", _A33_BOUNDS, ["event_type", "day"]
+    )
+    return _sketch_ops.histogram_union_quantiles(
+        shards, _A33_BOUNDS, [0.5, 0.9, 0.99], ["event_type"]
+    )
+
+
+# Dense INTEGER node ids (customer 2k, supplier 2k+1): the rank state
+# shuffles every iteration keyed on the node, and long keys run ~2×
+# faster than string labels (see operators/graph.py docstring); the
+# human label is re-derived once on the 25-row result.
 _G1_EDGE_SQL = """
     WITH cs AS (
-        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
-                        's' || CAST(l_suppkey AS VARCHAR) AS s
+        SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS c,
+                        CAST(2 * l_suppkey + 1 AS BIGINT) AS s
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     )
     SELECT c AS src, s AS dst FROM cs
     UNION ALL
     SELECT s AS src, c AS dst FROM cs
 """
+_G1_LABEL_SQL = (
+    "concat(CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END,"
+    " CAST(node // 2 AS VARCHAR))"
+)
 
 
 @register(
     "g1_pagerank_suppliers",
     oracle=(
-        _graph.pagerank_sql(_G1_EDGE_SQL, iterations=10)
-        + "\nORDER BY rank_fp DESC, node LIMIT 25"
+        "WITH pr AS (\n"
+        + _graph.pagerank_sql(_G1_EDGE_SQL, iterations=10)
+        + f"\n) SELECT {_G1_LABEL_SQL} AS node, rank_fp FROM pr\n"
+        "ORDER BY rank_fp DESC, node LIMIT 25"
     ),
     doc="Fixed-point PageRank over the undirected customer↔supplier "
     "trade graph (distinct (custkey, suppkey) pairs from "
@@ -6105,8 +6151,9 @@ _G1_EDGE_SQL = """
     "and the unrolled DuckDB recurrence, so an iterative float "
     "algorithm becomes hash-gateable. Per iteration: one src equi-"
     "join of the 2-long rank state onto edges + one combinable (dst) "
-    "aggregate; lineage truncated per round (localCheckpoint). "
-    "operators/graph.py:pagerank.",
+    "aggregate; lineage truncated per round (localCheckpoint); dense "
+    "integer node ids (2k / 2k+1), labels re-derived on the top-25 "
+    "only. operators/graph.py:pagerank.",
 )
 def q_g1_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -6114,8 +6161,8 @@ def q_g1_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+            (2 * F.col("o_custkey")).cast("bigint").alias("c"),
+            (2 * F.col("l_suppkey") + 1).cast("bigint").alias("s"),
         )
         .distinct()
     )
@@ -6123,7 +6170,15 @@ def q_g1_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs.selectExpr("s AS src", "c AS dst")
     )
     ranks = _graph.pagerank(edges, iterations=10)
-    return ranks.orderBy(F.desc("rank_fp"), "node").limit(25)
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.expr("CAST(node DIV 2 AS STRING)"),
+    )
+    return (
+        ranks.select(label.alias("node"), "rank_fp")
+        .orderBy(F.desc("rank_fp"), "node")
+        .limit(25)
+    )
 
 
 @register(
@@ -6371,6 +6426,7 @@ _GATE_PRIORITY = [
     "j31_returned_item_customers",
     "a32_psi_trained_edges",
     "g1_pagerank_suppliers",
+    "a33_binned_quantile_shards",
     # tier 0b: first-ever driver row for the rows-only shard union
 ] + _GATE_ROWS_ONLY_ROTATED + [
     # tier 1: latest green still r2 — the oldest-stale oracle-backed tail

@@ -2704,3 +2704,79 @@ def test_pagerank_dangling_partitioning_and_guards(spark):
     empty = graph.pagerank(df.filter("src = 'zzz'"))
     assert empty.columns == ["node", "rank_fp"]
     assert empty.count() == 0
+
+
+# --------------------------------------------------------------------------
+# Mergeable histogram quantile artifact (operators/sketch.py)
+# --------------------------------------------------------------------------
+
+
+def test_histogram_shards_merge_property_and_clamp(spark):
+    """The artifact contract: fine-grain shards merged to a coarser
+    grain give EXACTLY the quantiles of a direct coarse-grain build
+    (count addition is the merge), out-of-bounds values clamp into the
+    outer bins instead of dropping, and a shard SUBSET answers its own
+    quantiles without touching excluded shards' data."""
+    from ad_data_pipelines_spark.operators import sketch
+
+    rows = [
+        (i % 2, i % 5, float((i * 37) % 100)) for i in range(4000)
+    ] + [(0, 0, 999.0), (1, 1, -7.0)]  # clamp cases
+    df = spark.createDataFrame(rows, "g int, day int, v double")
+    bounds = [0.0, 20.0, 40.0, 60.0, 80.0, 100.0]
+    probs = [0.25, 0.5, 0.99]
+
+    fine = sketch.histogram_shard_table(df, "v", bounds, ["g", "day"])
+    coarse = sketch.histogram_shard_table(df, "v", bounds, ["g"])
+    via_merge = sorted(
+        map(
+            tuple,
+            sketch.histogram_union_quantiles(fine, bounds, probs, ["g"])
+            .collect(),
+        )
+    )
+    direct = sorted(
+        map(
+            tuple,
+            sketch.histogram_union_quantiles(coarse, bounds, probs, ["g"])
+            .collect(),
+        )
+    )
+    assert via_merge == direct
+    # n_values includes the clamped rows (mass never lost)
+    assert all(n == 2001 for _, _, n, _ in via_merge)
+    # uniform[0,100): medians land ~50, p99 saturates below the outer
+    # bound even with the 999 outlier clamped into the last bin
+    med = {g: q for g, p, _, q in via_merge if p == 0.5}
+    assert abs(med[0] - 50.0) < 1.5 and abs(med[1] - 50.0) < 1.5
+
+    # subset query: day 0 shards only — uses only those counts
+    sub = sketch.histogram_union_quantiles(
+        fine.filter("day = 0"), bounds, [0.5], ["g"]
+    ).collect()
+    assert {r.n_values for r in sub} == {
+        df.filter("day = 0 and g = 0").count(),
+        df.filter("day = 0 and g = 1").count(),
+    }
+
+
+def test_histogram_quantile_guards_and_global_grain(spark):
+    import pytest
+
+    from ad_data_pipelines_spark.operators import sketch
+
+    df = spark.createDataFrame(
+        [(1, float(i)) for i in range(100)], "g int, v double"
+    )
+    bounds = [0.0, 50.0, 100.0]
+    with pytest.raises(ValueError, match="strictly increasing"):
+        sketch.histogram_shard_table(df, "v", [1.0, 1.0], ["g"])
+    shards = sketch.histogram_shard_table(df, "v", bounds, ["g"])
+    with pytest.raises(ValueError, match="probs"):
+        sketch.histogram_union_quantiles(shards, bounds, [0.0], ["g"])
+    with pytest.raises(ValueError, match="probs"):
+        sketch.histogram_union_quantiles(shards, bounds, [1.2], ["g"])
+    # global grain (no group cols): one row per prob; p=1.0 hits the
+    # top of the last non-empty bin
+    top = sketch.histogram_union_quantiles(shards, bounds, [1.0]).collect()
+    assert len(top) == 1 and top[0].q_est == 100.0
