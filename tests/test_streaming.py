@@ -1288,3 +1288,107 @@ def test_streaming_hll_shard_maintainer_matches_batch_and_replay(
 
     versions = [d for d in os.listdir(root) if d.startswith("v")]
     assert len(versions) <= 2
+
+
+def test_streaming_histogram_maintainer_matches_batch_and_guards(
+    spark, tmp_path
+):
+    """The streaming histogram maintainer drained over N micro-batches
+    equals the one-shot batch shard table exactly (counts are exact
+    integers), quantiles served from the artifact match the batch
+    operator, a replayed batch_id is a no-op (additive counts need the
+    guard — contrast the HLL maintainer), and versions stay bounded."""
+    import datetime as dt
+
+    from ad_data_pipelines_spark.operators import sketch
+    from ad_data_pipelines_spark.streaming import histograms
+
+    T = dt.datetime(2024, 3, 1)
+
+    def mk(day, values):
+        return spark.createDataFrame(
+            [
+                (i, T + dt.timedelta(days=day, minutes=i), i % 5, "x",
+                 float(v), "{}")
+                for i, v in enumerate(values)
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        )
+
+    bounds = [0.0, 25.0, 50.0, 75.0, 100.0]
+    b1 = mk(0, [float((i * 37) % 100) for i in range(300)])
+    b2 = mk(1, [float((i * 53) % 100) for i in range(200)])
+    b3 = mk(1, [120.0, -3.0] * 25)  # clamp rows, same day as b2
+    src = tmp_path / "src"
+    for b in (b1, b2, b3):
+        b.coalesce(1).write.parquet(str(src), mode="append")
+
+    derive = lambda df: df.withColumn("day", F.to_date("ts"))  # noqa: E731
+    root = str(tmp_path / "hist")
+    histograms.run_histogram_maintainer_available_now(
+        spark,
+        str(src),
+        checkpoint=str(tmp_path / "ck"),
+        shard_root=root,
+        value_col="value",
+        bounds=bounds,
+        shard_cols=("day",),
+        derive=derive,
+        max_files_per_trigger=1,
+    )
+
+    shards = histograms.read_shards(spark, root)
+    whole = derive(b1.unionByName(b2).unionByName(b3))
+    want_shards = sketch.histogram_shard_table(whole, "value", bounds, ["day"])
+    key = lambda r: (r.day, r.bin)  # noqa: E731
+    assert {key(r): r.n for r in shards.collect()} == {
+        key(r): r.n for r in want_shards.collect()
+    }
+
+    got_q = sorted(
+        map(
+            tuple,
+            sketch.histogram_union_quantiles(
+                shards, bounds, [0.5, 0.9], ["day"]
+            ).collect(),
+        )
+    )
+    want_q = sorted(
+        map(
+            tuple,
+            sketch.histogram_union_quantiles(
+                want_shards, bounds, [0.5, 0.9], ["day"]
+            ).collect(),
+        )
+    )
+    assert got_q == want_q and len(got_q) == 4
+
+    # replayed batch_id: no-op (False), artifact unchanged
+    before = {key(r): r.n for r in histograms.read_shards(spark, root).collect()}
+    assert (
+        histograms.apply_batch(
+            spark, root, derive(b3), 2, "value", bounds, ["day"]
+        )
+        is False
+    )
+    assert {
+        key(r): r.n for r in histograms.read_shards(spark, root).collect()
+    } == before
+
+    # mismatched bounds must fail loudly, never silently merge
+    import pytest
+
+    with pytest.raises(ValueError, match="bounds"):
+        histograms.apply_batch(
+            spark, root, derive(b3), 50, "value", [0.0, 50.0, 100.0], ["day"]
+        )
+
+    # higher batch_id applies; versions stay bounded at 2
+    import os
+
+    assert histograms.apply_batch(
+        spark, root, derive(mk(2, [10.0])), 99, "value", bounds, ["day"]
+    )
+    versions = [d for d in os.listdir(root) if d.startswith("v")]
+    assert len(versions) <= 2
