@@ -918,7 +918,7 @@ def psi_vs_reference_edges(
     from `quantile_bin_edges` on the training period, making the
     reference proportions ~uniform and every bin informative even on
     heavy-tailed metrics. Same scale shape as the equal-width form:
-    map-only binning (a codegen'd array filter over ≤n_bins-1
+    map-only binning (a JVM-side array filter over ≤n_bins-1
     literals), one combinable (group, bin) count, broadcast spine."""
     n_bins = len(ref_props)
     if n_bins != len(edges) + 1:
@@ -936,7 +936,7 @@ def psi_vs_reference_edges(
     gcols = list(group_cols)
     v = F.col(value_col)
     # bin = number of edges ≤ v: a higher-order filter over a literal
-    # array — whole-stage codegen, no UDF, no join
+    # array — JVM-side higher-order function, no Python UDF, no join
     edge_arr = F.array(*[F.lit(float(e)) for e in edges])
     bin_ = F.size(F.filter(edge_arr, lambda e: e <= v)).cast("int")
     counts = (

@@ -227,7 +227,7 @@ def histogram_shard_table(
     `bounds` = [b0 … bK], strictly increasing, defining K bins
     [b_i, b_i+1); values outside [b0, bK) clamp into bins 0 / K-1 so
     mass is never lost (the estimate just saturates at the outer
-    bounds). bin id = count of interior edges ≤ v — a codegen'd
+    bounds). bin id = count of interior edges ≤ v — a JVM-side
     filter over ≤K-1 literals, same kernel as the trained-edges PSI.
     NULLs drop. ONE combinable aggregate of ≤ shards×K groups."""
     bs = [float(b) for b in bounds]

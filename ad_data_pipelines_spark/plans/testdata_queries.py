@@ -6066,7 +6066,7 @@ _A32_TRAINED_EDGES = [5.2, 11.1, 18.17, 25.7, 34.59, 45.65, 60.02, 79.7, 113.29]
     doc="PSI per event_type over TRAINED decile boundaries (pinned "
     "literals from agg.quantile_bin_edges on the reference period) "
     "instead of a22's equal-width bins — the heavy-tailed-metric "
-    "monitoring form. Bin id = count of edges ≤ v, a codegen'd filter "
+    "monitoring form. Bin id = count of edges ≤ v, a JVM-side filter "
     "over a 9-literal array: map-only binning, one combinable "
     "(group, bin) count, broadcast bin spine — no window, no join on "
     "data, unchanged at any scale. operators/agg.py:"
