@@ -35,9 +35,10 @@ Scale shape (the iterative-Spark discipline):
     one (dst) aggregate — both AQE-planned shuffles of long pairs;
     contributions are combinable, so map-side partial aggregation
     bounds the dst shuffle at (partitions × distinct dst).
-  * Lineage is truncated with ``localCheckpoint`` each iteration
-    (same idiom as dedup._cc_star_contraction) — without it the plan
-    doubles per round and Catalyst analysis time explodes by ~2^k.
+  * Lineage is truncated with ``localCheckpoint`` each iteration by
+    default (same idiom as dedup._cc_star_contraction; cadence
+    tunable) — without cuts the plan doubles per round and Catalyst
+    analysis time explodes by ~2^k.
     On a real cluster prefer a reliable checkpoint dir for executor-
     loss recovery; localCheckpoint trades that for zero-copy speed.
   * Fixed iteration count, not convergence polling: 10 rounds of
@@ -77,6 +78,12 @@ def pagerank(
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if iterations < 1:
         raise ValueError(f"need >= 1 iteration, got {iterations}")
+    if not 0 < int(scale) <= 10**16:
+        # damping_pct * in_mass must stay inside int64: in_mass ≤ scale,
+        # so 99 × 10^16 < 2^63 holds while anything larger would WRAP in
+        # Spark (ANSI off) yet ERROR in DuckDB — a silent cross-engine
+        # divergence this guard turns into a loud one
+        raise ValueError(f"scale must be in (0, 1e16], got {scale}")
     if edges.schema[src].dataType != edges.schema[dst].dataType:
         raise ValueError(
             f"src/dst types differ: {edges.schema[src].dataType} vs "
@@ -97,6 +104,8 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
+        # the node set is the endpoints of SURVIVING edges — an input of
+        # only self-loops/NULLs ranks nothing, it has no graph
         spark = edges.sparkSession
         return spark.createDataFrame(
             [], StructType(
@@ -105,6 +114,13 @@ def pagerank(
                     StructField("rank_fp", LongType()),
                 ]
             )
+        )
+    if int(scale) < n:
+        # init = scale // n would be 0: every rank collapses to 0 in
+        # both engines — consistent but useless; fail loudly instead
+        raise ValueError(
+            f"scale {scale} < {n} nodes — all fixed-point ranks would "
+            "floor to 0; raise scale"
         )
     # out-degree is joined onto the edge list ONCE, outside the loop —
     # inside it would re-run a full-edge join every iteration for a

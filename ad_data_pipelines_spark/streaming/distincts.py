@@ -51,7 +51,11 @@ def apply_batch(
     through untouched; new shards appear. `vacuum_keep` bounds version
     accumulation across micro-batches (keep ≥2 so a reader that
     resolved the previous pointer can finish — same reader-grace
-    contract as the CDC applier)."""
+    contract as the CDC applier). Changing `lg_k` mid-stream fails
+    loudly: `hll_union_agg` rejects mismatched lg_k sketches (its
+    allowDifferentLgConfigK default), so the artifact cannot silently
+    mix precisions — the self-guarding the histogram maintainer has
+    to implement explicitly for its bounds."""
     spark = batch.sparkSession
     sk = _sketch.hll_shard_table(batch, key_col, shard_cols, lg_k)
     if _merge.table_current_version(shard_root) is None:

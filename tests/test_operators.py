@@ -2701,6 +2701,10 @@ def test_pagerank_dangling_partitioning_and_guards(spark):
         graph.pagerank(df, damping_pct=100)
     with pytest.raises(ValueError, match="iteration"):
         graph.pagerank(df, iterations=0)
+    with pytest.raises(ValueError, match="scale"):
+        graph.pagerank(df, scale=10**17)  # would wrap in Spark, not DuckDB
+    with pytest.raises(ValueError, match="floor to 0"):
+        graph.pagerank(df, scale=1)  # fewer units of mass than nodes
     empty = graph.pagerank(df.filter("src = 'zzz'"))
     assert empty.columns == ["node", "rank_fp"]
     assert empty.count() == 0
