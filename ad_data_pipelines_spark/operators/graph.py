@@ -61,12 +61,25 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = 10**12,
     checkpoint_every: int = 1,
+    seeds: DataFrame | None = None,
+    seed_col: str = "node",
 ) -> DataFrame:
     """(node, rank_fp): fixed-point PageRank over the directed edge
     list (self-loops dropped, duplicate edges collapsed). ``rank_fp``
     is the BIGINT rank at fixed-point ``scale``; divide by ``scale``
     for the usual [0, 1] value. See module docstring for the exact
     integer recurrence and determinism contract.
+
+    ``seeds`` switches to PERSONALIZED PageRank (topic-sensitive,
+    Haveliwala 2002): initial mass and the teleport term go uniformly
+    to the seed set instead of all nodes — ranks become proximity to
+    the seeds under the random walk, the seed-expansion primitive of
+    source curation ("rank every source by closeness to these trusted
+    ones"). The integer recurrence just swaps n for n_seeds and gates
+    the teleport on seed membership, so the determinism contract is
+    unchanged — and seeds = all nodes reproduces the uniform ranking
+    BIT-FOR-BIT (tested). Seeds outside the graph's node set are
+    ignored; an empty intersection raises.
 
     Node ids keep their input type — src and dst must agree. Prefer
     INTEGER ids at scale: the rank state and edges shuffle every
@@ -115,12 +128,36 @@ def pagerank(
                 ]
             )
         )
-    if int(scale) < n:
-        # init = scale // n would be 0: every rank collapses to 0 in
-        # both engines — consistent but useless; fail loudly instead
+    # flags: (node, is_seed ∈ {0, 1}), checkpointed once. Uniform mode
+    # marks every node a seed — the seeded recurrence then reduces to
+    # the classic one exactly (n_seeds = n), so there is ONE loop body
+    # and the personalized path cannot drift from the tested uniform one
+    if seeds is None:
+        n_seeds = n
+        flags = nodes.withColumn("is_seed", F.lit(1).cast("bigint"))
+    else:
+        seed_set = seeds.select(F.col(seed_col).alias("node")).distinct()
+        flags = (
+            nodes.join(
+                seed_set.withColumn("__s", F.lit(1)), "node", "left"
+            )
+            .select(
+                "node", F.coalesce("__s", F.lit(0)).cast("bigint").alias("is_seed")
+            )
+            .localCheckpoint()
+        )
+        n_seeds = flags.agg(F.sum("is_seed")).collect()[0][0]
+        if not n_seeds:
+            raise ValueError(
+                "no seed intersects the graph's node set — a teleport "
+                "with nowhere to land ranks nothing"
+            )
+    if int(scale) < n_seeds:
+        # init = scale // n_seeds would be 0: every rank collapses to 0
+        # in both engines — consistent but useless; fail loudly instead
         raise ValueError(
-            f"scale {scale} < {n} nodes — all fixed-point ranks would "
-            "floor to 0; raise scale"
+            f"scale {scale} < {n_seeds} seed nodes — all fixed-point "
+            "ranks would floor to 0; raise scale"
         )
     # out-degree is joined onto the edge list ONCE, outside the loop —
     # inside it would re-run a full-edge join every iteration for a
@@ -130,28 +167,45 @@ def pagerank(
         .select("src", "dst", "od")
         .localCheckpoint()
     )
-    init = int(scale) // n
+    init = int(scale) // int(n_seeds)
     teleport = ((100 - damping_pct) * init) // 100
     # zero-mass seed rows instead of a per-iteration nodes left-join:
     # nodes with no in-edges reach the SAME aggregate with c = 0, so
     # each iteration is one rank-onto-edges equi-join + ONE combinable
-    # aggregate — no second join, identical integer results
-    zero = nodes.select("node", F.lit(0).cast("bigint").alias("c"))
-    ranks = nodes.withColumn("rank_fp", F.lit(init).cast("bigint"))
+    # aggregate; the constant per-node teleport gate (is_seed) rides
+    # along as a second aggregated column — still no second join,
+    # identical integer results
+    zero = flags.select(
+        "node", F.lit(0).cast("bigint").alias("c"), "is_seed"
+    )
+    ranks = flags.select(
+        "node", (F.col("is_seed") * F.lit(init)).alias("rank_fp")
+    )
     for i in range(iterations):
-        ranks = (
-            e_od.join(ranks.withColumnRenamed("node", "src"), "src")
+        contribs = (
+            e_od.join(
+                ranks.select(F.col("node").alias("src"), "rank_fp"), "src"
+            )
             .select(
                 F.col("dst").alias("node"),
                 F.expr("rank_fp DIV od").alias("c"),
+                F.lit(0).cast("bigint").alias("is_seed"),
             )
-            .unionByName(zero)
+        )
+        ranks = (
+            contribs.unionByName(zero)
             .groupBy("node")
-            .agg(F.sum("c").alias("in_mass"))
+            # max(is_seed): the flag is constant per node (0 on contrib
+            # rows, the true flag on the seed row) — aggregating it
+            # keeps the teleport gate without a join
+            .agg(
+                F.sum("c").alias("in_mass"),
+                F.max("is_seed").alias("is_seed"),
+            )
             .select(
                 "node",
                 (
-                    F.lit(teleport).cast("bigint")
+                    F.col("is_seed") * F.lit(teleport)
                     + F.expr(f"{damping_pct} * in_mass DIV 100")
                 ).alias("rank_fp"),
             )
@@ -173,30 +227,50 @@ def pagerank_sql(
     iterations: int = 10,
     damping_pct: int = 85,
     scale: int = 10**12,
+    seed_sql: str | None = None,
 ) -> str:
     """DuckDB twin of `pagerank`: the same integer recurrence unrolled
     into a WITH chain (r0 … r{iterations}) — fixed iterations are what
     make the oracle expressible; bit-equal to the Spark ranks.
     `edge_sql` must yield columns (src, dst) of one comparable type
-    (same contract as `pagerank` — node ids pass through untyped)."""
+    (same contract as `pagerank` — node ids pass through untyped);
+    `seed_sql` (one `node` column) switches to the personalized
+    recurrence exactly as `seeds` does on the Spark side."""
+    if seed_sql is None:
+        # uniform = every node a seed; n_seeds = n
+        flags_cte = (
+            "flags AS (SELECT node, CAST(1 AS BIGINT) AS is_seed"
+            " FROM nodes)"
+        )
+    else:
+        flags_cte = (
+            "flags AS (SELECT nodes.node,"
+            " CAST(CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 END"
+            " AS BIGINT) AS is_seed FROM nodes"
+            " LEFT JOIN (SELECT DISTINCT node FROM ("
+            + seed_sql
+            + ")) s ON s.node = nodes.node)"
+        )
     parts = [
         f"raw AS ({edge_sql})",
         "e AS (SELECT DISTINCT src, dst FROM raw"
         " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src)",
+        flags_cte,
         "consts AS (SELECT"
-        f" CAST({int(scale)} // COUNT(*) AS BIGINT) AS init,"
-        f" CAST(({100 - damping_pct} * ({int(scale)} // COUNT(*))) // 100"
-        " AS BIGINT) AS tele FROM nodes)",
-        "r0 AS (SELECT node, (SELECT init FROM consts) AS rank_fp"
-        " FROM nodes)",
+        f" CAST({int(scale)} // SUM(is_seed) AS BIGINT) AS init,"
+        f" CAST(({100 - damping_pct} * ({int(scale)} // SUM(is_seed)))"
+        " // 100 AS BIGINT) AS tele FROM flags)",
+        "r0 AS (SELECT node, is_seed * (SELECT init FROM consts)"
+        " AS rank_fp FROM flags)",
     ]
     for i in range(1, iterations + 1):
         parts.append(
-            f"r{i} AS (SELECT n.node, CAST((SELECT tele FROM consts)"
+            f"r{i} AS (SELECT n.node,"
+            " CAST(n.is_seed * (SELECT tele FROM consts)"
             f" + {damping_pct} * COALESCE(m.in_mass, 0) // 100 AS BIGINT)"
-            " AS rank_fp FROM nodes n LEFT JOIN ("
+            " AS rank_fp FROM flags n LEFT JOIN ("
             "SELECT e.dst AS node, SUM(r.rank_fp // o.od) AS in_mass"
             f" FROM e JOIN r{i - 1} r ON r.node = e.src"
             " JOIN outdeg o ON o.src = e.src GROUP BY e.dst"

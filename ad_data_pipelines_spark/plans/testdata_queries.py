@@ -6194,6 +6194,56 @@ def q_g1_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# seed predicate valid at EVERY test SF (sf0.001 has 10 suppliers,
+# keys 0-9, and no nation-1 supplier — a nation filter would leave
+# the teleport nowhere to land there)
+_G2_SEED_SQL = (
+    "SELECT CAST(2 * s_suppkey + 1 AS BIGINT) AS node"
+    " FROM supplier WHERE s_suppkey % 10 = 1"
+)
+
+
+@register(
+    "g2_ppr_trusted_suppliers",
+    oracle=(
+        "WITH pr AS (\n"
+        + _graph.pagerank_sql(
+            _G1_EDGE_SQL, iterations=10, seed_sql=_G2_SEED_SQL
+        )
+        + f"\n) SELECT {_G1_LABEL_SQL} AS node, rank_fp FROM pr\n"
+        "ORDER BY rank_fp DESC, node LIMIT 25"
+    ),
+    doc="PERSONALIZED PageRank (Haveliwala 2002) over the same trade "
+    "graph as g1, teleporting only to a trusted supplier decile — ranks "
+    "every customer and supplier by random-walk proximity to the "
+    "trusted seed set, the seed-expansion primitive of source "
+    "curation ('find sources close to these known-good ones'). Same "
+    "bit-equal integer recurrence (seeds = all nodes reproduces g1 "
+    "exactly, tested); same plan shape — the constant teleport gate "
+    "rides through the per-iteration aggregate as a max(is_seed) "
+    "column, so personalization adds NO extra join. "
+    "operators/graph.py:pagerank(seeds=).",
+)
+def q_g2_ppr_trusted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeds = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 1)
+        .select((2 * F.col("s_suppkey") + 1).cast("bigint").alias("node"))
+    )
+    ranks = _graph.pagerank(
+        _trade_edges_shared(spark, sf_dir), iterations=10, seeds=seeds
+    )
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.expr("CAST(node DIV 2 AS STRING)"),
+    )
+    return (
+        ranks.select(label.alias("node"), "rank_fp")
+        .orderBy(F.desc("rank_fp"), "node")
+        .limit(25)
+    )
+
+
 @register(
     "o14_join_skew_report",
     oracle="""
@@ -6440,6 +6490,7 @@ _GATE_PRIORITY = [
     "a32_psi_trained_edges",
     "g1_pagerank_suppliers",
     "a33_binned_quantile_shards",
+    "g2_ppr_trusted_suppliers",
     # tier 0b: first-ever driver row for the rows-only shard union
 ] + _GATE_ROWS_ONLY_ROTATED + [
     # tier 1: latest green still r2 — the oldest-stale oracle-backed tail

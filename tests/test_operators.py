@@ -2784,3 +2784,54 @@ def test_histogram_quantile_guards_and_global_grain(spark):
     # top of the last non-empty bin
     top = sketch.histogram_union_quantiles(shards, bounds, [1.0]).collect()
     assert len(top) == 1 and top[0].q_est == 100.0
+
+
+def test_personalized_pagerank_seed_semantics_and_biteq(spark):
+    """PPR contract: seeds = all nodes reproduces the uniform ranking
+    BIT-FOR-BIT (one loop body, no drift possible), a seeded node
+    far outranks its structurally identical unseeded twin, seeds
+    outside the graph are ignored, an empty seed intersection raises,
+    and the seeded recurrence is bit-equal to its unrolled DuckDB
+    twin."""
+    import duckdb
+    import pytest
+
+    from ad_data_pipelines_spark.operators import graph
+
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("c", "a"), ("c", "d"),
+        ("d", "c"), ("b", "c"), ("c", "b"), ("e", "c"), ("c", "e"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    uni = sorted(map(tuple, graph.pagerank(df, iterations=10).collect()))
+    allseeds = spark.createDataFrame([(x,) for x in "abcde"], "node string")
+    assert uni == sorted(
+        map(tuple, graph.pagerank(df, iterations=10, seeds=allseeds).collect())
+    )
+
+    # d and e are symmetric leaves of hub c; seeding d must boost it
+    # far above e ('zzz' is outside the graph: ignored)
+    seed_d = spark.createDataFrame([("d",), ("zzz",)], "node string")
+    ppr = dict(graph.pagerank(df, iterations=10, seeds=seed_d).collect())
+    assert ppr["d"] > 2 * ppr["e"]
+    assert ppr["a"] == ppr["b"]  # symmetry preserved off-seed
+
+    vals = ", ".join(f"('{s}','{d}')" for s, d in edges)
+    want = sorted(
+        duckdb.connect()
+        .execute(
+            graph.pagerank_sql(
+                f"SELECT * FROM (VALUES {vals}) AS t(src, dst)",
+                iterations=10,
+                seed_sql="SELECT 'd' AS node UNION ALL SELECT 'zzz'",
+            )
+        )
+        .fetchall()
+    )
+    assert sorted(ppr.items()) == want
+
+    with pytest.raises(ValueError, match="seed"):
+        graph.pagerank(
+            df, seeds=spark.createDataFrame([("q",)], "node string")
+        )
