@@ -222,8 +222,11 @@ def grid_knn_join(
     resolved = grid_best.filter(
         F.col("best.dist2") < F.lit(cell) * F.lit(cell)
     )
-    # rows the 3×3 neighborhood cannot certify → exact brute pass
-    # against the broadcast right side (sparse by construction)
+    # rows the 3×3 neighborhood cannot certify → exact brute pass.
+    # The broadcast side is UNRESOLVED (runtime-guarded small by the
+    # max_brute_frac count check below), never the full right table —
+    # right streams through the nested-loop join, so a right side that
+    # scales with the data cannot pin an OOM.
     unresolved = left.select(
         left_id, F.col(lx).alias("_ax"), F.col(ly).alias("_ay")
     ).join(resolved.select(left_id), left_id, "left_anti")
@@ -238,15 +241,12 @@ def grid_knn_join(
                 "for this point density"
             )
     brute = (
-        unresolved.join(
-            F.broadcast(
-                right.select(
-                    F.col(right_id),
-                    F.col(rx).alias("_bx"),
-                    F.col(ry).alias("_by"),
-                )
-            )
+        right.select(
+            F.col(right_id),
+            F.col(rx).alias("_bx"),
+            F.col(ry).alias("_by"),
         )
+        .join(F.broadcast(unresolved))
         .select(
             left_id,
             F.struct(

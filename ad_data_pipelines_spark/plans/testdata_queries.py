@@ -33,6 +33,7 @@ from ad_data_pipelines_spark.functions import (
     right_closed_bins,
 )
 from ad_data_pipelines_spark.operators.agg import count_if, guarded_ratio, sum_if
+from ad_data_pipelines_spark.plans.transit_common import maybe_broadcast
 
 
 @dataclass
@@ -1701,7 +1702,7 @@ def q_j22_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        ranked.join(F.broadcast(supp), ranked.l_suppkey == supp.s_suppkey)
+        ranked.join(maybe_broadcast(supp), ranked.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .select(
             "p_partkey",
@@ -1744,7 +1745,7 @@ def q_j23_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(thresh, "l_partkey")
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .join(F.broadcast(pb), F.col("l_partkey") == F.col("p_partkey"))
+        .join(maybe_broadcast(pb), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
@@ -1818,7 +1819,7 @@ def q_j24_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        qual.join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
+        qual.join(maybe_broadcast(supp), qual.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("n_late").cast("bigint").alias("numwait"))
     )
@@ -1912,7 +1913,7 @@ def q_j26_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         dominant.join(
-            F.broadcast(supp), dominant.l_suppkey == supp.s_suppkey
+            maybe_broadcast(supp), dominant.l_suppkey == supp.s_suppkey
         )
         .groupBy("s_name")
         .agg(F.count("*").alias("n_parts"))
@@ -1955,7 +1956,7 @@ def q_a27_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(maybe_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -2059,7 +2060,7 @@ def q_a29_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("rev_e4") == F.col("max_e4"))
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(maybe_broadcast(supp), rev.l_suppkey == supp.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -2154,7 +2155,7 @@ def q_p24_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .filter(bundle)
         .agg(
             F.count("*").alias("n_items"),
@@ -2223,9 +2224,9 @@ def q_j28_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_extendedprice", "l_discount",
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -2327,9 +2328,9 @@ def q_j29_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
     return (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .filter(F.col("s_nationkey") == F.col("c_nationkey"))
         .groupBy(
             "n_name",
@@ -2432,9 +2433,9 @@ def q_a30_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         100 - F.round(F.col("l_discount") * 100).cast("bigint")
     )
     sold = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(maybe_broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select(
             F.year("o_orderdate").cast("bigint").alias("order_year"),
             rev_e4.alias("rev_e4"),
@@ -2550,7 +2551,7 @@ def q_j31_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
     per_cust = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(maybe_broadcast(orders), li.l_orderkey == orders.o_orderkey)
         .groupBy("o_custkey")
         .agg(
             (
@@ -2569,7 +2570,7 @@ def q_j31_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         per_cust.join(
-            F.broadcast(cust), per_cust.o_custkey == cust.c_custkey
+            maybe_broadcast(cust), per_cust.o_custkey == cust.c_custkey
         )
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .select(
@@ -2623,8 +2624,8 @@ def q_a31_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("large")
     )
     return (
-        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(maybe_broadcast(bad), "l_suppkey", "left_anti")
+        .join(maybe_broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand", size_class.alias("size_class"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -4611,7 +4612,13 @@ def q_s16_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_op", F.lit("I"))
     )
     changes = updates.unionByName(deletes).unionByName(inserts)
-    merged = _merge.merge_plan(orders, changes, ["o_orderkey"], op_col="_op")
+    # the stand-in change batch is 30% of orders — fact-scale, so the
+    # full-outer shuffle path is the honest plan (broadcast_changes
+    # stays True only for genuinely-small CDC batches)
+    merged = _merge.merge_plan(
+        orders, changes, ["o_orderkey"], op_col="_op",
+        broadcast_changes=False,
+    )
     return merged.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
@@ -5304,6 +5311,9 @@ def q_o11_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "c_custkey",
         "orders_custkey_fk",
+        # customer scales with sf — fact-vs-fact audit, so the anti
+        # join shuffles distinct keys instead of pinning a broadcast
+        broadcast_parent=False,
     )
     return report.unionByName(fk)
 
@@ -5849,7 +5859,7 @@ def q_j18_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(maybe_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy(
             "o_orderkey", F.col("o_orderdate").cast("date").alias("o_odate")
         )
@@ -6454,90 +6464,35 @@ def q_llm_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
-# ~50-row budget. Round-7 rotation (the r6 verdict's brief):
-#   tier 0 — round-7 registrations (w8's scale-safe re-plan needs a fresh
-#            verdict on the NEW plan; j31 is the round's Q10 shape),
-#   tier 0b — a26_hll_shard_union, the ONE registered query that has never
-#            received a driver row of any kind (rows-only by design; the
-#            gate records rows_match for oracle-free queries, as it did for
-#            a5_distinct_approx in r2),
-#   tier 1 — the 14 oracle-backed queries whose latest green is still r2
-#            (rotated out of every budget since), oldest-staleness-first,
-#   tier 2 — r3 greens, cheapest-first; the ~50-row budget cuts off inside
-#            this tier, and each round's cut advances through it,
-#   tier 3 — r5 greens, tier 4 — r6 greens (freshest last; re-confirming
+# ~50-row budget. Round-8 rotation (the r7 verdict's brief — done condition:
+# no oracle-backed query's latest green older than r5 after this gate):
+#   tier 0 — round-8 registrations (every new query enters here, enforced by
+#            tests/test_gate_priority.py),
+#   tier 1 — the 21 oracle-backed queries whose latest green is still r3
+#            (the part of r7's tier 2 its budget did not reach), in the same
+#            cheapest-first order,
+#   tier 2 — r5 greens cheapest-first; the ~50-row budget cuts off in here,
+#   tier 3 — r6 greens, tier 4 — r7 greens (freshest last; re-confirming
 #            these is the lowest-value use of a budget slot),
-#   tail   — the remaining rows-only approx twins (each already has a
-#            rows_match row on file) sort dead last so they never consume a
-#            verifiable slot.
+#   tail   — the rows-only approx twins (each already has a rows_match row
+#            on file, incl. a26_hll_shard_union since r7) sort dead last so
+#            they never consume a verifiable slot.
 # Standing rule (enforced by tests/test_gate_priority.py): any commit that
 # registers a query MUST add it to tier 0 of this list; the set-equality
 # assert below fails the suite otherwise.
-_GATE_ROWS_ONLY_ROTATED = [
-    # oracle-free queries deliberately spending a budget slot this round
-    # for their first (rows_match-only) driver row
-    "a26_hll_shard_union",
+_GATE_ROWS_ONLY_ROTATED: list[str] = [
+    # empty this round — every oracle-free query already has its
+    # rows_match row on file (a26's landed in r7)
 ]
 _GATE_TAIL_ROWS_ONLY = [
     # intentionally-oracle-free approximate twins of exact green queries
     "a5_distinct_approx",
     "llm_quality_quantile_approx",
+    "a26_hll_shard_union",
 ]
 _GATE_PRIORITY = [
-    # tier 0 (round 7): new/re-planned round-7 registrations
-    "w8_balance_deciles",
-    "j31_returned_item_customers",
-    "a32_psi_trained_edges",
-    "g1_pagerank_suppliers",
-    "a33_binned_quantile_shards",
-    "g2_ppr_trusted_suppliers",
-    # tier 0b: first-ever driver row for the rows-only shard union
-] + _GATE_ROWS_ONLY_ROTATED + [
-    # tier 1: latest green still r2 — the oldest-stale oracle-backed tail
-    "j8_full_outer_3way",
-    "llm_chunking",
-    "llm_mm_frame_sample",
-    "s14_scd2_history",
-    "j15_asof_enrich",
-    "j5_regional_volume",
-    "llm_dedup_exact",
-    "w3_group_max_flag",
-    "llm_mm_decode_resize",
-    "llm_hash_split",
-    "llm_contamination",
-    "j9_j10_composite_join",
-    "w4_keep_last",
-    "llm_quality_quantile",
-    # tier 2: r3 greens, cheapest-first (the budget cut lands in here)
-    "llm_quality_filter",
-    "llm_quality",
-    "llm_entropy",
-    "llm_repetition",
-    "p7_p8_clean_map",
-    "llm_lsh_candidates",
-    "p20_coord_convert",
-    "p9_p10_p11_mapping",
-    "s13_first_seen",
-    "w1_lead_gap",
-    "p18_p19_days_in_month",
-    "t1_events_hourly",
-    "llm_token_stats",
-    "a4_conditional_sum",
-    "a10_journey_reagg",
-    "a11_avg_daily_ratio",
-    "p16_threshold_bins",
-    "o4_union_spine_j6",
-    "w2_transfer_time",
-    "llm_dedup_groups",
-    "t5_cohort_retention",
-    "p15_binning",
-    "a7_histogram",
-    "j12_point_in_polygon",
-    "t4_funnel_conversion",
-    "llm_stratified_topk",
-    "llm_fingerprint",
-    "a14_wkt_assembly",
-    "llm_pii_scrub",
+    # tier 0 (round 8): new registrations
+    # tier 1: latest green still r3 — the stale tail r7's budget missed
     "t2_events_json_props",
     "llm_mm_binary_meta",
     "t3_sessionize",
@@ -6559,7 +6514,7 @@ _GATE_PRIORITY = [
     "llm_pack_sequences",
     "llm_simhash_pairs",
     "llm_cosine_topk",
-    # tier 3: r5 greens
+    # tier 2: r5 greens, cheapest-first (the budget cut lands in here)
     "llm_zipf",
     "llm_candidate_agreement",
     "llm_ann_recall",
@@ -6610,7 +6565,7 @@ _GATE_PRIORITY = [
     "llm_l2_topk",
     "llm_pq_topk",
     "llm_pq_ivf_topk",
-    # tier 4: r6 greens, freshest last
+    # tier 3: r6 greens
     "j30_late_order_priorities",
     "a31_supplier_variety",
     "a30_market_share",
@@ -6660,6 +6615,56 @@ _GATE_PRIORITY = [
     "j1_broadcast_enrich",
     "o6_topn_revenue",
     "j7_dedup_then_join",
+    # tier 4: r7 greens, freshest last
+    "w8_balance_deciles",
+    "j31_returned_item_customers",
+    "a32_psi_trained_edges",
+    "g1_pagerank_suppliers",
+    "a33_binned_quantile_shards",
+    "g2_ppr_trusted_suppliers",
+    "j8_full_outer_3way",
+    "llm_chunking",
+    "llm_mm_frame_sample",
+    "s14_scd2_history",
+    "j15_asof_enrich",
+    "j5_regional_volume",
+    "llm_dedup_exact",
+    "w3_group_max_flag",
+    "llm_mm_decode_resize",
+    "llm_hash_split",
+    "llm_contamination",
+    "j9_j10_composite_join",
+    "w4_keep_last",
+    "llm_quality_quantile",
+    "llm_quality_filter",
+    "llm_quality",
+    "llm_entropy",
+    "llm_repetition",
+    "p7_p8_clean_map",
+    "llm_lsh_candidates",
+    "p20_coord_convert",
+    "p9_p10_p11_mapping",
+    "s13_first_seen",
+    "w1_lead_gap",
+    "p18_p19_days_in_month",
+    "t1_events_hourly",
+    "llm_token_stats",
+    "a4_conditional_sum",
+    "a10_journey_reagg",
+    "a11_avg_daily_ratio",
+    "p16_threshold_bins",
+    "o4_union_spine_j6",
+    "w2_transfer_time",
+    "llm_dedup_groups",
+    "t5_cohort_retention",
+    "p15_binning",
+    "a7_histogram",
+    "j12_point_in_polygon",
+    "t4_funnel_conversion",
+    "llm_stratified_topk",
+    "llm_fingerprint",
+    "a14_wkt_assembly",
+    "llm_pii_scrub",
 ] + _GATE_TAIL_ROWS_ONLY
 assert set(_GATE_PRIORITY) == set(REGISTRY), (
     "gate-priority list drifted from registry: "

@@ -27,6 +27,27 @@ REGION_PREFIXES = {"AD": "Abu Dhabi", "ER": "Al Ain", "WR": "Al Dhafra"}
 REGION_DIGITS = {"1": "Abu Dhabi", "2": "Al Ain", "3": "Al Dhafra"}
 
 
+def maybe_broadcast(df: DataFrame) -> DataFrame:
+    """Marker for join sides that are small at TEST scale but grow
+    linearly with the data (TPC-H customer / orders / part / supplier).
+
+    Deliberately returns ``df`` unchanged — NO broadcast hint. An
+    explicit ``F.broadcast()`` pins the join strategy and AQE cannot
+    override it, so on a 100 TB run a hint on a scaled relation is a
+    forced driver/executor OOM. Unhinted, Spark's
+    ``autoBroadcastJoinThreshold`` + AQE broadcast the side when (and
+    only when) its runtime size fits, and fall back to a shuffled hash
+    join when it doesn't — the physical plan at test SFs is identical
+    to the hinted one.
+
+    Use ``F.broadcast()`` only for frames bounded by the SCHEMA
+    (nation/region, 1-row scalars, boundary/offset tables, VDV-style
+    dims), never frames bounded only by the current scale factor.
+    tests/test_plan_hygiene.py enforces this mechanically.
+    """
+    return df
+
+
 def dedup_line(line: DataFrame) -> DataFrame:
     """Keep one row per cleaned LINE_ABBR — deterministic keep-first by
     (OP_DEP_NO, LINE_NO) order. Replaces the reference's file-order

@@ -40,6 +40,99 @@ _LEAF_MARKERS = (
 )
 _AGG_MARKERS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
 
+#: first column of each parquet table whose row count scales linearly
+#: with the scale factor — a broadcast HINT on a relation that bottoms
+#: out in one of these is a pinned OOM at 100 TB (AQE cannot override
+#: an explicit hint). nation/region (25 / 5 rows at every SF) are
+#: deliberately absent.
+_SCALED_TABLE_COLS = (
+    "c_custkey",
+    "o_orderkey",
+    "l_orderkey",
+    "p_partkey",
+    "s_suppkey",
+    "doc_id",
+    "vec_id",
+    "event_id",
+)
+
+#: transit pipelines use customer/supplier/part as stand-ins for the
+#: reference's genuinely-KB VDV dims (LINE / OPERATING_DEPARTMENT /
+#: stop registry), so their hints model the reference correctly;
+#: j21's brute-pass broadcast side is bounded at RUNTIME by
+#: grid_knn_join's max_brute_frac count guard (geo.py), which the
+#: static plan cannot show
+#: llm_contamination's hinted side is the eval-suite gram set — bounded
+#: TRANSITIVELY by an inner join whose other input carries the
+#: `doc_id < 25` filter; the subtree walk can't trace join-propagated
+#: bounds, so it's exempted by name (adjudicated scale-correct in the
+#: r7 verdict: "eval side broadcast; corpus text never shuffles")
+_SCALED_HINT_EXEMPT = {
+    "j1_broadcast_enrich",
+    "j5_regional_volume",
+    "o7_topk_rank",
+    "a9_rollup_overall",
+    "j21_grid_knn",
+    "llm_contamination",
+}
+
+#: a Filter whose predicate pins a unique-id column under a literal
+#: (vec_id#12L < 25, doc_id#3L <= 100, = k, IN (…)) bounds its subtree
+#: to a constant row count at EVERY scale factor — the ANN query-set /
+#: eval-benchmark construction
+_BOUNDED_ID_FILTER = __import__("re").compile(
+    r"\b(vec_id|doc_id|c_custkey|o_orderkey|l_orderkey|p_partkey"
+    r"|s_suppkey|event_id)#\d+L?\s*(?:<=|<|=|IN \()\s*(?:cast\()?\s*\d"
+)
+
+
+def _tree_depth(line: str) -> int:
+    """Indentation depth in a logical-plan tree string: length of the
+    leading `:  +- ` scaffolding before the node name."""
+    i = 0
+    while i < len(line) and line[i] in ":+- ":
+        i += 1
+    return i
+
+
+def hinted_scaled_leaves(analyzed: str) -> list[str]:
+    """ResolvedHint(broadcast) subtrees that bottom out in a parquet
+    scan of an sf-scaled table with NO bounding node in between — i.e.
+    an explicit broadcast pin on a relation whose size grows with the
+    data. Bounding nodes that make the hint safe at every SF: an
+    Aggregate or GlobalLimit (scalars, offset tables, per-group
+    counts), or a Filter pinning a unique-id column under a literal
+    (``vec_id < 25`` — the ANN query-set / eval-benchmark shape,
+    constant rows at any scale factor)."""
+    lines = analyzed.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint" not in line or "broadcast" not in line.lower():
+            continue
+        d = _tree_depth(line)
+        agg_depths: list[int] = []
+        for below in lines[i + 1:]:
+            bd = _tree_depth(below)
+            if bd <= d:
+                break  # left the hint's subtree
+            while agg_depths and bd <= agg_depths[-1]:
+                agg_depths.pop()
+            if (
+                "Aggregate" in below
+                or "GlobalLimit" in below
+                or ("Filter" in below and _BOUNDED_ID_FILTER.search(below))
+            ):
+                agg_depths.append(bd)
+                continue
+            if (
+                not agg_depths
+                and "parquet" in below
+                and "Relation" in below
+                and any(c in below for c in _SCALED_TABLE_COLS)
+            ):
+                bad.append(below.strip()[:120])
+    return bad
+
 
 def single_partition_collapses(plan: str) -> list[str]:
     """Lines where an `Exchange SinglePartition` feeds on unaggregated
@@ -77,6 +170,15 @@ def test_no_cartesian_no_row_udfs(name, spark):
         f"(global sort / empty-partition-spec Window over a fact "
         f"input): {collapses}\n{plan}"
     )
+    if name not in _SCALED_HINT_EXEMPT:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        pins = hinted_scaled_leaves(analyzed)
+        assert not pins, (
+            f"{name}: explicit broadcast hint pinned on an sf-scaled "
+            f"relation (AQE cannot override a hint — forced OOM at "
+            f"100 TB; use plans.transit_common.maybe_broadcast or no "
+            f"hint at all): {pins}"
+        )
 
 
 def test_shared_stages_key_on_sf_dir(spark):
@@ -107,6 +209,36 @@ def test_shared_corpus_stages_actually_reused(spark):
         df = tq.REGISTRY[name].fn(spark, SF_SMALL)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, name
+
+
+def test_scaled_hint_lint_catches_pinned_broadcast(spark):
+    """Negative control for the broadcast-hint lint: an explicit
+    F.broadcast on a raw scaled-table scan is flagged; the same hint
+    on (a) an aggregate of that table or (b) the 25-row nation dim is
+    not."""
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    nat = spark.read.parquet(f"{SF_SMALL}/nation.parquet")
+
+    pinned = li.join(F.broadcast(cust), li.l_orderkey == cust.c_custkey)
+    assert hinted_scaled_leaves(
+        pinned._jdf.queryExecution().analyzed().toString()
+    )
+
+    bounded = li.join(
+        F.broadcast(cust.groupBy("c_nationkey").count()),
+        li.l_suppkey == F.col("c_nationkey"),
+    )
+    assert not hinted_scaled_leaves(
+        bounded._jdf.queryExecution().analyzed().toString()
+    )
+
+    dim = li.join(F.broadcast(nat), li.l_suppkey == nat.n_nationkey)
+    assert not hinted_scaled_leaves(
+        dim._jdf.queryExecution().analyzed().toString()
+    )
 
 
 def test_single_partition_collapse_lint_catches_global_window(spark):
