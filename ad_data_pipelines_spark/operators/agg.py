@@ -766,12 +766,146 @@ def group_ols_sql(
     """
 
 
+def _monotone_double(col: Column, dtype: str) -> Column:
+    """Deterministic, order-preserving (non-decreasing) map of a column
+    into double, used ONLY as shard-boundary material (rows are never
+    RANKED on it, so collisions merely co-locate rows in a shard).
+
+    Strings map to the big-endian value of their first 8 bytes, hex
+    right-padded to 16 nibbles — without the pad, ``"az" (0x617A)``
+    would encode above ``"b" (0x62)`` and break monotonicity in the
+    binary (UTF-8) collation Spark sorts strings by."""
+    if dtype == "string":
+        return F.conv(
+            F.rpad(F.hex(F.substring(col.cast("binary"), 1, 8)), 16, "0"),
+            16,
+            10,
+        ).cast("double")
+    if dtype in ("timestamp", "timestamp_ntz", "date"):
+        return col.cast("timestamp").cast("double")
+    if dtype == "boolean":
+        return col.cast("int").cast("double")
+    return col.cast("double")
+
+
+def _ntile_shards(
+    df: DataFrame,
+    order_by: Sequence[str],
+    lo: float,
+    hi: float,
+    shard_buckets: int,
+    sub_buckets: int,
+) -> tuple[DataFrame, list[tuple[int, int]], int]:
+    """Shard assignment for `distributed_ntile`, with the one-level
+    skew fallback: returns (df + ``__shard``, [(shard, count)], total).
+
+    Range-shards on the first order column's value; the per-shard
+    count/boundary probe (≤ shard_buckets rows, collected driver-side)
+    detects shards holding > 2× the mean and re-shards them into
+    ``sub_buckets`` sub-shards at the shard's own ``percentile_approx``
+    edges — balanced by CONSTRUCTION for any distribution (a linear
+    sub-range is not: digit-string byte encodings cluster all mass in
+    two cells). A multi-value shard splits on the first column's own
+    quantile edges, a single-value shard (the 90%-constant-column
+    degeneracy) on quantile edges of a monotone double encoding of the
+    SECOND order column. Both splits are monotone in the shard's sort
+    order, so ``shard * sub_buckets + sub`` preserves global order;
+    edge placement (and percentile_approx's approximation) can only
+    affect BALANCE, never ranks — sub assignment is the same collected
+    literal array in the count job and the rank job."""
+    first = order_by[0]
+    first_d = F.col(first).cast("double")
+    span = (hi - lo) or 1.0
+    shard = F.least(
+        F.floor((first_d - lo) / span * shard_buckets),
+        F.lit(shard_buckets - 1),
+    ).cast("bigint")
+    sharded = df.withColumn("__shard", shard)
+
+    dtypes = dict(df.dtypes)
+    second = order_by[1] if len(order_by) > 1 else None
+    mono2 = (
+        _monotone_double(F.col(second), dtypes[second])
+        if second is not None
+        else first_d
+    )
+    qs = [i / sub_buckets for i in range(1, sub_buckets)]
+    stats = sharded.groupBy("__shard").agg(
+        F.count("*").alias("c"),
+        F.min(first_d).alias("f_lo"),
+        F.max(first_d).alias("f_hi"),
+        F.min(mono2).alias("s_lo"),
+        F.max(mono2).alias("s_hi"),
+        F.percentile_approx(first_d, qs, 10_000).alias("f_edges"),
+        F.percentile_approx(mono2, qs, 10_000).alias("s_edges"),
+    ).collect()
+    total = sum(r["c"] for r in stats)
+    threshold = max(2.0 * total / shard_buckets, 1.0)
+
+    def _split_edges(r) -> list[float]:
+        """Interior sub-shard cut points for one shard: empty = keep,
+        else the shard's own quantile edges over the first column
+        (multi-value shard) or the second column's monotone double
+        (single-first-value shard)."""
+        if r["c"] <= threshold or r["c"] <= 1:
+            return []
+        if r["f_lo"] is not None and r["f_lo"] < r["f_hi"]:
+            return [float(e) for e in r["f_edges"]]
+        if (
+            second is not None
+            and r["s_lo"] is not None
+            and r["s_hi"] is not None
+            and r["s_lo"] < r["s_hi"]
+        ):
+            return [float(e) for e in r["s_edges"]]
+        return []  # constant on both columns: unsplittable
+
+    edges = {r["__shard"]: _split_edges(r) for r in stats}
+    if not any(edges.values()):
+        return sharded, [(r["__shard"], r["c"]) for r in stats], total
+
+    # which source column each split shard cuts on: a multi-value
+    # shard cuts on the first column, a single-value shard on the
+    # second's monotone double
+    on_second = {
+        r["__shard"]: not (r["f_lo"] is not None and r["f_lo"] < r["f_hi"])
+        for r in stats
+    }
+    bounds = df.sparkSession.createDataFrame(
+        [(s, bool(on_second[s]), e) for s, e in edges.items()],
+        "__shard bigint, __on_second boolean, __edges array<double>",
+    )
+    src = F.when(F.col("__on_second"), mono2).otherwise(first_d)
+    # sub = number of edges strictly below src: monotone non-decreasing
+    # in src, so order within the shard is preserved; NULL src (NULLs
+    # sort first) filters to an empty array → sub 0, the smallest
+    sub = F.coalesce(
+        F.size(F.filter("__edges", lambda e: e < src)), F.lit(0)
+    )
+    sharded = (
+        sharded.join(F.broadcast(bounds), "__shard")
+        .withColumn(
+            "__shard",
+            (F.col("__shard") * sub_buckets + sub).cast("bigint"),
+        )
+        .drop("__on_second", "__edges")
+    )
+    counts = [
+        (r["__shard"], r["c"])
+        for r in sharded.groupBy("__shard")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    return sharded, counts, total
+
+
 def distributed_ntile(
     df: DataFrame,
     n: int,
     order_by: Sequence[str],
     out_col: str = "ntile",
     shard_buckets: int = 64,
+    sub_buckets: int = 16,
 ) -> DataFrame:
     """Exact global ``NTILE(n)`` without a single-partition sort — the
     scale-safe form of the rank-bucket report (W8).
@@ -785,10 +919,19 @@ def distributed_ntile(
          monotone in the sort order, so shard order preserves global
          order; equal values share a shard, so later tiebreak columns
          order entirely within shards),
-      2. within-shard ``row_number`` (bounded window partitions),
-      3. per-shard row counts — ``shard_buckets`` rows — give exclusive
-         shard offsets and the global total through the only
-         single-partition window, over kilobytes,
+      2. skew fallback — the per-shard count/boundary probe is
+         kilobytes (≤ ``shard_buckets`` rows), collected driver-side;
+         any shard holding > 2× the mean re-shards deterministically
+         into ``sub_buckets`` sub-shards: a shard spanning multiple
+         first-column values splits on the first column's own
+         sub-range, a single-value shard (the 90%-constant-column
+         degeneracy) splits on a monotone encoding of the SECOND order
+         column — both monotone in the shard's sort order, so global
+         order is preserved and results never depend on the split,
+      3. within-shard ``row_number`` (bounded window partitions);
+         exclusive shard offsets and the global total are pure integer
+         algebra over the collected kilobyte count table — no global
+         window at all,
       4. broadcast-join offsets back: global rank = offset + within,
          and the standard NTILE split (first ``N mod n`` buckets get
          one extra row) is pure integer algebra on (rank, total).
@@ -818,33 +961,19 @@ def distributed_ntile(
     ).first()
     if lo is None:  # empty input: keep the (empty) frame, schema intact
         return df.withColumn(out_col, F.lit(None).cast("bigint")).limit(0)
-    span = (hi - lo) or 1.0
-    shard = F.least(
-        F.floor((F.col(first).cast("double") - lo) / span * shard_buckets),
-        F.lit(shard_buckets - 1),
-    ).cast("bigint")
-    sharded = df.withColumn("__shard", shard)
+    sharded, counts, total = _ntile_shards(
+        df, order_by, lo, hi, shard_buckets, sub_buckets
+    )
+
+    # exclusive offsets: integer algebra over the kilobyte count table
+    off, rows = 0, []
+    for s, c in sorted(counts):
+        rows.append((s, off, total))
+        off += c
+    offsets = df.sparkSession.createDataFrame(
+        rows, "__shard bigint, __sh_off bigint, __n_total bigint"
+    )
     w_in = Window.partitionBy("__shard").orderBy(*order_by)
-    shard_counts = sharded.groupBy("__shard").agg(
-        F.count("*").alias("__sh_n")
-    )
-    w_sh = Window.orderBy("__shard")
-    offsets = shard_counts.select(
-        "__shard",
-        F.coalesce(
-            F.sum("__sh_n").over(
-                w_sh.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("__sh_off"),
-        F.sum("__sh_n")
-        .over(
-            w_sh.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        )
-        .alias("__n_total"),
-    )
     ranked = (
         sharded.withColumn("__rn", F.row_number().over(w_in))
         .join(F.broadcast(offsets), "__shard")

@@ -6131,8 +6131,8 @@ def q_a33_binned_quantile_shards(
 # human label is re-derived once on the 25-row result.
 _G1_EDGE_SQL = """
     WITH cs AS (
-        SELECT DISTINCT CAST(2 * o_custkey AS BIGINT) AS c,
-                        CAST(2 * l_suppkey + 1 AS BIGINT) AS s
+        SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS c,
+                        CAST(l_suppkey AS BIGINT) * 2 + 1 AS s
         FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     )
     SELECT c AS src, s AS dst FROM cs
@@ -6147,23 +6147,32 @@ _G1_LABEL_SQL = (
 
 def _trade_edges_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the undirected customer↔supplier trade graph (both orientations
-    # of the distinct (custkey, suppkey) pairs): a session-shared
-    # persisted stage like the dedup/ANN corpus stages — the graph is
-    # an artifact many rankings would consume, not per-query work
+    # of the distinct (custkey, suppkey) pairs) WITH out-degrees: a
+    # session-shared persisted stage like the dedup/ANN corpus stages —
+    # the graph is an artifact many rankings consume, not per-query
+    # work, so the whole normalization (dedup, orientation, outdeg)
+    # is paid once and pagerank(assume_normalized=True) skips its
+    # per-call distinct + out-degree passes. Keys pre-cast to BIGINT
+    # BEFORE the ×2 id-doubling: the input int type would wrap silently
+    # in Spark for custkey > 2^30 while DuckDB's identical multiply
+    # errors — a cross-engine divergence at large SF.
     def build() -> DataFrame:
         o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
         li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         cs = (
             o.join(li, o.o_orderkey == li.l_orderkey)
             .select(
-                (2 * F.col("o_custkey")).cast("bigint").alias("c"),
-                (2 * F.col("l_suppkey") + 1).cast("bigint").alias("s"),
+                (F.col("o_custkey").cast("bigint") * 2).alias("c"),
+                (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
             )
             .distinct()
         )
-        return cs.selectExpr("c AS src", "s AS dst").unionByName(
+        e = cs.selectExpr("c AS src", "s AS dst").unionByName(
             cs.selectExpr("s AS src", "c AS dst")
         )
+        return e.join(
+            e.groupBy("src").agg(F.count("*").alias("od")), "src"
+        ).select("src", "dst", "od")
 
     return _shared(spark, sf_dir, "trade_edges", build)
 
@@ -6191,7 +6200,9 @@ def _trade_edges_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_g1_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = _graph.pagerank(
-        _trade_edges_shared(spark, sf_dir), iterations=10
+        _trade_edges_shared(spark, sf_dir),
+        iterations=10,
+        assume_normalized=True,
     )
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
@@ -6208,7 +6219,7 @@ def q_g1_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keys 0-9, and no nation-1 supplier — a nation filter would leave
 # the teleport nowhere to land there)
 _G2_SEED_SQL = (
-    "SELECT CAST(2 * s_suppkey + 1 AS BIGINT) AS node"
+    "SELECT CAST(s_suppkey AS BIGINT) * 2 + 1 AS node"
     " FROM supplier WHERE s_suppkey % 10 = 1"
 )
 
@@ -6238,10 +6249,13 @@ def q_g2_ppr_trusted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = (
         t(spark, sf_dir, "supplier")
         .filter(F.col("s_suppkey") % 10 == 1)
-        .select((2 * F.col("s_suppkey") + 1).cast("bigint").alias("node"))
+        .select((F.col("s_suppkey").cast("bigint") * 2 + 1).alias("node"))
     )
     ranks = _graph.pagerank(
-        _trade_edges_shared(spark, sf_dir), iterations=10, seeds=seeds
+        _trade_edges_shared(spark, sf_dir),
+        iterations=10,
+        seeds=seeds,
+        assume_normalized=True,
     )
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
@@ -6250,6 +6264,86 @@ def q_g2_ppr_trusted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranks.select(label.alias("node"), "rank_fp")
         .orderBy(F.desc("rank_fp"), "node")
+        .limit(25)
+    )
+
+
+# strong-tie edge set for community detection: repeat-business pairs
+# only (≥3 lineitems between the customer and supplier). The FULL
+# trade graph is near-complete bipartite at every SF (avg pair count
+# 1.2) — label propagation on it collapses to one giant community in
+# two rounds, which is correct but says nothing; communities live in
+# the strong-tie backbone, the standard graph-sparsification step
+# before clustering.
+_G3_EDGE_SQL = """
+    WITH cs AS (
+        SELECT CAST(o_custkey AS BIGINT) * 2 AS c,
+               CAST(l_suppkey AS BIGINT) * 2 + 1 AS s
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT c AS src, s AS dst FROM cs
+    UNION ALL
+    SELECT s AS src, c AS dst FROM cs
+"""
+
+
+@register(
+    "g3_trade_communities",
+    oracle=(
+        "WITH lp AS (\n"
+        + _graph.label_propagation_sql(_G3_EDGE_SQL, iterations=5)
+        + "\n) SELECT concat(CASE WHEN label % 2 = 0 THEN 'c' ELSE 's' "
+        "END, CAST(label // 2 AS VARCHAR)) AS community, "
+        "CAST(COUNT(*) AS BIGINT) AS n_members FROM lp GROUP BY 1 "
+        "ORDER BY n_members DESC, community LIMIT 25"
+    ),
+    doc="Semi-synchronous label-propagation communities (Raghavan "
+    "2007) over the STRONG-TIE trade graph (repeat-business pairs, "
+    "≥3 lineitems — the full graph is near-complete bipartite and "
+    "collapses to one community), top 25 community sizes — the "
+    "clustering complement of PageRank for source curation: PageRank "
+    "says which sources MATTER, communities say which sources move "
+    "TOGETHER (dedup-aware sampling, per-cluster quotas, "
+    "contamination blast-radius). Same determinism discipline as "
+    "g1/g2: integer vote counts, smallest-label ties, FIXED "
+    "iterations, labels bit-equal to the unrolled DuckDB recurrence. "
+    "Two half-steps per round (even ids re-label, then odd against "
+    "fresh labels) because a bipartite graph oscillates under fully "
+    "synchronous sweeps — parity IS the bipartition here by "
+    "construction. Per half-step: one equi-join of the 2-long label "
+    "state + one combinable count + one per-node window bounded by "
+    "the node's distinct neighbor labels. "
+    "operators/graph.py:label_propagation.",
+)
+def q_g3_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            (F.col("o_custkey").cast("bigint") * 2).alias("c"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
+        )
+        .count()
+        .filter(F.col("count") >= 3)
+    )
+    edges = cs.selectExpr("c AS src", "s AS dst").unionByName(
+        cs.selectExpr("s AS src", "c AS dst")
+    )
+    labels = _graph.label_propagation(
+        edges, iterations=5, assume_normalized=True
+    )
+    comm = labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    )
+    tag = F.concat(
+        F.when(F.col("label") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.expr("CAST(label DIV 2 AS STRING)"),
+    )
+    return (
+        comm.select(tag.alias("community"), "n_members")
+        .orderBy(F.desc("n_members"), "community")
         .limit(25)
     )
 
@@ -6492,6 +6586,7 @@ _GATE_TAIL_ROWS_ONLY = [
 ]
 _GATE_PRIORITY = [
     # tier 0 (round 8): new registrations
+    "g3_trade_communities",
     # tier 1: latest green still r3 — the stale tail r7's budget missed
     "t2_events_json_props",
     "llm_mm_binary_meta",

@@ -54,7 +54,11 @@ def _drop_null_key_rows(batch: DataFrame, keys: Sequence[str]) -> DataFrame:
     """Replay-safety guard: merge_plan pins NULL-key rows as
     always-INSERT (a NULL never joins), so a crash-replayed micro-batch
     containing them would duplicate table rows. Drop them with a logged
-    count — one bounded aggregate over the key projection."""
+    count — one bounded aggregate over the key projection. The count is
+    an extra ACTION over the batch, and foreachBatch frames are NOT
+    cached across actions — callers must persist the batch first (as
+    run_cdc_apply_available_now does) so the probe and the downstream
+    merge share one source read."""
     null_pred = functools.reduce(
         operator.or_, [F.col(k).isNull() for k in keys]
     )
@@ -109,18 +113,27 @@ def run_cdc_apply_available_now(
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
-        batch = _drop_null_key_rows(batch, keys)
-        drop = [c for c in (op_col, seq_col) if c]
-        changes = _merge.latest_change_per_key(batch, list(keys), seq_col)
-        # keep op for merge_plan's delete routing; seq already consumed
-        _merge.merge_apply(
-            spark,
-            table_root,
-            changes.drop(*[c for c in drop if c == seq_col]),
-            keys,
-            op_col=op_col,
-            seq_col=None,
-        )
+        # persist: the NULL-key probe and the merge are separate
+        # actions, and foreachBatch frames re-read the source per
+        # action — the cache makes the probe's scan the only one
+        batch = batch.persist()
+        try:
+            clean = _drop_null_key_rows(batch, keys)
+            drop = [c for c in (op_col, seq_col) if c]
+            changes = _merge.latest_change_per_key(
+                clean, list(keys), seq_col
+            )
+            # keep op for merge_plan's delete routing; seq consumed
+            _merge.merge_apply(
+                spark,
+                table_root,
+                changes.drop(*[c for c in drop if c == seq_col]),
+                keys,
+                op_col=op_col,
+                seq_col=None,
+            )
+        finally:
+            batch.unpersist()
         if vacuum_keep is not None:
             _merge.table_vacuum(table_root, keep=vacuum_keep)
 

@@ -30,15 +30,13 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-import json
-
 from ad_data_pipelines_spark.operators import sketch as _sketch
 from ad_data_pipelines_spark.streaming.hotkeys import (
     _checkpoint_query_id,
+    _commit_state,
+    _replay_check,
     _state,
 )
-
-_POINTER = "_STATE"
 
 
 def _commit(
@@ -48,25 +46,22 @@ def _commit(
     stream_id: str | None,
     bounds: list[float],
 ) -> None:
-    """hotkeys._commit plus the artifact's bin BOUNDS: two histograms
-    are only mergeable over identical bounds, and unlike the HLL union
-    (which rejects mismatched lg_k loudly) adding counts from
-    different bounds is silent corruption — so the bounds are part of
-    the committed identity and checked on every apply."""
-    tmp = os.path.join(root, f"{_POINTER}.tmp")
-    with open(tmp, "w", encoding="ascii") as f:
-        json.dump(
-            {
-                "version": version,
-                "batch_id": batch_id,
-                "stream_id": stream_id,
-                "bounds": bounds,
-            },
-            f,
-        )
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(root, _POINTER))
+    """hotkeys' committed state plus the artifact's bin BOUNDS: two
+    histograms are only mergeable over identical bounds, and unlike
+    the HLL union (which rejects mismatched lg_k loudly) adding counts
+    from different bounds is silent corruption — so the bounds are
+    part of the committed identity and checked on every apply. Read
+    and write both go through hotkeys' `_state`/`_commit_state`, so
+    the pointer file name exists in exactly one place."""
+    _commit_state(
+        root,
+        {
+            "version": version,
+            "batch_id": batch_id,
+            "stream_id": stream_id,
+            "bounds": bounds,
+        },
+    )
 
 
 def read_shards(spark: SparkSession, root: str) -> DataFrame | None:
@@ -103,23 +98,11 @@ def apply_batch(
                 "over different bounds must never be added; rebuild "
                 "the artifact (or re-train and start a new root)"
             )
-        committed_sid = st.get("stream_id")
-        if (
-            stream_id is not None
-            and committed_sid is not None
-            and committed_sid != stream_id
-        ):
-            raise RuntimeError(
-                f"histogram shards at {root} were committed by stream "
-                f"{committed_sid!r} but this stream is {stream_id!r} "
-                "(checkpoint deleted or relocated?) — batch ids are "
-                "not comparable across checkpoints; restore the "
-                "original checkpoint or rebuild the artifact"
-            )
-        if batch_id <= st["batch_id"]:
-            return False
-        if stream_id is None:
-            stream_id = committed_sid
+    skip, stream_id = _replay_check(
+        st, batch_id, stream_id, root, "histogram shards"
+    )
+    if skip:
+        return False
     new = _sketch.histogram_shard_table(
         batch, value_col, bounds, list(shard_cols)
     )

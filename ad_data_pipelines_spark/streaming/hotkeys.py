@@ -32,6 +32,7 @@ checkpoint or rebuild the sketch.
 from __future__ import annotations
 
 import json
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +40,12 @@ from pyspark.sql.types import StructType
 
 from ad_data_pipelines_spark.operators import sketch as _sketch
 
+logger = logging.getLogger(__name__)
+
+#: the pointer file name is OWNED here — every additive-artifact
+#: maintainer (this module, streaming/histograms.py) reads through
+#: `_state` and writes through `_commit_state`, so the read and write
+#: paths can never drift onto different file names
 _POINTER = "_STATE"
 
 
@@ -50,22 +57,78 @@ def _state(root: str) -> dict | None:
         return None
 
 
-def _commit(
-    root: str, version: int, batch_id: int, stream_id: str | None
-) -> None:
+def _commit_state(root: str, state: dict) -> None:
+    """Atomic pointer write (fsync + os.replace) shared by every
+    additive-artifact maintainer; `state` must carry at least
+    {version, batch_id, stream_id}."""
     tmp = os.path.join(root, f"{_POINTER}.tmp")
     with open(tmp, "w", encoding="ascii") as f:
-        json.dump(
-            {
-                "version": version,
-                "batch_id": batch_id,
-                "stream_id": stream_id,
-            },
-            f,
-        )
+        json.dump(state, f)
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def _commit(
+    root: str, version: int, batch_id: int, stream_id: str | None
+) -> None:
+    _commit_state(
+        root,
+        {"version": version, "batch_id": batch_id, "stream_id": stream_id},
+    )
+
+
+def _replay_check(
+    st: dict | None,
+    batch_id: int,
+    stream_id: str | None,
+    root: str,
+    what: str,
+) -> tuple[bool, str | None]:
+    """The additive-artifact replay guard, shared by every maintainer:
+    returns (skip, effective_stream_id).
+
+    * committed and incoming stream ids both present but different →
+      RAISE (a recreated checkpoint restarts batch ids at 0; skipping
+      would silently freeze the artifact).
+    * batch_id ≤ committed → skip (crash-replay no-op). If the
+      committed pointer carries NO stream identity (pre-upgrade, or a
+      direct batch caller), that exact failure mode is undetectable —
+      WARN loudly so the skip is never mistaken for replay safety.
+    * otherwise apply; a pointer without identity adopts the incoming
+      one (legacy backfill), an incoming None inherits the committed.
+    """
+    if st is None:
+        return False, stream_id
+    committed_sid = st.get("stream_id")
+    if (
+        stream_id is not None
+        and committed_sid is not None
+        and committed_sid != stream_id
+    ):
+        raise RuntimeError(
+            f"{what} at {root} was committed by stream "
+            f"{committed_sid!r} but this stream is {stream_id!r} "
+            "(checkpoint deleted or relocated?) — batch ids are "
+            "not comparable across checkpoints; restore the "
+            "original checkpoint or rebuild the artifact"
+        )
+    if batch_id <= st["batch_id"]:
+        if committed_sid is None:
+            logger.warning(
+                "%s at %s has no committed stream identity; skipping "
+                "batch_id %d <= committed %d. If the checkpoint was "
+                "recreated (batch ids restart at 0) this skip is WRONG "
+                "— restore the original checkpoint or rebuild the "
+                "artifact; future commits from an identified stream "
+                "will backfill the identity.",
+                what,
+                root,
+                batch_id,
+                st["batch_id"],
+            )
+        return True, stream_id
+    return False, stream_id if stream_id is not None else committed_sid
 
 
 def _checkpoint_query_id(checkpoint: str) -> str | None:
@@ -111,24 +174,9 @@ def apply_batch(
     without an identity adopts the first one it sees."""
     os.makedirs(root, exist_ok=True)
     st = _state(root)
-    if st is not None:
-        committed_sid = st.get("stream_id")
-        if (
-            stream_id is not None
-            and committed_sid is not None
-            and committed_sid != stream_id
-        ):
-            raise RuntimeError(
-                f"sketch at {root} was committed by stream "
-                f"{committed_sid!r} but this stream is {stream_id!r} "
-                "(checkpoint deleted or relocated?) — batch ids are "
-                "not comparable across checkpoints; restore the "
-                "original checkpoint or rebuild the sketch"
-            )
-        if batch_id <= st["batch_id"]:
-            return False
-        if stream_id is None:
-            stream_id = committed_sid
+    skip, stream_id = _replay_check(st, batch_id, stream_id, root, "sketch")
+    if skip:
+        return False
     new = _sketch.count_min_table(
         batch.select(key_col), key_col, width=width, depth=depth
     )

@@ -752,3 +752,43 @@ def test_pagerank_10x_linear_and_partitioned(spark):
     # mass conservation sanity at scale: Σ rank ≤ scale, > 99%
     total = big_df.agg(F.sum("rank_fp")).collect()[0][0]
     assert 0.99 * 10**12 < total <= 10**12
+
+
+def test_label_propagation_10x_linear(spark):
+    """Label propagation on a 10× graph of disjoint 4-cliques: runtime
+    stays ~linear (each half-step is one equi-join + one combinable
+    count + a degree-bounded window), every clique resolves to its own
+    community (min member id), and the label count equals the clique
+    count — structure verified at scale, not just timing."""
+    from ad_data_pipelines_spark.operators import graph
+
+    def cliques(n_cliques):
+        # nodes 4k..4k+3 fully connected within each clique
+        base = spark.range(n_cliques * 12).selectExpr(
+            "id DIV 12 AS q", "(id % 12) DIV 3 AS a", "id % 3 AS o"
+        )
+        return base.selectExpr(
+            "q * 4 + a AS src",
+            # the 3 other members of the clique
+            "q * 4 + (a + o + 1) % 4 AS dst",
+        )
+
+    n_small, n_big = 500, 5_000
+    t0 = time.perf_counter()
+    small = graph.label_propagation(cliques(n_small), iterations=3)
+    k1 = small.select("label").distinct().count()
+    t1 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    big = graph.label_propagation(cliques(n_big), iterations=3)
+    k10 = big.select("label").distinct().count()
+    t10 = time.perf_counter() - t0
+
+    assert k1 == n_small and k10 == n_big  # one community per clique
+    # every community label is its clique's min node id (4q)
+    bad = big.filter(F.col("label") % 4 != 0).count()
+    assert bad == 0
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"label_propagation 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
+        "grows super-linearly"
+    )
