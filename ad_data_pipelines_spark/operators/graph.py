@@ -64,6 +64,7 @@ def pagerank(
     seeds: DataFrame | None = None,
     seed_col: str = "node",
     assume_normalized: bool = False,
+    cut_input: bool = True,
 ) -> DataFrame:
     """(node, rank_fp): fixed-point PageRank over the directed edge
     list (self-loops dropped, duplicate edges collapsed). ``rank_fp``
@@ -90,12 +91,16 @@ def pagerank(
     back once at the end, as g1_pagerank_suppliers does.
 
     ``assume_normalized=True`` declares the input already deduped,
-    NULL-free and self-loop-free — skipping the per-call
-    distinct+checkpoint pass — and, when the frame also carries an
-    ``od`` (out-degree of src) column, skips the out-degree
-    aggregation too. That lets a SHARED persisted edge artifact (built
-    once per session, e.g. the trade graph) absorb the whole one-time
-    normalization cost across every ranking that consumes it."""
+    NULL-free and self-loop-free — skipping the per-call distinct
+    pass — and, when the frame also carries an ``od`` (out-degree of
+    src) column, skips the out-degree aggregation too. That lets a
+    SHARED edge artifact (built once per session, e.g. the trade
+    graph) absorb the whole one-time normalization cost across every
+    ranking that consumes it. ``cut_input=False`` additionally skips
+    the defensive localCheckpoint of the edge list — pass it ONLY
+    when the input is already materialized (a checkpointed/persisted
+    shared stage); on a raw plan the iterations would re-run the
+    caller's whole build chain on every scan."""
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if iterations < 1:
@@ -120,11 +125,17 @@ def pagerank(
         )
     has_od = assume_normalized and "od" in edges.columns
     if assume_normalized:
+        # skip the dedup/filter SEMANTICS, but keep the cut unless the
+        # caller vouches the input is materialized (cut_input=False):
+        # the loop scans the edge list every iteration, and without
+        # either, each scan re-runs the caller's whole build chain
         keep = ["src", "dst", "od"] if has_od else ["src", "dst"]
         e = edges.select(
             F.col(src).alias("src"), F.col(dst).alias("dst"),
             *(["od"] if has_od else []),
         ).select(*keep)
+        if cut_input:
+            e = e.localCheckpoint()
     else:
         e = (
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -257,6 +268,7 @@ def label_propagation(
     iterations: int = 5,
     checkpoint_every: int = 1,
     assume_normalized: bool = False,
+    cut_input: bool = True,
 ) -> DataFrame:
     """(node, label): semi-synchronous label-propagation communities
     (Raghavan 2007) over the directed edge list — the community twin
@@ -282,8 +294,9 @@ def label_propagation(
     two longs; each half-step is one equi-join of state onto edges +
     one combinable (node, label) count + one per-node window bounded
     by the node's distinct neighbor labels; lineage cut per
-    ``checkpoint_every`` iterations. ``assume_normalized`` as in
-    `pagerank` (an `od` column, if present, is ignored)."""
+    ``checkpoint_every`` iterations. ``assume_normalized`` and
+    ``cut_input`` as in `pagerank` (an `od` column, if present, is
+    ignored)."""
     if iterations < 1:
         raise ValueError(f"need >= 1 iteration, got {iterations}")
     if checkpoint_every < 1:
@@ -293,7 +306,13 @@ def label_propagation(
     from pyspark.sql import Window
 
     if assume_normalized:
+        # as in `pagerank`: skip the dedup semantics, keep the cut
+        # unless the caller vouches the input is materialized — ten
+        # half-steps each re-scan the edge list, and an uncut raw
+        # input re-runs the caller's whole build chain per scan
         e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        if cut_input:
+            e = e.localCheckpoint()
     else:
         e = (
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))

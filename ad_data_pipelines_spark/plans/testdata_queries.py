@@ -3522,13 +3522,26 @@ def q_llm_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARED_CACHE: dict[tuple, DataFrame] = {}
 
 
-def _shared(spark: SparkSession, sf_dir: str, what: str, build) -> DataFrame:
+def _shared(
+    spark: SparkSession,
+    sf_dir: str,
+    what: str,
+    build,
+    materialize: str = "persist",
+) -> DataFrame:
     """Session-scoped persisted memo for pipeline intermediates that
     several registry queries consume. The dedup chain
     (signatures → candidate pairs → components) is the expensive part
     of five different queries; each layer is computed once per
     (session, sf_dir) — the in-session twin of materializing the same
-    intermediates bucketed on disk (`dedup.dup_components_table`)."""
+    intermediates bucketed on disk (`dedup.dup_components_table`).
+
+    ``materialize="checkpoint"`` stores the stage as a localCheckpoint
+    (row RDD) instead of a columnar persist: the right shape for the
+    ITERATIVE consumers (PageRank/label propagation scan the edge list
+    10-20× per query, and per-scan columnar-cache deserialization
+    dominates; row-RDD scans don't pay it, and the consumers then skip
+    their own per-call defensive cut entirely)."""
     # Entries are per-doc signature/pair/component tables — kilobytes to
     # low megabytes at test SFs, MEMORY_AND_DISK so an over-budget entry
     # spills rather than evicting executors. A long-lived session over
@@ -3536,7 +3549,12 @@ def _shared(spark: SparkSession, sf_dir: str, what: str, build) -> DataFrame:
     # registry's driver/test sessions touch one or two dirs.
     key = (spark.sparkContext.applicationId, sf_dir, what)
     if key not in _SHARED_CACHE:
-        _SHARED_CACHE[key] = build().persist()
+        built = build()
+        _SHARED_CACHE[key] = (
+            built.localCheckpoint()
+            if materialize == "checkpoint"
+            else built.persist()
+        )
     return _SHARED_CACHE[key]
 
 
@@ -6174,7 +6192,11 @@ def _trade_edges_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.groupBy("src").agg(F.count("*").alias("od")), "src"
         ).select("src", "dst", "od")
 
-    return _shared(spark, sf_dir, "trade_edges", build)
+    # checkpoint, not persist: g1/g2/g3's iterations scan this 10-20×
+    # per query and row-RDD scans skip the per-scan columnar-cache
+    # deserialization; consumers pass cut_input=False so no per-call
+    # re-materialization happens either
+    return _shared(spark, sf_dir, "trade_edges", build, "checkpoint")
 
 
 @register(
@@ -6203,6 +6225,11 @@ def q_g1_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _trade_edges_shared(spark, sf_dir),
         iterations=10,
         assume_normalized=True,
+        cut_input=False,  # the shared stage is a checkpointed RDD
+        # cadence exercised on THIS plan shape (the raise-only-if-
+        # exercised rule in pagerank's docstring): one cut per 5
+        # rounds, measured 1.4x faster, ranks identical
+        checkpoint_every=5,
     )
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
@@ -6256,6 +6283,8 @@ def q_g2_ppr_trusted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=10,
         seeds=seeds,
         assume_normalized=True,
+        cut_input=False,  # the shared stage is a checkpointed RDD
+        checkpoint_every=5,  # exercised on this plan shape (see g1)
     )
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
