@@ -65,6 +65,7 @@ def pagerank(
     seed_col: str = "node",
     assume_normalized: bool = False,
     cut_input: bool = True,
+    weight: str | None = None,
 ) -> DataFrame:
     """(node, rank_fp): fixed-point PageRank over the directed edge
     list (self-loops dropped, duplicate edges collapsed). ``rank_fp``
@@ -93,14 +94,27 @@ def pagerank(
     ``assume_normalized=True`` declares the input already deduped,
     NULL-free and self-loop-free — skipping the per-call distinct
     pass — and, when the frame also carries an ``od`` (out-degree of
-    src) column, skips the out-degree aggregation too. That lets a
-    SHARED edge artifact (built once per session, e.g. the trade
-    graph) absorb the whole one-time normalization cost across every
-    ranking that consumes it. ``cut_input=False`` additionally skips
-    the defensive localCheckpoint of the edge list — pass it ONLY
-    when the input is already materialized (a checkpointed/persisted
-    shared stage); on a raw plan the iterations would re-run the
-    caller's whole build chain on every scan."""
+    src; out-strength ``ws`` in weighted mode) column, skips that
+    aggregation too. That lets a SHARED edge artifact (built once per
+    session, e.g. the trade graph) absorb the whole one-time
+    normalization cost across every ranking that consumes it.
+    ``cut_input=False`` additionally skips the defensive
+    localCheckpoint of the edge list — pass it ONLY when the input is
+    already materialized (a checkpointed/persisted shared stage); on
+    a raw plan the iterations would re-run the caller's whole build
+    chain on every scan.
+
+    ``weight`` names an INTEGRAL edge-weight column and switches to
+    WEIGHTED PageRank: a walker at s follows edge (s, d) with
+    probability w(s,d) / Σ w(s, ·) — the recurrence's per-edge term
+    becomes ``(r(s) * w) DIV ws`` with ``ws`` the out-strength, so
+    determinism is preserved exactly (weight 1 everywhere reproduces
+    the unweighted ranking BIT-FOR-BIT, tested). Duplicate (src, dst)
+    rows collapse by SUMMING w; weights must be positive (a zero or
+    negative weight raises — it has no random-walk meaning) and
+    bounded so ``scale × max(w)`` fits int64 (checked, loud).
+    Integral weights are the determinism contract, not a limitation:
+    scale fractional affinities to integers upstream."""
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if iterations < 1:
@@ -123,20 +137,32 @@ def pagerank(
             f"src/dst types differ: {edges.schema[src].dataType} vs "
             f"{edges.schema[dst].dataType}"
         )
-    has_od = assume_normalized and "od" in edges.columns
+    if weight is not None:
+        wtype = edges.schema[weight].dataType.simpleString()
+        if wtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"weight column {weight!r} must be integral for the "
+                f"fixed-point determinism contract, got {wtype} — "
+                "scale fractional affinities to integers upstream"
+            )
+    # the per-src normalizer column: out-degree (uniform walk) or
+    # out-strength Σw (weighted walk)
+    norm_col = "od" if weight is None else "ws"
+    has_norm = assume_normalized and norm_col in edges.columns
     if assume_normalized:
         # skip the dedup/filter SEMANTICS, but keep the cut unless the
         # caller vouches the input is materialized (cut_input=False):
         # the loop scans the edge list every iteration, and without
         # either, each scan re-runs the caller's whole build chain
-        keep = ["src", "dst", "od"] if has_od else ["src", "dst"]
-        e = edges.select(
-            F.col(src).alias("src"), F.col(dst).alias("dst"),
-            *(["od"] if has_od else []),
-        ).select(*keep)
+        cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+        if weight is not None:
+            cols.append(F.col(weight).cast("bigint").alias("w"))
+        if has_norm:
+            cols.append(F.col(norm_col))
+        e = edges.select(*cols)
         if cut_input:
             e = e.localCheckpoint()
-    else:
+    elif weight is None:
         e = (
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -144,6 +170,38 @@ def pagerank(
             .distinct()
             .localCheckpoint()
         )
+    else:
+        e = (
+            edges.select(
+                F.col(src).alias("src"),
+                F.col(dst).alias("dst"),
+                F.col(weight).cast("bigint").alias("w"),
+            )
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .filter(F.col("src") != F.col("dst"))
+            .filter(F.col("w").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint()
+        )
+    if weight is not None:
+        # positive weights only (no random-walk meaning otherwise) and
+        # an int64 headroom check: the per-edge term multiplies
+        # rank (≤ scale) by w before the floor division
+        bad_w = e.filter(F.col("w") <= 0).limit(1).count()
+        if bad_w:
+            raise ValueError(
+                "edge weights must be positive after duplicate "
+                "collapse — zero/negative weights have no random-walk "
+                "meaning; filter or re-scale them upstream"
+            )
+        max_w = e.agg(F.max("w")).first()[0]
+        if max_w is not None and int(scale) * int(max_w) >= 2**62:
+            raise ValueError(
+                f"scale ({scale}) x max weight ({max_w}) leaves no "
+                "int64 headroom — rank*w would WRAP in Spark but "
+                "ERROR in DuckDB; lower scale or re-scale weights"
+            )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -194,16 +252,23 @@ def pagerank(
             f"scale {scale} < {n_seeds} seed nodes — all fixed-point "
             "ranks would floor to 0; raise scale"
         )
-    # out-degree is joined onto the edge list ONCE, outside the loop —
-    # inside it would re-run a full-edge join every iteration for a
-    # value that never changes; a shared artifact carrying `od`
-    # (assume_normalized) skips even the once
-    if has_od:
+    # the per-src normalizer (out-degree / out-strength) is joined
+    # onto the edge list ONCE, outside the loop — inside it would
+    # re-run a full-edge join every iteration for a value that never
+    # changes; a shared artifact carrying the column skips even the
+    # once
+    if has_norm:
         e_od = e
-    else:
+    elif weight is None:
         e_od = (
             e.join(e.groupBy("src").agg(F.count("*").alias("od")), "src")
             .select("src", "dst", "od")
+            .localCheckpoint()
+        )
+    else:
+        e_od = (
+            e.join(e.groupBy("src").agg(F.sum("w").alias("ws")), "src")
+            .select("src", "dst", "w", "ws")
             .localCheckpoint()
         )
     init = int(scale) // int(n_seeds)
@@ -220,6 +285,9 @@ def pagerank(
     ranks = flags.select(
         "node", (F.col("is_seed") * F.lit(init)).alias("rank_fp")
     )
+    contrib_expr = (
+        "rank_fp DIV od" if weight is None else "(rank_fp * w) DIV ws"
+    )
     for i in range(iterations):
         contribs = (
             e_od.join(
@@ -227,7 +295,7 @@ def pagerank(
             )
             .select(
                 F.col("dst").alias("node"),
-                F.expr("rank_fp DIV od").alias("c"),
+                F.expr(contrib_expr).alias("c"),
                 F.lit(0).cast("bigint").alias("is_seed"),
             )
         )
@@ -410,6 +478,7 @@ def pagerank_sql(
     damping_pct: int = 85,
     scale: int = 10**12,
     seed_sql: str | None = None,
+    weighted: bool = False,
 ) -> str:
     """DuckDB twin of `pagerank`: the same integer recurrence unrolled
     into a WITH chain (r0 … r{iterations}) — fixed iterations are what
@@ -417,7 +486,10 @@ def pagerank_sql(
     `edge_sql` must yield columns (src, dst) of one comparable type
     (same contract as `pagerank` — node ids pass through untyped);
     `seed_sql` (one `node` column) switches to the personalized
-    recurrence exactly as `seeds` does on the Spark side."""
+    recurrence exactly as `seeds` does on the Spark side;
+    ``weighted=True`` expects a third integral column `w` and mirrors
+    ``pagerank(weight=...)``: duplicate edges collapse by SUM(w), the
+    per-edge term is ``r*w // ws`` over the out-strength."""
     if seed_sql is None:
         # uniform = every node a seed; n_seeds = n
         flags_cte = (
@@ -433,12 +505,24 @@ def pagerank_sql(
             + seed_sql
             + ")) s ON s.node = nodes.node)"
         )
+    if weighted:
+        e_cte = (
+            "e AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM raw"
+            " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst"
+            " AND w IS NOT NULL GROUP BY src, dst)"
+        )
+        norm_cte = "outdeg AS (SELECT src, SUM(w) AS ws FROM e GROUP BY src)"
+    else:
+        e_cte = (
+            "e AS (SELECT DISTINCT src, dst FROM raw"
+            " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)"
+        )
+        norm_cte = "outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src)"
     parts = [
         f"raw AS ({edge_sql})",
-        "e AS (SELECT DISTINCT src, dst FROM raw"
-        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
+        e_cte,
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
-        "outdeg AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src)",
+        norm_cte,
         flags_cte,
         "consts AS (SELECT"
         f" CAST({int(scale)} // SUM(is_seed) AS BIGINT) AS init,"
@@ -447,13 +531,14 @@ def pagerank_sql(
         "r0 AS (SELECT node, is_seed * (SELECT init FROM consts)"
         " AS rank_fp FROM flags)",
     ]
+    term = "r.rank_fp * e.w // o.ws" if weighted else "r.rank_fp // o.od"
     for i in range(1, iterations + 1):
         parts.append(
             f"r{i} AS (SELECT n.node,"
             " CAST(n.is_seed * (SELECT tele FROM consts)"
             f" + {damping_pct} * COALESCE(m.in_mass, 0) // 100 AS BIGINT)"
             " AS rank_fp FROM flags n LEFT JOIN ("
-            "SELECT e.dst AS node, SUM(r.rank_fp // o.od) AS in_mass"
+            f"SELECT e.dst AS node, SUM({term}) AS in_mass"
             f" FROM e JOIN r{i - 1} r ON r.node = e.src"
             " JOIN outdeg o ON o.src = e.src GROUP BY e.dst"
             ") m ON m.node = n.node)"

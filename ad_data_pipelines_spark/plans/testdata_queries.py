@@ -3618,7 +3618,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: bump when ANY shared stage's build parameters change — on-disk
 #: artifact directories carrying the previous revision string are then
 #: version-stale and rebuilt on next access (rebuild-on-version-change)
-_SHARED_REV = 1
+_SHARED_REV = 2  # r8: trade_edges gained (w, ws) weight columns
 
 
 def materialize_shared_artifacts(
@@ -6179,18 +6179,24 @@ def _trade_edges_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
         cs = (
             o.join(li, o.o_orderkey == li.l_orderkey)
-            .select(
+            .groupBy(
                 (F.col("o_custkey").cast("bigint") * 2).alias("c"),
                 (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
             )
-            .distinct()
+            # edge weight = trade volume (lineitems between the pair):
+            # free in the same aggregate that dedups the pairs, and
+            # what the weighted ranking (g4) walks proportionally to
+            .agg(F.count("*").alias("w"))
         )
-        e = cs.selectExpr("c AS src", "s AS dst").unionByName(
-            cs.selectExpr("s AS src", "c AS dst")
+        e = cs.selectExpr("c AS src", "s AS dst", "w").unionByName(
+            cs.selectExpr("s AS src", "c AS dst", "w")
         )
         return e.join(
-            e.groupBy("src").agg(F.count("*").alias("od")), "src"
-        ).select("src", "dst", "od")
+            e.groupBy("src").agg(
+                F.count("*").alias("od"), F.sum("w").alias("ws")
+            ),
+            "src",
+        ).select("src", "dst", "w", "od", "ws")
 
     # checkpoint, not persist: g1/g2/g3's iterations scan this 10-20×
     # per query and row-RDD scans skip the per-scan columnar-cache
@@ -6373,6 +6379,63 @@ def q_g3_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         comm.select(tag.alias("community"), "n_members")
         .orderBy(F.desc("n_members"), "community")
+        .limit(25)
+    )
+
+
+# the weighted trade graph: lineitem count per (customer, supplier)
+# pair as edge weight, both orientations — the same aggregate that
+# builds the shared stage (trade_edges carries w/ws since r8)
+_G4_EDGE_SQL = """
+    WITH cs AS (
+        SELECT CAST(o_custkey AS BIGINT) * 2 AS c,
+               CAST(l_suppkey AS BIGINT) * 2 + 1 AS s,
+               COUNT(*) AS w
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT c AS src, s AS dst, w FROM cs
+    UNION ALL
+    SELECT s AS src, c AS dst, w FROM cs
+"""
+
+
+@register(
+    "g4_weighted_pagerank",
+    oracle=(
+        "WITH pr AS (\n"
+        + _graph.pagerank_sql(_G4_EDGE_SQL, iterations=10, weighted=True)
+        + f"\n) SELECT {_G1_LABEL_SQL} AS node, rank_fp FROM pr\n"
+        "ORDER BY rank_fp DESC, node LIMIT 25"
+    ),
+    doc="WEIGHTED fixed-point PageRank over the trade graph: the "
+    "walker follows edge (s, d) with probability w/Σw — trade VOLUME "
+    "(lineitems per customer-supplier pair), not mere existence, "
+    "drives the centrality, which is how production host-ranking "
+    "weights link multiplicity (g1 treats a 1-lineitem and a "
+    "100-lineitem relationship identically). Same determinism "
+    "contract: the per-edge term is (r*w) DIV ws in BIGINT, weight 1 "
+    "everywhere reproduces g1 bit-for-bit (tested), positive-weight "
+    "and int64-headroom guards fail loudly. The weights ride the "
+    "shared trade_edges artifact (w, ws columns) so the per-query "
+    "cost is identical to g1's. operators/graph.py:pagerank(weight=).",
+)
+def q_g4_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = _graph.pagerank(
+        _trade_edges_shared(spark, sf_dir),
+        iterations=10,
+        weight="w",
+        assume_normalized=True,
+        cut_input=False,  # the shared stage is a checkpointed RDD
+        checkpoint_every=5,  # exercised on this plan shape (see g1)
+    )
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.expr("CAST(node DIV 2 AS STRING)"),
+    )
+    return (
+        ranks.select(label.alias("node"), "rank_fp")
+        .orderBy(F.desc("rank_fp"), "node")
         .limit(25)
     )
 
@@ -6616,6 +6679,7 @@ _GATE_TAIL_ROWS_ONLY = [
 _GATE_PRIORITY = [
     # tier 0 (round 8): new registrations
     "g3_trade_communities",
+    "g4_weighted_pagerank",
     # tier 1: latest green still r3 — the stale tail r7's budget missed
     "t2_events_json_props",
     "llm_mm_binary_meta",

@@ -133,10 +133,11 @@ def test_shared_rev_bump_rebuilds(spark, tmp_path, monkeypatch):
 
     import ad_data_pipelines_spark.plans.testdata_queries as tq
 
-    monkeypatch.setattr(tq, "_SHARED_REV", 2)
+    bumped = tq._SHARED_REV + 1
+    monkeypatch.setattr(tq, "_SHARED_REV", bumped)
     materialize_shared_artifacts(spark, SF_SMALL, root)
     v2 = art.artifact_status(shingles)["version"]
-    assert v1 != v2 and "rev=2" in v2
+    assert v1 != v2 and f"rev={bumped}" in v2
 
 
 def test_refresh_job_rebuilds_then_noops(spark, tmp_path):

@@ -2780,6 +2780,73 @@ def test_pagerank_dangling_partitioning_and_guards(spark):
     assert empty.count() == 0
 
 
+def test_weighted_pagerank_bit_equal_and_guards(spark):
+    """Weighted PageRank: bit-equal to the weighted DuckDB twin
+    (duplicate edges collapse by SUMMING w — checked via a duplicate
+    row), weight=1 on distinct edges reproduces the unweighted
+    ranking bit-for-bit, and the three loud guards fire: non-integral
+    weight dtype, non-positive weights, int64 headroom."""
+    import duckdb
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from ad_data_pipelines_spark.operators import graph
+
+    edges = [
+        ("a", "b", 3), ("b", "a", 1), ("a", "c", 1), ("c", "a", 2),
+        ("c", "d", 5), ("d", "c", 1), ("b", "c", 2), ("c", "b", 1),
+        ("e", "c", 4), ("c", "e", 1),
+        ("a", "a", 9), ("a", "b", 2),  # self-loop ignored; dup sums to 5
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w int")
+    got = sorted(
+        (r.node, r.rank_fp)
+        for r in graph.pagerank(df, iterations=10, weight="w").collect()
+    )
+    vals = ", ".join(f"('{s}','{d}',{w})" for s, d, w in edges)
+    want = sorted(
+        duckdb.connect()
+        .execute(
+            graph.pagerank_sql(
+                f"SELECT * FROM (VALUES {vals}) t(src, dst, w)",
+                iterations=10,
+                weighted=True,
+            )
+        )
+        .fetchall()
+    )
+    assert got == want
+    ranks = dict(got)
+    assert ranks["c"] == max(ranks.values())  # the weighted hub too
+
+    # weight 1 everywhere on DISTINCT edges == the unweighted ranking
+    # (with duplicates it must NOT match: unweighted dedups, weighted
+    # sums — that duplicate-summing is asserted by the oracle above)
+    dedup = df.select("src", "dst").distinct().withColumn("w", F.lit(1))
+    u = sorted(map(tuple, graph.pagerank(df, iterations=8).collect()))
+    w1 = sorted(
+        map(
+            tuple,
+            graph.pagerank(dedup, iterations=8, weight="w").collect(),
+        )
+    )
+    assert u == w1
+
+    with pytest.raises(ValueError, match="integral"):
+        graph.pagerank(
+            df.withColumn("w", F.col("w").cast("double")), weight="w"
+        )
+    with pytest.raises(ValueError, match="positive"):
+        graph.pagerank(df.withColumn("w", F.col("w") - 3), weight="w")
+    with pytest.raises(ValueError, match="headroom"):
+        graph.pagerank(
+            df.withColumn("w", (F.col("w") * 10**6).cast("bigint")),
+            weight="w",
+            scale=10**16,
+        )
+
+
 def test_label_propagation_bit_equal_structure_and_guards(spark):
     """Semi-synchronous LPA: bit-equal to the unrolled DuckDB twin,
     finds the two bridged clusters, is invariant to input
