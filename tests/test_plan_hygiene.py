@@ -241,6 +241,23 @@ def test_scaled_hint_lint_catches_pinned_broadcast(spark):
     )
 
 
+def test_unhinted_scaled_joins_still_broadcast_at_runtime(spark):
+    """The round-8 un-hinting contract: dropping F.broadcast() from
+    sf-scaled relations must NOT change the physical strategy at test
+    SFs — AQE's runtime size stats pick the broadcast join on their
+    own (and, unlike the hint, can fall back to shuffle at 100 TB).
+    Executes a representative un-hinted TPC-H shape and asserts the
+    FINAL adaptive plan still broadcast-joins, with no sort-merge
+    fallback."""
+    df = REGISTRY["j31_returned_item_customers"].fn(spark, SF_MEDIUM)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan, "AQE did not finalize the plan"
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
+
+
 def test_single_partition_collapse_lint_catches_global_window(spark):
     """Negative control: the exact shape the lint exists for — an
     empty-partition-spec Window straight over a parquet scan (the
