@@ -329,6 +329,102 @@ def pagerank(
     return ranks
 
 
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    assume_normalized: bool = False,
+    cut_input: bool = True,
+) -> DataFrame:
+    """(node, deg): nodes surviving ``rounds`` of k-core peeling over
+    the directed edge list, with the out-degree that qualified them in
+    the final round — the density signal of the graph-quality family
+    (PageRank: who matters; communities: who moves together; k-core:
+    who sits in the densely-connected backbone — the classic crawl
+    frontier / spam-farm discriminator). For an undirected graph
+    supplied in both orientations (the trade-graph convention),
+    out-degree IS the degree.
+
+    Peeling round: deg(v) = surviving out-edges of v whose BOTH
+    endpoints survive; survivors' = {v : deg(v) ≥ k}. No tie-breaks,
+    no floats — every round is pure integer counting, so Spark and the
+    unrolled DuckDB twin (`k_core_sql`) agree bit-for-bit, and a FIXED
+    round count (not to-fixpoint iteration) is what keeps the oracle
+    expressible. Peeling converges in at most ~diameter rounds on
+    typical graphs; callers wanting the exact k-core check the
+    fixpoint (rounds and rounds+1 equal — tested) or raise ``rounds``.
+
+    Scale shape: per round, two semi-joins of the edge list against
+    the surviving node set + one combinable (src) count — all keyed
+    shuffles; the survivor state is one long per node, lineage cut
+    per round. ``assume_normalized`` / ``cut_input`` as in
+    `pagerank` (``od``/``w``/``ws`` columns, if present, are ignored
+    — degrees are recounted per round by construction)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"need >= 1 round, got {rounds}")
+    if assume_normalized:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        if cut_input:
+            e = e.localCheckpoint()
+    else:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+    survivors = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = None
+    for i in range(rounds):
+        e_s = e.join(
+            survivors.select(F.col("node").alias("src")), "src", "semi"
+        ).join(survivors.select(F.col("node").alias("dst")), "dst", "semi")
+        deg = e_s.groupBy(F.col("src").alias("node")).agg(
+            F.count("*").alias("deg")
+        )
+        deg = deg.filter(F.col("deg") >= k).localCheckpoint()
+        survivors = deg.select("node")
+    return deg
+
+
+def k_core_sql(edge_sql: str, k: int = 3, rounds: int = 6) -> str:
+    """DuckDB twin of `k_core`: the same peeling recurrence unrolled.
+    CTEs are ``AS MATERIALIZED`` — each round references its
+    predecessor twice (both semi-joins), and inlined CTEs would
+    expand 2^rounds-fold in the planner."""
+
+    parts = [
+        f"raw AS ({edge_sql})",
+        "e AS (SELECT DISTINCT src, dst FROM raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
+        "s0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT e.src AS node,"
+            " COUNT(*) AS deg FROM e"
+            f" JOIN s{i - 1} a ON a.node = e.src"
+            f" JOIN s{i - 1} b ON b.node = e.dst"
+            f" GROUP BY e.src HAVING COUNT(*) >= {int(k)})"
+        )
+        parts.append(f"s{i} AS (SELECT node FROM d{i})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, deg FROM d{rounds}"
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     src: str = "src",
