@@ -726,7 +726,7 @@ def simhash_sql(bits: int = 32) -> str:
 # --- duplicate-group resolution (connected components) -------------------
 
 def _cc_star_contraction(
-    pairs: DataFrame, max_iter: int
+    pairs: DataFrame, max_iter: int, reliable: bool = False
 ) -> tuple[DataFrame, int]:
     """Alternating large-star/small-star connected components
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -744,7 +744,11 @@ def _cc_star_contraction(
     Edges only move toward smaller ids; the process converges to
     disjoint stars centered on each component's min id in O(log² n)
     rounds, checked by an (edge-count, Σu, Σv) fixpoint. Lineage is
-    truncated per round with `localCheckpoint`.
+    truncated per round — `localCheckpoint` by default, a reliable
+    `checkpoint` against the session's checkpoint dir with
+    ``reliable=True`` (identical labels; the cut state then survives
+    executor loss, the cluster-run setting — see
+    operators/graph.py:_cut).
 
     Returns ((doc_id, component) DataFrame, rounds executed): labels
     for EVERY node of the input edge list — star leaves from the
@@ -752,13 +756,15 @@ def _cc_star_contraction(
     against the input node set (so a node whose edges all collapsed
     still labels itself).
     """
-    cur = (
+    from ad_data_pipelines_spark.operators.graph import _cut
+
+    cur = _cut(
         pairs.filter(F.col("u") != F.col("v"))
         .select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
     prev_sig = None
     rounds = 0
@@ -779,13 +785,13 @@ def _cc_star_contraction(
         )
         m_small = F.min("v").over(Window.partitionBy("u"))
         both = large.withColumn("m", m_small)
-        cur = (
+        cur = _cut(
             both.select(F.col("v").alias("n"), "m")
             .unionByName(both.select(F.col("u").alias("n"), "m"))
             .filter(F.col("n") != F.col("m"))
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            reliable,
         )
         # type-generic fixpoint signature (node ids may be strings —
         # entity_clusters — or longs): count + order-independent crc32
@@ -833,6 +839,7 @@ def connected_components(
     max_iter: int = 20,
     driver_threshold: int = 5_000_000,
     distributed_algo: str = "star",
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components over an undirected edge list: returns
     (doc_id, component) where component = min doc_id reachable — the
@@ -861,8 +868,11 @@ def connected_components(
             round: neighbor-min, then label←label-of-label). Kept for
             comparison; fine to ~10⁸ edges. Measured on sf0.1's
             chain-shaped clusters: 25 plain rounds → 12 with jumping.
-        Both truncate lineage per round with `localCheckpoint`
-        (prefer reliable `checkpoint` on a cluster).
+        Both truncate lineage per round with `localCheckpoint`;
+        ``reliable=True`` swaps every cut for a reliable `checkpoint`
+        against the session's checkpoint dir (set
+        ``spark.sparkContext.setCheckpointDir`` first) so the cut
+        state survives executor loss — the cluster-run setting.
 
     All paths produce identical min-root labelings.
     """
@@ -898,7 +908,7 @@ def connected_components(
             ).schema,
         )
     if distributed_algo == "star":
-        return _cc_star_contraction(pairs, max_iter)[0]
+        return _cc_star_contraction(pairs, max_iter, reliable)[0]
     if distributed_algo != "jump":
         raise ValueError(
             f"unknown distributed_algo {distributed_algo!r} "
@@ -907,11 +917,13 @@ def connected_components(
     sym = pairs.unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     ).persist()
-    labels = (
+    from ad_data_pipelines_spark.operators.graph import _cut
+
+    labels = _cut(
         sym.select(F.col("u").alias("doc_id"))
         .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
+        .withColumn("component", F.col("doc_id")),
+        reliable,
     )
     prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iter):
@@ -929,10 +941,10 @@ def connected_components(
         jump = merged.select(
             F.col("doc_id").alias("c"), F.col("component").alias("cc")
         )
-        labels = (
+        labels = _cut(
             merged.join(jump, merged.component == jump.c)
-            .select("doc_id", F.col("cc").alias("component"))
-            .localCheckpoint()
+            .select("doc_id", F.col("cc").alias("component")),
+            reliable,
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:

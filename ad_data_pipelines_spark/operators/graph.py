@@ -39,8 +39,10 @@ Scale shape (the iterative-Spark discipline):
     default (same idiom as dedup._cc_star_contraction; cadence
     tunable) — without cuts the plan doubles per round and Catalyst
     analysis time explodes by ~2^k.
-    On a real cluster prefer a reliable checkpoint dir for executor-
-    loss recovery; localCheckpoint trades that for zero-copy speed.
+    ``reliable=True`` swaps every cut to a reliable ``checkpoint()``
+    against the session's checkpoint dir for executor-loss recovery —
+    the cluster setting; localCheckpoint (default) trades that for
+    zero-copy speed, the right call single-node.
   * Fixed iteration count, not convergence polling: 10 rounds of
     0.85-damped propagation bound the unconverged mass by 0.85^10 ≈
     0.2% — and a FIXED loop is what an SQL oracle can replay exactly.
@@ -51,6 +53,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _cut(df: DataFrame, reliable: bool) -> DataFrame:
+    """One lineage cut for the iterative operators.
+
+    ``reliable=False`` → ``localCheckpoint()``: zero-copy executor-local
+    blocks — fastest, but NOT fault-tolerant (an executor loss discards
+    its blocks and the truncated lineage cannot recompute them, killing
+    the job). ``reliable=True`` → ``checkpoint()``: blocks are written
+    to the session's configured checkpoint directory (HDFS/S3 on a real
+    cluster) and survive executor loss — the right knob for a 100 TB
+    run where losing one of 1000 executors mid-iteration is routine,
+    at the price of one write+read of the state per cut. Requires
+    ``spark.sparkContext.setCheckpointDir(...)``; fails loudly if unset
+    rather than letting Spark raise mid-iteration."""
+    if not reliable:
+        return df.localCheckpoint()
+    if df.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "reliable=True needs a checkpoint directory: call "
+            "spark.sparkContext.setCheckpointDir('<hdfs/s3/local path>') "
+            "before running the iterative operator"
+        )
+    return df.checkpoint()
 
 
 def pagerank(
@@ -66,6 +92,7 @@ def pagerank(
     assume_normalized: bool = False,
     cut_input: bool = True,
     weight: str | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """(node, rank_fp): fixed-point PageRank over the directed edge
     list (self-loops dropped, duplicate edges collapsed). ``rank_fp``
@@ -112,9 +139,20 @@ def pagerank(
     the unweighted ranking BIT-FOR-BIT, tested). Duplicate (src, dst)
     rows collapse by SUMMING w; weights must be positive (a zero or
     negative weight raises — it has no random-walk meaning) and
-    bounded so ``scale × max(w)`` fits int64 (checked, loud).
+    bounded so ``scale × max(w)`` fits int64 (one min/max action
+    covers both checks; an ``assume_normalized`` input that already
+    carries ``ws`` vouched for its weights when the artifact was
+    built, so the shared-artifact fast path skips the scan and costs
+    exactly what the unweighted ranking costs).
     Integral weights are the determinism contract, not a limitation:
-    scale fractional affinities to integers upstream."""
+    scale fractional affinities to integers upstream.
+
+    ``reliable=True`` swaps every lineage cut from ``localCheckpoint``
+    to a reliable ``checkpoint`` against the session's checkpoint
+    directory — identical results (a cut never changes values, only
+    lineage), but the cut state survives executor loss, which is the
+    difference between a recoverable and a dead 100 TB run. See
+    `_cut`."""
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if iterations < 1:
@@ -161,17 +199,17 @@ def pagerank(
             cols.append(F.col(norm_col))
         e = edges.select(*cols)
         if cut_input:
-            e = e.localCheckpoint()
+            e = _cut(e, reliable)
     elif weight is None:
-        e = (
+        e = _cut(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            reliable,
         )
     else:
-        e = (
+        e = _cut(
             edges.select(
                 F.col(src).alias("src"),
                 F.col(dst).alias("dst"),
@@ -181,32 +219,34 @@ def pagerank(
             .filter(F.col("src") != F.col("dst"))
             .filter(F.col("w").isNotNull())
             .groupBy("src", "dst")
-            .agg(F.sum("w").alias("w"))
-            .localCheckpoint()
+            .agg(F.sum("w").alias("w")),
+            reliable,
         )
-    if weight is not None:
+    if weight is not None and not has_norm:
         # positive weights only (no random-walk meaning otherwise) and
         # an int64 headroom check: the per-edge term multiplies
-        # rank (≤ scale) by w before the floor division
-        bad_w = e.filter(F.col("w") <= 0).limit(1).count()
-        if bad_w:
+        # rank (≤ scale) by w before the floor division. ONE action
+        # covers both checks; a shared artifact carrying the ws column
+        # (has_norm) vouched for its weights when it was built, so the
+        # fast path pays no validation scan at all.
+        min_w, max_w = e.agg(F.min("w"), F.max("w")).first()
+        if min_w is not None and int(min_w) <= 0:
             raise ValueError(
                 "edge weights must be positive after duplicate "
                 "collapse — zero/negative weights have no random-walk "
                 "meaning; filter or re-scale them upstream"
             )
-        max_w = e.agg(F.max("w")).first()[0]
         if max_w is not None and int(scale) * int(max_w) >= 2**62:
             raise ValueError(
                 f"scale ({scale}) x max weight ({max_w}) leaves no "
                 "int64 headroom — rank*w would WRAP in Spark but "
                 "ERROR in DuckDB; lower scale or re-scale weights"
             )
-    nodes = (
+    nodes = _cut(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
     n = nodes.count()
     if n == 0:
@@ -230,14 +270,14 @@ def pagerank(
         flags = nodes.withColumn("is_seed", F.lit(1).cast("bigint"))
     else:
         seed_set = seeds.select(F.col(seed_col).alias("node")).distinct()
-        flags = (
+        flags = _cut(
             nodes.join(
                 seed_set.withColumn("__s", F.lit(1)), "node", "left"
             )
             .select(
                 "node", F.coalesce("__s", F.lit(0)).cast("bigint").alias("is_seed")
-            )
-            .localCheckpoint()
+            ),
+            reliable,
         )
         n_seeds = flags.agg(F.sum("is_seed")).collect()[0][0]
         if not n_seeds:
@@ -260,16 +300,16 @@ def pagerank(
     if has_norm:
         e_od = e
     elif weight is None:
-        e_od = (
+        e_od = _cut(
             e.join(e.groupBy("src").agg(F.count("*").alias("od")), "src")
-            .select("src", "dst", "od")
-            .localCheckpoint()
+            .select("src", "dst", "od"),
+            reliable,
         )
     else:
-        e_od = (
+        e_od = _cut(
             e.join(e.groupBy("src").agg(F.sum("w").alias("ws")), "src")
-            .select("src", "dst", "w", "ws")
-            .localCheckpoint()
+            .select("src", "dst", "w", "ws"),
+            reliable,
         )
     init = int(scale) // int(n_seeds)
     teleport = ((100 - damping_pct) * init) // 100
@@ -325,7 +365,7 @@ def pagerank(
         # deep union+aggregate chain an uncut k>1 plan accumulates —
         # raise it only for plans you've exercised
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint()
+            ranks = _cut(ranks, reliable)
     return ranks
 
 
@@ -337,6 +377,7 @@ def k_core(
     dst: str = "dst",
     assume_normalized: bool = False,
     cut_input: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """(node, deg): nodes surviving ``rounds`` of k-core peeling over
     the directed edge list, with the out-degree that qualified them in
@@ -359,8 +400,8 @@ def k_core(
     Scale shape: per round, two semi-joins of the edge list against
     the surviving node set + one combinable (src) count — all keyed
     shuffles; the survivor state is one long per node, lineage cut
-    per round. ``assume_normalized`` / ``cut_input`` as in
-    `pagerank` (``od``/``w``/``ws`` columns, if present, are ignored
+    per round. ``assume_normalized`` / ``cut_input`` / ``reliable`` as
+    in `pagerank` (``od``/``w``/``ws`` columns, if present, are ignored
     — degrees are recounted per round by construction)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -369,20 +410,20 @@ def k_core(
     if assume_normalized:
         e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         if cut_input:
-            e = e.localCheckpoint()
+            e = _cut(e, reliable)
     else:
-        e = (
+        e = _cut(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            reliable,
         )
-    survivors = (
+    survivors = _cut(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
     deg = None
     for i in range(rounds):
@@ -392,7 +433,7 @@ def k_core(
         deg = e_s.groupBy(F.col("src").alias("node")).agg(
             F.count("*").alias("deg")
         )
-        deg = deg.filter(F.col("deg") >= k).localCheckpoint()
+        deg = _cut(deg.filter(F.col("deg") >= k), reliable)
         survivors = deg.select("node")
     return deg
 
@@ -433,6 +474,7 @@ def label_propagation(
     checkpoint_every: int = 1,
     assume_normalized: bool = False,
     cut_input: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """(node, label): semi-synchronous label-propagation communities
     (Raghavan 2007) over the directed edge list — the community twin
@@ -445,7 +487,11 @@ def label_propagation(
 
     Per iteration, two half-steps: even-id nodes re-label first (from
     in-neighbor labels plus their own, most-frequent-then-smallest),
-    then odd-id nodes against the fresh labels. Semi-synchronous
+    then odd-id nodes against the fresh labels. Parity is ``pmod(node,
+    2)`` on BOTH engines — plain ``%`` returns −1 for negative-odd ids
+    in Spark and DuckDB alike, which would match neither half-step and
+    silently freeze those nodes' labels; pmod keeps the full INTEGRAL
+    id range in contract. Semi-synchronous
     updates exist for exactly the bipartite case: a fully synchronous
     sweep on a bipartite graph (the customer↔supplier trade graph —
     ids even/odd BY CONSTRUCTION) lets the two sides swap label sets
@@ -458,9 +504,9 @@ def label_propagation(
     two longs; each half-step is one equi-join of state onto edges +
     one combinable (node, label) count + one per-node window bounded
     by the node's distinct neighbor labels; lineage cut per
-    ``checkpoint_every`` iterations. ``assume_normalized`` and
-    ``cut_input`` as in `pagerank` (an `od` column, if present, is
-    ignored)."""
+    ``checkpoint_every`` iterations. ``assume_normalized``,
+    ``cut_input`` and ``reliable`` as in `pagerank` (an `od` column,
+    if present, is ignored)."""
     if iterations < 1:
         raise ValueError(f"need >= 1 iteration, got {iterations}")
     if checkpoint_every < 1:
@@ -476,20 +522,20 @@ def label_propagation(
         # input re-runs the caller's whole build chain per scan
         e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         if cut_input:
-            e = e.localCheckpoint()
+            e = _cut(e, reliable)
     else:
-        e = (
+        e = _cut(
             edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
             .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
             .filter(F.col("src") != F.col("dst"))
-            .distinct()
-            .localCheckpoint()
+            .distinct(),
+            reliable,
         )
-    nodes = (
+    nodes = _cut(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        reliable,
     )
     labels = nodes.select("node", F.col("node").alias("label"))
     w = Window.partitionBy("node").orderBy(
@@ -503,11 +549,11 @@ def label_propagation(
                     "src",
                 )
                 .select(F.col("dst").alias("node"), "label")
-                .filter(F.col("node") % 2 == parity)
+                .filter(F.pmod("node", F.lit(2)) == parity)
                 # a node's own current label votes once: stabilizes
                 # singletons and nodes with no in-edges
                 .unionByName(
-                    labels.filter(F.col("node") % 2 == parity)
+                    labels.filter(F.pmod("node", F.lit(2)) == parity)
                 )
                 .groupBy("node", "label")
                 .agg(F.count("*").alias("cnt"))
@@ -518,10 +564,10 @@ def label_propagation(
                 .select("node", "label")
             )
             labels = updated.unionByName(
-                labels.filter(F.col("node") % 2 != parity)
+                labels.filter(F.pmod("node", F.lit(2)) != parity)
             )
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            labels = labels.localCheckpoint()
+            labels = _cut(labels, reliable)
     return labels
 
 
@@ -536,19 +582,23 @@ def label_propagation_sql(edge_sql: str, iterations: int = 5) -> str:
     would otherwise expand 3^10-fold in the planner and hang."""
 
     def half(prev: str, out: str, parity: int) -> str:
+        # (x % 2 + 2) % 2 = pmod(x, 2): DuckDB's % is remainder-signed
+        # like Spark's, so the twin needs the same positive-mod form
         return (
             f"{out} AS MATERIALIZED (SELECT node, label FROM ("
             " SELECT node, label, ROW_NUMBER() OVER ("
             "  PARTITION BY node ORDER BY cnt DESC, label) AS rn"
             " FROM (SELECT node, label, COUNT(*) AS cnt FROM ("
             f"  SELECT e.dst AS node, l.label FROM e JOIN {prev} l"
-            f"   ON l.node = e.src WHERE e.dst % 2 = {parity}"
+            f"   ON l.node = e.src WHERE (e.dst % 2 + 2) % 2 = {parity}"
             "  UNION ALL"
-            f"  SELECT node, label FROM {prev} WHERE node % 2 = {parity}"
+            f"  SELECT node, label FROM {prev}"
+            f"   WHERE (node % 2 + 2) % 2 = {parity}"
             " ) v GROUP BY node, label) c"
             ") r WHERE rn = 1"
             " UNION ALL"
-            f" SELECT node, label FROM {prev} WHERE node % 2 <> {parity})"
+            f" SELECT node, label FROM {prev}"
+            f" WHERE (node % 2 + 2) % 2 <> {parity})"
         )
 
     parts = [

@@ -6441,6 +6441,50 @@ def q_g4_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "g5_kcore_backbone",
+    oracle=(
+        "WITH kc AS (\n"
+        + _graph.k_core_sql(_G3_EDGE_SQL, k=3, rounds=6)
+        + "\n) SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE "
+        "'supplier' END AS side, deg, CAST(COUNT(*) AS BIGINT) AS "
+        "n_nodes FROM kc GROUP BY 1, 2"
+    ),
+    doc="K-CORE decomposition (k=3, 6 peeling rounds — fixpoint by "
+    "round 4 at every test SF, asserted in unit tests) over the "
+    "strong-tie trade backbone, reported as a (side, deg) histogram "
+    "of the surviving core — the density signal of the graph-quality "
+    "family: PageRank ranks who MATTERS (g1/g4), label propagation "
+    "says who moves TOGETHER (g3), k-core finds who sits in the "
+    "densely-connected backbone (the crawl-frontier / spam-farm "
+    "discriminator — a link farm inflates PageRank but cannot "
+    "inflate its core number without real dense interconnection). "
+    "Consumes the SHARED trade_edges artifact filtered to w≥3 — the "
+    "same strong-tie sparsification as g3, already materialized, so "
+    "the per-query cost is pure peeling: per round two semi-joins of "
+    "the edge list against the survivor set + one combinable count, "
+    "integer-only state, lineage cut per round. Bit-equal to the "
+    "unrolled DuckDB twin (AS MATERIALIZED CTEs — each round "
+    "references its predecessor twice). operators/graph.py:k_core.",
+)
+def q_g5_kcore_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _trade_edges_shared(spark, sf_dir).filter(F.col("w") >= 3)
+    deg = _graph.k_core(
+        edges,
+        k=3,
+        rounds=6,
+        assume_normalized=True,
+        cut_input=False,  # the shared stage is a checkpointed RDD
+    )
+    side = (
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+    )
+    return deg.groupBy(side.alias("side"), "deg").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+
+
+@register(
     "o14_join_skew_report",
     oracle="""
         WITH per_key AS (
@@ -6677,6 +6721,8 @@ _GATE_TAIL_ROWS_ONLY = [
     "a26_hll_shard_union",
 ]
 _GATE_PRIORITY = [
+    # tier 0 (round 9): new registrations
+    "g5_kcore_backbone",
     # tier 0 (round 8): new registrations
     "g3_trade_communities",
     "g4_weighted_pagerank",

@@ -3090,3 +3090,209 @@ def test_personalized_pagerank_seed_semantics_and_biteq(spark):
         graph.pagerank(
             df, seeds=spark.createDataFrame([("q",)], "node string")
         )
+
+
+# --------------------------------------------------------------------------
+# k-core peeling (operators/graph.py:k_core)
+# --------------------------------------------------------------------------
+
+
+def _undirected(pairs):
+    """Both orientations of an undirected edge list."""
+    return [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+
+def test_k_core_peeling_known_graph_and_cascade(spark):
+    """Peeling semantics on hand-built graphs: a triangle with a pendant
+    keeps exactly the triangle at k=2 (deg 2 each); a path graph has an
+    EMPTY 2-core but only after the peeling CASCADES (each round exposes
+    the next endpoint), so a 1-round call still holds interior nodes —
+    the iterative structure is real, not a one-shot degree filter."""
+    from ad_data_pipelines_spark.operators import graph
+
+    tri = spark.createDataFrame(
+        _undirected([(1, 2), (2, 3), (1, 3), (3, 4)]),
+        "src bigint, dst bigint",
+    )
+    got = sorted(map(tuple, graph.k_core(tri, k=2, rounds=4).collect()))
+    assert got == [(1, 2), (2, 2), (3, 2)]  # pendant 4 peeled, deg=2 core
+
+    path = spark.createDataFrame(
+        _undirected([(1, 2), (2, 3), (3, 4), (4, 5)]),
+        "src bigint, dst bigint",
+    )
+    one_round = graph.k_core(path, k=2, rounds=1).count()
+    assert one_round == 3  # endpoints peeled, interior still deg>=2
+    assert graph.k_core(path, k=2, rounds=4).count() == 0  # cascaded away
+
+
+def test_k_core_bipartite_fixpoint_normalized_and_guards(spark):
+    """K3,3 keeps all 6 nodes at k=3 (deg 3) and empties at k=4; the
+    fixpoint is stable (rounds and rounds+1 bit-equal); the
+    assume_normalized fast path matches the normalizing path on an
+    already-clean input; self-loops/duplicates/NULLs are scrubbed on
+    the normalizing path; guards fire loudly."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import graph
+
+    k33 = _undirected([(a, b) for a in (0, 2, 4) for b in (1, 3, 5)])
+    df = spark.createDataFrame(k33, "src bigint, dst bigint")
+    got = sorted(map(tuple, graph.k_core(df, k=3, rounds=3).collect()))
+    assert got == [(n, 3) for n in range(6)]
+    assert graph.k_core(df, k=4, rounds=3).count() == 0
+
+    r3 = sorted(map(tuple, graph.k_core(df, k=3, rounds=3).collect()))
+    r4 = sorted(map(tuple, graph.k_core(df, k=3, rounds=4).collect()))
+    assert r3 == r4  # fixpoint
+
+    fast = sorted(
+        map(
+            tuple,
+            graph.k_core(
+                df, k=3, rounds=3, assume_normalized=True
+            ).collect(),
+        )
+    )
+    assert fast == got
+
+    dirty = spark.createDataFrame(
+        k33 + [(0, 0), (0, 1), (None, 3), (2, None)],
+        "src bigint, dst bigint",
+    )
+    assert sorted(
+        map(tuple, graph.k_core(dirty, k=3, rounds=3).collect())
+    ) == got
+
+    with pytest.raises(ValueError, match="k must"):
+        graph.k_core(df, k=0)
+    with pytest.raises(ValueError, match="round"):
+        graph.k_core(df, rounds=0)
+
+
+def test_k_core_bit_equal_to_duckdb_twin(spark):
+    """The unrolled DuckDB twin (k_core_sql, AS MATERIALIZED CTEs)
+    produces bit-equal (node, deg) rows on a graph that genuinely
+    cascades: K6 survives k=3 peeling, a 2-node tail (7 hangs off 6,
+    6 hangs off the core) peels over TWO rounds — round 1 drops 7
+    (deg 2), which drops 6's degree below 3 in round 2."""
+    import duckdb
+
+    from ad_data_pipelines_spark.operators import graph
+
+    pairs = [(a, b) for a in range(6) for b in range(a + 1, 6)]  # K6
+    pairs += [(0, 6), (1, 6), (6, 7), (2, 7)]  # the cascading tail
+    df = spark.createDataFrame(
+        _undirected(pairs), "src bigint, dst bigint"
+    )
+    assert graph.k_core(df, k=3, rounds=1).count() == 7  # 6 not yet peeled
+    got = sorted(map(tuple, graph.k_core(df, k=3, rounds=6).collect()))
+    assert got == [(n, 5) for n in range(6)]  # exactly the K6 core
+    vals = ", ".join(
+        f"({a},{b})" for a, b in _undirected(pairs)
+    )
+    want = sorted(
+        duckdb.connect()
+        .execute(
+            graph.k_core_sql(
+                f"SELECT * FROM (VALUES {vals}) t(src, dst)",
+                k=3,
+                rounds=6,
+            )
+        )
+        .fetchall()
+    )
+    assert got == want
+
+
+def test_label_propagation_negative_ids_pmod_parity(spark):
+    """Negative-odd node ids hit the pmod(x, 2) parity split: plain %
+    returns -1 for them in Spark AND DuckDB, so before the pmod fix
+    they matched neither half-step and silently froze their initial
+    labels. Bit-equality with the SQL twin plus a structural check
+    that a negative-odd node actually re-labels."""
+    import duckdb
+
+    from ad_data_pipelines_spark.operators import graph
+
+    # K4 on ids {-3, -2, 2, 4}: -3 is negative-odd; its smallest
+    # neighbourhood label (-3 itself is smallest... use -2 < -3? no:
+    # -3 < -2) — all nodes converge to the component min, -3.
+    pairs = [(-3, -2), (-3, 2), (-3, 4), (-2, 2), (-2, 4), (2, 4)]
+    df = spark.createDataFrame(
+        _undirected(pairs), "src bigint, dst bigint"
+    )
+    got = sorted(
+        map(tuple, graph.label_propagation(df, iterations=4).collect())
+    )
+    # the negative-odd node participates: everyone lands on one label
+    assert len({lbl for _, lbl in got}) == 1
+    vals = ", ".join(f"({a},{b})" for a, b in _undirected(pairs))
+    want = sorted(
+        duckdb.connect()
+        .execute(
+            graph.label_propagation_sql(
+                f"SELECT * FROM (VALUES {vals}) t(src, dst)",
+                iterations=4,
+            )
+        )
+        .fetchall()
+    )
+    assert got == want
+
+
+def test_reliable_checkpoint_bit_equal_and_guard(spark, tmp_path):
+    """reliable=True: fails loudly without a checkpoint dir, and with
+    one set produces bit-identical results to the localCheckpoint path
+    for pagerank, label_propagation, k_core and the star-contraction
+    connected components (a lineage cut never changes values)."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import dedup, graph
+
+    pairs = [((i * 5) % 17, (i * 3 + 1) % 17) for i in range(40)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(
+        _undirected(pairs), "src bigint, dst bigint"
+    )
+
+    sc = spark.sparkContext
+    had_dir = sc.getCheckpointDir()
+    if had_dir is None:
+        with pytest.raises(ValueError, match="checkpoint directory"):
+            graph.pagerank(df, iterations=3, reliable=True)
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+
+    assert sorted(
+        map(tuple, graph.pagerank(df, iterations=6, reliable=True).collect())
+    ) == sorted(map(tuple, graph.pagerank(df, iterations=6).collect()))
+    assert sorted(
+        map(
+            tuple,
+            graph.label_propagation(df, iterations=3, reliable=True).collect(),
+        )
+    ) == sorted(
+        map(tuple, graph.label_propagation(df, iterations=3).collect())
+    )
+    assert sorted(
+        map(tuple, graph.k_core(df, k=3, rounds=4, reliable=True).collect())
+    ) == sorted(map(tuple, graph.k_core(df, k=3, rounds=4).collect()))
+
+    cc_edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs], "doc_a bigint, doc_b bigint"
+    )
+    rel = sorted(
+        map(
+            tuple,
+            dedup.connected_components(
+                cc_edges, driver_threshold=0, reliable=True
+            ).collect(),
+        )
+    )
+    loc = sorted(
+        map(
+            tuple,
+            dedup.connected_components(cc_edges, driver_threshold=0).collect(),
+        )
+    )
+    assert rel == loc
