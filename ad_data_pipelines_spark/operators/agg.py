@@ -829,48 +829,79 @@ def _ntile_shards(
         if second is not None
         else first_d
     )
-    qs = [i / sub_buckets for i in range(1, sub_buckets)]
-    stats = sharded.groupBy("__shard").agg(
+    # Probe pass: counts + min/max only (cheap combinable aggregates —
+    # no quantile sketches). The t-digest-sized percentile_approx
+    # sketches are built in a SECOND aggregate restricted to the shards
+    # that actually exceed the skew threshold — on the common
+    # (non-skewed) path no sketch is ever computed, and the second
+    # column's min/max is skipped entirely when there IS no second
+    # order column (it would just duplicate the first's).
+    probe_aggs = [
         F.count("*").alias("c"),
         F.min(first_d).alias("f_lo"),
         F.max(first_d).alias("f_hi"),
-        F.min(mono2).alias("s_lo"),
-        F.max(mono2).alias("s_hi"),
-        F.percentile_approx(first_d, qs, 10_000).alias("f_edges"),
-        F.percentile_approx(mono2, qs, 10_000).alias("s_edges"),
-    ).collect()
+    ]
+    if second is not None:
+        probe_aggs += [F.min(mono2).alias("s_lo"), F.max(mono2).alias("s_hi")]
+    stats = sharded.groupBy("__shard").agg(*probe_aggs).collect()
     total = sum(r["c"] for r in stats)
     threshold = max(2.0 * total / shard_buckets, 1.0)
 
-    def _split_edges(r) -> list[float]:
-        """Interior sub-shard cut points for one shard: empty = keep,
-        else the shard's own quantile edges over the first column
-        (multi-value shard) or the second column's monotone double
-        (single-first-value shard)."""
+    def _split_source(r) -> str | None:
+        """Which column a hot shard splits on: 'f' = its own sub-range
+        of the first column (multi-value shard), 's' = the second
+        column's monotone double (single-first-value shard), None =
+        keep (under threshold, or constant on both columns)."""
         if r["c"] <= threshold or r["c"] <= 1:
-            return []
+            return None
         if r["f_lo"] is not None and r["f_lo"] < r["f_hi"]:
-            return [float(e) for e in r["f_edges"]]
+            return "f"
         if (
             second is not None
             and r["s_lo"] is not None
             and r["s_hi"] is not None
             and r["s_lo"] < r["s_hi"]
         ):
-            return [float(e) for e in r["s_edges"]]
-        return []  # constant on both columns: unsplittable
+            return "s"
+        return None  # constant on both columns: unsplittable
 
-    edges = {r["__shard"]: _split_edges(r) for r in stats}
-    if not any(edges.values()):
+    split_src = {r["__shard"]: _split_source(r) for r in stats}
+    hot = [s for s, src in split_src.items() if src is not None]
+    if not hot:
         return sharded, [(r["__shard"], r["c"]) for r in stats], total
+
+    # Sketch pass, hot shards only: the quantile edges that define the
+    # sub-shards. The second-column sketch is computed only if some hot
+    # shard splits on it.
+    qs = [i / sub_buckets for i in range(1, sub_buckets)]
+    sketch_aggs = [F.percentile_approx(first_d, qs, 10_000).alias("f_edges")]
+    if any(split_src[s] == "s" for s in hot):
+        sketch_aggs.append(
+            F.percentile_approx(mono2, qs, 10_000).alias("s_edges")
+        )
+    qstats = (
+        sharded.filter(F.col("__shard").isin([int(s) for s in hot]))
+        .groupBy("__shard")
+        .agg(*sketch_aggs)
+        .collect()
+    )
+    edges = {
+        r["__shard"]: [
+            float(e)
+            for e in (
+                r["f_edges"]
+                if split_src[r["__shard"]] == "f"
+                else r["s_edges"]
+            )
+        ]
+        for r in qstats
+    }
+    edges.update({s: [] for s, src in split_src.items() if src is None})
 
     # which source column each split shard cuts on: a multi-value
     # shard cuts on the first column, a single-value shard on the
     # second's monotone double
-    on_second = {
-        r["__shard"]: not (r["f_lo"] is not None and r["f_lo"] < r["f_hi"])
-        for r in stats
-    }
+    on_second = {s: src == "s" for s, src in split_src.items()}
     bounds = df.sparkSession.createDataFrame(
         [(s, bool(on_second[s]), e) for s, e in edges.items()],
         "__shard bigint, __on_second boolean, __edges array<double>",

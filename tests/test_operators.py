@@ -3296,3 +3296,53 @@ def test_reliable_checkpoint_bit_equal_and_guard(spark, tmp_path):
         )
     )
     assert rel == loc
+
+
+def test_triangle_count_semantics_and_duckdb_twin(spark):
+    """Exact per-node triangle counts: triangle+pendant (1 each, 0 for
+    the pendant), K4 (3 each), bipartite K3,3 (all 0 — no odd cycles),
+    robustness to direction/duplicates/self-loops (the operator
+    canonicalizes), and bit-equality with the DuckDB u<v<w twin on a
+    hub-skewed graph (the degree-ordered scheme must not miscount at
+    the hub)."""
+    import duckdb
+
+    from ad_data_pipelines_spark.operators import graph
+
+    def counts(pairs):
+        df = spark.createDataFrame(pairs, "src bigint, dst bigint")
+        return dict(
+            (r.node, r.triangles)
+            for r in graph.triangle_count(df).collect()
+        )
+
+    assert counts([(1, 2), (2, 3), (1, 3), (3, 4)]) == {
+        1: 1, 2: 1, 3: 1, 4: 0
+    }
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert counts(k4) == {n: 3 for n in range(4)}
+    k33 = [(a, b) for a in (0, 2, 4) for b in (1, 3, 5)]
+    assert counts(k33) == {n: 0 for n in range(6)}
+    # single orientation + reversed dup + self-loop: same as canonical
+    messy = [(2, 1), (2, 3), (1, 3), (3, 1), (1, 1), (4, 3)]
+    assert counts(messy) == {1: 1, 2: 1, 3: 1, 4: 0}
+
+    # hub-skewed graph: node 0 connects to everyone, ring among 1..12
+    hub = [(0, i) for i in range(1, 13)] + [
+        (i, i % 12 + 1) for i in range(1, 13)
+    ]
+    df = spark.createDataFrame(hub, "src bigint, dst bigint")
+    got = sorted(map(tuple, graph.triangle_count(df).collect()))
+    vals = ", ".join(f"({a},{b})" for a, b in hub)
+    want = sorted(
+        duckdb.connect()
+        .execute(
+            graph.triangle_count_sql(
+                f"SELECT * FROM (VALUES {vals}) t(src, dst)"
+            )
+        )
+        .fetchall()
+    )
+    assert got == want
+    # the hub sits in one triangle per ring edge = 12
+    assert dict(got)[0] == 12
