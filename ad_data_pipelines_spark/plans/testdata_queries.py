@@ -3614,7 +3614,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lsh_pairs 3, dup_components 4, simhash 2, lsh_corpus_buckets 2,
     ivf_corpus_cells 3, quality_features 2, char_entropy 2,
     repetition 2, word_grams 2, pq_codes 2, span_bounds 2,
-    trade_edges 4 (g1/g2/g4/g5). Dropped as
+    trade_edges 5 (g1/g2/g3/g4/g5). Dropped as
     single-consumer: nb_buckets (llm_nb_quality trains and scores off
     one memoized explode — reuse is WITHIN the query)."""
     return {
@@ -6372,22 +6372,18 @@ _G3_EDGE_SQL = """
     "operators/graph.py:label_propagation.",
 )
 def q_g3_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    cs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy(
-            (F.col("o_custkey").cast("bigint") * 2).alias("c"),
-            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
-        )
-        .count()
-        .filter(F.col("count") >= 3)
-    )
-    edges = cs.selectExpr("c AS src", "s AS dst").unionByName(
-        cs.selectExpr("s AS src", "c AS dst")
-    )
+    # the strong-tie backbone IS the shared artifact filtered to w>=3
+    # (both orientations carry the pair's lineitem count) — g5 reads
+    # the same slice; rebuilding the orders⨝lineitem chain per query
+    # cost ~1 s/run before r9
+    edges = _trade_edges_shared(spark, sf_dir).filter(
+        F.col("w") >= 3
+    ).select("src", "dst")
     labels = _graph.label_propagation(
-        edges, iterations=5, assume_normalized=True
+        edges,
+        iterations=5,
+        assume_normalized=True,
+        cut_input=False,  # the shared stage is a checkpointed RDD
     )
     comm = labels.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_members")
