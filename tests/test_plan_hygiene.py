@@ -258,6 +258,27 @@ def test_unhinted_scaled_joins_still_broadcast_at_runtime(spark):
     assert "SortMergeJoin" not in final, final
 
 
+def test_a30_inlist_stays_pushed_and_broadcast_only(spark):
+    """Round-9 regression guard for the one REAL un-pin misplan: a30's
+    customer restriction must stay a literal IN-list pushed into the
+    parquet scan (manual DPP), never revert to the join form whose
+    product-of-children size estimate forced a sort-merge join that
+    AQE refused to back out (+41% measured, interleaved). Asserts the
+    pushed In-filter on c_nationkey and an SMJ/SHJ-free final plan."""
+    df = REGISTRY["a30_market_share"].fn(spark, SF_MEDIUM)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan, "AQE did not finalize the plan"
+    assert "SortMergeJoin" not in final, final
+    assert "ShuffledHashJoin" not in final, final
+    import re
+
+    scan = re.search(r"FileScan parquet \[c_custkey[^\n]*", final)
+    assert scan and re.search(r"PushedFilters: \[[^\]]*In\(c_nationkey",
+                              scan.group(0)), final
+
+
 def test_single_partition_collapse_lint_catches_global_window(spark):
     """Negative control: the exact shape the lint exists for — an
     empty-partition-spec Window straight over a parquet scan (the
