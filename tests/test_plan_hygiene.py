@@ -309,3 +309,26 @@ def test_single_partition_collapse_lint_catches_global_window(spark):
     plan_ok = ok._jdf.queryExecution().executedPlan().toString()
     assert "Exchange SinglePartition" in plan_ok  # the window is global
     assert not single_partition_collapses(plan_ok), plan_ok
+
+
+def test_dim_keys_memo_keys_on_sf_dir(spark):
+    """The _dim_keys IN-list memo must key on (session, sf_dir, name):
+    a collision would push ONE directory's key list into another
+    directory's scan filter — silently wrong results, not a perf bug.
+    a30 exercises the memo; its results must differ across SFs, and
+    the cache must hold separate entries per directory."""
+    from ad_data_pipelines_spark.plans import testdata_queries as tq
+
+    small = {
+        tuple(r)
+        for r in tq.REGISTRY["a30_market_share"].fn(spark, SF_SMALL).collect()
+    }
+    medium = {
+        tuple(r)
+        for r in tq.REGISTRY["a30_market_share"].fn(spark, SF_MEDIUM).collect()
+    }
+    assert small != medium
+    dirs = {
+        k[1] for k in tq._DIM_KEYS_CACHE if k[2] == "asia_nations"
+    }
+    assert {SF_SMALL, SF_MEDIUM} <= dirs
