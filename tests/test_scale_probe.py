@@ -792,3 +792,87 @@ def test_label_propagation_10x_linear(spark):
         f"label_propagation 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
         "grows super-linearly"
     )
+
+
+def test_k_core_10x_linear_and_structure(spark):
+    """k-core peeling on a 10× graph: runtime stays ~linear (per round
+    two semi-joins + one combinable count; survivor state one long per
+    node) and the structure is exact at scale — a graph of disjoint
+    K5s with pendant chains keeps EXACTLY the K5 cores (deg 4) and
+    peels every chain node."""
+    from ad_data_pipelines_spark.operators import graph
+
+    def k5_with_tails(n_blocks):
+        # block b: nodes 8b..8b+4 are K5; 8b+5..8b+7 a pendant chain
+        base = spark.range(n_blocks * 20).selectExpr(
+            "id DIV 20 AS b", "(id % 20) DIV 4 AS a", "id % 4 AS o"
+        )
+        k5 = base.selectExpr(
+            "b * 8 + a AS src",
+            "b * 8 + (a + o + 1) % 5 AS dst",
+        )
+        chain = spark.range(n_blocks * 3).selectExpr(
+            "(id DIV 3) * 8 + 4 + id % 3 AS src",
+            "(id DIV 3) * 8 + 5 + id % 3 AS dst",
+        )
+        return k5.unionByName(chain).unionByName(
+            k5.selectExpr("dst AS src", "src AS dst")
+        ).unionByName(chain.selectExpr("dst AS src", "src AS dst"))
+
+    n_small, n_big = 300, 3_000
+    t0 = time.perf_counter()
+    small = graph.k_core(k5_with_tails(n_small), k=3, rounds=4)
+    c1 = small.count()
+    t1 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    big = graph.k_core(k5_with_tails(n_big), k=3, rounds=4)
+    c10 = big.count()
+    t10 = time.perf_counter() - t0
+
+    assert c1 == 5 * n_small and c10 == 5 * n_big
+    assert big.filter(F.col("deg") != 4).count() == 0  # exact K5 cores
+    assert big.filter(F.col("node") % 8 > 4).count() == 0  # tails gone
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"k_core 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
+        "grows super-linearly"
+    )
+
+
+def test_triangle_count_10x_linear_and_hub_safe(spark):
+    """Triangle counting on a 10× graph with a GLOBAL HUB: the
+    degree-ordered orientation keeps the hub's wedge fan-out bounded
+    (the hub ranks highest, so it originates NO wedges — naive
+    id-ordering would square its degree), runtime stays ~linear, and
+    counts are exact at scale: ring node = 1 hub triangle per incident
+    ring edge x2, hub = n ring triangles."""
+    from ad_data_pipelines_spark.operators import graph
+
+    def wheel(n):
+        # node n is the hub of an n-ring (wheel graph W_n)
+        ring = spark.range(n).selectExpr(
+            "id AS src", f"(id + 1) % {n} AS dst"
+        )
+        spokes = spark.range(n).selectExpr(f"{n}L AS src", "id AS dst")
+        return ring.unionByName(spokes)
+
+    n_small, n_big = 2_000, 20_000
+    t0 = time.perf_counter()
+    small = graph.triangle_count(wheel(n_small))
+    s = {r.node: r.triangles for r in small.collect()}
+    t1 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    big = graph.triangle_count(wheel(n_big))
+    hub = big.filter(F.col("node") == n_big).collect()[0].triangles
+    wrong_rim = big.filter(
+        (F.col("node") != n_big) & (F.col("triangles") != 2)
+    ).count()
+    t10 = time.perf_counter() - t0
+
+    assert s[n_small] == n_small and hub == n_big  # hub in every ring tri
+    assert wrong_rim == 0  # every rim node in exactly 2 triangles
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"triangle_count 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
+        "grows super-linearly"
+    )
