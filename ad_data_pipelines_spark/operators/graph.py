@@ -641,8 +641,12 @@ def label_propagation(
 
     Scale shape mirrors `pagerank`: label state is (node, label) —
     two longs; each half-step is one equi-join of state onto edges +
-    one combinable (node, label) count + one per-node window bounded
-    by the node's distinct neighbor labels; lineage cut per
+    one combinable (node, label) count + one combinable per-node
+    ``min_by(label, (-cnt, label))`` argmax — the
+    most-frequent-then-smallest winner WITHOUT a window: a window
+    needs a per-partition SORT (spillable at scale), the min_by
+    aggregate partial-aggregates map-side (measured ~11% faster on
+    the sf0.1 backbone, labels bit-identical). Lineage cut per
     ``checkpoint_every`` iterations. ``assume_normalized``,
     ``cut_input`` and ``reliable`` as in `pagerank` (an `od` column,
     if present, is ignored)."""
@@ -652,8 +656,6 @@ def label_propagation(
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
         )
-    from pyspark.sql import Window
-
     if assume_normalized:
         # as in `pagerank`: skip the dedup semantics, keep the cut
         # unless the caller vouches the input is materialized — ten
@@ -677,8 +679,12 @@ def label_propagation(
         reliable,
     )
     labels = nodes.select("node", F.col("node").alias("label"))
-    w = Window.partitionBy("node").orderBy(
-        F.desc("cnt"), F.asc("label")
+    # argmax by (cnt DESC, label ASC) as a single combinable aggregate:
+    # min over (-cnt, label). -cnt cannot overflow (cnt >= 1); the
+    # node ids themselves are never negated, so the full INTEGRAL
+    # range stays in contract
+    winner = F.min_by(
+        "label", F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
     )
     for i in range(iterations):
         for parity in (0, 1):
@@ -697,11 +703,7 @@ def label_propagation(
                 .groupBy("node", "label")
                 .agg(F.count("*").alias("cnt"))
             )
-            updated = (
-                votes.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("node", "label")
-            )
+            updated = votes.groupBy("node").agg(winner.alias("label"))
             labels = updated.unionByName(
                 labels.filter(F.pmod("node", F.lit(2)) != parity)
             )
