@@ -466,6 +466,115 @@ def k_core_sql(edge_sql: str, k: int = 3, rounds: int = 6) -> str:
     )
 
 
+def coreness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 8,
+    checkpoint_every: int = 1,
+    reliable: bool = False,
+) -> DataFrame:
+    """(node, coreness): the FULL k-core decomposition — every node's
+    core number — via the distributed h-index iteration (Montresor,
+    De Pellegrini & Miorandi, "Distributed k-core decomposition",
+    2011). `k_core` answers "who survives at THIS k"; coreness answers
+    it for every k at once, which is the per-node graph-quality
+    FEATURE a curation pipeline joins onto its source table (alongside
+    rank and community).
+
+    Recurrence: c₀(u) = deg(u); cᵢ₊₁(u) = h-index of its neighbors'
+    estimates {cᵢ(v) : v ∈ N(u)} (the largest h with ≥h neighbors at
+    ≥h). Estimates are integers, start ≥ the true coreness, and
+    decrease monotonically to it — a FIXED round count is a sound
+    upper-bound iteration and what the unrolled DuckDB twin
+    (`coreness_sql`) can replay; convergence is typically a few
+    rounds (fixpoint asserted in tests via rounds vs rounds+1, and
+    consistency with `k_core`: {coreness ≥ k} = the k-core survivor
+    set). The h-index over ties is order-independent (the (rank,
+    value) multiset is invariant under tie permutation), so the
+    result is deterministic and hash-gateable.
+
+    The input is canonicalized AND symmetrized (self-loops dropped,
+    duplicates collapsed, both orientations emitted), so directed or
+    single-orientation edge lists are handled. Scale shape: per round
+    one equi-join of the (node, c) state onto edges + one per-node
+    window bounded by the node's DEGREE (never global) + one
+    combinable max; state is two longs per node; lineage cut per
+    ``checkpoint_every`` rounds; ``reliable`` as in `pagerank`."""
+    if rounds < 1:
+        raise ValueError(f"need >= 1 round, got {rounds}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    e = _cut(
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(
+            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        ),
+        reliable,
+    )
+    c = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("cv"))
+    for i in range(rounds):
+        nb = e.join(
+            c.select(F.col("node").alias("dst"), F.col("c").alias("cv")),
+            "dst",
+        ).select(F.col("src").alias("u"), "cv")
+        c = (
+            nb.withColumn("rn", F.row_number().over(w).cast("bigint"))
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.max(F.least("rn", "cv")).alias("c"))
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
+            c = _cut(c, reliable)
+    return c.select("node", F.col("c").alias("coreness"))
+
+
+def coreness_sql(edge_sql: str, rounds: int = 8) -> str:
+    """DuckDB twin of `coreness`: the same h-index recurrence
+    unrolled. Each round references its predecessor once (a linear
+    chain), but the CTEs are ``AS MATERIALIZED`` anyway — the window
+    subquery would otherwise re-inline the whole prefix per level."""
+    parts = [
+        f"raw AS ({edge_sql})",
+        "und AS (SELECT DISTINCT LEAST(src, dst) AS u,"
+        " GREATEST(src, dst) AS v FROM raw"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
+        "e AS (SELECT u AS src, v AS dst FROM und"
+        " UNION ALL SELECT v, u FROM und)",
+        "c0 AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS c"
+        " FROM e GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT u AS node,"
+            " CAST(MAX(LEAST(rn, cv)) AS BIGINT) AS c FROM ("
+            " SELECT e.src AS u, l.c AS cv, CAST(ROW_NUMBER() OVER ("
+            "  PARTITION BY e.src ORDER BY l.c DESC) AS BIGINT) AS rn"
+            f" FROM e JOIN c{i - 1} l ON l.node = e.dst"
+            ") nb GROUP BY u)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, c AS coreness FROM c{rounds}"
+    )
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",

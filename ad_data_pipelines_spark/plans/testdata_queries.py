@@ -3636,7 +3636,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lsh_pairs 3, dup_components 4, simhash 2, lsh_corpus_buckets 2,
     ivf_corpus_cells 3, quality_features 2, char_entropy 2,
     repetition 2, word_grams 2, pq_codes 2, span_bounds 2,
-    trade_edges 5 (g1/g2/g3/g4/g5). Dropped as
+    trade_edges 6 (g1/g2/g3/g4/g5/g7). Dropped as
     single-consumer: nb_buckets (llm_nb_quality trains and scores off
     one memoized explode — reuse is WITHIN the query)."""
     return {
@@ -6522,6 +6522,49 @@ def q_g5_kcore_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "g7_coreness",
+    oracle=(
+        "WITH kc AS (\n"
+        + _graph.coreness_sql(_G3_EDGE_SQL, rounds=10)
+        + "\n) SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE "
+        "'supplier' END AS side, coreness, CAST(COUNT(*) AS BIGINT) "
+        "AS n_nodes FROM kc GROUP BY 1, 2"
+    ),
+    doc="FULL k-core decomposition — every node's core number — via "
+    "the distributed h-index iteration (Montresor et al. 2011): "
+    "c₀ = degree, cᵢ₊₁(u) = h-index of neighbors' estimates, "
+    "monotonically decreasing integers that converge to the exact "
+    "coreness (fixpoint by round 8 on this graph at every test SF, "
+    "probed; 10 rounds registered for margin). g5 answers 'who "
+    "survives at k=3'; this is the per-node graph-quality FEATURE a "
+    "curation pipeline joins onto its source table alongside rank "
+    "(g1/g4) and community (g3) — reported as a (side, coreness) "
+    "histogram over the shared strong-tie backbone. Unit tests prove "
+    "CROSS-OPERATOR consistency: {coreness ≥ k} equals the k_core "
+    "survivor set for every k — two independent algorithms agreeing "
+    "on the same decomposition. Per round: one state-onto-edges "
+    "equi-join + one degree-bounded per-node window + one combinable "
+    "max; the h-index over ties is order-independent, so the result "
+    "is deterministic and bit-equal to the unrolled AS MATERIALIZED "
+    "DuckDB twin. operators/graph.py:coreness.",
+)
+def q_g7_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _trade_edges_shared(spark, sf_dir).filter(
+        F.col("w") >= 3
+    ).select("src", "dst")
+    # cadence 2 exercised on THIS plan shape up to 16 rounds (the
+    # raise-only-if-exercised rule): linear-chain state, one ref/round
+    cor = _graph.coreness(edges, rounds=10, checkpoint_every=2)
+    side = (
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+    )
+    return cor.groupBy(side.alias("side"), "coreness").agg(
+        F.count("*").cast("bigint").alias("n_nodes")
+    )
+
+
 _G6_PROJ_SQL = """
     WITH li AS (
         SELECT DISTINCT l_orderkey AS o, CAST(l_suppkey AS BIGINT) AS s
@@ -6845,6 +6888,7 @@ _GATE_PRIORITY = [
     # tier 0 (round 9): new registrations + changed-plan re-gates
     "g5_kcore_backbone",
     "g6_cosupply_triangles",
+    "g7_coreness",
     "a30_market_share",
     "w8_balance_deciles",
     "a33_binned_quantile_shards",

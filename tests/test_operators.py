@@ -3346,3 +3346,73 @@ def test_triangle_count_semantics_and_duckdb_twin(spark):
     assert got == want
     # the hub sits in one triangle per ring edge = 12
     assert dict(got)[0] == 12
+
+
+def test_coreness_known_graphs_twin_and_kcore_consistency(spark):
+    """Full core decomposition via h-index iteration: exact values on
+    known graphs (triangle+pendant 2/2/2/1, K3,3 all 3, path all 1,
+    K6+tail mixed), robust to single-orientation + duplicate + self-
+    loop input (the operator symmetrizes), bit-equal to the unrolled
+    DuckDB twin, fixpoint-stable (rounds vs rounds+1), and CONSISTENT
+    with k_core: {node : coreness >= k} must equal the k-core survivor
+    set — two independent algorithms agreeing on the same
+    decomposition."""
+    import duckdb
+    import pytest
+
+    from ad_data_pipelines_spark.operators import graph
+
+    def cor(pairs, rounds=6):
+        df = spark.createDataFrame(pairs, "src bigint, dst bigint")
+        return dict(
+            (r.node, r.coreness)
+            for r in graph.coreness(df, rounds=rounds).collect()
+        )
+
+    assert cor([(1, 2), (2, 3), (1, 3), (3, 4)]) == {1: 2, 2: 2, 3: 2, 4: 1}
+    assert cor([(a, b) for a in (0, 2, 4) for b in (1, 3, 5)]) == {
+        n: 3 for n in range(6)
+    }
+    assert cor([(1, 2), (2, 3), (3, 4), (4, 5)]) == {n: 1 for n in range(1, 6)}
+    # direction/dup/self-loop robustness: symmetrized internally
+    assert cor([(2, 1), (2, 3), (1, 3), (3, 1), (1, 1), (4, 3)]) == {
+        1: 2, 2: 2, 3: 2, 4: 1
+    }
+
+    k6tail = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    k6tail += [(0, 6), (1, 6), (6, 7), (2, 7)]
+    got = cor(k6tail)
+    assert got == {0: 5, 1: 5, 2: 5, 3: 5, 4: 5, 5: 5, 6: 2, 7: 2}
+
+    # DuckDB twin bit-equality + fixpoint on the mixed graph
+    df = spark.createDataFrame(
+        _undirected(k6tail), "src bigint, dst bigint"
+    )
+    r6 = sorted(map(tuple, graph.coreness(df, rounds=6).collect()))
+    r7 = sorted(map(tuple, graph.coreness(df, rounds=7).collect()))
+    assert r6 == r7  # fixpoint
+    vals = ", ".join(f"({a},{b})" for a, b in k6tail)
+    want = sorted(
+        duckdb.connect()
+        .execute(
+            graph.coreness_sql(
+                f"SELECT * FROM (VALUES {vals}) t(src, dst)", rounds=6
+            )
+        )
+        .fetchall()
+    )
+    assert r6 == want
+
+    # cross-operator consistency: {coreness >= k} == k-core survivors
+    for k in (2, 3, 5):
+        from_coreness = {n for n, c in got.items() if c >= k}
+        survivors = {
+            r.node
+            for r in graph.k_core(df, k=k, rounds=6).collect()
+        }
+        assert from_coreness == survivors, k
+
+    with pytest.raises(ValueError, match="round"):
+        graph.coreness(df, rounds=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        graph.coreness(df, checkpoint_every=0)

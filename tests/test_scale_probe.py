@@ -876,3 +876,49 @@ def test_triangle_count_10x_linear_and_hub_safe(spark):
         f"triangle_count 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
         "grows super-linearly"
     )
+
+
+def test_coreness_10x_linear_and_structure(spark):
+    """Coreness h-index iteration on a 10× graph of disjoint K5s with
+    pendant chains: exact at scale (K5 members coreness 4, chain nodes
+    1) and ~linear — per round one equi-join + one degree-bounded
+    window + one combinable max."""
+    from ad_data_pipelines_spark.operators import graph
+
+    def k5_with_tails(n_blocks):
+        base = spark.range(n_blocks * 20).selectExpr(
+            "id DIV 20 AS b", "(id % 20) DIV 4 AS a", "id % 4 AS o"
+        )
+        k5 = base.selectExpr(
+            "b * 8 + a AS src",
+            "b * 8 + (a + o + 1) % 5 AS dst",
+        )
+        chain = spark.range(n_blocks * 3).selectExpr(
+            "(id DIV 3) * 8 + 4 + id % 3 AS src",
+            "(id DIV 3) * 8 + 5 + id % 3 AS dst",
+        )
+        return k5.unionByName(chain)
+
+    n_small, n_big = 300, 3_000
+    t0 = time.perf_counter()
+    small = graph.coreness(k5_with_tails(n_small), rounds=4)
+    c1 = small.count()
+    t1 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    big = graph.coreness(k5_with_tails(n_big), rounds=4)
+    c10 = big.count()
+    t10 = time.perf_counter() - t0
+
+    assert c1 == 8 * n_small and c10 == 8 * n_big
+    # K5 members (node % 8 <= 4) coreness 4; chain nodes coreness 1
+    assert big.filter(
+        (F.col("node") % 8 <= 4) & (F.col("coreness") != 4)
+    ).count() == 0
+    assert big.filter(
+        (F.col("node") % 8 > 4) & (F.col("coreness") != 1)
+    ).count() == 0
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"coreness 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
+        "grows super-linearly"
+    )
