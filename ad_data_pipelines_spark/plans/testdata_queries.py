@@ -6860,7 +6860,7 @@ def q_llm_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
 # ~50-row budget. Round-9 rotation (the r8 verdict's brief — done condition:
 # no oracle-backed query's latest green older than r6 after this gate):
-#   tier 0 — round-9 registrations and CHANGED-PLAN queries (g5 new; a30's
+#   tier 0 — round-9 registrations and CHANGED-PLAN queries (g5/g6/g7 new; a30's
 #            customer side rewritten to a pushed IN-list after the A/B-confirmed
 #            sort-merge misplan; w8 + a33 ride the lazy-sketch _ntile_shards
 #            rewrite; g3 rides label_propagation's pmod parity fix),
