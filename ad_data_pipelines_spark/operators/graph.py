@@ -79,6 +79,39 @@ def _cut(df: DataFrame, reliable: bool) -> DataFrame:
     return df.checkpoint()
 
 
+def validate_edge_weights(
+    edges: DataFrame, weight: str = "w", scale: int = 10**12
+) -> None:
+    """One-scan weight validation for a SHARED ws-carrying edge artifact.
+
+    The ``assume_normalized`` fast path in :func:`pagerank` skips ALL
+    weight validation when the input already carries the out-strength
+    (``ws``) column — the contract is that the artifact **vouched for
+    its weights when it was built**. This helper IS that vouching:
+    call it once at artifact build time (one min/max aggregate over the
+    materialized edge list) and the fast path stays sound for every
+    downstream ranking. It enforces the same two invariants the slow
+    path checks per call: weights strictly positive (zero/negative
+    weights have no random-walk meaning) and ``scale × max(w)`` inside
+    int64 headroom (rank·w would WRAP in Spark but ERROR in DuckDB —
+    a silent cross-engine divergence). Raises ``ValueError`` on either
+    violation; a caller constructing its own ws-carrying artifact that
+    skips this call gets whatever its bad weights imply — the
+    ``assume_normalized`` docs state the contract."""
+    min_w, max_w = edges.agg(F.min(weight), F.max(weight)).first()
+    if min_w is not None and int(min_w) <= 0:
+        raise ValueError(
+            f"edge weights must be positive, got min({weight}) = {min_w} "
+            "— filter or re-scale them before building the shared artifact"
+        )
+    if max_w is not None and int(scale) * int(max_w) >= 2**62:
+        raise ValueError(
+            f"scale ({scale}) x max weight ({max_w}) leaves no int64 "
+            "headroom — rank*w would WRAP in Spark but ERROR in DuckDB; "
+            "lower scale or re-scale weights"
+        )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -125,6 +158,14 @@ def pagerank(
     aggregation too. That lets a SHARED edge artifact (built once per
     session, e.g. the trade graph) absorb the whole one-time
     normalization cost across every ranking that consumes it.
+    **Weighted-mode vouching contract**: when the frame carries the
+    ``ws`` column the fast path also skips BOTH weight validations
+    (positivity and int64 headroom) — the artifact is trusted to have
+    been validated when it was built. Run
+    :func:`validate_edge_weights` once at artifact build time to
+    establish that trust; passing ``assume_normalized`` edges with a
+    ``ws`` column of unvalidated weights yields silently wrapped or
+    meaningless ranks where the per-call slow path would raise.
     ``cut_input=False`` additionally skips the defensive
     localCheckpoint of the edge list — pass it ONLY when the input is
     already materialized (a checkpointed/persisted shared stage); on
@@ -712,6 +753,97 @@ def triangle_count_sql(edge_sql: str) -> str:
                CAST(COALESCE(cnt.n, 0) AS BIGINT) AS triangles
         FROM nodes LEFT JOIN cnt ON cnt.node = nodes.node
     """
+
+
+def basket_pairs(
+    items: DataFrame,
+    basket: str = "basket",
+    item: str = "item",
+    max_basket_size: int = 64,
+    on_oversize: str = "error",
+) -> DataFrame:
+    """(item_a, item_b, cnt): co-occurrence pairs from a market-basket
+    relation — every unordered pair of distinct items sharing a basket,
+    counted across baskets (item_a < item_b). The projection step that
+    turns a bipartite basket↔item relation into an item graph (e.g.
+    g6's supplier co-supply backbone: baskets = orders, items =
+    suppliers).
+
+    **The per-basket self-join is quadratic in basket size**: a basket
+    of n items emits n·(n−1)/2 pairs, so the total work is O(Σ n_b²).
+    That is fine when basket size is structurally bounded (TPC-H
+    orders carry ≤7 lineitems by generator design) and a silent
+    blowup when it is not — ONE hub basket of 10⁶ items would emit
+    5·10¹¹ pairs into a single shuffle key. ``max_basket_size`` makes
+    the bound explicit and LOUD:
+
+    - ``on_oversize="error"`` (default): any basket larger than the
+      bound fails the job with the basket id and size in the message —
+      raised executor-side by an ``assert_true`` column riding the
+      pair-generation filter, so the guard costs no extra pass and
+      cannot be optimized away.
+    - ``on_oversize="cap"``: each oversized basket deterministically
+      keeps only its ``max_basket_size`` smallest item ids (partitioned
+      ``row_number``, never a bare limit) — the per-basket analogue of
+      g6's per-node kNN sparsification; work is then ≤ C(cap, 2) per
+      basket at any scale.
+
+    Scale shape: one distinct (basket, item) pass, one per-basket
+    count window (reuses the basket partitioning the self-join needs
+    anyway), the basket-keyed self-join, one combinable pair count.
+    No iteration, no driver collection."""
+    if max_basket_size < 2:
+        raise ValueError(
+            f"max_basket_size must be >= 2, got {max_basket_size}"
+        )
+    if on_oversize not in ("error", "cap"):
+        raise ValueError(
+            f"on_oversize must be 'error' or 'cap', got {on_oversize!r}"
+        )
+    from pyspark.sql import Window
+
+    bi = (
+        items.select(F.col(basket).alias("b"), F.col(item).alias("i"))
+        .filter(F.col("b").isNotNull() & F.col("i").isNotNull())
+        .distinct()
+    )
+    if on_oversize == "cap":
+        w = Window.partitionBy("b").orderBy("i")
+        bi = bi.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= max_basket_size
+        )
+        guarded = bi.select("b", "i")
+    else:
+        w = Window.partitionBy("b")
+        # assert_true rides a FILTER (returns NULL when the predicate
+        # holds, so isNull() keeps every row) — a plain unused column
+        # would be pruned by Catalyst and the guard silently dropped
+        bi = bi.withColumn("bsz", F.count("*").over(w))
+        guarded = bi.filter(
+            F.assert_true(
+                F.col("bsz") <= max_basket_size,
+                F.concat(
+                    F.lit(
+                        "basket_pairs: basket exceeds max_basket_size="
+                        f"{max_basket_size} (basket id "
+                    ),
+                    F.col("b").cast("string"),
+                    F.lit(", size "),
+                    F.col("bsz").cast("string"),
+                    F.lit(
+                        ") — pair generation is quadratic per basket; "
+                        "raise the bound or use on_oversize='cap'"
+                    ),
+                ),
+            ).isNull()
+        ).select("b", "i")
+    return (
+        guarded.selectExpr("b", "i AS item_a")
+        .join(guarded.selectExpr("b", "i AS item_b"), "b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
 
 
 def label_propagation(

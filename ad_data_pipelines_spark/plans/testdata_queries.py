@@ -6244,7 +6244,18 @@ def _trade_edges_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per query and row-RDD scans skip the per-scan columnar-cache
     # deserialization; consumers pass cut_input=False so no per-call
     # re-materialization happens either
-    return _shared(spark, sf_dir, "trade_edges", build, "checkpoint")
+    art = _shared(spark, sf_dir, "trade_edges", build, "checkpoint")
+    # vouching contract: consumers pass assume_normalized=True and the
+    # ws column makes pagerank skip ALL weight validation — so the
+    # artifact validates ONCE here, on the materialized frame, right
+    # after its first build (graph.validate_edge_weights docs)
+    vkey = (spark.sparkContext.applicationId, sf_dir, "trade_edges:vouch")
+    if vkey not in _SHARED_CACHE:
+        from ad_data_pipelines_spark.operators.graph import validate_edge_weights
+
+        validate_edge_weights(art, "w")
+        _SHARED_CACHE[vkey] = art
+    return art
 
 
 @register(
@@ -6617,27 +6628,27 @@ _G6_PROJ_SQL = """
     "once); the DuckDB twin closes u<v<w wedges directly — per-node "
     "counts are algorithm-independent, so the twin checks the "
     "SEMANTICS, not the schedule. Pure integer counting, hash-gated. "
-    "operators/graph.py:triangle_count.",
+    "Pair generation (graph.basket_pairs) is O(sum basket_size^2) — "
+    "bounded here by TPC-H's <=7 lineitems/order and guarded by an "
+    "executor-side max_basket_size=16 assert so hub baskets fail "
+    "loudly, never quadratically. "
+    "operators/graph.py:triangle_count, basket_pairs.",
 )
 def q_g6_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = (
-        t(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("o"),
-            F.col("l_suppkey").cast("bigint").alias("s"),
-        )
-        .distinct()
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_suppkey").cast("bigint").alias("s"),
     )
-    pairs = (
-        li.selectExpr("o", "s AS s1")
-        .join(li.selectExpr("o", "s AS s2"), "o")
-        .filter(F.col("s1") < F.col("s2"))
-        .groupBy("s1", "s2")
-        .agg(F.count("*").alias("cnt"))
+    # pair generation is QUADRATIC per order (graph.basket_pairs docs);
+    # TPC-H orders carry <=7 lineitems by generator design, so the 16
+    # bound documents the assumption and fails LOUDLY on any dataset
+    # with hub baskets instead of silently blowing up the self-join
+    pairs = _graph.basket_pairs(
+        li, basket="o", item="s", max_basket_size=16, on_oversize="error"
     )
-    directed = pairs.selectExpr("s1 AS s", "s2 AS q", "cnt").unionByName(
-        pairs.selectExpr("s2 AS s", "s1 AS q", "cnt")
-    )
+    directed = pairs.selectExpr(
+        "item_a AS s", "item_b AS q", "cnt"
+    ).unionByName(pairs.selectExpr("item_b AS s", "item_a AS q", "cnt"))
     w = Window.partitionBy("s").orderBy(F.desc("cnt"), "q")
     proj = (
         directed.withColumn("rn", F.row_number().over(w))

@@ -3241,13 +3241,39 @@ def test_label_propagation_negative_ids_pmod_parity(spark):
     assert got == want
 
 
-def test_reliable_checkpoint_bit_equal_and_guard(spark, tmp_path):
-    """reliable=True: fails loudly without a checkpoint dir, and with
-    one set produces bit-identical results to the localCheckpoint path
-    for pagerank, label_propagation, k_core and the star-contraction
-    connected components (a lineage cut never changes values)."""
+def test_reliable_guard_without_checkpoint_dir(spark):
+    """reliable=True fails loudly when no checkpoint dir is set.
+
+    Runs ONLY while the shared session has no checkpoint dir (Spark has
+    no API to clear one once set, so a dedicated context is the only
+    honest way to exercise this branch); if another test already set
+    one, skip with the reason rather than silently passing without
+    executing the branch."""
     import pytest
 
+    from ad_data_pipelines_spark.operators import graph
+
+    if spark.sparkContext.getCheckpointDir() is not None:
+        pytest.skip(
+            "shared session already has a checkpoint dir (set by an "
+            "earlier test; Spark cannot clear it) — guard branch "
+            "unreachable in this ordering"
+        )
+    df = spark.createDataFrame(
+        _undirected([(1, 2), (2, 3)]), "src bigint, dst bigint"
+    )
+    with pytest.raises(ValueError, match="checkpoint directory"):
+        graph.pagerank(df, iterations=3, reliable=True)
+
+
+def test_reliable_checkpoint_bit_equal(spark, tmp_path_factory):
+    """reliable=True with a checkpoint dir set produces bit-identical
+    results to the localCheckpoint path for pagerank,
+    label_propagation, k_core and the star-contraction connected
+    components (a lineage cut never changes values). The dir is a
+    SESSION-scoped tmp (not this test's tmp_path) and any dir a prior
+    test set is restored afterwards — later tests must not inherit a
+    path pointing into this test's workspace."""
     from ad_data_pipelines_spark.operators import dedup, graph
 
     pairs = [((i * 5) % 17, (i * 3 + 1) % 17) for i in range(40)]
@@ -3258,44 +3284,59 @@ def test_reliable_checkpoint_bit_equal_and_guard(spark, tmp_path):
 
     sc = spark.sparkContext
     had_dir = sc.getCheckpointDir()
-    if had_dir is None:
-        with pytest.raises(ValueError, match="checkpoint directory"):
-            graph.pagerank(df, iterations=3, reliable=True)
-    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    sc.setCheckpointDir(
+        str(tmp_path_factory.mktemp("reliable-ckpt"))
+    )
 
-    assert sorted(
-        map(tuple, graph.pagerank(df, iterations=6, reliable=True).collect())
-    ) == sorted(map(tuple, graph.pagerank(df, iterations=6).collect()))
-    assert sorted(
-        map(
-            tuple,
-            graph.label_propagation(df, iterations=3, reliable=True).collect(),
+    try:
+        assert sorted(
+            map(
+                tuple,
+                graph.pagerank(df, iterations=6, reliable=True).collect(),
+            )
+        ) == sorted(map(tuple, graph.pagerank(df, iterations=6).collect()))
+        assert sorted(
+            map(
+                tuple,
+                graph.label_propagation(
+                    df, iterations=3, reliable=True
+                ).collect(),
+            )
+        ) == sorted(
+            map(tuple, graph.label_propagation(df, iterations=3).collect())
         )
-    ) == sorted(
-        map(tuple, graph.label_propagation(df, iterations=3).collect())
-    )
-    assert sorted(
-        map(tuple, graph.k_core(df, k=3, rounds=4, reliable=True).collect())
-    ) == sorted(map(tuple, graph.k_core(df, k=3, rounds=4).collect()))
+        assert sorted(
+            map(
+                tuple,
+                graph.k_core(df, k=3, rounds=4, reliable=True).collect(),
+            )
+        ) == sorted(map(tuple, graph.k_core(df, k=3, rounds=4).collect()))
 
-    cc_edges = spark.createDataFrame(
-        [(a, b) for a, b in pairs], "doc_a bigint, doc_b bigint"
-    )
-    rel = sorted(
-        map(
-            tuple,
-            dedup.connected_components(
-                cc_edges, driver_threshold=0, reliable=True
-            ).collect(),
+        cc_edges = spark.createDataFrame(
+            [(a, b) for a, b in pairs], "doc_a bigint, doc_b bigint"
         )
-    )
-    loc = sorted(
-        map(
-            tuple,
-            dedup.connected_components(cc_edges, driver_threshold=0).collect(),
+        rel = sorted(
+            map(
+                tuple,
+                dedup.connected_components(
+                    cc_edges, driver_threshold=0, reliable=True
+                ).collect(),
+            )
         )
-    )
-    assert rel == loc
+        loc = sorted(
+            map(
+                tuple,
+                dedup.connected_components(
+                    cc_edges, driver_threshold=0
+                ).collect(),
+            )
+        )
+        assert rel == loc
+    finally:
+        # Spark cannot CLEAR a checkpoint dir; restore any pre-existing
+        # one so later tests never inherit this test's tmp workspace
+        if had_dir is not None:
+            sc.setCheckpointDir(had_dir)
 
 
 def test_triangle_count_semantics_and_duckdb_twin(spark):
@@ -3416,3 +3457,78 @@ def test_coreness_known_graphs_twin_and_kcore_consistency(spark):
         graph.coreness(df, rounds=0)
     with pytest.raises(ValueError, match="checkpoint_every"):
         graph.coreness(df, checkpoint_every=0)
+
+
+def test_basket_pairs_counts_guard_and_cap(spark):
+    """Market-basket pair projection (graph.basket_pairs): pair counts
+    match the by-hand enumeration, duplicates within a basket collapse,
+    an oversized basket FAILS LOUDLY executor-side (the guard the g6
+    docstring promises — quadratic pair generation must never blow up
+    silently), and on_oversize='cap' keeps the deterministic smallest
+    item ids so the capped projection is replayable."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import graph
+
+    rows = [
+        # basket 1: {10, 20, 30}; basket 2: {10, 20}; basket 3: {30}
+        (1, 10), (1, 20), (1, 30), (1, 20),  # dup collapses
+        (2, 10), (2, 20),
+        (3, 30),
+        (None, 10), (4, None),  # nulls dropped
+    ]
+    df = spark.createDataFrame(rows, "basket int, item int")
+    got = {
+        (r.item_a, r.item_b): r.cnt
+        for r in graph.basket_pairs(df, max_basket_size=3).collect()
+    }
+    assert got == {(10, 20): 2, (10, 30): 1, (20, 30): 1}
+
+    # guard: basket 1 has 3 distinct items > bound 2 -> loud failure
+    # naming the basket (Spark surfaces assert_true as a runtime error)
+    with pytest.raises(Exception, match="max_basket_size"):
+        graph.basket_pairs(df, max_basket_size=2).collect()
+
+    # cap: the oversized basket keeps its 2 SMALLEST item ids {10, 20}
+    capped = {
+        (r.item_a, r.item_b): r.cnt
+        for r in graph.basket_pairs(
+            df, max_basket_size=2, on_oversize="cap"
+        ).collect()
+    }
+    assert capped == {(10, 20): 2}
+
+    with pytest.raises(ValueError, match="max_basket_size"):
+        graph.basket_pairs(df, max_basket_size=1)
+    with pytest.raises(ValueError, match="on_oversize"):
+        graph.basket_pairs(df, on_oversize="ignore")
+
+
+def test_validate_edge_weights_vouching(spark):
+    """The one-scan artifact-build vouching check behind pagerank's
+    assume_normalized fast path: positive bounded weights pass,
+    zero/negative weights raise, and int64-headroom violations raise
+    with the scale in the message."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import graph
+
+    ok = spark.createDataFrame(
+        [(1, 2, 5), (2, 1, 3)], "src bigint, dst bigint, w bigint"
+    )
+    graph.validate_edge_weights(ok)  # no raise
+
+    bad = spark.createDataFrame(
+        [(1, 2, 0)], "src bigint, dst bigint, w bigint"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        graph.validate_edge_weights(bad)
+
+    big = spark.createDataFrame(
+        [(1, 2, 2**52)], "src bigint, dst bigint, w bigint"
+    )
+    with pytest.raises(ValueError, match="headroom"):
+        graph.validate_edge_weights(big, scale=10**12)
+
+    # empty edge list: nothing to vouch, no raise
+    graph.validate_edge_weights(ok.filter("src < 0"))
