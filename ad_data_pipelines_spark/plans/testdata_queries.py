@@ -1226,7 +1226,10 @@ def _lsh_buckets_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scope), reported as mean/min — the regression report a pipeline "
     "runs before trusting an index rebuild. Composes the two existing "
     "search paths; ground truth stays scoped so the brute side never "
-    "runs unbounded.",
+    "runs unbounded. Hit counting is the JOIN-FREE _recall_report "
+    "union+aggregate (both top-k sides are bounded n_queries×k rows "
+    "but carry product size estimates — the a30 misplan class; with "
+    "no join there is nothing to misplan).",
 )
 def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
@@ -1234,11 +1237,44 @@ def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = _sim.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
     ann = _sim.lsh_topk(
         emb, q, k=5, corpus_buckets=_lsh_buckets_shared(spark, sf_dir)
-    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    ).select("query_id", "neighbor_id")
+    return _recall_report(brute, ann)
+
+
+def _recall_report(truth: DataFrame, ann: DataFrame) -> DataFrame:
+    """(n_queries, mean_recall, min_recall) of `ann` against `truth`
+    WITHOUT a join. Both inputs are (query_id, neighbor_id) top-k
+    outputs — bounded at n_queries×k rows, but their static size
+    estimates are window/join products (the a30 misplan class: the
+    planner put the r9 recall joins on a sort-merge path that AQE
+    never backed out, harmless at 125 rows yet exactly the shape that
+    bites at scale). The union + two-aggregate restatement has no
+    join side to misplan: tag each source, collapse per
+    (query_id, neighbor_id), keep truth rows, count which also
+    appeared in ann — identical semantics to the LEFT JOIN because
+    top-k outputs are unique per (query_id, neighbor_id)."""
+    tagged = truth.select(
+        "query_id",
+        "neighbor_id",
+        F.lit(1).alias("in_truth"),
+        F.lit(0).alias("in_ann"),
+    ).unionByName(
+        ann.select(
+            "query_id",
+            "neighbor_id",
+            F.lit(0).alias("in_truth"),
+            F.lit(1).alias("in_ann"),
+        )
+    )
     per_q = (
-        brute.join(ann, ["query_id", "neighbor_id"], "left")
+        tagged.groupBy("query_id", "neighbor_id")
+        .agg(
+            F.max("in_truth").alias("in_truth"),
+            F.max("in_ann").alias("in_ann"),
+        )
+        .filter(F.col("in_truth") == 1)
         .groupBy("query_id")
-        .agg(F.count("*").alias("k"), F.count("hit").alias("hits"))
+        .agg(F.count("*").alias("k"), F.sum("in_ann").alias("hits"))
     )
     recall = F.col("hits") / F.col("k")
     return per_q.agg(
@@ -2189,34 +2225,50 @@ def q_p24_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="TPC-H Q7 shape: cross-nation trade volume — the 5-table star "
     "join (fact → orders → customer, fact → supplier, two nation "
-    "aliases) with a pair predicate. Scale shape: the nation dims "
-    "and supplier broadcast; orders⋈customer resolves the customer "
-    "nation BEFORE touching the fact, and the selective nation-pair "
-    "filter reaches both dim joins so the fact rows that survive to "
-    "the aggregate are the ~2/N² sliver. One shuffle on the fact "
-    "(the orders join); the year extraction and rounded volume "
-    "follow the standard determinism rules.",
+    "aliases) with a pair predicate. Scale shape: the nation pair is "
+    "SCHEMA-bounded (2 of 25 rows at every SF), so both dim sides "
+    "take the a30 treatment — the collected (key, name) pairs become "
+    "a pushed IN-list on the supplier/customer scans plus a literal "
+    "CASE map for the name, leaving each probe side a Filter+Project "
+    "LEAF whose size estimate the static planner gets right (a "
+    "dim⋈dim-of-dim probe side carries a product-of-children "
+    "estimate that forced a sort-merge join on o_custkey here, the "
+    "same misplan class a30 hit; AQE never backs it out). The fact "
+    "shuffles once (the orders join); year extraction and rounded "
+    "volume follow the standard determinism rules.",
 )
 def q_j28_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations = ("NATION_1", "NATION_2")
     nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # nation is schema-bounded (25 rows at EVERY SF): collect the two
+    # target (key, name) pairs once per (session, sf_dir) — a
+    # constant-size probe — and push membership into the parquet scans
+    pair_nat = _dim_keys(
+        spark, sf_dir, "j28_pair_nations",
+        lambda: [
+            (r.n_nationkey, r.n_name)
+            for r in nat.filter(F.col("n_name").isin(*nations)).collect()
+        ],
+    )
+    pair_keys = [k for k, _ in pair_nat]
+
+    def nation_name(col: str):  # literal CASE map, no join to misplan
+        expr = F.lit(None).cast("string")
+        for k, name in pair_nat:
+            expr = F.when(F.col(col) == F.lit(k), F.lit(name)).otherwise(expr)
+        return expr
+
     supp = (
         t(spark, sf_dir, "supplier")
         .select("s_suppkey", "s_nationkey")
-        .join(
-            F.broadcast(nat.filter(F.col("n_name").isin(*nations))),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
-        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+        .filter(F.col("s_nationkey").isin(pair_keys))
+        .select("s_suppkey", nation_name("s_nationkey").alias("supp_nation"))
     )
     cust = (
         t(spark, sf_dir, "customer")
         .select("c_custkey", "c_nationkey")
-        .join(
-            F.broadcast(nat.filter(F.col("n_name").isin(*nations))),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
-        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+        .filter(F.col("c_nationkey").isin(pair_keys))
+        .select("c_custkey", nation_name("c_nationkey").alias("cust_nation"))
     )
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select(
@@ -3144,18 +3196,8 @@ def q_llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = _sim.ivf_topk(
         emb, q, k=5, n_cells=4, nprobe=2,
         corpus_cells=_ivf_cells_shared(spark, sf_dir),
-    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
-    per_q = (
-        truth.join(ann, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(F.count("*").alias("k"), F.count("hit").alias("hits"))
-    )
-    recall = F.col("hits") / F.col("k")
-    return per_q.agg(
-        F.count("*").cast("bigint").alias("n_queries"),
-        F.round(F.avg(recall), 4).alias("mean_recall"),
-        F.round(F.min(recall), 4).alias("min_recall"),
-    )
+    ).select("query_id", "neighbor_id")
+    return _recall_report(truth, ann)
 
 
 @register(
@@ -6750,18 +6792,8 @@ def q_llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = _sim.l2_topk(emb, q, k=5).select("query_id", "neighbor_id")
     approx = _sim.pq_topk(
         emb, q, k=5, codes=_pq_codes_shared(spark, sf_dir)
-    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
-    per_q = (
-        truth.join(approx, ["query_id", "neighbor_id"], "left")
-        .groupBy("query_id")
-        .agg(F.count("*").alias("k"), F.count("hit").alias("hits"))
-    )
-    recall = F.col("hits") / F.col("k")
-    return per_q.agg(
-        F.count("*").cast("bigint").alias("n_queries"),
-        F.round(F.avg(recall), 4).alias("mean_recall"),
-        F.round(F.min(recall), 4).alias("min_recall"),
-    )
+    ).select("query_id", "neighbor_id")
+    return _recall_report(truth, approx)
 
 
 @register(

@@ -332,3 +332,86 @@ def test_dim_keys_memo_keys_on_sf_dir(spark):
         k[1] for k in tq._DIM_KEYS_CACHE if k[2] == "asia_nations"
     }
     assert {SF_SMALL, SF_MEDIUM} <= dirs
+
+
+#: The r9→r10 standing audit (VERDICT r9 "What's missing #1"): every
+#: SortMergeJoin / ShuffledHashJoin in an EXECUTED sf0.1 final plan
+#: must be on this list — each entry is an INTENTIONAL fact-fact
+#: shuffle where both sides scale with the data (co-partitioned SMJ is
+#: the correct 100 TB plan) or a join type that cannot broadcast
+#: (FullOuter). Anything else is the a30/j28 misplan class: a probe
+#: side that SHOULD broadcast carrying a product-of-children size
+#: estimate the static planner rejects and AQE never backs out.
+#: Documented in SCALE.md ("SMJ/SHJ allowlist").
+_SMJ_ALLOWED = {
+    # graph family: per-iteration (node,state) x edge-list equi-joins —
+    # both fact-scale, co-partitioned on the node key by design
+    "g1_pagerank_suppliers",
+    "g2_ppr_trusted_suppliers",
+    "g3_trade_communities",
+    "g4_weighted_pagerank",
+    "g6_cosupply_triangles",  # wedge/orientation self-joins, fact-fact
+    "g7_coreness",
+    # TPC-H fact-fact shapes
+    "j8_full_outer_3way",       # FullOuter cannot broadcast
+    "j21_grid_knn",             # grid-cell self-join of the point set
+    "j24_sole_late_supplier",   # per-(order,supplier) agg x fact
+    "j30_late_order_priorities",  # orders LeftSemi lineitem
+    # dedup/similarity: gram/bucket/cell-keyed self- or history-joins —
+    # candidate generation is bucketed, but both sides are corpus-scale
+    "llm_containment",
+    "llm_dup_span_removal",
+    "llm_dup_spans",
+    "llm_incremental_dedup",    # history x new batch, both corpus-scale
+    "llm_ngram_jaccard",
+    "llm_semantic_dedup",       # within-cell pair join
+    "llm_snapshot_diff",        # FullOuter of two snapshots
+    "o15_entity_clusters",      # CC label join-back at entity grain
+    # doc-grain LeftOuter join-backs (doc x per-doc aggregate)
+    "llm_nb_quality",
+    "llm_remove_boilerplate",
+    # versioned-table merge: FullOuter strategy variant
+    "s16_merge_apply",
+}
+
+SF_LARGE = "/root/testdata/sf0.1"
+
+
+def test_sf01_executed_plans_smj_shj_allowlist(spark):
+    """Execute EVERY registry query at sf0.1 and fail on any
+    SortMergeJoin / ShuffledHashJoin in the FINAL adaptive plan that
+    is not on the explicit allowlist above. This is the permanent
+    form of the ad hoc sweep that caught a30 (r9) and j28 (r10):
+    the misplan class — join-output probe sides whose
+    product-of-children size estimate forces a static SMJ that AQE
+    will not back-convert — produces no wrong answers and no test
+    failure anywhere else; it only shows up as quiet 1.5-2x bench
+    steps. Executed plans (noop sink), not explain: AQE finalizes
+    join strategies only on execution. Also fails on STALE allowlist
+    entries (listed but now SMJ-free) so the list stays tight."""
+    unexpected: dict[str, tuple[int, int]] = {}
+    seen_smj: set[str] = set()
+    for name in ALL_QUERIES:
+        df = REGISTRY[name].fn(spark, SF_LARGE)
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("+- == Initial Plan ==")[0]
+        smj = final.count("SortMergeJoin")
+        shj = final.count("ShuffledHashJoin")
+        if smj or shj:
+            seen_smj.add(name)
+            if name not in _SMJ_ALLOWED:
+                unexpected[name] = (smj, shj)
+    assert not unexpected, (
+        "sort-merge / shuffled-hash joins outside the allowlist — "
+        "either a new intentional fact-fact shuffle (add it to "
+        "_SMJ_ALLOWED with a reason AND to SCALE.md) or the "
+        "a30/j28 static-estimate misplan class (fix it like a30: "
+        "schema-bounded IN-list / join-free restatement): "
+        f"{unexpected}"
+    )
+    stale = _SMJ_ALLOWED - seen_smj
+    assert not stale, (
+        "allowlist entries whose sf0.1 final plans are now SMJ/SHJ-"
+        f"free — remove them to keep the gate tight: {sorted(stale)}"
+    )
