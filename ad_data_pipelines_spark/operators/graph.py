@@ -616,6 +616,79 @@ def coreness_sql(edge_sql: str, rounds: int = 8) -> str:
     )
 
 
+def _canonical_edges(
+    edges: DataFrame, src: str, dst: str, reliable: bool
+) -> DataFrame:
+    """(u, v), u < v: the undirected simple graph spanned by a directed
+    edge list — NULLs and self-loops dropped, both orientations and
+    duplicates collapsed. Materialized (lineage cut): every consumer
+    references it at least twice."""
+    return _cut(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct(),
+        reliable,
+    )
+
+
+def _oriented_triangles(
+    und: DataFrame, reliable: bool
+) -> tuple[DataFrame, DataFrame]:
+    """(tri, deg) over a canonical (u, v) edge set: `tri` holds every
+    triangle exactly once as (c, s, t) — c the lowest-RANK corner, s/t
+    rank-ordered (rank = (degree, id) total order; ids NOT necessarily
+    ordered) — via the degree-ordered compact-forward scheme (Latapy
+    2008) whose orientation bounds each node's wedge fan-out by O(√m);
+    `deg` is (node, d). Shared by `triangle_count` (per-node counts)
+    and `k_truss` (per-edge support). The oriented edge set is
+    materialized — it is referenced 3×, and uncut the caller's whole
+    chain would re-run per reference."""
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient low rank -> high rank, rank = (degree, id); carry the
+    # endpoint degrees so the wedge join can rank-order its two legs
+    # without another join
+    e_dd = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = _cut(
+        e_dd.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        ),
+        reliable,
+    )
+    w1 = oriented.select(
+        F.col("s").alias("c"), F.col("t").alias("x"), F.col("dt").alias("dx")
+    )
+    w2 = oriented.select(
+        F.col("s").alias("c"), F.col("t").alias("y"), F.col("dt").alias("dy")
+    )
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    wedges = (
+        w1.join(w2, "c")
+        .filter(x_first)  # each unordered out-pair once, rank-ordered
+        .select("c", F.col("x").alias("s"), F.col("y").alias("t"))
+    )
+    tri = wedges.join(oriented.select("s", "t"), ["s", "t"])
+    return tri, deg
+
+
 def triangle_count(
     edges: DataFrame,
     src: str = "src",
@@ -657,55 +730,8 @@ def triangle_count(
     (`triangle_count_sql`, which uses the simple u<v<w closure —
     per-node triangle counts are algorithm-independent) agree
     bit-for-bit."""
-    und = _cut(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .filter(F.col("a") != F.col("b"))
-        .select(
-            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-        )
-        .distinct(),
-        reliable,
-    )
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .unionByName(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
-    # orient low rank -> high rank, rank = (degree, id); carry the
-    # endpoint degrees so the wedge join can rank-order its two legs
-    # without another join
-    e_dd = (
-        und.join(deg.select(F.col("node").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("dv")), "v")
-    )
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = _cut(
-        e_dd.select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
-        ),
-        reliable,
-    )
-    w1 = oriented.select(
-        F.col("s").alias("c"), F.col("t").alias("x"), F.col("dt").alias("dx")
-    )
-    w2 = oriented.select(
-        F.col("s").alias("c"), F.col("t").alias("y"), F.col("dt").alias("dy")
-    )
-    x_first = (F.col("dx") < F.col("dy")) | (
-        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
-    )
-    wedges = (
-        w1.join(w2, "c")
-        .filter(x_first)  # each unordered out-pair once, rank-ordered
-        .select("c", F.col("x").alias("s"), F.col("y").alias("t"))
-    )
-    tri = wedges.join(oriented.select("s", "t"), ["s", "t"])
+    und = _canonical_edges(edges, src, dst, reliable)
+    tri, deg = _oriented_triangles(und, reliable)
     corners = (
         tri.select(F.col("c").alias("node"))
         .unionByName(tri.select(F.col("s").alias("node")))
@@ -753,6 +779,131 @@ def triangle_count_sql(edge_sql: str) -> str:
                CAST(COALESCE(cnt.n, 0) AS BIGINT) AS triangles
         FROM nodes LEFT JOIN cnt ON cnt.node = nodes.node
     """
+
+
+def k_truss(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 4,
+    rounds: int = 4,
+    checkpoint_every: int = 1,
+    reliable: bool = False,
+) -> DataFrame:
+    """(u, v), u < v: the k-truss of the undirected simple graph
+    spanned by the edge list — the maximal subgraph in which every
+    edge participates in at least k−2 triangles WITHIN the subgraph
+    (Cohen 2008). The EDGE-level member of the cohesion family: g5's
+    k-core keeps nodes with enough neighbors, the truss keeps edges
+    with enough mutual reinforcement — the standard backbone
+    extraction one step stronger than the core (every k-truss is
+    inside the (k−1)-core), and the same spam-resistance argument as
+    triangles applies edge-wise: a link farm inflates degrees but
+    cannot fake the triangle support of its edges.
+
+    Peeling is iterative and FIXED-round (the oracle-replayability
+    contract shared with k_core): each round enumerates triangles
+    over the CURRENT surviving edge set via the degree-ordered
+    compact-forward scheme (`_oriented_triangles` — orientation by
+    the (degree, id) total order bounds wedge fan-out by O(√m), so a
+    hub cannot explode the per-round self-join), explodes each
+    triangle to its three canonical edges, counts per-edge support
+    with one combinable aggregate, and drops edges below k−2.
+    Removal cascades (an edge losing its support can strip a
+    neighbor's), so `rounds` must reach the fixpoint — on every test
+    graph and the co-supply backbone the peeling is stable by round
+    4 (tested rounds vs rounds+1); monotone edge removal guarantees
+    convergence. Pure integer counting, deterministic at every step:
+    Spark and the unrolled DuckDB twin (`k_truss_sql`, AS MATERIALIZED
+    CTEs — 3 per round) agree bit-for-bit.
+
+    Scale shape per round: one degree aggregate, two orientation
+    joins, one wedge self-join + one closing join (both keyed long
+    pairs), one explode-to-3 union + combinable count, one join-back
+    filter; the survivor edge set is lineage-cut every
+    ``checkpoint_every`` rounds (``reliable`` as in `pagerank`). Total
+    work per round is O(m^1.5) triangle enumeration — the best known
+    bound — shrinking as edges peel."""
+    if k < 3:
+        raise ValueError(
+            f"k must be >= 3 (k-2 triangles per edge; k={k} keeps "
+            "everything and means no truss at all)"
+        )
+    if rounds < 1:
+        raise ValueError(f"need >= 1 round, got {rounds}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    e = _canonical_edges(edges, src, dst, reliable)
+    for r in range(rounds):
+        tri, _ = _oriented_triangles(e, reliable)
+        # (c, s, t) is rank-ordered, not id-ordered — canonicalize each
+        # corner pair before counting support
+        pairs = (
+            tri.select(
+                F.least("c", "s").alias("u"), F.greatest("c", "s").alias("v")
+            )
+            .unionByName(
+                tri.select(
+                    F.least("c", "t").alias("u"),
+                    F.greatest("c", "t").alias("v"),
+                )
+            )
+            .unionByName(
+                tri.select(
+                    F.least("s", "t").alias("u"),
+                    F.greatest("s", "t").alias("v"),
+                )
+            )
+        )
+        sup = pairs.groupBy("u", "v").agg(F.count("*").alias("support"))
+        e = (
+            e.join(sup, ["u", "v"], "left")
+            .filter(F.coalesce("support", F.lit(0)) >= k - 2)
+            .select("u", "v")
+        )
+        if (r + 1) % checkpoint_every == 0 or r == rounds - 1:
+            e = _cut(e, reliable)
+    return e
+
+
+def k_truss_sql(edge_sql: str, k: int = 4, rounds: int = 4) -> str:
+    """DuckDB twin of `k_truss`: the peeling unrolled round by round
+    (3 CTEs each — u<v<w triangle closure, support explode+count,
+    survivor filter), every CTE AS MATERIALIZED (each is referenced
+    up to three times; inlined, the planner would expand the chain
+    multiplicatively — the label_propagation lesson). Edges from the
+    u<v<w closure are already canonical, so no LEAST/GREATEST is
+    needed in the support union."""
+    parts = [
+        "e0 AS MATERIALIZED ("
+        "SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v "
+        f"FROM ({edge_sql}) raw "
+        "WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"t{r} AS MATERIALIZED ("
+            f"SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+            f"FROM e{r} e1 "
+            f"JOIN e{r} e2 ON e2.u = e1.v "
+            f"JOIN e{r} e3 ON e3.u = e1.u AND e3.v = e2.v)"
+        )
+        parts.append(
+            f"s{r} AS MATERIALIZED ("
+            f"SELECT u, v, COUNT(*) AS sup FROM ("
+            f"SELECT a AS u, b AS v FROM t{r} "
+            f"UNION ALL SELECT a, c FROM t{r} "
+            f"UNION ALL SELECT b, c FROM t{r}) x GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED ("
+            f"SELECT e.u, e.v FROM e{r} e "
+            f"LEFT JOIN s{r} s ON s.u = e.u AND s.v = e.v "
+            f"WHERE COALESCE(s.sup, 0) >= {k - 2})"
+        )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT u, v FROM e{rounds}"
 
 
 def basket_pairs(

@@ -96,3 +96,52 @@ def with_audit(
         .withColumn("create_time", now)
         .withColumn("update_time", now)
     )
+
+
+def afc_legs_from_events(events: DataFrame) -> DataFrame:
+    """Reshape the synthetic `events` table into AFC journey legs — the
+    adapter that lets the transit pipelines (ads_travel_info /
+    ads_travel_time, the reference's flagship DAGs) run end-to-end at
+    any testdata SF: user sessions become journeys (30-minute gap
+    rule), events become legs, event ids map onto a small route set.
+    Shared by the volume tests (tests/test_pipelines_scale.py) and
+    bench.py's pipeline timings so both exercise the same derivation."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (
+        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ) / 60.0
+    new_j = F.when(gap_min.isNull() | (gap_min > 30), 1).otherwise(0)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        events.withColumn("jid", F.sum(new_j).over(run))
+        .withColumn(
+            "leg_id",
+            F.row_number().over(
+                Window.partitionBy("user_id", "jid").orderBy("ts", "event_id")
+            ),
+        )
+        .select(
+            F.col("user_id").cast("string").alias("uid"),
+            F.concat_ws("-", "user_id", "jid").alias("journey_id"),
+            F.col("leg_id").cast("byte").alias("leg_id"),
+            F.col("ts").alias("start_time"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_time"),
+            F.concat(
+                F.lit("R"), (F.col("event_id") % 4).cast("string")
+            ).alias("route"),
+            (F.coalesce("value", F.lit(0.0)) * 100)
+            .cast("float")
+            .alias("distance"),
+            (F.col("event_id") % 2).cast("int").alias("tripdir"),
+            (F.col("event_id") % 50).cast("string").alias("start_station_no"),
+            ((F.col("event_id") + 1) % 50)
+            .cast("string")
+            .alias("end_station_no"),
+            F.lit(1).alias("boarding"),
+            F.when(
+                F.count("*").over(Window.partitionBy("user_id", "jid")) > 1, 1
+            )
+            .otherwise(0)
+            .alias("is_multi_leg_journey_leg"),
+        )
+    )

@@ -73,6 +73,52 @@ def main() -> None:
         timings[name] = round(statistics.median(runs), 4)
 
     total = round(sum(timings.values()), 4)
+
+    # Transit pipeline DAGs (the reference-parity surface): time the
+    # flagship ads_travel_info + ads_travel_time plans end-to-end over
+    # sf-scale AFC legs derived from `events` (the same adapter the
+    # volume tests use). The leg derivation is materialized ONCE like
+    # a shared stage — a real deployment reads staged AFC data, so the
+    # pipeline number measures the DAG, not the synthetic reshaping.
+    from ad_data_pipelines_spark.plans import ads_travel_info, ads_travel_time
+    from ad_data_pipelines_spark.plans.transit_common import (
+        afc_legs_from_events,
+    )
+    from ad_data_pipelines_spark.schemas import (
+        VDV_LINE,
+        VDV_OPERATING_DEPARTMENT,
+    )
+
+    from ad_data_pipelines_spark.plans.testdata_queries import t as load_t
+
+    t0 = time.perf_counter()
+    legs = afc_legs_from_events(
+        load_t(spark, sf_dir, "events")
+    ).localCheckpoint()
+    legs_build = round(time.perf_counter() - t0, 4)
+    line_dim = spark.createDataFrame(
+        [(1, 10 + i, f"R{i}", 11 if i < 2 else 22, f"Route {i}")
+         for i in range(4)],
+        VDV_LINE,
+    )
+    opdep_dim = spark.createDataFrame(
+        [(11, "AD-X"), (22, "ER-Y")], VDV_OPERATING_DEPARTMENT
+    )
+    pipelines: dict[str, float] = {}
+    for pname, build_fn in [
+        ("ads_travel_info", lambda: ads_travel_info.build(
+            legs, line_dim, opdep_dim)),
+        ("ads_travel_info_hll", lambda: ads_travel_info.build(
+            legs, line_dim, opdep_dim, exact_distinct=False)),
+        ("ads_travel_time", lambda: ads_travel_time.build(legs, line_dim)),
+    ]:
+        runs = []
+        for _ in range(max(1, args.n)):
+            t0 = time.perf_counter()
+            build_fn().write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        pipelines[pname] = round(statistics.median(runs), 4)
+
     full = {
         "metric": "registry_total_runtime",
         "value": total,
@@ -80,6 +126,9 @@ def main() -> None:
         "queries": timings,
         "shared_stage_build": shared_build,
         "shared_stage_build_total": round(sum(shared_build.values()), 4),
+        "pipelines": pipelines,
+        "pipelines_total": round(sum(pipelines.values()), 4),
+        "pipelines_legs_build": legs_build,
         "sf": sf,
         "runs_per_query": max(1, args.n),
     }
@@ -110,6 +159,7 @@ def main() -> None:
         "queries_total_n": len(timings),
         "queries_omitted_sec": round(total - sum(slowest.values()), 4),
         "shared_stage_build_total": round(sum(shared_build.values()), 4),
+        "pipelines_total": round(sum(pipelines.values()), 4),
         "sf": sf,
         "runs_per_query": max(1, args.n),
         "full_detail": "BENCH_FULL.json",

@@ -33,8 +33,9 @@ def test_rows_only_queries_sort_dead_last():
     assert sorted(no_oracle) == sorted(
         tq._GATE_TAIL_ROWS_ONLY + tq._GATE_ROWS_ONLY_ROTATED
     )
-    tail = tq._GATE_PRIORITY[-len(tq._GATE_TAIL_ROWS_ONLY):]
-    assert sorted(tail) == sorted(tq._GATE_TAIL_ROWS_ONLY)
+    if tq._GATE_TAIL_ROWS_ONLY:  # empty since r10: every query has an oracle
+        tail = tq._GATE_PRIORITY[-len(tq._GATE_TAIL_ROWS_ONLY):]
+        assert sorted(tail) == sorted(tq._GATE_TAIL_ROWS_ONLY)
     # a rotated rows-only slot must actually land inside the ~50-row
     # budget, or the rotation spent nothing
     order = list(tq.REGISTRY)

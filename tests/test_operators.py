@@ -3532,3 +3532,80 @@ def test_validate_edge_weights_vouching(spark):
 
     # empty edge list: nothing to vouch, no raise
     graph.validate_edge_weights(ok.filter("src < 0"))
+
+
+def test_k_truss_known_graphs_twin_and_guards(spark):
+    """k-truss semantics on known graphs: K4 is its own 4-truss and
+    has no 5-truss; bipartite K3,3 has no triangles so even the
+    3-truss is empty; a triangle with a pendant edge peels to the
+    triangle at k=3; peeling CASCADES (two triangles sharing an edge
+    with one weak wing lose the wing in round 1 and nothing else);
+    fixpoint holds (rounds vs rounds+1); results are bit-equal to the
+    unrolled AS-MATERIALIZED DuckDB twin on a triangle-rich bridged-
+    clique graph; and every k-truss sits inside the (k-1)-core
+    (cross-operator consistency). Guards: k < 3, rounds < 1,
+    checkpoint_every < 1 raise."""
+    import itertools
+
+    import duckdb
+    import pytest
+
+    from ad_data_pipelines_spark.operators import graph
+
+    def truss(pairs, k, rounds=4):
+        df = spark.createDataFrame(
+            _undirected(pairs), "src bigint, dst bigint"
+        )
+        return sorted(map(tuple, graph.k_truss(df, k=k, rounds=rounds).collect()))
+
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    assert truss(k4, k=4) == sorted(k4)  # every K4 edge in 2 triangles
+    assert truss(k4, k=5) == []
+
+    k33 = [(a, b) for a in [1, 2, 3] for b in [4, 5, 6]]
+    assert truss(k33, k=3) == []  # bipartite: no triangles at all
+
+    tri_pendant = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    assert truss(tri_pendant, k=3) == [(1, 2), (1, 3), (2, 3)]
+
+    # cascade: bowtie (two triangles sharing node 3) at k=4 — no edge
+    # has 2 triangles, everything peels; at k=3 both triangles survive
+    bowtie = [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)]
+    assert truss(bowtie, k=3) == sorted(bowtie)
+    assert truss(bowtie, k=4) == []
+
+    # twin bit-equality on bridged cliques + noise path (triangle-rich)
+    cliq = (
+        list(itertools.combinations([1, 2, 3, 4, 5], 2))
+        + list(itertools.combinations([10, 11, 12, 13], 2))
+        + [(5, 10), (13, 20), (20, 21), (21, 22)]
+    )
+    df = spark.createDataFrame(_undirected(cliq), "src bigint, dst bigint")
+    got = sorted(map(tuple, graph.k_truss(df, k=4, rounds=4).collect()))
+    vals = ", ".join(f"({a},{b})" for a, b in _undirected(cliq))
+    want = sorted(
+        duckdb.connect()
+        .execute(
+            graph.k_truss_sql(
+                f"SELECT * FROM (VALUES {vals}) t(src, dst)", k=4, rounds=4
+            )
+        )
+        .fetchall()
+    )
+    assert got == want
+    assert got == sorted(
+        map(tuple, graph.k_truss(df, k=4, rounds=5).collect())
+    )  # fixpoint
+    # truss ⊆ (k-1)-core: the 4-truss's nodes all survive the 3-core
+    truss_nodes = {n for e in got for n in e}
+    core_nodes = {
+        r.node for r in graph.k_core(df, k=3, rounds=6).collect()
+    }
+    assert truss_nodes <= core_nodes
+
+    with pytest.raises(ValueError, match="k must be >= 3"):
+        graph.k_truss(df, k=2)
+    with pytest.raises(ValueError, match="round"):
+        graph.k_truss(df, rounds=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        graph.k_truss(df, checkpoint_every=0)

@@ -18,39 +18,15 @@ from tests.conftest import SF_MEDIUM
 
 @pytest.fixture(scope="module")
 def afc_volume(spark):
-    """events → AFC legs: user sessions become journeys (30-min gap),
-    events become legs, event_type maps onto a small route set."""
-    ev = tq.t(spark, SF_MEDIUM, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_min = (
-        F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    ) / 60.0
-    new_j = F.when(gap_min.isNull() | (gap_min > 30), 1).otherwise(0)
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    legs = (
-        ev.withColumn("jid", F.sum(new_j).over(run))
-        .withColumn("leg_id", F.row_number().over(
-            Window.partitionBy("user_id", "jid").orderBy("ts", "event_id")
-        ))
-        .select(
-            F.col("user_id").cast("string").alias("uid"),
-            F.concat_ws("-", "user_id", "jid").alias("journey_id"),
-            F.col("leg_id").cast("byte").alias("leg_id"),
-            F.col("ts").alias("start_time"),
-            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_time"),
-            F.concat(F.lit("R"), (F.col("event_id") % 4).cast("string")).alias(
-                "route"
-            ),
-            (F.coalesce("value", F.lit(0.0)) * 100).cast("float").alias("distance"),
-            (F.col("event_id") % 2).cast("int").alias("tripdir"),
-            (F.col("event_id") % 50).cast("string").alias("start_station_no"),
-            ((F.col("event_id") + 1) % 50).cast("string").alias("end_station_no"),
-            F.lit(1).alias("boarding"),
-            F.when(F.count("*").over(
-                Window.partitionBy("user_id", "jid")
-            ) > 1, 1).otherwise(0).alias("is_multi_leg_journey_leg"),
-        )
+    """events → AFC legs via the shared adapter
+    (transit_common.afc_legs_from_events — bench.py times the same
+    derivation): user sessions become journeys (30-min gap), events
+    become legs, event ids map onto a small route set."""
+    from ad_data_pipelines_spark.plans.transit_common import (
+        afc_legs_from_events,
     )
+
+    legs = afc_legs_from_events(tq.t(spark, SF_MEDIUM, "events"))
     legs = legs.cache()
     legs.count()
     return legs

@@ -352,6 +352,8 @@ _SMJ_ALLOWED = {
     "g4_weighted_pagerank",
     "g6_cosupply_triangles",  # wedge/orientation self-joins, fact-fact
     "g7_coreness",
+    # g8_truss_backbone is NOT here: its per-round survivor sets are
+    # small enough at sf0.1 that AQE broadcasts every enumeration join
     # TPC-H fact-fact shapes
     "j8_full_outer_3way",       # FullOuter cannot broadcast
     "j21_grid_knn",             # grid-cell self-join of the point set

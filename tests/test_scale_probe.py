@@ -922,3 +922,48 @@ def test_coreness_10x_linear_and_structure(spark):
         f"coreness 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
         "grows super-linearly"
     )
+
+
+def test_k_truss_10x_linear_and_structure(spark):
+    """k-truss peeling on a 10× triangle-chain graph with pendant
+    noise: structure exact at both scales (the 3-truss keeps exactly
+    the triangle edges, pendants peel), runtime ~linear in edges —
+    the per-round triangle enumeration reuses the degree-ordered
+    orientation whose wedge fan-out is O(sqrt m), so scaling node
+    count 10x must not scale wedge work 100x."""
+    from ad_data_pipelines_spark.operators import graph
+
+    def tri_chain(n):
+        # n triangles (3i, 3i+1, 3i+2) chained by bridge edges and a
+        # pendant hanging off every triangle — triangles survive k=3,
+        # bridges and pendants peel
+        base = spark.range(n)
+        tri = (
+            base.selectExpr("id*4 AS src", "id*4+1 AS dst")
+            .unionByName(base.selectExpr("id*4+1 AS src", "id*4+2 AS dst"))
+            .unionByName(base.selectExpr("id*4 AS src", "id*4+2 AS dst"))
+        )
+        noise = base.selectExpr("id*4+2 AS src", "id*4+3 AS dst").unionByName(
+            base.filter(f"id < {n - 1}").selectExpr(
+                "id*4+2 AS src", "(id+1)*4 AS dst"
+            )
+        )
+        return tri.unionByName(noise)
+
+    n_small, n_big = 1_000, 10_000
+    t0 = time.perf_counter()
+    small = graph.k_truss(tri_chain(n_small), k=3, rounds=2)
+    assert small.count() == 3 * n_small  # exactly the triangle edges
+    t1 = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    big = graph.k_truss(tri_chain(n_big), k=3, rounds=2)
+    assert big.count() == 3 * n_big
+    # no pendant node (id%4==3) survives in any edge
+    assert big.filter("u % 4 = 3 OR v % 4 = 3").count() == 0
+    t10 = time.perf_counter() - t0
+
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"k_truss 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
+        "grows super-linearly"
+    )
