@@ -2489,8 +2489,15 @@ def q_j29_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(a join-output product) exceeded the broadcast threshold, the "
     "planner emitted a sort-merge join on o_custkey and AQE never "
     "backed it out (interleaved A/B: +41% vs the broadcast plan). "
-    "Remaining joins all broadcast; the fact shuffles only for the "
-    "final re-aggregation.",
+    "The supplier side got the same treatment in r10 after the "
+    "residual-gap A/B: its nation join (only there to resolve ONE "
+    "name into a boolean) carried a product estimate LARGER than the "
+    "projected lineitem scan, so the planner broadcast THE FACT and "
+    "probed it with supplier (BuildLeft — the build-side variant of "
+    "the same misplan; ~32% pairwise). is_target is now a literal "
+    "key comparison from the memoized nation probe; every probe "
+    "side is a leaf, every build side a dim. The fact shuffles only "
+    "for the final re-aggregation.",
 )
 def q_a30_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = t(spark, sf_dir, "nation")
@@ -2518,16 +2525,25 @@ def q_a30_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_nationkey").isin(asia_keys))
         .select("c_custkey")
     )
+    # the nation join resolved ONE name into a boolean — as a join its
+    # product estimate beat the projected lineitem scan and the planner
+    # broadcast THE FACT (BuildLeft, ~32% pairwise); one collected key
+    # makes the supplier side a leaf with an honest estimate
+    target_keys = _dim_keys(
+        spark, sf_dir, "nation5_key",
+        lambda: [
+            r.n_nationkey
+            for r in nat.filter(F.col("n_name") == "NATION_5")
+            .select("n_nationkey")
+            .collect()
+        ],
+    )
     supp = (
         t(spark, sf_dir, "supplier")
         .select("s_suppkey", "s_nationkey")
-        .join(
-            F.broadcast(nat.select("n_nationkey", "n_name")),
-            F.col("s_nationkey") == F.col("n_nationkey"),
-        )
         .select(
             "s_suppkey",
-            (F.col("n_name") == "NATION_5").alias("is_target"),
+            F.col("s_nationkey").isin(target_keys).alias("is_target"),
         )
     )
     orders = t(spark, sf_dir, "orders").select(
@@ -7075,6 +7091,7 @@ _GATE_PRIORITY = [
     "llm_ann_recall",
     "llm_ivf_recall",
     "llm_pq_recall",
+    "a30_market_share",
     # tier 1: latest green r6 — the oldest tail, cheapest-first
     "j30_late_order_priorities",
     "llm_ngram_jaccard",
@@ -7245,7 +7262,6 @@ _GATE_PRIORITY = [
     "llm_pq_ivf_topk",
     "g5_kcore_backbone",
     "llm_cooccurrence",
-    "a30_market_share",
     "g7_coreness",
     "g3_trade_communities",
 ] + _GATE_TAIL_ROWS_ONLY

@@ -277,6 +277,15 @@ def test_a30_inlist_stays_pushed_and_broadcast_only(spark):
     scan = re.search(r"FileScan parquet \[c_custkey[^\n]*", final)
     assert scan and re.search(r"PushedFilters: \[[^\]]*In\(c_nationkey",
                               scan.group(0)), final
+    # r10 guard for the BUILD-SIDE variant of the same misplan: when
+    # the supplier side carried a join-output product estimate, the
+    # planner broadcast THE FACT (BuildLeft on lineitem) and probed it
+    # with supplier — ~32% pairwise. The supplier side is a leaf now;
+    # the fact join must build the dim (BuildRight), never the fact.
+    supp_join = re.search(
+        r"BroadcastHashJoin \[l_suppkey[^\n]*", final
+    )
+    assert supp_join and "BuildRight" in supp_join.group(0), final
 
 
 def test_single_partition_collapse_lint_catches_global_window(spark):
