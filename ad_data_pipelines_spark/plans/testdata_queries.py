@@ -2402,18 +2402,34 @@ def q_w8_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q5 shape: LOCAL supplier volume — the join predicate "
     "BETWEEN two dimensions (supplier nation == customer nation) "
     "that makes Q5 more than a star: the fact row survives only if "
-    "its two dim paths agree. Plan: supplier (with nation name) "
-    "broadcasts into the fact, orders⋈customer resolves the "
-    "customer's nation, the equality applies at the final join — "
-    "one fact shuffle total, dims broadcast.",
+    "its two dim paths agree. Plan: supplier broadcasts into the "
+    "fact, orders⋈customer resolves the customer's nation, the "
+    "equality applies at the final join — one fact shuffle total, "
+    "dims broadcast. The nation NAME resolves via a 25-arm literal "
+    "CASE map (r10 build-side audit: as a join, the supplier side's "
+    "product estimate beat the projected lineitem scan and the "
+    "planner broadcast THE FACT, BuildLeft — the a30 misplan's "
+    "build-side variant; nation is schema-bounded, so the map costs "
+    "one memoized 25-row collect).",
 )
 def q_j29_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # nation is schema-bounded (25 rows at EVERY SF): resolve the name
+    # with a literal CASE map so the supplier side stays a LEAF with an
+    # honest size estimate (the join form broadcast the fact — BuildLeft)
+    nat_pairs = _dim_keys(
+        spark, sf_dir, "all_nations",
+        lambda: [(r.n_nationkey, r.n_name) for r in nat.collect()],
+    )
+    name_expr = F.lit(None).cast("string")
+    for k, nm in nat_pairs:
+        name_expr = F.when(
+            F.col("s_nationkey") == F.lit(k), F.lit(nm)
+        ).otherwise(name_expr)
     supp = (
         t(spark, sf_dir, "supplier")
         .select("s_suppkey", "s_nationkey")
-        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("s_suppkey", "s_nationkey", "n_name")
+        .select("s_suppkey", "s_nationkey", name_expr.alias("n_name"))
     )
     cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = t(spark, sf_dir, "orders").select(

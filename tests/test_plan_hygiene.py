@@ -387,6 +387,54 @@ _SMJ_ALLOWED = {
 
 SF_LARGE = "/root/testdata/sf0.1"
 
+#: the TRUE fact tables — broadcasting one of these is the BUILD-SIDE
+#: variant of the a30 misplan (both sides under the threshold, the dim
+#: side a join output whose product estimate beats the fact's, so the
+#: planner builds THE FACT); a30 and j29 were caught and fixed in r10.
+#: First columns identify the scans.
+_FACT_SCAN_COLS = ("l_orderkey", "event_id")
+_BOUND_NODES = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "GlobalLimit",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+)
+
+
+def broadcast_fact_builds(final: str) -> list[str]:
+    """BroadcastExchange subtrees in an executed FINAL plan that bottom
+    out in a fact-table scan with no bounding node (aggregate / limit /
+    unique-id-pinning filter) in between — i.e. the plan is building a
+    broadcast hash table out of the biggest relation in the query."""
+    lines = final.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = _tree_depth(line)
+        bound_depths: list[int] = []
+        for below in lines[i + 1:]:
+            bd = _tree_depth(below)
+            if bd <= d:
+                break
+            while bound_depths and bd <= bound_depths[-1]:
+                bound_depths.pop()
+            if any(m in below for m in _BOUND_NODES) or (
+                "Filter" in below and _BOUNDED_ID_FILTER.search(below)
+            ):
+                bound_depths.append(bd)
+                continue
+            if (
+                not bound_depths
+                and ("FileScan" in below or "Scan parquet" in below)
+                and any(c in below for c in _FACT_SCAN_COLS)
+            ):
+                bad.append(below.strip()[:120])
+                break
+    return bad
+
 
 def test_sf01_executed_plans_smj_shj_allowlist(spark):
     """Execute EVERY registry query at sf0.1 and fail on any
@@ -402,6 +450,7 @@ def test_sf01_executed_plans_smj_shj_allowlist(spark):
     entries (listed but now SMJ-free) so the list stays tight."""
     unexpected: dict[str, tuple[int, int]] = {}
     seen_smj: set[str] = set()
+    fact_builds: dict[str, list[str]] = {}
     for name in ALL_QUERIES:
         df = REGISTRY[name].fn(spark, SF_LARGE)
         df.write.format("noop").mode("overwrite").save()
@@ -413,6 +462,16 @@ def test_sf01_executed_plans_smj_shj_allowlist(spark):
             seen_smj.add(name)
             if name not in _SMJ_ALLOWED:
                 unexpected[name] = (smj, shj)
+        builds = broadcast_fact_builds(final)
+        if builds:
+            fact_builds[name] = builds
+    assert not fact_builds, (
+        "broadcast hash table built from a FACT scan — the build-side "
+        "variant of the a30 misplan (a join-output dim side's product "
+        "estimate beat the fact's): make the dim side a leaf "
+        "(IN-list / literal CASE map like a30, j28, j29): "
+        f"{fact_builds}"
+    )
     assert not unexpected, (
         "sort-merge / shuffled-hash joins outside the allowlist — "
         "either a new intentional fact-fact shuffle (add it to "
