@@ -3753,9 +3753,10 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lsh_pairs 3, dup_components 4, simhash 2, lsh_corpus_buckets 2,
     ivf_corpus_cells 3, quality_features 2, char_entropy 2,
     repetition 2, word_grams 2, pq_codes 2, span_bounds 2,
-    trade_edges 6 (g1/g2/g3/g4/g5/g7). Dropped as
-    single-consumer: nb_buckets (llm_nb_quality trains and scores off
-    one memoized explode — reuse is WITHIN the query)."""
+    trade_edges 6 (g1/g2/g3/g4/g5/g7), cosupply_knn 2 (g6/g8 — earned
+    its slot in r10 when the k-truss became its second consumer).
+    Dropped as single-consumer: nb_buckets (llm_nb_quality trains and
+    scores off one memoized explode — reuse is WITHIN the query)."""
     return {
         "shingles": _shingles_shared,
         "minhash_sigs": _minhash_sigs_shared,
@@ -3771,6 +3772,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _pq_codes_shared,
         "span_bounds": _span_bounds_shared,
         "trade_edges": _trade_edges_shared,
+        "cosupply_knn": _cosupply_knn_shared,
     }
 
 

@@ -3609,3 +3609,29 @@ def test_k_truss_known_graphs_twin_and_guards(spark):
         graph.k_truss(df, rounds=0)
     with pytest.raises(ValueError, match="checkpoint_every"):
         graph.k_truss(df, checkpoint_every=0)
+
+
+def test_recall_report_join_free_semantics(spark):
+    """_recall_report (the join-free union+aggregate restatement of the
+    r9 recall joins) matches the LEFT-JOIN formulation it replaced on
+    crafted data: per-query k from the truth side only, hits counted
+    only for pairs present in BOTH sides, ann-only pairs ignored, a
+    query with zero hits still reports (its k rows exist in truth)."""
+    from ad_data_pipelines_spark.plans.testdata_queries import _recall_report
+
+    truth = spark.createDataFrame(
+        # q0: 3 truth rows; q1: 2; q2: 2 (zero hits)
+        [(0, 10), (0, 11), (0, 12), (1, 20), (1, 21), (2, 30), (2, 31)],
+        "query_id bigint, neighbor_id bigint",
+    )
+    ann = spark.createDataFrame(
+        # q0 hits 2 of 3 (+1 ann-only pair that must not count);
+        # q1 hits 2 of 2; q2 hits none (ann found other neighbors)
+        [(0, 10), (0, 12), (0, 99), (1, 20), (1, 21), (2, 98), (2, 97)],
+        "query_id bigint, neighbor_id bigint",
+    )
+    row = _recall_report(truth, ann).collect()[0]
+    # recalls: q0 = 2/3, q1 = 1.0, q2 = 0.0
+    assert row.n_queries == 3
+    assert row.mean_recall == round((2 / 3 + 1.0 + 0.0) / 3, 4)
+    assert row.min_recall == 0.0
