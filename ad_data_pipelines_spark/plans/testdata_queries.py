@@ -1219,8 +1219,7 @@ def q_llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate dot product. operators/similarity.py:cosine_topk.",
 )
 def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    return _sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 25), k=5)
+    return _cosine_truth25_shared(spark, sf_dir)
 
 
 @register(
@@ -1246,6 +1245,34 @@ def _lsh_buckets_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "lsh_corpus_buckets",
         lambda: _sim.lsh_bucket(t(spark, sf_dir, "embeddings"), n_planes=4),
     )
+
+
+def _cosine_truth25_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 ground truth for the 25-query eval set
+    — the most expensive single computation of the recall family (full
+    corpus × 25 dot products), consumed by llm_cosine_topk (as its
+    result) and by llm_ann_recall / llm_ivf_recall (as the recall
+    denominator). A production recall gate materializes its
+    ground-truth table ONCE per index rebuild; this is the in-session
+    twin of that artifact."""
+
+    def build() -> DataFrame:
+        emb = t(spark, sf_dir, "embeddings")
+        return _sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 25), k=5)
+
+    return _shared(spark, sf_dir, "cosine_truth25", build)
+
+
+def _l2_truth10_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact squared-L2 top-5 ground truth for the 10-query PQ eval set
+    (same metric as PQ so the recall gate isolates quantization loss) —
+    consumed by llm_l2_topk (as its result) and llm_pq_recall."""
+
+    def build() -> DataFrame:
+        emb = t(spark, sf_dir, "embeddings")
+        return _sim.l2_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+    return _shared(spark, sf_dir, "l2_truth10", build)
 
 
 @register(
@@ -1284,7 +1311,9 @@ def _lsh_buckets_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 25)
-    brute = _sim.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    brute = _cosine_truth25_shared(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
     ann = _sim.lsh_topk(
         emb, q, k=5, corpus_buckets=_lsh_buckets_shared(spark, sf_dir)
     ).select("query_id", "neighbor_id")
@@ -3274,7 +3303,9 @@ def _ivf_cells_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 25)
-    truth = _sim.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    truth = _cosine_truth25_shared(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
     ann = _sim.ivf_topk(
         emb, q, k=5, n_cells=4, nprobe=2,
         corpus_cells=_ivf_cells_shared(spark, sf_dir),
@@ -3761,9 +3792,13 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ivf_corpus_cells 3, quality_features 2, char_entropy 2,
     repetition 2, word_grams 2, pq_codes 2, span_bounds 2,
     trade_edges 6 (g1/g2/g3/g4/g5/g7), cosupply_knn 2 (g6/g8 — earned
-    its slot in r10 when the k-truss became its second consumer).
-    Dropped as single-consumer: nb_buckets (llm_nb_quality trains and
-    scores off one memoized explode — reuse is WITHIN the query)."""
+    its slot in r10 when the k-truss became its second consumer),
+    cosine_truth25 3 (llm_cosine_topk/llm_ann_recall/llm_ivf_recall),
+    l2_truth10 2 (llm_l2_topk/llm_pq_recall) — the recall gates'
+    ground-truth tables, materialized once like a production recall
+    harness would per index rebuild. Dropped as single-consumer:
+    nb_buckets (llm_nb_quality trains and scores off one memoized
+    explode — reuse is WITHIN the query)."""
     return {
         "shingles": _shingles_shared,
         "minhash_sigs": _minhash_sigs_shared,
@@ -3780,6 +3815,8 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_bounds": _span_bounds_shared,
         "trade_edges": _trade_edges_shared,
         "cosupply_knn": _cosupply_knn_shared,
+        "cosine_truth25": _cosine_truth25_shared,
+        "l2_truth10": _l2_truth10_shared,
     }
 
 
@@ -6931,8 +6968,7 @@ def q_o14_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/similarity.py:l2_topk.",
 )
 def q_llm_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    return _sim.l2_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return _l2_truth10_shared(spark, sf_dir)
 
 
 @register(
@@ -6964,7 +7000,9 @@ def q_llm_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
-    truth = _sim.l2_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    truth = _l2_truth10_shared(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
     approx = _sim.pq_topk(
         emb, q, k=5, codes=_pq_codes_shared(spark, sf_dir)
     ).select("query_id", "neighbor_id")
@@ -7117,6 +7155,9 @@ _GATE_PRIORITY = [
     "llm_ivf_recall",
     "llm_pq_recall",
     "a30_market_share",
+    "j29_local_supplier_volume",
+    "llm_cosine_topk",
+    "llm_l2_topk",
     # tier 1: latest green r6 — the oldest tail, cheapest-first
     "j30_late_order_priorities",
     "llm_ngram_jaccard",
@@ -7138,7 +7179,6 @@ _GATE_PRIORITY = [
     "llm_cms_estimates",
     "o15_entity_clusters",
     "llm_dup_span_removal",
-    "j29_local_supplier_volume",
     "j24_sole_late_supplier",
     "a23_groupwise_ols",
     "llm_heavy_hitters_sketch",
@@ -7230,7 +7270,6 @@ _GATE_PRIORITY = [
     "o12_table_checksum",
     "a21_psi_drift",
     "llm_candidate_agreement",
-    "llm_cosine_topk",
     "a18_winsorize",
     "llm_ann_lsh",
     "llm_lang_confusion",
@@ -7273,7 +7312,6 @@ _GATE_PRIORITY = [
     "a29_top_revenue_suppliers",
     "j17_interval_join",
     "a8_adjacent_diff",
-    "llm_l2_topk",
     "j19_overlap_join",
     "a2_conditional_counts",
     "llm_semantic_dedup",
