@@ -6913,6 +6913,74 @@ def q_g8_truss_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return td.orderBy(F.desc("truss_degree"), "node").limit(25)
 
 
+def _g9_bfs_oracle(d: int = 3, n_seeds: int = 20) -> str:
+    parts = [
+        f"raw AS MATERIALIZED ({_G6_PROJ_SQL})",
+        "e AS MATERIALIZED ("
+        "SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v "
+        "FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL "
+        "AND src <> dst)",
+        "sym AS MATERIALIZED ("
+        "SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e)",
+        f"seeds AS MATERIALIZED (SELECT DISTINCT a AS node FROM sym "
+        f"ORDER BY 1 LIMIT {n_seeds})",
+        "p0 AS MATERIALIZED (SELECT node AS seed, node FROM seeds)",
+    ]
+    for r in range(d):
+        parts.append(
+            f"p{r + 1} AS MATERIALIZED (SELECT DISTINCT seed, node FROM ("
+            f"SELECT seed, node FROM p{r} "
+            f"UNION ALL SELECT p{r}.seed, sym.b FROM p{r} "
+            f"JOIN sym ON sym.a = p{r}.node) x)"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT seed AS node, CAST(COUNT(*) AS BIGINT) AS reach_exact,"
+        f" TRUE AS within_tolerance FROM p{d} GROUP BY 1"
+    )
+
+
+@register(
+    "g9_neighborhood_anf",
+    oracle=_g9_bfs_oracle(d=3, n_seeds=20),
+    doc="Approximate neighborhood function (ANF, Palmer KDD'02 / "
+    "HyperBall): per-node 3-hop reach over the shared co-supply "
+    "backbone via HLL SKETCH-STATE propagation — the only operator "
+    "whose dataflow state is a mergeable sketch, not an integer: "
+    "c0(v) = HLL{v}, each round one state-onto-edges equi-join + one "
+    "combinable hll_union_agg (register-wise max — associative, "
+    "map-side partial), kB state per node where the exact answer "
+    "needs O(n*reach) pairs. Curation reading: tiny d-hop "
+    "neighborhoods mark isolated clusters/link farms, huge ones the "
+    "backbone. Sketch binaries have no SQL twin, so the gate is the "
+    "TOLERANCE-VERDICT pattern (a5/a26): the query ALSO runs the "
+    "exact BFS (graph.bfs_reach_counts) for the 20 smallest node ids "
+    "— a bounded seed set, the only scale at which exact reach is "
+    "affordable — and returns (node, reach_exact, within_tolerance) "
+    "with |est − exact| <= max(5%·exact, 3) (HLL rsd at lg_k=12 is "
+    "~1.6%, and small sets sit in the sparse-exact regime); the "
+    "DuckDB oracle unrolls the same BFS AS MATERIALIZED and asserts "
+    "exact counts + all-true. operators/graph.py:"
+    "neighborhood_function, bfs_reach_counts.",
+)
+def q_g9_neighborhood_anf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    proj = _cosupply_knn_shared(spark, sf_dir)
+    est = _graph.neighborhood_function(proj, d=3, lg_k=12)
+    seeds = est.select("node").orderBy("node").limit(20)
+    exact = _graph.bfs_reach_counts(proj, seeds, d=3)
+    return (
+        exact.join(est, "node")
+        .select(
+            "node",
+            F.col("reach").alias("reach_exact"),
+            (
+                F.abs(F.col("reach_est") - F.col("reach"))
+                <= F.greatest(0.05 * F.col("reach"), F.lit(3.0))
+            ).alias("within_tolerance"),
+        )
+    )
+
+
 @register(
     "o14_join_skew_report",
     oracle="""
@@ -7145,6 +7213,7 @@ _GATE_TAIL_ROWS_ONLY: list[str] = [
 ]
 _GATE_PRIORITY = [
     # tier 0 (round 10): new registrations + changed-plan re-gates
+    "g9_neighborhood_anf",
     "g8_truss_backbone",
     "g6_cosupply_triangles",
     "a5_distinct_approx",

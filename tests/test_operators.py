@@ -3635,3 +3635,53 @@ def test_recall_report_join_free_semantics(spark):
     assert row.n_queries == 3
     assert row.mean_recall == round((2 / 3 + 1.0 + 0.0) / 3, 4)
     assert row.min_recall == 0.0
+
+
+def test_neighborhood_function_and_bfs_reach(spark):
+    """ANF sketch propagation vs exact BFS on known graphs. Small
+    neighborhoods sit in the HLL sparse-exact regime, so the estimates
+    are EXACT here: path 1-2-3-4-5 at d=2 reaches [3,4,5,4,3]; a star's
+    center sees everything at d=1 and its leaves at d=2; K3,3 reaches
+    all 6 at d=2. bfs_reach_counts returns rows ONLY for the seeds and
+    agrees with the sketch. Guards: d < 1 and checkpoint_every < 1
+    raise."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import graph
+
+    def nf(pairs, d):
+        df = spark.createDataFrame(
+            _undirected(pairs), "src bigint, dst bigint"
+        )
+        return {
+            r.node: r.reach_est
+            for r in graph.neighborhood_function(df, d=d).collect()
+        }
+
+    path = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    assert nf(path, 2) == {1: 3, 2: 4, 3: 5, 4: 4, 5: 3}
+    assert nf(path, 4) == {n: 5 for n in range(1, 6)}
+
+    star = [(0, i) for i in range(1, 8)]
+    got = nf(star, 1)
+    assert got[0] == 8 and all(got[i] == 2 for i in range(1, 8))
+    assert set(nf(star, 2).values()) == {8}
+
+    k33 = [(a, b) for a in [1, 2, 3] for b in [4, 5, 6]]
+    assert set(nf(k33, 2).values()) == {6}
+
+    # exact BFS: seeds-only rows, closed-form counts, sketch agreement
+    df = spark.createDataFrame(_undirected(path), "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,), (3,)], "node bigint")
+    exact = {
+        r.node: r.reach
+        for r in graph.bfs_reach_counts(df, seeds, d=2).collect()
+    }
+    assert exact == {1: 3, 3: 5}
+
+    with pytest.raises(ValueError, match="hop"):
+        graph.neighborhood_function(df, d=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        graph.neighborhood_function(df, checkpoint_every=0)
+    with pytest.raises(ValueError, match="hop"):
+        graph.bfs_reach_counts(df, seeds, d=0)

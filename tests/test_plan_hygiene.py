@@ -361,6 +361,9 @@ _SMJ_ALLOWED = {
     "g4_weighted_pagerank",
     "g6_cosupply_triangles",  # wedge/orientation self-joins, fact-fact
     "g7_coreness",
+    "g9_neighborhood_anf",  # per-round sketch-state x edges join: the
+    # state is ~kB/node (HLL binaries), node-count-scaled on BOTH
+    # sides — co-partitioned SMJ is the right 100 TB plan
     # g8_truss_backbone is NOT here: its per-round survivor sets are
     # small enough at sf0.1 that AQE broadcasts every enumeration join
     # TPC-H fact-fact shapes

@@ -967,3 +967,35 @@ def test_k_truss_10x_linear_and_structure(spark):
         f"k_truss 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
         "grows super-linearly"
     )
+
+
+def test_neighborhood_function_10x_linear_and_exact(spark):
+    """ANF at 10× nodes: a ring's d-hop reach is the closed form
+    2d+1 for EVERY node at EVERY scale (sparse-regime HLL is exact
+    here), and runtime stays ~linear — the sketch state is constant
+    per node, so scaling nodes 10× scales work 10×, where the exact
+    pair materialization would scale the state quadratically on
+    denser graphs (that asymmetry is the operator's reason to
+    exist)."""
+    from ad_data_pipelines_spark.operators import graph
+
+    def ring(n):
+        return spark.range(n).selectExpr(
+            "id AS src", f"(id + 1) % {n} AS dst"
+        )
+
+    n_small, n_big, d = 2_000, 20_000, 3
+    t0 = time.perf_counter()
+    small = graph.neighborhood_function(ring(n_small), d=d)
+    wrong = small.filter(F.col("reach_est") != 2 * d + 1).count()
+    t1 = time.perf_counter() - t0
+    assert wrong == 0
+
+    t0 = time.perf_counter()
+    big = graph.neighborhood_function(ring(n_big), d=d)
+    wrong_big = big.filter(F.col("reach_est") != 2 * d + 1).count()
+    t10 = time.perf_counter() - t0
+    assert wrong_big == 0
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"neighborhood_function 10x runtime {t10:.1f}s vs 1x {t1:.1f}s"
+    )
