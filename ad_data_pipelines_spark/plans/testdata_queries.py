@@ -6913,6 +6913,71 @@ def q_g8_truss_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return td.orderBy(F.desc("truss_degree"), "node").limit(25)
 
 
+@register(
+    "g10_cosupply_jaccard",
+    oracle="""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS o, CAST(l_suppkey AS BIGINT) AS s
+            FROM lineitem
+        ),
+        deg AS (SELECT s, COUNT(*) AS d FROM li GROUP BY 1),
+        p AS (
+            SELECT a.s AS s1, b.s AS s2, COUNT(*) AS cnt
+            FROM li a JOIN li b ON a.o = b.o AND a.s < b.s
+            GROUP BY 1, 2
+        )
+        SELECT s1 AS item_a, s2 AS item_b,
+               CAST(cnt AS BIGINT) AS cnt,
+               CAST(cnt * 1000000 // (d1.d + d2.d - cnt) AS BIGINT)
+                   AS jacc_e6
+        FROM p
+        JOIN deg d1 ON d1.s = p.s1
+        JOIN deg d2 ON d2.s = p.s2
+        ORDER BY 4 DESC, 1, 2 LIMIT 25
+    """,
+    doc="Jaccard-weighted co-supply similarity: top-25 supplier pairs "
+    "by |orders(a) ∩ orders(b)| / |orders(a) ∪ orders(b)| — the "
+    "ENTITY near-duplicate signal of the graph family (raw "
+    "co-occurrence counts rank prolific suppliers; Jaccard ranks "
+    "SUBSTITUTABLE ones — the same normalization MinHash estimates "
+    "for documents, here exact because per-supplier order sets are "
+    "join-countable). Second consumer of graph.basket_pairs (the "
+    "guarded quadratic projection); union size by inclusion-"
+    "exclusion deg_a + deg_b − cnt, similarity in exact integer "
+    "1e-6 units (cnt·10⁶ DIV union — floor division agrees across "
+    "engines where a float ratio could flip the top-25 boundary). "
+    "Scale shape: one distinct, one per-basket pair aggregate, one "
+    "degree aggregate joined twice (bounded by supplier "
+    "cardinality, AQE-broadcast), one TakeOrdered. "
+    "operators/graph.py:basket_pairs.",
+)
+def q_g10_cosupply_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o"),
+        F.col("l_suppkey").cast("bigint").alias("s"),
+    )
+    deg = (
+        li.distinct()
+        .groupBy("s")
+        .agg(F.count("*").alias("d"))
+    )
+    pairs = _graph.basket_pairs(
+        li, basket="o", item="s", max_basket_size=16, on_oversize="error"
+    )
+    return (
+        pairs.join(deg.selectExpr("s AS item_a", "d AS da"), "item_a")
+        .join(deg.selectExpr("s AS item_b", "d AS db"), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "cnt",
+            F.expr("cnt * 1000000 DIV (da + db - cnt)").alias("jacc_e6"),
+        )
+        .orderBy(F.desc("jacc_e6"), "item_a", "item_b")
+        .limit(25)
+    )
+
+
 def _g9_bfs_oracle(d: int = 3, n_seeds: int = 20) -> str:
     parts = [
         f"raw AS MATERIALIZED ({_G6_PROJ_SQL})",
@@ -7213,6 +7278,7 @@ _GATE_TAIL_ROWS_ONLY: list[str] = [
 ]
 _GATE_PRIORITY = [
     # tier 0 (round 10): new registrations + changed-plan re-gates
+    "g10_cosupply_jaccard",
     "g9_neighborhood_anf",
     "g8_truss_backbone",
     "g6_cosupply_triangles",
