@@ -3791,8 +3791,8 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     lsh_pairs 3, dup_components 4, simhash 2, lsh_corpus_buckets 2,
     ivf_corpus_cells 3, quality_features 2, char_entropy 2,
     repetition 2, word_grams 2, pq_codes 2, span_bounds 2,
-    trade_edges 6 (g1/g2/g3/g4/g5/g7), cosupply_knn 2 (g6/g8 — earned
-    its slot in r10 when the k-truss became its second consumer),
+    trade_edges 6 (g1/g2/g3/g4/g5/g7), cosupply_pairs 2 (the knn
+    build + g10), cosupply_knn 3 (g6/g8/g9),
     cosine_truth25 3 (llm_cosine_topk/llm_ann_recall/llm_ivf_recall),
     l2_truth10 2 (llm_l2_topk/llm_pq_recall) — the recall gates'
     ground-truth tables, materialized once like a production recall
@@ -3814,6 +3814,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": _pq_codes_shared,
         "span_bounds": _span_bounds_shared,
         "trade_edges": _trade_edges_shared,
+        "cosupply_pairs": _cosupply_pairs_shared,
         "cosupply_knn": _cosupply_knn_shared,
         "cosine_truth25": _cosine_truth25_shared,
         "l2_truth10": _l2_truth10_shared,
@@ -6789,25 +6790,38 @@ _G6_PROJ_SQL = """
 """
 
 
-def _cosupply_knn_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The supplier co-supply kNN backbone (src, dst): market-basket
-    projection of orders onto suppliers (graph.basket_pairs — pair
-    generation is QUADRATIC per order; TPC-H carries <=7 lineitems/
-    order by generator design, the max_basket_size=16 guard fails
-    LOUDLY on any dataset with hub baskets), sparsified to each node's
-    top-8 partners by shared-order count (ties to the smaller id —
-    <=8n edges at ANY SF where every threshold rule probed degenerate).
-    Session-shared like trade_edges: g6 (triangles) and g8 (k-truss)
-    both consume it, and the lineitem self-join is the expensive part."""
+def _cosupply_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(item_a, item_b, cnt): the raw supplier co-supply pair table —
+    market-basket projection of orders onto suppliers
+    (graph.basket_pairs — pair generation is QUADRATIC per order;
+    TPC-H carries <=7 lineitems/order by generator design, the
+    max_basket_size=16 guard fails LOUDLY on any dataset with hub
+    baskets). The expensive part (lineitem distinct + per-basket guard
+    window + self-join + pair aggregate) is shared by the kNN backbone
+    build (g6/g8/g9's substrate) and g10's Jaccard ranking."""
 
     def build() -> DataFrame:
         li = t(spark, sf_dir, "lineitem").select(
             F.col("l_orderkey").alias("o"),
             F.col("l_suppkey").cast("bigint").alias("s"),
         )
-        pairs = _graph.basket_pairs(
+        return _graph.basket_pairs(
             li, basket="o", item="s", max_basket_size=16, on_oversize="error"
         )
+
+    return _shared(spark, sf_dir, "cosupply_pairs", build)
+
+
+def _cosupply_knn_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier co-supply kNN backbone (src, dst): the shared pair
+    table sparsified to each node's top-8 partners by shared-order
+    count (ties to the smaller id — <=8n edges at ANY SF where every
+    threshold rule probed degenerate). Session-shared like
+    trade_edges: g6 (triangles), g8 (k-truss) and g9 (ANF) consume it,
+    the iterative consumers scanning it many times per query."""
+
+    def build() -> DataFrame:
+        pairs = _cosupply_pairs_shared(spark, sf_dir)
         directed = pairs.selectExpr(
             "item_a AS s", "item_b AS q", "cnt"
         ).unionByName(pairs.selectExpr("item_b AS s", "item_a AS q", "cnt"))
@@ -6961,9 +6975,7 @@ def q_g10_cosupply_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s")
         .agg(F.count("*").alias("d"))
     )
-    pairs = _graph.basket_pairs(
-        li, basket="o", item="s", max_basket_size=16, on_oversize="error"
-    )
+    pairs = _cosupply_pairs_shared(spark, sf_dir)
     return (
         pairs.join(deg.selectExpr("s AS item_a", "d AS da"), "item_a")
         .join(deg.selectExpr("s AS item_b", "d AS db"), "item_b")

@@ -364,6 +364,11 @@ _SMJ_ALLOWED = {
     "g9_neighborhood_anf",  # per-round sketch-state x edges join: the
     # state is ~kB/node (HLL binaries), node-count-scaled on BOTH
     # sides — co-partitioned SMJ is the right 100 TB plan
+    "g10_cosupply_jaccard",  # the SMJ is the basket-keyed pair
+    # self-join EMBEDDED in the persisted cosupply_pairs stage's
+    # cached-plan text (runs once at warm, not per query; an
+    # InMemoryRelation prints its build plan inside every consumer);
+    # g10's own joins are all BroadcastHashJoin
     # g8_truss_backbone is NOT here: its per-round survivor sets are
     # small enough at sf0.1 that AQE broadcasts every enumeration join
     # TPC-H fact-fact shapes
