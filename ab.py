@@ -35,14 +35,20 @@ import tempfile
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 _CHILD = r"""
-import sys, time, json, statistics
+import os, sys, time, json, statistics
 tree, sf_dir, reps, names = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4].split(",")
 sys.path.insert(0, tree)
 from ad_data_pipelines_spark.session import get_spark
 spark = get_spark(app_name="ab")
 from ad_data_pipelines_spark.plans.testdata_queries import REGISTRY, warm_shared_stages
 spark.range(1_000_000).selectExpr("sum(id) AS s").write.format("noop").mode("overwrite").save()
-REGISTRY[sorted(REGISTRY)[0]].fn(spark, "/root/testdata/sf0.001").count()
+# JVM/parquet-path warm-up on the smallest SF available; prefer the
+# canonical sf0.001 but fall back to the benchmarked dir itself so the
+# harness works on any machine/layout (ADVICE r10).
+warm_dir = "/root/testdata/sf0.001"
+if not os.path.isdir(warm_dir):
+    warm_dir = sf_dir
+REGISTRY[sorted(REGISTRY)[0]].fn(spark, warm_dir).count()
 t0 = time.perf_counter()
 warm_shared_stages(spark, sf_dir)
 out = {"__shared_build": round(time.perf_counter() - t0, 3)}

@@ -79,9 +79,15 @@ def _cut(df: DataFrame, reliable: bool) -> DataFrame:
     return df.checkpoint()
 
 
+#: the largest fixed-point scale :func:`pagerank` accepts (see its
+#: scale guard): 99 × 1e16 still fits int64.
+MAX_PAGERANK_SCALE = 10**16
+
+
 def validate_edge_weights(
-    edges: DataFrame, weight: str = "w", scale: int = 10**12
-) -> None:
+    edges: DataFrame, weight: str = "w", scale: int = 10**12,
+    norm_col: str = "ws",
+) -> DataFrame:
     """One-scan weight validation for a SHARED ws-carrying edge artifact.
 
     The ``assume_normalized`` fast path in :func:`pagerank` skips ALL
@@ -95,9 +101,28 @@ def validate_edge_weights(
     weights have no random-walk meaning) and ``scale × max(w)`` inside
     int64 headroom (rank·w would WRAP in Spark but ERROR in DuckDB —
     a silent cross-engine divergence). Raises ``ValueError`` on either
-    violation; a caller constructing its own ws-carrying artifact that
-    skips this call gets whatever its bad weights imply — the
-    ``assume_normalized`` docs state the contract."""
+    violation. The weight column must be INTEGRAL (same contract as
+    :func:`pagerank`): a fractional column raises loudly here instead
+    of being mis-judged through int() truncation — scale fractional
+    affinities to integers upstream.
+
+    **Returns the frame with the vouch RECORDED**: the maximum scale
+    any consumer may safely use, ``min(1e16, (2^62 − 1) DIV max(w))``,
+    is written as column metadata on ``norm_col`` (``vouched_scale``).
+    :func:`pagerank`'s fast path reads that metadata and raises if a
+    consumer asks for a larger scale — so a vouch at the default
+    1e12 can never be silently over-spent by a 1e16 consumer. Use the
+    RETURNED frame as the shared artifact. A ws-carrying frame that
+    never passed through this helper carries no metadata; the fast
+    path then trusts it as before (the caller vouches by construction
+    — this docstring is that contract)."""
+    wtype = edges.schema[weight].dataType.simpleString()
+    if wtype not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"weight column {weight!r} must be integral to vouch the "
+            f"fixed-point contract, got {wtype} — scale fractional "
+            "affinities to integers upstream"
+        )
     min_w, max_w = edges.agg(F.min(weight), F.max(weight)).first()
     if min_w is not None and int(min_w) <= 0:
         raise ValueError(
@@ -110,6 +135,14 @@ def validate_edge_weights(
             "headroom — rank*w would WRAP in Spark but ERROR in DuckDB; "
             "lower scale or re-scale weights"
         )
+    vouched = (
+        MAX_PAGERANK_SCALE
+        if not max_w
+        else min(MAX_PAGERANK_SCALE, (2**62 - 1) // int(max_w))
+    )
+    if norm_col in edges.columns:
+        return edges.withMetadata(norm_col, {"vouched_scale": vouched})
+    return edges
 
 
 def pagerank(
@@ -163,9 +196,15 @@ def pagerank(
     (positivity and int64 headroom) — the artifact is trusted to have
     been validated when it was built. Run
     :func:`validate_edge_weights` once at artifact build time to
-    establish that trust; passing ``assume_normalized`` edges with a
-    ``ws`` column of unvalidated weights yields silently wrapped or
-    meaningless ranks where the per-call slow path would raise.
+    establish that trust and use ITS RETURN as the artifact: it
+    records the maximum safe scale as ``ws`` column metadata, and this
+    fast path ASSERTS ``scale <= vouched_scale`` whenever that record
+    is present — an over-scale consumer raises loudly instead of
+    wrapping int64. A ws-carrying frame with no metadata record (a
+    caller-constructed artifact that never went through the helper) is
+    trusted as-is: such a caller vouches by construction, and bad
+    weights yield silently wrapped or meaningless ranks where the
+    per-call slow path would raise.
     ``cut_input=False`` additionally skips the defensive
     localCheckpoint of the edge list — pass it ONLY when the input is
     already materialized (a checkpointed/persisted shared stage); on
@@ -228,6 +267,21 @@ def pagerank(
     # out-strength Σw (weighted walk)
     norm_col = "od" if weight is None else "ws"
     has_norm = assume_normalized and norm_col in edges.columns
+    if has_norm and weight is not None:
+        # a vouched artifact (built through validate_edge_weights)
+        # carries the maximum safe scale as ws-column metadata: enforce
+        # it so a 1e12-vouched artifact cannot be silently over-spent
+        # by a consumer ranking at 1e16 (int64 wrap). Metadata absent →
+        # the caller vouches by construction (documented contract).
+        vouched = edges.schema[norm_col].metadata.get("vouched_scale")
+        if vouched is not None and int(scale) > int(vouched):
+            raise ValueError(
+                f"scale ({scale}) exceeds the vouched maximum "
+                f"({vouched}) recorded on {norm_col!r} by "
+                "validate_edge_weights at artifact build time — "
+                "rank*w could wrap int64; lower scale or re-vouch the "
+                "artifact with re-scaled weights"
+            )
     if assume_normalized:
         # skip the dedup/filter SEMANTICS, but keep the cut unless the
         # caller vouches the input is materialized (cut_input=False):
@@ -1015,6 +1069,169 @@ def bfs_reach_counts(
     return pairs.groupBy("seed").agg(
         F.count("*").cast("bigint").alias("reach")
     ).select(F.col("seed").alias("node"), "reach")
+
+
+def sssp(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    seed_col: str = "node",
+    rounds: int = 6,
+    checkpoint_every: int = 1,
+    reliable: bool = False,
+    assume_normalized: bool = False,
+    cut_input: bool = True,
+) -> DataFrame:
+    """(node, dist): MULTI-SOURCE single-source-shortest-paths over the
+    DIRECTED edge list by fixed-round distributed relaxation
+    (Bellman-Ford truncated at ``rounds`` edges): ``dist`` is the exact
+    minimum path cost over all paths of AT MOST ``rounds`` hops from
+    any seed; nodes no ≤rounds-hop path reaches are ABSENT from the
+    output. Pass both edge orientations for undirected semantics (the
+    shared trade artifact already carries both).
+
+    The graph-curation reading: distance-to-trusted-seed TIERS — the
+    deterministic complement of g2's random-walk proximity (PPR ranks
+    by visit probability, this measures the cheapest chain of
+    relationships; a source many cheap hops from every trusted seed is
+    a quarantine candidate). The classic distributed SSSP primitive
+    the reference family lacks; `bfs_reach_counts` is its
+    reach-counting sibling.
+
+    Per round ONE equi-join of the reached-node state onto the edge
+    list (state.node = edges.src) + ONE combinable min aggregate —
+    map-side partials, no windows, no driver loop state; lineage cut
+    per ``checkpoint_every`` rounds (``reliable`` as in `pagerank`).
+    At 100 TB this is the plan you want: the state is (node, BIGINT),
+    the join shuffles on the node key, and a hub's fan-out lands in
+    the min-combine's partial aggregation. A frontier-delta variant
+    (relax only nodes whose dist improved) saves work on
+    high-diameter graphs at the price of one extra diff join per
+    round; with the small fixed round counts used here, full-state
+    relaxation is the simpler and cheaper plan.
+
+    ``weight`` names an INTEGRAL positive edge-cost column (weight
+    None = unit cost ⇒ hop distance / multi-source BFS). Duplicate
+    (src, dst) rows collapse by MIN(w) — the shortest-path-correct
+    policy. Loud guards: non-integral weight dtype, non-positive
+    weights, and ``rounds × max(w)`` int64 headroom (the longest
+    representable path cost; one min/max action covers both) — all
+    skipped under ``assume_normalized=True``, which declares the
+    input already deduped, NULL-free, self-loop-free with vouched
+    weights (the shared-artifact contract, see `pagerank`).
+    ``cut_input=False`` skips the defensive localCheckpoint — pass it
+    ONLY for a materialized input; the loop scans the edge list every
+    round. Integer costs + min make the result BIT-EQUAL to the
+    unrolled DuckDB twin (`sssp_sql`) — deterministic at any
+    parallelism, no float tie ambiguity."""
+    if rounds < 1:
+        raise ValueError(f"need >= 1 relaxation round, got {rounds}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    if weight is not None:
+        wtype = edges.schema[weight].dataType.simpleString()
+        if wtype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"weight column {weight!r} must be integral for the "
+                f"bit-equal twin contract, got {wtype} — scale "
+                "fractional costs to integers upstream"
+            )
+    w_col = (
+        F.lit(1).cast("bigint")
+        if weight is None
+        else F.col(weight).cast("bigint")
+    )
+    if assume_normalized:
+        e = edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"),
+            w_col.alias("w"),
+        )
+        if cut_input:
+            e = _cut(e, reliable)
+    else:
+        e = _cut(
+            edges.select(
+                F.col(src).alias("src"), F.col(dst).alias("dst"),
+                w_col.alias("w"),
+            )
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .filter(F.col("src") != F.col("dst"))
+            .filter(F.col("w").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.min("w").alias("w")),
+            reliable,
+        )
+        min_w, max_w = e.agg(F.min("w"), F.max("w")).first()
+        if min_w is not None and int(min_w) <= 0:
+            raise ValueError(
+                "edge costs must be positive after duplicate collapse "
+                f"— got min = {min_w}; a zero/negative cost makes the "
+                "fixed-round truncation meaningless"
+            )
+        if max_w is not None and int(rounds) * int(max_w) >= 2**62:
+            raise ValueError(
+                f"rounds ({rounds}) x max cost ({max_w}) leaves no "
+                "int64 headroom for the longest representable path — "
+                "re-scale costs or lower rounds"
+            )
+    state = _cut(
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("bigint")),
+        reliable,
+    )
+    for r in range(rounds):
+        relaxed = state.join(e, state.node == e.src).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        state = (
+            state.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (r + 1) % checkpoint_every == 0 or r == rounds - 1:
+            state = _cut(state, reliable)
+    return state
+
+
+def sssp_sql(
+    edge_sql: str,
+    seed_sql: str,
+    rounds: int = 6,
+    weighted: bool = False,
+) -> str:
+    """DuckDB twin of :func:`sssp`: the relaxation unrolled as
+    ``rounds`` AS MATERIALIZED CTEs (2 references each — inlining
+    would blow up multiplicatively, the g1–g10 idiom). `edge_sql`
+    must yield (src, dst) plus an integral ``w`` when ``weighted``;
+    `seed_sql` one ``node`` column. Bit-equal to the Spark operator:
+    integer costs, MIN collapse, same truncation semantics."""
+    w_expr = "w" if weighted else "CAST(1 AS BIGINT)"
+    parts = [
+        f"raw AS ({edge_sql})",
+        "e AS MATERIALIZED (SELECT src, dst, MIN("
+        + w_expr
+        + ") AS w FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL "
+        "AND src <> dst GROUP BY src, dst)",
+        f"s0 AS MATERIALIZED (SELECT DISTINCT node, "
+        f"CAST(0 AS BIGINT) AS dist FROM ({seed_sql}))",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT node, MIN(dist) AS dist "
+            f"FROM (SELECT node, dist FROM s{r - 1} UNION ALL "
+            f"SELECT e.dst AS node, s{r - 1}.dist + e.w AS dist "
+            f"FROM s{r - 1} JOIN e ON e.src = s{r - 1}.node) "
+            "GROUP BY node)"
+        )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT node, dist FROM s{rounds}"
+    )
 
 
 def basket_pairs(

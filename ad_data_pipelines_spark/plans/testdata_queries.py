@@ -234,7 +234,16 @@ def q_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact count is a plain count(*) — one map-side-combined
     # shuffle instead of the two-distinct expand plan (A/B: 0.90 vs
     # 1.78 s at sf0.1, outputs identical)
-    d = li.select("l_returnflag", "l_suppkey").distinct()
+    # drop NULL keys BEFORE the distinct: count(*) over distinct pairs
+    # would count a NULL l_suppkey row, but COUNT(DISTINCT) (the oracle
+    # and the reference semantics) excludes NULLs. TPC-H suppkey is
+    # NOT NULL so this is a no-op here, but the operator must match on
+    # any input (ADVICE r10).
+    d = (
+        li.select("l_returnflag", "l_suppkey")
+        .filter(F.col("l_suppkey").isNotNull())
+        .distinct()
+    )
     agg = d.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_suppkey", 0.01).alias("approx"),
         F.count("*").alias("uniq_suppliers"),
@@ -6397,6 +6406,35 @@ _G1_LABEL_SQL = (
 )
 
 
+def trade_edges_build(o: DataFrame, li: DataFrame) -> DataFrame:
+    """The trade_edges stage SHAPE with injected inputs — one
+    orders⋈lineitem join, ONE aggregate that both dedups the
+    (cust, supp) pairs and counts the weight, both orientations, and
+    one degree/out-strength join-back. Factored out so the 10× volume
+    probe (tests/test_scale_probe.py) times exactly the production
+    plan; `_trade_edges_shared` feeds it the real tables."""
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            (F.col("o_custkey").cast("bigint") * 2).alias("c"),
+            (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
+        )
+        # edge weight = trade volume (lineitems between the pair):
+        # free in the same aggregate that dedups the pairs, and
+        # what the weighted ranking (g4) walks proportionally to
+        .agg(F.count("*").alias("w"))
+    )
+    e = cs.selectExpr("c AS src", "s AS dst", "w").unionByName(
+        cs.selectExpr("s AS src", "c AS dst", "w")
+    )
+    return e.join(
+        e.groupBy("src").agg(
+            F.count("*").alias("od"), F.sum("w").alias("ws")
+        ),
+        "src",
+    ).select("src", "dst", "w", "od", "ws")
+
+
 def _trade_edges_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the undirected customer↔supplier trade graph (both orientations
     # of the distinct (custkey, suppkey) pairs) WITH out-degrees: a
@@ -6409,28 +6447,10 @@ def _trade_edges_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in Spark for custkey > 2^30 while DuckDB's identical multiply
     # errors — a cross-engine divergence at large SF.
     def build() -> DataFrame:
-        o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-        li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-        cs = (
-            o.join(li, o.o_orderkey == li.l_orderkey)
-            .groupBy(
-                (F.col("o_custkey").cast("bigint") * 2).alias("c"),
-                (F.col("l_suppkey").cast("bigint") * 2 + 1).alias("s"),
-            )
-            # edge weight = trade volume (lineitems between the pair):
-            # free in the same aggregate that dedups the pairs, and
-            # what the weighted ranking (g4) walks proportionally to
-            .agg(F.count("*").alias("w"))
+        return trade_edges_build(
+            t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey"),
         )
-        e = cs.selectExpr("c AS src", "s AS dst", "w").unionByName(
-            cs.selectExpr("s AS src", "c AS dst", "w")
-        )
-        return e.join(
-            e.groupBy("src").agg(
-                F.count("*").alias("od"), F.sum("w").alias("ws")
-            ),
-            "src",
-        ).select("src", "dst", "w", "od", "ws")
 
     # checkpoint, not persist: g1/g2/g3's iterations scan this 10-20×
     # per query and row-RDD scans skip the per-scan columnar-cache
@@ -6445,9 +6465,11 @@ def _trade_edges_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     if vkey not in _SHARED_CACHE:
         from ad_data_pipelines_spark.operators.graph import validate_edge_weights
 
-        validate_edge_weights(art, "w")
-        _SHARED_CACHE[vkey] = art
-    return art
+        # the RETURNED frame carries the vouched max scale as ws-column
+        # metadata; pagerank's fast path asserts its scale against it,
+        # so an over-scale consumer raises instead of wrapping int64
+        _SHARED_CACHE[vkey] = validate_edge_weights(art, "w")
+    return _SHARED_CACHE[vkey]
 
 
 @register(
@@ -6990,6 +7012,77 @@ def q_g10_cosupply_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Edge COST for g11: integer "resistance" inverse to trade volume —
+# GREATEST(1, 1e6 DIV w) — so high-volume relationships are SHORT and
+# the shortest path is the cheapest chain of strong ties. Integral by
+# construction (positive, <= 1e6), exact in both engines (integer
+# floor division), and 8 rounds x 1e6 is far inside int64.
+_G11_EDGE_SQL = (
+    "SELECT src, dst, GREATEST(CAST(1 AS BIGINT), "
+    f"CAST(1000000 AS BIGINT) // w) AS w FROM ({_G4_EDGE_SQL}) te"
+)
+
+
+@register(
+    "g11_sssp_trusted_distance",
+    oracle=(
+        "WITH sp AS (\n"
+        + _graph.sssp_sql(
+            _G11_EDGE_SQL, _G2_SEED_SQL, rounds=8, weighted=True
+        )
+        + f"\n) SELECT {_G1_LABEL_SQL} AS node, dist FROM sp "
+        "WHERE dist > 0 ORDER BY dist, sp.node LIMIT 25"
+    ),
+    doc="WEIGHTED single-source shortest paths (multi-source, fixed "
+    "8-round distributed Bellman-Ford relax) over the shared trade "
+    "graph from the g2 trusted-supplier decile, edge cost = integer "
+    "resistance GREATEST(1, 1e6 DIV trade_volume): the 25 closest "
+    "non-seed nodes by cheapest chain of STRONG relationships — "
+    "distance-to-trusted-seed tiers, the deterministic complement of "
+    "g2's random-walk proximity for source curation (far-from-every-"
+    "trusted-seed = quarantine candidate). Per round ONE equi-join "
+    "of the (node, BIGINT dist) state onto the cost edges + ONE "
+    "combinable MIN — map-side partials, lineage cut per round; "
+    "BIGINT costs make the truncated-at-8-hops distances BIT-EQUAL "
+    "to the unrolled AS-MATERIALIZED DuckDB twin. "
+    "operators/graph.py:sssp(+_sql).",
+)
+def q_g11_sssp_trusted_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    art = _trade_edges_shared(spark, sf_dir)
+    cost_edges = art.select(
+        "src",
+        "dst",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr("CAST(1000000 AS BIGINT) DIV w"),
+        ).alias("w"),
+    )
+    seeds = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 1)
+        .select((F.col("s_suppkey").cast("bigint") * 2 + 1).alias("node"))
+    )
+    d = _graph.sssp(
+        cost_edges,
+        seeds,
+        weight="w",
+        rounds=8,
+        assume_normalized=True,  # artifact is deduped/self-loop-free;
+        # the cost column is positive <= 1e6 by construction
+        cut_input=False,  # projection of the checkpointed shared stage
+    )
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.expr("CAST(node DIV 2 AS STRING)"),
+    )
+    return (
+        d.filter(F.col("dist") > 0)
+        .orderBy("dist", "node")
+        .limit(25)
+        .select(label.alias("node"), "dist")
+    )
+
+
 def _g9_bfs_oracle(d: int = 3, n_seeds: int = 20) -> str:
     parts = [
         f"raw AS MATERIALIZED ({_G6_PROJ_SQL})",
@@ -7259,20 +7352,19 @@ def q_llm_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
-# ~50-row budget. Round-10 rotation (the r9 verdict's brief #3 — done
-# condition: no oracle-backed query's latest green older than r7 after this
+# ~50-row budget. Round-11 rotation (the r10 verdict's brief #2 — done
+# condition: no oracle-backed query's latest green older than r8 after this
 # gate):
-#   tier 0 — round-10 registrations and CHANGED-PLAN queries (g8 k-truss new;
-#            g6 rides the basket_pairs guard + shared cosupply_knn stage; the
-#            three approx twins gained tolerance-verdict oracles, brief #4;
-#            j28 took the a30 IN-list treatment; the three llm_*_recall gates
-#            were restated join-free — both after the r10 SMJ sweep),
-#   tier 1 — the 28 oracle-backed queries whose latest green is r6 (the
-#            oldest tier after r9), cheapest-first,
-#   tier 2 — r7 greens cheapest-first; the ~50-row budget cuts off in here,
-#   tier 3 — r8 greens, tier 4 — r9 greens (freshest last; re-confirming
+#   tier 0 — round-11 registrations and CHANGED-PLAN queries (g11 SSSP new;
+#            a5_distinct_approx gained the NULL-key pre-filter, ADVICE r10;
+#            g4 consumes the vouched-scale ws metadata the artifact now
+#            records),
+#   tier 1 — the 38 oracle-backed queries whose latest green is r7 (the
+#            oldest tier after the r10 gate), cheapest-first,
+#   tier 2 — r8 greens cheapest-first; the ~50-row budget cuts off in here,
+#   tier 3 — r9 greens, tier 4 — r10 greens (freshest last; re-confirming
 #            these is the lowest-value use of a budget slot),
-#   tail   — EMPTY since r10 (the approx twins are oracle-backed now).
+#   tail   — EMPTY since r10 (every registration is oracle-backed).
 # Standing rule (enforced by tests/test_gate_priority.py): any commit that
 # registers a query MUST add it to tier 0 of this list; the set-equality
 # assert below fails the suite otherwise.
@@ -7289,191 +7381,192 @@ _GATE_TAIL_ROWS_ONLY: list[str] = [
     # registration.
 ]
 _GATE_PRIORITY = [
-    # tier 0 (round 10): new registrations + changed-plan re-gates
-    "g10_cosupply_jaccard",
-    "g9_neighborhood_anf",
-    "g8_truss_backbone",
-    "g6_cosupply_triangles",
+    # tier 0 (round 11): new registrations + changed-plan re-gates
+    "g11_sssp_trusted_distance",
     "a5_distinct_approx",
-    "a26_hll_shard_union",
-    "llm_quality_quantile_approx",
-    "j28_nation_trade_volume",
-    "llm_ann_recall",
-    "llm_ivf_recall",
-    "llm_pq_recall",
-    "a30_market_share",
-    "j29_local_supplier_volume",
-    "llm_cosine_topk",
-    "llm_l2_topk",
-    # tier 1: latest green r6 — the oldest tail, cheapest-first
-    "j30_late_order_priorities",
-    "llm_ngram_jaccard",
-    "llm_mm_dhash_pairs",
-    "j23_small_quantity_revenue",
-    "a25_time_weighted_avg",
-    "o6_topn_revenue",
-    "j7_dedup_then_join",
-    "p24_disjunctive_revenue",
-    "a13_first_last_ordered",
-    "s16_merge_apply",
-    "llm_dup_spans",
-    "llm_nb_quality",
-    "llm_prefix_jaccard",
-    "a27_large_volume_orders",
-    "a24_cube_totals",
-    "a31_supplier_variety",
-    "a28_important_suppliers",
-    "llm_cms_estimates",
-    "o15_entity_clusters",
-    "llm_dup_span_removal",
-    "j24_sole_late_supplier",
-    "a23_groupwise_ols",
-    "llm_heavy_hitters_sketch",
-    "j26_dominant_suppliers",
-    "j22_min_cost_supplier",
-    "j21_grid_knn",
-    # tier 2: r7 greens cheapest-first (the ~50 budget cuts off in here)
-    "llm_quality",
-    "llm_repetition",
-    "llm_dedup_groups",
-    "llm_entropy",
-    "llm_lsh_candidates",
-    "llm_dedup_exact",
-    "llm_hash_split",
-    "p7_p8_clean_map",
-    "llm_fingerprint",
-    "llm_stratified_topk",
-    "llm_token_stats",
-    "llm_chunking",
-    "a4_conditional_sum",
-    "p20_coord_convert",
-    "p18_p19_days_in_month",
+    "g4_weighted_pagerank",
+    # tier 1: latest green r7 — the oldest tail, cheapest-first
     "a7_histogram",
+    "p18_p19_days_in_month",
+    "llm_stratified_topk",
+    "p20_coord_convert",
     "p16_threshold_bins",
-    "p9_p10_p11_mapping",
-    "llm_quality_filter",
     "s13_first_seen",
-    "t1_events_hourly",
-    "t5_cohort_retention",
-    "w1_lead_gap",
+    "llm_chunking",
+    "llm_token_stats",
+    "p9_p10_p11_mapping",
+    "a4_conditional_sum",
     "p15_binning",
+    "j12_point_in_polygon",
+    "llm_quality_filter",
     "llm_mm_frame_sample",
+    "t5_cohort_retention",
+    "t1_events_hourly",
+    "w1_lead_gap",
     "llm_mm_decode_resize",
     "o4_union_spine_j6",
-    "j12_point_in_polygon",
-    "llm_contamination",
     "w2_transfer_time",
     "llm_quality_quantile",
+    "j15_asof_enrich",
+    "llm_contamination",
     "t4_funnel_conversion",
+    "j5_regional_volume",
     "j31_returned_item_customers",
     "j8_full_outer_3way",
-    "j5_regional_volume",
-    "j15_asof_enrich",
-    "llm_pii_scrub",
     "a32_psi_trained_edges",
-    "s14_scd2_history",
+    "llm_pii_scrub",
     "w3_group_max_flag",
     "a11_avg_daily_ratio",
-    "w4_keep_last",
+    "s14_scd2_history",
     "a10_journey_reagg",
+    "w4_keep_last",
     "j9_j10_composite_join",
     "a14_wkt_assembly",
-    "g1_pagerank_suppliers",
     "g2_ppr_trusted_suppliers",
-    # tier 3: r8 greens cheapest-first
+    "g1_pagerank_suppliers",
+    # tier 2: r8 greens cheapest-first (the ~50 budget cuts off in here)
     "llm_det_shuffle",
-    "o13_gap_audit",
     "llm_stratified_sample",
     "llm_source_mix",
-    "w5_seq_lead",
-    "llm_normalize_text",
     "o3_union_slices",
+    "o13_gap_audit",
+    "llm_normalize_text",
+    "llm_snapshot_diff",
+    "w5_seq_lead",
     "llm_dedup_keeper_policy",
     "w7_cumulative_share",
-    "llm_vocab",
-    "llm_snapshot_diff",
     "o14_join_skew_report",
-    "llm_token_stats_bpe",
     "llm_mm_binary_meta",
-    "w6_rolling_window",
-    "o11_constraint_audit",
+    "llm_vocab",
     "llm_dedup_stats",
-    "llm_simhash_pairs",
+    "llm_token_stats_bpe",
+    "o11_constraint_audit",
     "llm_pack_sequences",
     "o7_topk_rank",
-    "llm_chunking_tokens",
+    "w6_rolling_window",
+    "llm_simhash_pairs",
+    "o8_pivot_matrix",
     "llm_lang_id",
     "o10_profile",
-    "llm_zipf",
-    "t3_sessionize",
-    "o8_pivot_matrix",
-    "t2_events_json_props",
     "o9_unpivot_long",
-    "llm_budget_select",
-    "llm_tfidf_keywords",
-    "llm_ann_ivf",
-    "s15_json_props",
+    "t3_sessionize",
+    "t2_events_json_props",
+    "llm_chunking_tokens",
     "a22_psi_reference",
-    "o12_table_checksum",
     "a21_psi_drift",
-    "llm_candidate_agreement",
-    "a18_winsorize",
-    "llm_ann_lsh",
+    "llm_budget_select",
+    "llm_zipf",
+    "s15_json_props",
     "llm_lang_confusion",
+    "o12_table_checksum",
+    "a18_winsorize",
+    "llm_candidate_agreement",
+    "llm_tfidf_keywords",
     "a20_ks_drift",
-    "llm_bigram_lm",
-    "llm_lang_mix",
+    "llm_ann_ivf",
+    "llm_ann_lsh",
     "a19_robust_outliers",
+    "llm_lang_mix",
+    "llm_bigram_lm",
     "llm_cosine_near_dup",
-    "g4_weighted_pagerank",
-    # tier 4: r9 greens cheapest-first (freshest last)
+    # tier 3: r9 greens cheapest-first
     "llm_minhash_sig",
     "llm_simhash",
     "llm_weighted_sample",
     "llm_dedup_corpus",
-    "llm_packing_efficiency",
-    "llm_cross_source_dup",
     "j13_anti_join",
-    "a9_rollup_overall",
+    "llm_packing_efficiency",
+    "a5_distinct_exact",
     "llm_dedup_threshold_curve",
     "a1_trips_daily",
-    "a5_distinct_exact",
     "llm_boilerplate_ngrams",
-    "o16_zorder_cells",
+    "j20_fuzzy_name_match",
     "a12_guarded_ratio",
-    "llm_chunk_dedup",
+    "j14_match_rate",
+    "a9_rollup_overall",
+    "llm_cross_source_dup",
     "llm_random_projection",
-    "llm_temperature_mix",
+    "o16_zorder_cells",
+    "j1_broadcast_enrich",
+    "llm_chunk_dedup",
     "t6_user_streaks",
     "a3_pricing_summary",
-    "j14_match_rate",
-    "j25_idle_rich_customers",
-    "j27_customer_order_distribution",
-    "j1_broadcast_enrich",
-    "llm_novelty",
-    "j20_fuzzy_name_match",
-    "t7_last_touch_attribution",
-    "t8_session_window",
-    "llm_containment",
-    "llm_embedding_drift",
-    "a29_top_revenue_suppliers",
     "j17_interval_join",
-    "a8_adjacent_diff",
-    "j19_overlap_join",
-    "a2_conditional_counts",
-    "llm_semantic_dedup",
+    "llm_temperature_mix",
+    "llm_containment",
+    "llm_novelty",
+    "a29_top_revenue_suppliers",
+    "j25_idle_rich_customers",
+    "t7_last_touch_attribution",
+    "llm_embedding_drift",
     "j18_shipping_priority",
+    "j19_overlap_join",
+    "a8_adjacent_diff",
+    "j27_customer_order_distribution",
+    "llm_semantic_dedup",
+    "t8_session_window",
     "llm_incremental_dedup",
-    "w8_balance_deciles",
     "a33_binned_quantile_shards",
-    "llm_encode_docs",
+    "a2_conditional_counts",
     "llm_pq_topk",
-    "llm_remove_boilerplate",
-    "llm_pq_ivf_topk",
+    "llm_encode_docs",
     "g5_kcore_backbone",
+    "llm_remove_boilerplate",
+    "w8_balance_deciles",
+    "llm_pq_ivf_topk",
     "llm_cooccurrence",
     "g7_coreness",
     "g3_trade_communities",
+    # tier 4: r10 greens cheapest-first (freshest last)
+    "llm_repetition",
+    "llm_quality",
+    "llm_l2_topk",
+    "llm_dedup_groups",
+    "llm_entropy",
+    "llm_cosine_topk",
+    "llm_lsh_candidates",
+    "p7_p8_clean_map",
+    "llm_hash_split",
+    "llm_fingerprint",
+    "llm_dedup_exact",
+    "p24_disjunctive_revenue",
+    "llm_mm_dhash_pairs",
+    "j30_late_order_priorities",
+    "llm_quality_quantile_approx",
+    "o6_topn_revenue",
+    "a25_time_weighted_avg",
+    "llm_ngram_jaccard",
+    "j7_dedup_then_join",
+    "a13_first_last_ordered",
+    "a24_cube_totals",
+    "j23_small_quantity_revenue",
+    "a26_hll_shard_union",
+    "s16_merge_apply",
+    "a27_large_volume_orders",
+    "llm_prefix_jaccard",
+    "llm_dup_spans",
+    "llm_dup_span_removal",
+    "a31_supplier_variety",
+    "llm_ivf_recall",
+    "a28_important_suppliers",
+    "llm_nb_quality",
+    "g6_cosupply_triangles",
+    "o15_entity_clusters",
+    "llm_ann_recall",
+    "llm_cms_estimates",
+    "a30_market_share",
+    "j29_local_supplier_volume",
+    "j28_nation_trade_volume",
+    "g10_cosupply_jaccard",
+    "j21_grid_knn",
+    "llm_heavy_hitters_sketch",
+    "a23_groupwise_ols",
+    "llm_pq_recall",
+    "j22_min_cost_supplier",
+    "j24_sole_late_supplier",
+    "j26_dominant_suppliers",
+    "g9_neighborhood_anf",
+    "g8_truss_backbone",
 ] + _GATE_TAIL_ROWS_ONLY
 assert set(_GATE_PRIORITY) == set(REGISTRY), (
     "gate-priority list drifted from registry: "

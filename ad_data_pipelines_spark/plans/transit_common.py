@@ -145,3 +145,29 @@ def afc_legs_from_events(events: DataFrame) -> DataFrame:
             .alias("is_multi_leg_journey_leg"),
         )
     )
+
+
+def sales_from_events(events: DataFrame) -> DataFrame:
+    """Reshape the synthetic `events` table into the ticket-sales form
+    ads_revenue consumes (V_MONTH, PRODUCT, QTY, AMOUNT, REGION) — the
+    sales sibling of :func:`afc_legs_from_events`, so the revenue
+    pipeline can be volume-tested and benched at any testdata SF.
+    Pure column maps, no shuffle: the adapter adds nothing to the
+    measured DAG beyond the scan."""
+    return events.select(
+        F.date_format("ts", "yyyyMM").alias("V_MONTH"),
+        F.element_at(
+            F.array(
+                F.lit("CSC Card"), F.lit("Paper Ticket"), F.lit("CSC Topup")
+            ),
+            (F.col("event_id") % 3 + 1).cast("int"),
+        ).alias("PRODUCT"),
+        F.lit(1).cast("int").alias("QTY"),
+        F.round(F.coalesce(F.col("value"), F.lit(0.0)), 2).alias("AMOUNT"),
+        F.element_at(
+            F.array(
+                F.lit("Abu Dhabi"), F.lit("Al Ain"), F.lit("Al Dhafra")
+            ),
+            (F.col("user_id") % 3 + 1).cast("int"),
+        ).alias("REGION"),
+    )

@@ -62,7 +62,36 @@ def main() -> None:
     # materialization job, not part of any single consumer.
     shared_build = warm_shared_stages(spark, sf_dir)
 
+    # --- Machine-noise instrumentation (r10 verdict #1) -------------
+    # Four fixed CANARY queries — cheap, plan-stable since r6, one per
+    # shape (scan+agg, broadcast join, window, two-level agg) — run at
+    # bench START and again at bench END. Their end/start ratio is the
+    # session's recorded drift: every past round burned builder time
+    # attributing 20-45% swings on untouched plans that turned out to
+    # be machine weather; this field makes that weather a per-run
+    # artifact the judge can subtract. Same protocol as the queries
+    # themselves (n runs, median, noop sink).
+    CANARIES = [
+        "a1_trips_daily",
+        "j1_broadcast_enrich",
+        "w2_transfer_time",
+        "j26_dominant_suppliers",
+    ]
+
+    def _run_median(name: str) -> float:
+        runs = []
+        for _ in range(max(1, args.n)):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(time.perf_counter() - t0)
+        return round(statistics.median(runs), 4)
+
+    canary_start = {c: _run_median(c) for c in CANARIES}
+
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, spec in sorted(REGISTRY.items()):
         runs = []
         for _ in range(max(1, args.n)):
@@ -71,30 +100,69 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(runs), 4)
+        if len(runs) > 1 and min(runs) > 0:
+            # within-query run dispersion: max/min across the n
+            # back-to-back runs of the SAME plan — pure noise, the
+            # code cannot differ between them (n=1 would be a
+            # meaningless constant 1.0)
+            spreads[name] = round(max(runs) / min(runs), 4)
+
+    canary_end = {c: _run_median(c) for c in CANARIES}
+    canary_drift = round(
+        statistics.median(
+            canary_end[c] / canary_start[c]
+            for c in CANARIES
+            if canary_start[c] > 0
+        ),
+        4,
+    )
+    # noise floor: the median same-plan max/min run ratio across the
+    # whole registry — the smallest cross-round delta worth explaining
+    noise_floor = round(
+        statistics.median(spreads.values()), 4
+    ) if spreads else None
 
     total = round(sum(timings.values()), 4)
 
-    # Transit pipeline DAGs (the reference-parity surface): time the
-    # flagship ads_travel_info + ads_travel_time plans end-to-end over
-    # sf-scale AFC legs derived from `events` (the same adapter the
-    # volume tests use). The leg derivation is materialized ONCE like
-    # a shared stage — a real deployment reads staged AFC data, so the
-    # pipeline number measures the DAG, not the synthetic reshaping.
-    from ad_data_pipelines_spark.plans import ads_travel_info, ads_travel_time
+    # Transit pipeline DAGs (the reference-parity surface): time ALL
+    # NINE ads_* pipelines plus the dwd_bus_route DAG end-to-end over
+    # sf-scale AFC legs / sales derived from `events` (the same
+    # adapters the volume tests use). The leg/sales derivation is
+    # materialized ONCE like a shared stage — a real deployment reads
+    # staged AFC data, so each pipeline number measures the DAG, not
+    # the synthetic reshaping. Dimension inputs (line, department,
+    # day-type calendar, service types, VDV route/stop tables) are
+    # generated dimension-SIZED, exactly what they are in production.
+    from pyspark.sql import functions as F
+
+    from ad_data_pipelines_spark.plans import (
+        ads_revenue,
+        ads_ridership,
+        ads_route_trips,
+        ads_stop_trips,
+        ads_transfer_count,
+        ads_travel_distance,
+        ads_travel_info,
+        ads_travel_time,
+        dwd_bus_route,
+    )
     from ad_data_pipelines_spark.plans.transit_common import (
         afc_legs_from_events,
+        sales_from_events,
     )
     from ad_data_pipelines_spark.schemas import (
         VDV_LINE,
         VDV_OPERATING_DEPARTMENT,
+        VDV_ROUTE_SEQUENCE,
+        VDV_STOP,
     )
 
     from ad_data_pipelines_spark.plans.testdata_queries import t as load_t
 
     t0 = time.perf_counter()
-    legs = afc_legs_from_events(
-        load_t(spark, sf_dir, "events")
-    ).localCheckpoint()
+    events = load_t(spark, sf_dir, "events")
+    legs = afc_legs_from_events(events).localCheckpoint()
+    sales = sales_from_events(events).localCheckpoint()
     legs_build = round(time.perf_counter() - t0, 4)
     line_dim = spark.createDataFrame(
         [(1, 10 + i, f"R{i}", 11 if i < 2 else 22, f"Route {i}")
@@ -104,6 +172,57 @@ def main() -> None:
     opdep_dim = spark.createDataFrame(
         [(11, "AD-X"), (22, "ER-Y")], VDV_OPERATING_DEPARTMENT
     )
+    # day-type calendar spanning the events range (weekend = Sat/Sun)
+    avm_dim = spark.sql(
+        "SELECT d AS OPD_DATE, CASE WHEN weekday(d) >= 5 THEN 'weekend' "
+        "ELSE 'weekday' END AS DAY_TYPE FROM (SELECT "
+        "explode(sequence(DATE'2020-01-01', DATE'2029-12-31')) AS d)"
+    )
+    svc_dim = spark.createDataFrame(
+        [("R0", "Abu Dhabi", "Local"), ("R1", "Abu Dhabi", "Regional"),
+         ("R2", "Al Ain", "Local"), ("R3", "Al Dhafra", "Regional")],
+        "Route string, Region string, ServiceType string",
+    )
+    # VDV network dims for the dwd DAG: 200 lines x 30-stop routes over
+    # a 2000-stop network with DDDMMSSmmm coords around Abu Dhabi
+    route_seq_dim = spark.range(200 * 30).selectExpr(
+        "CAST(1 AS bigint) AS BASE_VERSION",
+        "CAST(id DIV 30 AS int) AS LINE_NO",
+        "concat('L', id DIV 30, '-OUT') AS ROUTE_ABBR",
+        "CAST(1 AS int) AS ROUTE_NO",
+        "CAST(id % 30 + 1 AS int) AS SEQUENCE_NO",
+        "CAST((id * 37) % 2000 AS int) AS POINT_NO",
+        "CAST(1 AS int) AS POINT_TYPE",
+    ).to(VDV_ROUTE_SEQUENCE)
+    routes_dim = spark.range(200).selectExpr(
+        "CAST(id AS int) AS LINE_NO",
+        "CAST(1 AS int) AS ROUTE_NO",
+        "'OUTBOUND' AS DIRECTION",
+    )
+    stop_dim = spark.range(2000).selectExpr(
+        "CAST(1 AS bigint) AS BASE_VERSION",
+        "CAST(id AS int) AS POINT_NO",
+        "CAST(1 AS int) AS POINT_TYPE",
+        "CAST(540000000 + (id % 48) * 100000 AS bigint) AS POINT_LONGITUDE",
+        "CAST(240000000 + (id DIV 100) * 100000 AS bigint) AS POINT_LATITUDE",
+        "concat('Stop ', id) AS STOP_DESC",
+    ).to(VDV_STOP)
+    dwd_polygons = {
+        "west": [(53.95, 23.95), (54.405, 23.95), (54.405, 24.95),
+                 (53.95, 24.95)],
+        "east": [(54.405, 23.95), (54.95, 23.95), (54.95, 24.95),
+                 (54.405, 24.95)],
+    }
+
+    def _dwd_all():
+        # the three dwd_bus_route outputs as ONE DAG timing entry
+        for df in (
+            dwd_bus_route.build_route_stop_info(route_seq_dim, routes_dim),
+            dwd_bus_route.build_stop_info(stop_dim, dwd_polygons),
+            dwd_bus_route.build_route_info(route_seq_dim, stop_dim),
+        ):
+            df.write.format("noop").mode("overwrite").save()
+
     pipelines: dict[str, float] = {}
     for pname, build_fn in [
         ("ads_travel_info", lambda: ads_travel_info.build(
@@ -111,6 +230,15 @@ def main() -> None:
         ("ads_travel_info_hll", lambda: ads_travel_info.build(
             legs, line_dim, opdep_dim, exact_distinct=False)),
         ("ads_travel_time", lambda: ads_travel_time.build(legs, line_dim)),
+        ("ads_stop_trips", lambda: ads_stop_trips.build(legs, avm_dim)),
+        ("ads_transfer_count", lambda: ads_transfer_count.build(
+            legs, line_dim, opdep_dim)),
+        ("ads_travel_distance", lambda: ads_travel_distance.build(
+            legs, line_dim, opdep_dim)),
+        ("ads_route_trips", lambda: ads_route_trips.build(legs)),
+        ("ads_ridership", lambda: ads_ridership.build(
+            legs, line_dim, svc_dim)),
+        ("ads_revenue", lambda: ads_revenue.build(sales)),
     ]:
         runs = []
         for _ in range(max(1, args.n)):
@@ -118,6 +246,12 @@ def main() -> None:
             build_fn().write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         pipelines[pname] = round(statistics.median(runs), 4)
+    runs = []
+    for _ in range(max(1, args.n)):
+        t0 = time.perf_counter()
+        _dwd_all()
+        runs.append(time.perf_counter() - t0)
+    pipelines["dwd_bus_route"] = round(statistics.median(runs), 4)
 
     full = {
         "metric": "registry_total_runtime",
@@ -129,6 +263,11 @@ def main() -> None:
         "pipelines": pipelines,
         "pipelines_total": round(sum(pipelines.values()), 4),
         "pipelines_legs_build": legs_build,
+        "noise_floor": noise_floor,
+        "canary_drift": canary_drift,
+        "canary_start": canary_start,
+        "canary_end": canary_end,
+        "run_spread_per_query": spreads,
         "sf": sf,
         "runs_per_query": max(1, args.n),
     }
@@ -160,6 +299,8 @@ def main() -> None:
         "queries_omitted_sec": round(total - sum(slowest.values()), 4),
         "shared_stage_build_total": round(sum(shared_build.values()), 4),
         "pipelines_total": round(sum(pipelines.values()), 4),
+        "noise_floor": noise_floor,
+        "canary_drift": canary_drift,
         "sf": sf,
         "runs_per_query": max(1, args.n),
         "full_detail": "BENCH_FULL.json",

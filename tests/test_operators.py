@@ -3244,26 +3244,54 @@ def test_label_propagation_negative_ids_pmod_parity(spark):
 def test_reliable_guard_without_checkpoint_dir(spark):
     """reliable=True fails loudly when no checkpoint dir is set.
 
-    Runs ONLY while the shared session has no checkpoint dir (Spark has
-    no API to clear one once set, so a dedicated context is the only
-    honest way to exercise this branch); if another test already set
-    one, skip with the reason rather than silently passing without
-    executing the branch."""
-    import pytest
+    Spark has no API to CLEAR a checkpoint dir once any test set one,
+    so the branch is exercised two ways: directly on the shared
+    session when it still has no dir (fast path), else in a DEDICATED
+    subprocess SparkContext (order-independent — the r10 advice: no
+    skip, the guard is always executed)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
 
     from ad_data_pipelines_spark.operators import graph
 
-    if spark.sparkContext.getCheckpointDir() is not None:
-        pytest.skip(
-            "shared session already has a checkpoint dir (set by an "
-            "earlier test; Spark cannot clear it) — guard branch "
-            "unreachable in this ordering"
+    if spark.sparkContext.getCheckpointDir() is None:
+        df = spark.createDataFrame(
+            _undirected([(1, 2), (2, 3)]), "src bigint, dst bigint"
         )
-    df = spark.createDataFrame(
-        _undirected([(1, 2), (2, 3)]), "src bigint, dst bigint"
+        with pytest.raises(ValueError, match="checkpoint directory"):
+            graph.pagerank(df, iterations=3, reliable=True)
+        return
+
+    child = textwrap.dedent(
+        """
+        from ad_data_pipelines_spark.session import get_spark
+        from ad_data_pipelines_spark.operators import graph
+        spark = get_spark(app_name="ckpt-guard", master="local[2]")
+        assert spark.sparkContext.getCheckpointDir() is None
+        df = spark.createDataFrame(
+            [(1, 2), (2, 1), (2, 3), (3, 2)], "src bigint, dst bigint"
+        )
+        try:
+            graph.pagerank(df, iterations=2, reliable=True)
+        except ValueError as e:
+            assert "checkpoint directory" in str(e)
+            print("GUARD_RAISED")
+        else:
+            raise AssertionError("reliable=True ran without a dir")
+        """
     )
-    with pytest.raises(ValueError, match="checkpoint directory"):
-        graph.pagerank(df, iterations=3, reliable=True)
+    p = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "GUARD_RAISED" in p.stdout, (
+        f"guard branch not exercised:\n{p.stdout[-500:]}\n{p.stderr[-800:]}"
+    )
 
 
 def test_reliable_checkpoint_bit_equal(spark, tmp_path_factory):
@@ -3533,6 +3561,50 @@ def test_validate_edge_weights_vouching(spark):
     # empty edge list: nothing to vouch, no raise
     graph.validate_edge_weights(ok.filter("src < 0"))
 
+    # non-integral weight columns raise loudly instead of being
+    # mis-judged through int() truncation (int(0.5) = 0 would have
+    # falsely tripped the positivity check) — ADVICE r10
+    frac = spark.createDataFrame(
+        [(1, 2, 0.5)], "src bigint, dst bigint, w double"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        graph.validate_edge_weights(frac)
+
+    # the vouch is RECORDED: a ws-carrying frame comes back with the
+    # max safe scale as ws-column metadata, and pagerank's fast path
+    # asserts its scale against it — an over-scale consumer raises
+    # instead of wrapping int64 (ADVICE r10: a 1e12 vouch must not be
+    # silently spendable at 1e16)
+    ws_edges = spark.createDataFrame(
+        [(1, 2, 2**50, 1, 2**50), (2, 1, 2**50, 1, 2**50)],
+        "src bigint, dst bigint, w bigint, od bigint, ws bigint",
+    )
+    vouched = graph.validate_edge_weights(ws_edges, scale=10**3)
+    rec = vouched.schema["ws"].metadata["vouched_scale"]
+    assert 0 < rec < 10**16 and 10**3 <= rec
+    assert rec * 2**50 < 2**62 <= (rec + 1) * 2**50
+    # within the vouch: runs
+    graph.pagerank(
+        vouched, iterations=1, weight="w", assume_normalized=True,
+        scale=10**3,
+    ).collect()
+    # over the vouch: loud, with the recorded maximum in the message
+    with pytest.raises(ValueError, match="vouched maximum"):
+        graph.pagerank(
+            vouched, iterations=1, weight="w", assume_normalized=True,
+            scale=10**16,
+        )
+    # no metadata record (caller-constructed artifact): trusted as-is,
+    # documented contract — no vouch assert at any accepted scale
+    plain_ws = spark.createDataFrame(
+        [(1, 2, 5, 1, 5), (2, 1, 3, 1, 3)],
+        "src bigint, dst bigint, w bigint, od bigint, ws bigint",
+    )
+    graph.pagerank(
+        plain_ws, iterations=1, weight="w", assume_normalized=True,
+        scale=10**12,
+    ).collect()
+
 
 def test_k_truss_known_graphs_twin_and_guards(spark):
     """k-truss semantics on known graphs: K4 is its own 4-truss and
@@ -3685,3 +3757,131 @@ def test_neighborhood_function_and_bfs_reach(spark):
         graph.neighborhood_function(df, checkpoint_every=0)
     with pytest.raises(ValueError, match="hop"):
         graph.bfs_reach_counts(df, seeds, d=0)
+
+
+def test_sssp_closed_forms_and_guards(spark):
+    """Fixed-round SSSP semantics on known graphs: path distances,
+    star, bipartite K3,3, multi-source min, truncation at rounds,
+    weighted relax where a 2-hop path beats the direct edge, MIN
+    duplicate collapse, unreached nodes absent, and the loud guards
+    (rounds, non-integral / non-positive weights, int64 headroom)."""
+    from ad_data_pipelines_spark.operators import graph
+
+    def dists(pairs, seeds, schema="src bigint, dst bigint", **kw):
+        df = spark.createDataFrame(pairs, schema)
+        sf = spark.createDataFrame([(s,) for s in seeds], "node bigint")
+        return {
+            r.node: r.dist for r in graph.sssp(df, sf, **kw).collect()
+        }
+
+    path = _undirected([(1, 2), (2, 3), (3, 4), (4, 5)])
+    # hop distance from node 1
+    assert dists(path, [1], rounds=4) == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    # truncation: rounds=2 ==> nodes beyond 2 hops are ABSENT
+    assert dists(path, [1], rounds=2) == {1: 0, 2: 1, 3: 2}
+    # multi-source: min over seeds {1, 5}
+    assert dists(path, [1, 5], rounds=4) == {
+        1: 0, 2: 1, 3: 2, 4: 1, 5: 0,
+    }
+
+    star = _undirected([(0, i) for i in range(1, 9)])
+    assert dists(star, [0], rounds=1) == {0: 0, **{i: 1 for i in range(1, 9)}}
+    # leaf seed: center 1, other leaves 2
+    d = dists(star, [1], rounds=3)
+    assert d[1] == 0 and d[0] == 1 and all(d[i] == 2 for i in range(2, 9))
+
+    k33 = _undirected([(a, b) for a in [1, 2, 3] for b in [4, 5, 6]])
+    d = dists(k33, [1], rounds=3)
+    assert d == {1: 0, 4: 1, 5: 1, 6: 1, 2: 2, 3: 2}
+
+    # weighted: 1->3 direct costs 25, via 2 costs 20; duplicate (1,3)
+    # edges collapse by MIN
+    wschema = "src bigint, dst bigint, c bigint"
+    wpath = [(1, 2, 10), (2, 3, 10), (1, 3, 25)]
+    assert dists(wpath, [1], schema=wschema, weight="c", rounds=3) == {
+        1: 0, 2: 10, 3: 20,
+    }
+    assert dists(
+        wpath + [(1, 3, 5)], [1], schema=wschema, weight="c", rounds=3
+    ) == {1: 0, 2: 10, 3: 5}
+    # rounds=1: only the direct edge is representable
+    assert dists(wpath, [1], schema=wschema, weight="c", rounds=1) == {
+        1: 0, 2: 10, 3: 25,
+    }
+
+    # guards
+    df = spark.createDataFrame(path, "src bigint, dst bigint")
+    sf = spark.createDataFrame([(1,)], "node bigint")
+    with pytest.raises(ValueError, match="round"):
+        graph.sssp(df, sf, rounds=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        graph.sssp(df, sf, checkpoint_every=0)
+    frac = spark.createDataFrame(
+        [(1, 2, 0.5)], "src bigint, dst bigint, c double"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        graph.sssp(frac, sf, weight="c")
+    zero = spark.createDataFrame(
+        [(1, 2, 0)], "src bigint, dst bigint, c bigint"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        graph.sssp(zero, sf, weight="c")
+    big = spark.createDataFrame(
+        [(1, 2, 2**60)], "src bigint, dst bigint, c bigint"
+    )
+    with pytest.raises(ValueError, match="headroom"):
+        graph.sssp(big, sf, weight="c", rounds=8)
+
+    # assume_normalized fast path == slow path on clean input
+    clean = spark.createDataFrame(
+        [(a, b, 1) for a, b in path], wschema
+    )
+    fast = {
+        r.node: r.dist
+        for r in graph.sssp(
+            clean, sf, weight="c", rounds=4, assume_normalized=True
+        ).collect()
+    }
+    assert fast == dists(path, [1], rounds=4)
+
+
+def test_sssp_duckdb_twin_bit_equal(spark):
+    """sssp == the unrolled AS MATERIALIZED DuckDB twin, weighted and
+    unweighted, on a hub-skewed pseudo-random graph (the g1-g10
+    bit-equality discipline: integer costs + MIN make the fixed-round
+    state exactly replayable)."""
+    import duckdb
+
+    from ad_data_pipelines_spark.operators import graph
+
+    pairs = [((i * 7) % 23, (i * 11 + 3) % 23) for i in range(60)]
+    pairs += [(0, i) for i in range(1, 15)]  # hub
+    rows = [
+        (a, b, (a * b) % 9 + 1) for a, b in pairs if a != b
+    ]
+    rows += [(b, a, c) for a, b, c in rows]
+    df = spark.createDataFrame(rows, "src bigint, dst bigint, w bigint")
+    seeds = spark.createDataFrame([(1,), (2,)], "node bigint")
+
+    values_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"({a}, {b}, {c})" for a, b, c in rows
+    ) + ") AS t(src, dst, w)"
+    seed_sql = "SELECT 1 AS node UNION ALL SELECT 2"
+
+    con = duckdb.connect()
+    for weighted in (False, True):
+        got = sorted(
+            (r.node, r.dist)
+            for r in graph.sssp(
+                df, seeds, weight="w" if weighted else None, rounds=5
+            ).collect()
+        )
+        want = sorted(
+            (int(n), int(d))
+            for n, d in con.execute(
+                graph.sssp_sql(
+                    values_sql, seed_sql, rounds=5, weighted=weighted
+                )
+            ).fetchall()
+        )
+        assert got == want, f"weighted={weighted}"

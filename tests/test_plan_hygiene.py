@@ -399,8 +399,42 @@ SF_LARGE = "/root/testdata/sf0.1"
 #: variant of the a30 misplan (both sides under the threshold, the dim
 #: side a join output whose product estimate beats the fact's, so the
 #: planner builds THE FACT); a30 and j29 were caught and fixed in r10.
-#: First columns identify the scans.
-_FACT_SCAN_COLS = ("l_orderkey", "event_id")
+#: First columns identify the scans. `orders` is a fact too (ADVICE
+#: r10: the guard must catch a plan that broadcasts the orders scan —
+#: same misplan class); legitimately pre-aggregated or id-pinned
+#: orders subtrees pass via the _BOUND_NODES / bounded-id-filter
+#: exemption that already applies to every fact.
+_FACT_SCAN_COLS = ("l_orderkey", "event_id", "o_orderkey")
+
+#: Queries allowed to broadcast an ORDERS-scan-rooted subtree. Unlike
+#: lineitem/events (always over the 10 MB broadcast threshold at
+#: sf0.1 — any broadcast of them is an estimate bug), orders sits
+#: UNDER the threshold at the tested SF with honest FILE-SIZE stats,
+#: so these broadcasts are size-driven decisions that demote to a
+#: shuffle as the scan grows — scale-adaptive by construction, not
+#: the a30 class (whose signature is a bogus PRODUCT estimate on a
+#: join-output side). Each entry was read individually: the probe
+#: side is the bigger lineitem fact, or the join type forces the
+#: orders build (Q13-shape LEFT OUTER customer⟕orders can only build
+#: right). The set is closed: a NEW query broadcasting orders fails
+#: the sweep until a human adds it here with the same reading, and a
+#: stale entry (no orders broadcast anymore) fails too.
+_ORDERS_BROADCAST_OK = {
+    "a10_journey_reagg",
+    "a27_large_volume_orders",
+    "a30_market_share",
+    "j14_match_rate",
+    "j18_shipping_priority",
+    "j24_sole_late_supplier",
+    "j27_customer_order_distribution",
+    "j28_nation_trade_volume",
+    "j29_local_supplier_volume",
+    "j30_late_order_priorities",
+    "j31_returned_item_customers",
+    "j5_regional_volume",
+    "j7_dedup_then_join",
+    "o6_topn_revenue",
+}
 _BOUND_NODES = (
     "HashAggregate",
     "SortAggregate",
@@ -459,6 +493,7 @@ def test_sf01_executed_plans_smj_shj_allowlist(spark):
     unexpected: dict[str, tuple[int, int]] = {}
     seen_smj: set[str] = set()
     fact_builds: dict[str, list[str]] = {}
+    stale_orders_ok: set[str] = set(_ORDERS_BROADCAST_OK)
     for name in ALL_QUERIES:
         df = REGISTRY[name].fn(spark, SF_LARGE)
         df.write.format("noop").mode("overwrite").save()
@@ -471,8 +506,17 @@ def test_sf01_executed_plans_smj_shj_allowlist(spark):
             if name not in _SMJ_ALLOWED:
                 unexpected[name] = (smj, shj)
         builds = broadcast_fact_builds(final)
+        if name in _ORDERS_BROADCAST_OK:
+            if any("o_orderkey" in b for b in builds):
+                stale_orders_ok.discard(name)
+            builds = [b for b in builds if "o_orderkey" not in b]
         if builds:
             fact_builds[name] = builds
+    assert not stale_orders_ok, (
+        "stale _ORDERS_BROADCAST_OK entries (no orders-scan broadcast "
+        f"in their executed plans anymore — keep the list tight): "
+        f"{sorted(stale_orders_ok)}"
+    )
     assert not fact_builds, (
         "broadcast hash table built from a FACT scan — the build-side "
         "variant of the a30 misplan (a join-output dim side's product "

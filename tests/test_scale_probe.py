@@ -999,3 +999,136 @@ def test_neighborhood_function_10x_linear_and_exact(spark):
     assert t10 <= 3.0 * 10 * max(t1, 2.0), (
         f"neighborhood_function 10x runtime {t10:.1f}s vs 1x {t1:.1f}s"
     )
+
+
+def test_sssp_10x_linear_and_exact(spark):
+    """Fixed-round SSSP at 10× nodes: on a symmetric ring seeded at
+    every 10th node, the closed-form distance to the nearest seed is
+    min(v mod 10, 10 − v mod 10) ≤ 5 — exact at EVERY scale with
+    rounds=5 — and runtime stays ~linear (per round one equi-join of
+    the (node, BIGINT) state + one combinable MIN; anything
+    super-linear means the state stopped hash-partitioning)."""
+    from ad_data_pipelines_spark.operators import graph
+
+    def ring(n):
+        fwd = spark.range(n).selectExpr(
+            "id AS src", f"(id + 1) % {n} AS dst"
+        )
+        return fwd.unionByName(fwd.selectExpr("dst AS src", "src AS dst"))
+
+    def seeds(n):
+        return spark.range(0, n, 10).selectExpr("id AS node")
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = graph.sssp(ring(n), seeds(n), rounds=5)
+        wrong = out.filter(
+            F.col("dist")
+            != F.least(F.col("node") % 10, 10 - F.col("node") % 10)
+        ).count()
+        n_rows = out.count()
+        return wrong, n_rows, time.perf_counter() - t0
+
+    n_small, n_big = 3_000, 30_000
+    wrong1, rows1, t1 = run(n_small)
+    assert wrong1 == 0 and rows1 == n_small
+    wrong10, rows10, t10 = run(n_big)
+    assert wrong10 == 0 and rows10 == n_big
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"sssp 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — grows "
+        "super-linearly"
+    )
+
+
+def test_shingles_stage_10x_linear_and_no_shuffle(spark):
+    """The shingles shared stage (char_shingles over documents — the
+    most expensive shared-stage build at sf0.1) at 10× generated docs:
+    output rows scale exactly with input (per-doc distinct shingles of
+    fixed-length texts), runtime stays ~linear, the keyed output does
+    not collapse to one partition, and the plan contains NO exchange —
+    per-doc array_distinct before explode is the whole point (a global
+    distinct here would be the biggest avoidable shuffle of the dedup
+    pipeline at 100 TB)."""
+    def docs(n):
+        # ~200-char md5-block texts, all distinct content
+        blocks = [
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f"#p{j}")))
+            for j in range(6)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *blocks).alias("text"),
+        )
+
+    def run(n):
+        t0 = time.perf_counter()
+        sh = dedup.char_shingles(docs(n))
+        rows = sh.count()
+        return rows, sh, time.perf_counter() - t0
+
+    n_small, n_big = 5_000, 50_000
+    rows1, _, t1 = run(n_small)
+    rows10, big, t10 = run(n_big)
+    # per-doc array_distinct varies by a few duplicate shingles in
+    # the md5 text blocks, so 10x docs is 10x rows within a hair
+    assert 9.9 * rows1 <= rows10 <= 10.1 * rows1
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"shingles 10x runtime {t10:.1f}s vs 1x {t1:.1f}s"
+    )
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan.split("+- == Initial Plan ==")[0], (
+        "the shingle stage must stay shuffle-free (per-doc "
+        "array_distinct before explode)"
+    )
+    assert big.rdd.getNumPartitions() > 1
+
+
+def test_trade_edges_stage_10x_linear_and_partitioned(spark):
+    """The trade_edges shared stage shape (orders⋈lineitem → one
+    dedup+weight aggregate → both orientations → degree join-back;
+    the second most expensive shared build at sf0.1) on generated
+    10× facts: edge count is governed by the DISTINCT pair universe,
+    weights conserve the joined row count exactly (Σw over one
+    orientation == joined rows), runtime stays ~linear, and the keyed
+    aggregate does not collapse to one partition."""
+    from ad_data_pipelines_spark.plans.testdata_queries import (
+        trade_edges_build,
+    )
+
+    def facts(n_orders):
+        o = spark.range(n_orders).selectExpr(
+            "id AS o_orderkey",
+            f"id % {max(n_orders // 10, 7)} AS o_custkey",
+        )
+        li = spark.range(4 * n_orders).selectExpr(
+            f"id % {n_orders} AS l_orderkey",
+            f"(id * 7919) % {max(n_orders // 100, 5)} AS l_suppkey",
+        )
+        return o, li
+
+    def run(n_orders):
+        o, li = facts(n_orders)
+        t0 = time.perf_counter()
+        e = trade_edges_build(o, li)
+        n_edges = e.count()
+        wsum = (
+            e.filter(F.col("src") % 2 == 0)
+            .agg(F.sum("w"))
+            .collect()[0][0]
+        )
+        return n_edges, wsum, e, time.perf_counter() - t0
+
+    n_small, n_big = 20_000, 200_000
+    edges1, wsum1, _, t1 = run(n_small)
+    edges10, wsum10, big, t10 = run(n_big)
+    # weight conservation: every joined (order, lineitem) row lands in
+    # exactly one customer-orientation edge's weight
+    assert wsum1 == 4 * n_small and wsum10 == 4 * n_big
+    assert edges1 > 0 and edges10 > 0
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"trade_edges 10x runtime {t10:.1f}s vs 1x {t1:.1f}s"
+    )
+    # (no partition-count assert: AQE rightly coalesces the 5-column
+    # edge rows to few partitions at this volume; the registry plans'
+    # no-single-partition-collapse discipline is enforced by
+    # test_plan_hygiene, the pagerank-probe precedent)
