@@ -7083,6 +7083,51 @@ def q_g11_sssp_trusted_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "g12_hop_histogram",
+    oracle=(
+        "WITH sp AS (\n"
+        + _graph.sssp_sql(_G1_EDGE_SQL, _G2_SEED_SQL, rounds=4,
+                          weighted=False)
+        + "\n) SELECT dist, CASE WHEN node % 2 = 0 THEN 'customer' "
+        "ELSE 'supplier' END AS side, CAST(COUNT(*) AS BIGINT) AS "
+        "n_nodes FROM sp GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    doc="HOP-distance histogram from the trusted seed set — the same "
+    "sssp relax as g11 with unit cost (multi-source BFS distance), "
+    "rolled up to (hop tier, customer/supplier side) node counts: the "
+    "curation dashboard view of graph proximity (how much of the "
+    "corpus sits 1, 2, 3 hops from the trusted sources; nodes absent "
+    "from every tier are the quarantine set). Unweighted + exact "
+    "counts ⇒ fully deterministic, no tolerance needed. "
+    "operators/graph.py:sssp(weight=None).",
+)
+def q_g12_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    art = _trade_edges_shared(spark, sf_dir)
+    seeds = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 10 == 1)
+        .select((F.col("s_suppkey").cast("bigint") * 2 + 1).alias("node"))
+    )
+    d = _graph.sssp(
+        art.select("src", "dst"),
+        seeds,
+        rounds=4,
+        assume_normalized=True,  # artifact is deduped/self-loop-free
+        cut_input=False,  # projection of the checkpointed shared stage
+    )
+    side = (
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("side")
+    )
+    return (
+        d.groupBy("dist", side)
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy("dist", "side")
+    )
+
+
 def _g9_bfs_oracle(d: int = 3, n_seeds: int = 20) -> str:
     parts = [
         f"raw AS MATERIALIZED ({_G6_PROJ_SQL})",
@@ -7383,6 +7428,7 @@ _GATE_TAIL_ROWS_ONLY: list[str] = [
 _GATE_PRIORITY = [
     # tier 0 (round 11): new registrations + changed-plan re-gates
     "g11_sssp_trusted_distance",
+    "g12_hop_histogram",
     "a5_distinct_approx",
     "g4_weighted_pagerank",
     # tier 1: latest green r7 — the oldest tail, cheapest-first
