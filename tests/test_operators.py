@@ -3340,6 +3340,20 @@ def test_reliable_checkpoint_bit_equal(spark, tmp_path_factory):
             )
         ) == sorted(map(tuple, graph.k_core(df, k=3, rounds=4).collect()))
 
+        sssp_seeds = df.sparkSession.createDataFrame(
+            [(1,), (4,)], "node bigint"
+        )
+        assert sorted(
+            map(
+                tuple,
+                graph.sssp(
+                    df, sssp_seeds, rounds=4, reliable=True
+                ).collect(),
+            )
+        ) == sorted(
+            map(tuple, graph.sssp(df, sssp_seeds, rounds=4).collect())
+        )
+
         cc_edges = spark.createDataFrame(
             [(a, b) for a, b in pairs], "doc_a bigint, doc_b bigint"
         )
