@@ -1083,6 +1083,7 @@ def sssp(
     reliable: bool = False,
     assume_normalized: bool = False,
     cut_input: bool = True,
+    frontier: bool = False,
 ) -> DataFrame:
     """(node, dist): MULTI-SOURCE single-source-shortest-paths over the
     DIRECTED edge list by fixed-round distributed relaxation
@@ -1106,11 +1107,23 @@ def sssp(
     per ``checkpoint_every`` rounds (``reliable`` as in `pagerank`).
     At 100 TB this is the plan you want: the state is (node, BIGINT),
     the join shuffles on the node key, and a hub's fan-out lands in
-    the min-combine's partial aggregation. A frontier-delta variant
-    (relax only nodes whose dist improved) saves work on
-    high-diameter graphs at the price of one extra diff join per
-    round; with the small fixed round counts used here, full-state
-    relaxation is the simpler and cheaper plan.
+    the min-combine's partial aggregation.
+
+    ``frontier=True`` switches to DELTA relaxation: only nodes whose
+    dist IMPROVED last round propagate (the classic Bellman-Ford
+    optimization) — exact for the truncated semantics too, because
+    every prefix of a ≤rounds-hop shortest path improves (or was
+    already beaten by a cheaper prefix that propagated earlier), so
+    dist after round r is still the min over ≤r-hop paths
+    (property-tested equal to the full relax on random graphs). Per
+    round it trades the full-edge relax join for a frontier-incident
+    one plus a node-keyed diff join (both sides fresh groupBy outputs,
+    so the diff reuses the hash partitioning), and BAILS OUT when the
+    frontier empties — a fixpoint, further rounds are no-ops. The win
+    grows with how early distances settle (on the trade graph most
+    settle in 2-3 of g11's 8 rounds); full-state relax remains the
+    default for small fixed round counts where the extra diff join
+    isn't paid for.
 
     ``weight`` names an INTEGRAL positive edge-cost column (weight
     None = unit cost ⇒ hop distance / multi-source BFS). Duplicate
@@ -1184,18 +1197,46 @@ def sssp(
         .withColumn("dist", F.lit(0).cast("bigint")),
         reliable,
     )
+    changed = state
     for r in range(rounds):
-        relaxed = state.join(e, state.node == e.src).select(
+        src_state = changed if frontier else state
+        relaxed = src_state.join(e, src_state.node == e.src).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )
-        state = (
+        new_state = (
             state.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
         )
-        if (r + 1) % checkpoint_every == 0 or r == rounds - 1:
-            state = _cut(state, reliable)
+        cut_now = (r + 1) % checkpoint_every == 0 or r == rounds - 1
+        if cut_now:
+            new_state = _cut(new_state, reliable)
+        if frontier:
+            # the next frontier: nodes whose dist is NEW or improved.
+            # Both sides are node-keyed aggregate/cut outputs, so the
+            # diff join reuses the hash partitioning (no extra
+            # exchange); cut so the emptiness probe and the next
+            # round's relax don't recompute the chain.
+            changed = _cut(
+                new_state.join(
+                    state.withColumnRenamed("dist", "__old"),
+                    "node",
+                    "left",
+                )
+                .filter(
+                    F.col("__old").isNull()
+                    | (F.col("dist") < F.col("__old"))
+                )
+                .select("node", "dist"),
+                reliable,
+            )
+            state = new_state
+            if changed.isEmpty():
+                # fixpoint: every remaining round would relax nothing
+                break
+        else:
+            state = new_state
     return state
 
 

@@ -3899,3 +3899,53 @@ def test_sssp_duckdb_twin_bit_equal(spark):
             ).fetchall()
         )
         assert got == want, f"weighted={weighted}"
+
+
+def test_sssp_frontier_equals_full_relax(spark):
+    """frontier=True (delta relaxation + fixpoint bail-out) is
+    result-identical to the default full-state relax: on hub-skewed
+    pseudo-random weighted graphs for several seed sets and round
+    counts (INCLUDING truncating counts, where the equality is the
+    subtle part — every prefix of a ≤r-hop shortest path propagated in
+    time), and on a path graph whose fixpoint arrives before the
+    round budget (the bail-out must not change the output)."""
+    from ad_data_pipelines_spark.operators import graph
+
+    pairs = [((i * 13) % 29, (i * 17 + 5) % 29) for i in range(80)]
+    pairs += [(0, i) for i in range(1, 12)]  # hub
+    rows = [(a, b, (a + 2 * b) % 7 + 1) for a, b in pairs if a != b]
+    rows += [(b, a, c) for a, b, c in rows]
+    df = spark.createDataFrame(rows, "src bigint, dst bigint, w bigint")
+
+    for seed_ids, rounds, weight in [
+        ([1], 2, "w"),       # truncating
+        ([1], 4, "w"),
+        ([1, 2, 7], 3, "w"),
+        ([5], 3, None),      # unweighted
+        ([1, 2, 7], 6, None),
+    ]:
+        seeds = spark.createDataFrame(
+            [(s,) for s in seed_ids], "node bigint"
+        )
+        full = sorted(
+            map(tuple, graph.sssp(
+                df, seeds, weight=weight, rounds=rounds
+            ).collect())
+        )
+        delta = sorted(
+            map(tuple, graph.sssp(
+                df, seeds, weight=weight, rounds=rounds, frontier=True
+            ).collect())
+        )
+        assert full == delta, (seed_ids, rounds, weight)
+
+    # early fixpoint: path 1-2-3 with a 10-round budget — frontier
+    # bails after round 2 yet returns the identical state
+    path = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src bigint, dst bigint"
+    )
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    assert sorted(
+        map(tuple, graph.sssp(path, seeds, rounds=10,
+                              frontier=True).collect())
+    ) == [(1, 0), (2, 1), (3, 2)]
