@@ -1451,6 +1451,187 @@ def contamination_sql(eval_pred_sql: str, n: int = 8) -> str:
     """
 
 
+def _bloom_probe_positions_sql(gh_expr: str, k: int, m_bits: int) -> str:
+    """The k md5-derived bloom bit positions of one gram hash, as a
+    Spark-SQL array expression — pure deterministic arithmetic both
+    engines replay bit-for-bit (same portable-md5 scheme as
+    `portable_hash64`)."""
+    return (
+        f"transform(sequence(0, {k - 1}), "
+        f"i -> CAST(conv(substring(md5(concat(CAST({gh_expr} AS STRING), "
+        f"'#', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % {m_bits})"
+    )
+
+
+def bloom_bits(
+    eval_grams: DataFrame, k: int = 5, bits_log2: int = 18
+) -> DataFrame:
+    """(word, bits): the bloom filter of a gram-hash set as a BOUNDED
+    bitmap-word table — ≤ 2^bits_log2 / 32 rows regardless of input
+    size. Positions are md5-derived (deterministic, DuckDB-replayable
+    — this bloom is EXACTLY reproducible cross-engine, so queries over
+    it hash-gate, no tolerance verdict needed); 32-bit words keep
+    every mask positive in int64 in both engines (bit 63 would go
+    negative two's-complement in Spark but overflow-error in DuckDB).
+    Build cost: one explode(k) over the DISTINCT eval grams + one
+    combinable bit_or — the eval side of decontamination is a
+    benchmark, tiny by definition."""
+    m = 1 << bits_log2
+    pos = eval_grams.select(
+        F.explode(F.expr(_bloom_probe_positions_sql("gh", k, m))).alias(
+            "pos"
+        )
+    )
+    return pos.groupBy(
+        F.expr("CAST(pos DIV 32 AS INT)").alias("word")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))"
+        ).alias("bits")
+    )
+
+
+def bloom_contamination_filter(
+    docs: DataFrame,
+    eval_pred,
+    n: int = 8,
+    grams: DataFrame | None = None,
+    k: int = 5,
+    bits_log2: int = 18,
+) -> DataFrame:
+    """`contamination_check`'s 100 TB-scale sibling: flag corpus docs
+    whose word-n-grams hit a BLOOM FILTER of the eval set's grams —
+    (doc_id, n_flagged_ngrams). GUARANTEED superset of the exact scan
+    (a bloom has no false negatives — unit-tested), with false
+    positives bounded by the classic (1 − e^{−kn/m})^k ≈ 0.2% per
+    gram at the defaults.
+
+    Why it exists when the exact scan already broadcasts: the exact
+    path broadcasts the eval set's full DISTINCT HASH SET — fine for
+    one benchmark, but a production decontamination list (every test
+    set of every benchmark suite, ~1e9 grams) is an 8 GB broadcast
+    where this bloom is 2^bits_log2/8 bytes (32 KB at the default;
+    scale bits_log2 with the list). The probe is PURE map-side
+    arithmetic: the corpus grams stream through a `forall` over k
+    in-row md5 positions against ONE broadcast array<bigint> scalar —
+    no join, no shuffle of anything corpus-sized; only flagged
+    (doc_id) rows reach the per-doc count (map-side combined). The
+    md5-derived positions make the filter DETERMINISTIC and
+    DuckDB-replayable, so the registry gate hash-checks the exact
+    flagged set (`bloom_contamination_sql`) — the FP set is part of
+    the contract, not noise. Use the bloom as the cheap first pass
+    and `contamination_check` on the survivors when exactness
+    matters."""
+    m = 1 << bits_log2
+    nwords = m // 32
+    if grams is None:
+        evals = docs.filter(eval_pred)
+        corpus = docs.filter(~eval_pred)
+        eval_grams = word_ngram_hashes(evals, n).select("gh").distinct()
+        corpus_grams = word_ngram_hashes(corpus, n)
+    else:
+        eval_ids = docs.filter(eval_pred).select("doc_id")
+        eval_grams = (
+            grams.join(F.broadcast(eval_ids), "doc_id")
+            .select("gh")
+            .distinct()
+        )
+        excluded_ids = docs.filter(
+            eval_pred | eval_pred.isNull()
+        ).select("doc_id")
+        corpus_grams = grams.join(
+            F.broadcast(excluded_ids), "doc_id", "left_anti"
+        )
+    words = bloom_bits(eval_grams, k=k, bits_log2=bits_log2)
+    # densify the bounded word table into ONE array<bigint> scalar row:
+    # a ~m/8-byte artifact every executor holds once (broadcast), with
+    # element_at probes inside whole-stage codegen
+    bf = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias(
+            "mp"
+        )
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {nwords - 1}), "
+            "w -> coalesce(mp[w], CAST(0 AS BIGINT)))"
+        ).alias("bf")
+    )
+    hit = F.expr(
+        f"forall({_bloom_probe_positions_sql('gh', k, m)}, "
+        "p -> (element_at(bf, CAST(p DIV 32 AS INT) + 1) & "
+        "shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))) != 0)"
+    )
+    return (
+        corpus_grams.crossJoin(F.broadcast(bf))  # one-row scalar
+        .filter(hit)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_flagged_ngrams"))
+    )
+
+
+def bloom_contamination_sql(
+    eval_pred_sql: str, n: int = 8, k: int = 5, bits_log2: int = 18
+) -> str:
+    """DuckDB oracle twin of `bloom_contamination_filter`: rebuilds the
+    SAME md5-derived bloom bit-for-bit (relational form — probes join
+    the word table and bool_and the bit tests) and reproduces the
+    exact flagged set, false positives included."""
+    m = 1 << bits_log2
+    grams = f"""
+        SELECT doc_id,
+               CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS gh
+        FROM (
+            SELECT doc_id,
+                   array_to_string(w[i:i+{n - 1}], ' ') AS g
+            FROM (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents
+            ), UNNEST(generate_series(1, GREATEST(len(w) - {n - 1}, 0))) AS t(i)
+        )
+        GROUP BY 1, 2
+    """
+    pos = (
+        "CAST('0x' || substr(md5(CAST(gh AS VARCHAR) || '#' || "
+        f"CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % {m}"
+    )
+    return f"""
+        WITH grams AS ({grams}),
+        eval_grams AS (
+            SELECT DISTINCT gh FROM grams
+            WHERE doc_id IN (SELECT doc_id FROM documents WHERE {eval_pred_sql})
+        ),
+        bloom_words AS (
+            SELECT CAST(pos // 32 AS INT) AS word,
+                   BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+            FROM (
+                SELECT {pos} AS pos
+                FROM eval_grams, UNNEST(generate_series(0, {k - 1})) AS t(i)
+            )
+            GROUP BY 1
+        ),
+        corpus_probes AS (
+            SELECT g.doc_id, g.gh, {pos} AS pos
+            FROM grams g, UNNEST(generate_series(0, {k - 1})) AS t(i)
+            WHERE g.doc_id NOT IN (
+                SELECT doc_id FROM documents WHERE {eval_pred_sql}
+            )
+        ),
+        flagged AS (
+            SELECT doc_id, gh
+            FROM corpus_probes p
+            LEFT JOIN bloom_words w ON w.word = CAST(p.pos // 32 AS INT)
+            GROUP BY doc_id, gh
+            HAVING BOOL_AND(
+                (COALESCE(w.bits, 0) &
+                 (CAST(1 AS BIGINT) << CAST(p.pos % 32 AS INT))) <> 0
+            )
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_flagged_ngrams
+        FROM flagged
+        GROUP BY 1
+    """
+
+
 def novelty_scores(
     docs: DataFrame,
     n: int = 8,

@@ -3799,9 +3799,10 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     update when registering consumers): shingles 4, minhash_sigs 2,
     lsh_pairs 3, dup_components 4, simhash 2, lsh_corpus_buckets 2,
     ivf_corpus_cells 3, quality_features 2, char_entropy 2,
-    repetition 2, word_grams 2, pq_codes 2, span_bounds 2,
-    trade_edges 6 (g1/g2/g3/g4/g5/g7), cosupply_pairs 2 (the knn
-    build + g10), cosupply_knn 3 (g6/g8/g9),
+    repetition 2, word_grams 3 (contamination/novelty/bloom_decontam),
+    pq_codes 2, span_bounds 2,
+    trade_edges 8 (g1/g2/g3/g4/g5/g7 + g11/g12 SSSP), cosupply_pairs 2
+    (the knn build + g10), cosupply_knn 3 (g6/g8/g9),
     cosine_truth25 3 (llm_cosine_topk/llm_ann_recall/llm_ivf_recall),
     l2_truth10 2 (llm_l2_topk/llm_pq_recall) — the recall gates'
     ground-truth tables, materialized once like a production recall
@@ -4903,6 +4904,33 @@ def q_s16_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     return _dedup.contamination_check(
+        docs,
+        F.col("doc_id") < 25,
+        n=8,
+        grams=_word_grams_shared(spark, sf_dir),
+    )
+
+
+@register(
+    "llm_bloom_decontam",
+    oracle=_dedup.bloom_contamination_sql("doc_id < 25", n=8),
+    doc="Benchmark decontamination at PRODUCTION-LIST scale: corpus "
+    "docs whose word-8-grams hit a BLOOM of the eval set's grams "
+    "(llm_contamination's sibling — the exact path broadcasts the "
+    "full distinct hash set, fine for one benchmark but ~8 GB for a "
+    "full decontamination list of ~1e9 grams where this bloom is "
+    "2^18 bits = 32 KB). Probe is pure map-side arithmetic: forall "
+    "over k=5 in-row md5 positions against ONE broadcast "
+    "array<bigint> scalar — no join, nothing corpus-sized shuffles. "
+    "The md5-derived positions make the filter deterministic and "
+    "DuckDB-replayable, so the gate hash-checks the EXACT flagged "
+    "set, false positives included (guaranteed superset of the exact "
+    "scan — no false negatives — unit-tested). "
+    "operators/dedup.py:bloom_contamination_filter(+_sql).",
+)
+def q_llm_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return _dedup.bloom_contamination_filter(
         docs,
         F.col("doc_id") < 25,
         n=8,
@@ -7436,6 +7464,7 @@ _GATE_PRIORITY = [
     # tier 0 (round 11): new registrations + changed-plan re-gates
     "g11_sssp_trusted_distance",
     "g12_hop_histogram",
+    "llm_bloom_decontam",
     "a5_distinct_approx",
     "g4_weighted_pagerank",
     # tier 1: latest green r7 — the oldest tail, cheapest-first

@@ -3949,3 +3949,62 @@ def test_sssp_frontier_equals_full_relax(spark):
         map(tuple, graph.sssp(path, seeds, rounds=10,
                               frontier=True).collect())
     ) == [(1, 0), (2, 1), (3, 2)]
+
+
+def test_bloom_contamination_superset_and_duckdb_twin(spark):
+    """The bloom decontamination pass: (a) NO FALSE NEGATIVES — every
+    doc the exact scan flags is bloom-flagged with at least as many
+    grams (a bloom can only over-flag); (b) the md5-derived filter is
+    EXACTLY reproducible — flagged sets (false positives included)
+    bit-equal the DuckDB relational twin; (c) the shared-grams path
+    matches the self-tokenizing path; (d) a tiny filter (bits_log2=8,
+    64 words for thousands of grams) saturates toward flagging
+    everything yet STILL satisfies the superset property — the FP/size
+    trade-off behaves like a bloom filter should."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id") < 120
+    )
+    pred = F.col("doc_id") < 25
+    grams = dedup.word_ngram_hashes(docs, 8)
+
+    exact = {
+        r.doc_id: r.n_shared_ngrams
+        for r in dedup.contamination_check(docs, pred, 8).collect()
+    }
+    bloom = {
+        r.doc_id: r.n_flagged_ngrams
+        for r in dedup.bloom_contamination_filter(docs, pred, 8).collect()
+    }
+    assert set(exact) <= set(bloom)
+    for d, n_exact in exact.items():
+        assert bloom[d] >= n_exact
+
+    shared = {
+        r.doc_id: r.n_flagged_ngrams
+        for r in dedup.bloom_contamination_filter(
+            docs, pred, 8, grams=grams
+        ).collect()
+    }
+    assert bloom == shared
+
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    twin = {
+        int(d): int(c)
+        for d, c in con.execute(
+            dedup.bloom_contamination_sql("doc_id < 25", n=8)
+        ).fetchall()
+    }
+    assert bloom == twin
+
+    tiny = {
+        r.doc_id: r.n_flagged_ngrams
+        for r in dedup.bloom_contamination_filter(
+            docs, pred, 8, bits_log2=8
+        ).collect()
+    }
+    assert set(exact) <= set(tiny)
+    # saturation: the 256-bit filter flags (weakly) more than the 256k one
+    assert sum(tiny.values()) >= sum(bloom.values())
