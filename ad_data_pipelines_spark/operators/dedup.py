@@ -1378,6 +1378,9 @@ def contamination_check(
     eval_pred,
     n: int = 8,
     grams: DataFrame | None = None,
+    bloom_prefilter: bool = False,
+    bloom_k: int = 5,
+    bloom_bits_log2: int = 18,
 ) -> DataFrame:
     """Benchmark-decontamination scan: which corpus docs share at least
     one word-n-gram with the held-out eval set (`eval_pred` a boolean
@@ -1391,7 +1394,17 @@ def contamination_check(
     Pass `grams` (a precomputed `word_ngram_hashes` table — shared with
     `novelty_scores`, or materialized on disk) to skip re-tokenizing
     the corpus; membership then splits by broadcast doc_id joins.
-    """
+
+    ``bloom_prefilter=True`` is the two-phase production shape for a
+    LARGE eval side (a full multi-benchmark decontamination list whose
+    distinct hash set is too big to broadcast comfortably): phase 1
+    streams the corpus grams through the ~KB broadcast bloom scalar
+    (`bloom_contamination_filter`'s probe — in-row arithmetic, no
+    join), phase 2 joins only the ~0.2%-FP survivors against the
+    exact hash set. Results are IDENTICAL to the direct path (the
+    bloom has no false negatives and phase 2 removes its false
+    positives — tested); only the plan changes: the expensive
+    broadcast hash join sees a tiny fraction of the corpus grams."""
     if grams is None:
         evals = docs.filter(eval_pred)
         corpus = docs.filter(~eval_pred)
@@ -1413,6 +1426,10 @@ def contamination_check(
         ).select("doc_id")
         corpus_grams = grams.join(
             F.broadcast(excluded_ids), "doc_id", "left_anti"
+        )
+    if bloom_prefilter:
+        corpus_grams = _bloom_hit_grams(
+            corpus_grams, eval_grams, bloom_k, bloom_bits_log2
         )
     hits = corpus_grams.join(F.broadcast(eval_grams), "gh")
     return hits.groupBy("doc_id").agg(
@@ -1542,6 +1559,24 @@ def bloom_contamination_filter(
         corpus_grams = grams.join(
             F.broadcast(excluded_ids), "doc_id", "left_anti"
         )
+    return (
+        _bloom_hit_grams(corpus_grams, eval_grams, k, bits_log2)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_flagged_ngrams"))
+    )
+
+
+def _bloom_hit_grams(
+    corpus_grams: DataFrame,
+    eval_grams: DataFrame,
+    k: int,
+    bits_log2: int,
+) -> DataFrame:
+    """corpus_grams rows whose gh hits the bloom of eval_grams — the
+    shared probe behind `bloom_contamination_filter` and the
+    `contamination_check(bloom_prefilter=True)` two-phase path."""
+    m = 1 << bits_log2
+    nwords = m // 32
     words = bloom_bits(eval_grams, k=k, bits_log2=bits_log2)
     # densify the bounded word table into ONE array<bigint> scalar row:
     # a ~m/8-byte artifact every executor holds once (broadcast), with
@@ -1561,12 +1596,8 @@ def bloom_contamination_filter(
         "p -> (element_at(bf, CAST(p DIV 32 AS INT) + 1) & "
         "shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))) != 0)"
     )
-    return (
-        corpus_grams.crossJoin(F.broadcast(bf))  # one-row scalar
-        .filter(hit)
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("n_flagged_ngrams"))
-    )
+    # one-row scalar crossJoin (the repo's sanctioned broadcast form)
+    return corpus_grams.crossJoin(F.broadcast(bf)).filter(hit).drop("bf")
 
 
 def bloom_contamination_sql(

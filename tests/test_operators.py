@@ -4008,3 +4008,16 @@ def test_bloom_contamination_superset_and_duckdb_twin(spark):
     assert set(exact) <= set(tiny)
     # saturation: the 256-bit filter flags (weakly) more than the 256k one
     assert sum(tiny.values()) >= sum(bloom.values())
+
+    # two-phase composition: the bloom PRE-FILTER leaves the exact
+    # scan's results bit-identical (phase 2 removes the bloom's false
+    # positives) — even under a saturating 256-bit filter
+    for blog2 in (18, 8):
+        two_phase = {
+            r.doc_id: r.n_shared_ngrams
+            for r in dedup.contamination_check(
+                docs, pred, 8, bloom_prefilter=True,
+                bloom_bits_log2=blog2,
+            ).collect()
+        }
+        assert two_phase == exact, f"bits_log2={blog2}"
