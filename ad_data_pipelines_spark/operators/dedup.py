@@ -1575,9 +1575,31 @@ def _bloom_hit_grams(
     """corpus_grams rows whose gh hits the bloom of eval_grams — the
     shared probe behind `bloom_contamination_filter` and the
     `contamination_check(bloom_prefilter=True)` two-phase path."""
+    return bloom_hit_grams_from_words(
+        corpus_grams,
+        bloom_bits(eval_grams, k=k, bits_log2=bits_log2),
+        k=k,
+        bits_log2=bits_log2,
+    )
+
+
+def bloom_hit_grams_from_words(
+    corpus_grams: DataFrame,
+    words: DataFrame,
+    k: int = 5,
+    bits_log2: int = 18,
+) -> DataFrame:
+    """The bloom probe against a PREBUILT (word, bits) table — the
+    production artifact path: an upstream job materializes
+    `bloom_bits` of the full decontamination list once per list
+    revision (≤ 2^bits_log2/32 rows of parquet), and every consumer —
+    batch scans and the streaming ingest gate
+    (streaming/decontam.py) — probes it without touching the list
+    itself. `k` and `bits_log2` MUST match the values the words table
+    was built with (a mismatch silently probes wrong positions — the
+    artifact's metadata is the place to carry them)."""
     m = 1 << bits_log2
     nwords = m // 32
-    words = bloom_bits(eval_grams, k=k, bits_log2=bits_log2)
     # densify the bounded word table into ONE array<bigint> scalar row:
     # a ~m/8-byte artifact every executor holds once (broadcast), with
     # element_at probes inside whole-stage codegen

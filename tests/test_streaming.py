@@ -1392,3 +1392,72 @@ def test_streaming_histogram_maintainer_matches_batch_and_guards(
     )
     versions = [d for d in os.listdir(root) if d.startswith("v")]
     assert len(versions) <= 2
+
+
+def test_streaming_bloom_decontam_matches_batch_and_idempotent(
+    spark, tmp_path
+):
+    """The streamed decontamination gate == the batch bloom pass: the
+    quarantined doc set AND its per-doc flagged-gram evidence equal
+    bloom_contamination_filter's output over the same corpus (the
+    probe is doc-local, so micro-batching at maxFilesPerTrigger=1 is
+    exact), keep/quarantine partition the corpus exhaustively and
+    disjointly, and a re-drain over the same checkpoint appends
+    nothing (replay idempotence)."""
+    from ad_data_pipelines_spark.operators import dedup as _dedup
+    from ad_data_pipelines_spark.streaming import decontam
+
+    docs = tq.t(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 120)
+    evals = docs.filter(F.col("doc_id") < 25)
+    corpus = docs.filter(F.col("doc_id") >= 25)
+
+    # the list artifact an upstream job would materialize
+    eval_grams = (
+        _dedup.word_ngram_hashes(evals, 8).select("gh").distinct()
+    )
+    words = _dedup.bloom_bits(eval_grams, k=5, bits_log2=18)
+    words.write.parquet(str(tmp_path / "bloom_words"))
+    words_tbl = spark.read.parquet(str(tmp_path / "bloom_words"))
+
+    # batch truth: the same operator over the same corpus
+    expected = {
+        r.doc_id: r.n
+        for r in (
+            _dedup.bloom_hit_grams_from_words(
+                _dedup.word_ngram_hashes(corpus, 8), words_tbl
+            )
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n"))
+            .collect()
+        )
+    }
+    assert expected, "fixture must flag at least one doc"
+
+    src = tmp_path / "docs_src"
+    corpus.repartition(4).write.parquet(str(src))
+    ck = str(tmp_path / "ck")
+    keep_p = str(tmp_path / "keep")
+    quar_p = str(tmp_path / "quarantine")
+
+    decontam.run_bloom_decontam_available_now(
+        spark, str(src), words_tbl, ck, keep_p, quar_p,
+        max_files_per_trigger=1,
+    )
+
+    quar = {
+        r.doc_id: r.n_flagged_ngrams
+        for r in spark.read.parquet(quar_p).collect()
+    }
+    kept = {r.doc_id for r in spark.read.parquet(keep_p).collect()}
+    n_corpus = corpus.count()
+    assert quar == expected
+    assert kept.isdisjoint(quar)
+    assert len(kept) + len(quar) == n_corpus
+
+    # replay idempotence: same checkpoint, nothing new appends
+    decontam.run_bloom_decontam_available_now(
+        spark, str(src), words_tbl, ck, keep_p, quar_p,
+        max_files_per_trigger=1,
+    )
+    assert spark.read.parquet(keep_p).count() == len(kept)
+    assert spark.read.parquet(quar_p).count() == len(quar)
