@@ -1084,6 +1084,7 @@ def sssp(
     assume_normalized: bool = False,
     cut_input: bool = True,
     frontier: bool = False,
+    per_seed: bool = False,
 ) -> DataFrame:
     """(node, dist): MULTI-SOURCE single-source-shortest-paths over the
     DIRECTED edge list by fixed-round distributed relaxation
@@ -1138,7 +1139,18 @@ def sssp(
     ONLY for a materialized input; the loop scans the edge list every
     round. Integer costs + min make the result BIT-EQUAL to the
     unrolled DuckDB twin (`sssp_sql`) — deterministic at any
-    parallelism, no float tie ambiguity."""
+    parallelism, no float tie ambiguity.
+
+    ``per_seed=True`` switches to LANDMARK mode: the state is keyed
+    (seed, node) and the output is one row per (landmark, reached
+    node) with the truncated distance FROM THAT LANDMARK — the input
+    to landmark centralities (harmonic closeness: Σ_seeds 1/dist),
+    where the default's min-over-all-seeds collapse would lose the
+    per-landmark terms. Same relax loop, group key widened by the
+    seed column; state and shuffle volume scale by the mean number of
+    landmarks reaching a node, so keep the landmark set SMALL (tens,
+    not a percentage of the graph) — the classic landmark-selection
+    contract. `frontier` composes: the diff join keys (seed, node)."""
     if rounds < 1:
         raise ValueError(f"need >= 1 relaxation round, got {rounds}")
     if checkpoint_every < 1:
@@ -1191,44 +1203,49 @@ def sssp(
                 "int64 headroom for the longest representable path — "
                 "re-scale costs or lower rounds"
             )
+    seed_nodes = seeds.select(F.col(seed_col).alias("node")).distinct()
+    if per_seed:
+        seed_nodes = seed_nodes.select(
+            F.col("node").alias("seed"), "node"
+        )
     state = _cut(
-        seeds.select(F.col(seed_col).alias("node"))
-        .distinct()
-        .withColumn("dist", F.lit(0).cast("bigint")),
+        seed_nodes.withColumn("dist", F.lit(0).cast("bigint")),
         reliable,
     )
+    keys = ["seed", "node"] if per_seed else ["node"]
     changed = state
     for r in range(rounds):
         src_state = changed if frontier else state
         relaxed = src_state.join(e, src_state.node == e.src).select(
+            *(["seed"] if per_seed else []),
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("w")).alias("dist"),
         )
         new_state = (
             state.unionByName(relaxed)
-            .groupBy("node")
+            .groupBy(*keys)
             .agg(F.min("dist").alias("dist"))
         )
         cut_now = (r + 1) % checkpoint_every == 0 or r == rounds - 1
         if cut_now:
             new_state = _cut(new_state, reliable)
         if frontier:
-            # the next frontier: nodes whose dist is NEW or improved.
-            # Both sides are node-keyed aggregate/cut outputs, so the
+            # the next frontier: keys whose dist is NEW or improved.
+            # Both sides are key-hashed aggregate/cut outputs, so the
             # diff join reuses the hash partitioning (no extra
             # exchange); cut so the emptiness probe and the next
             # round's relax don't recompute the chain.
             changed = _cut(
                 new_state.join(
                     state.withColumnRenamed("dist", "__old"),
-                    "node",
+                    keys,
                     "left",
                 )
                 .filter(
                     F.col("__old").isNull()
                     | (F.col("dist") < F.col("__old"))
                 )
-                .select("node", "dist"),
+                .select(*keys, "dist"),
                 reliable,
             )
             state = new_state
@@ -1245,33 +1262,41 @@ def sssp_sql(
     seed_sql: str,
     rounds: int = 6,
     weighted: bool = False,
+    per_seed: bool = False,
 ) -> str:
     """DuckDB twin of :func:`sssp`: the relaxation unrolled as
     ``rounds`` AS MATERIALIZED CTEs (2 references each — inlining
     would blow up multiplicatively, the g1–g10 idiom). `edge_sql`
     must yield (src, dst) plus an integral ``w`` when ``weighted``;
     `seed_sql` one ``node`` column. Bit-equal to the Spark operator:
-    integer costs, MIN collapse, same truncation semantics."""
+    integer costs, MIN collapse, same truncation semantics.
+    ``per_seed=True`` mirrors the landmark mode: state keyed
+    (seed, node), one output row per landmark × reached node."""
     w_expr = "w" if weighted else "CAST(1 AS BIGINT)"
+    sd = "seed, " if per_seed else ""
     parts = [
         f"raw AS ({edge_sql})",
         "e AS MATERIALIZED (SELECT src, dst, MIN("
         + w_expr
         + ") AS w FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL "
         "AND src <> dst GROUP BY src, dst)",
-        f"s0 AS MATERIALIZED (SELECT DISTINCT node, "
+        "s0 AS MATERIALIZED (SELECT DISTINCT "
+        + ("node AS seed, " if per_seed else "")
+        + "node, "
         f"CAST(0 AS BIGINT) AS dist FROM ({seed_sql}))",
     ]
     for r in range(1, rounds + 1):
         parts.append(
-            f"s{r} AS MATERIALIZED (SELECT node, MIN(dist) AS dist "
-            f"FROM (SELECT node, dist FROM s{r - 1} UNION ALL "
-            f"SELECT e.dst AS node, s{r - 1}.dist + e.w AS dist "
+            f"s{r} AS MATERIALIZED (SELECT {sd}node, MIN(dist) AS dist "
+            f"FROM (SELECT {sd}node, dist FROM s{r - 1} UNION ALL "
+            f"SELECT {('s' + str(r - 1) + '.seed, ') if per_seed else ''}"
+            f"e.dst AS node, s{r - 1}.dist + e.w AS dist "
             f"FROM s{r - 1} JOIN e ON e.src = s{r - 1}.node) "
-            "GROUP BY node)"
+            f"GROUP BY {sd}node)"
         )
     return (
-        "WITH " + ",\n".join(parts) + f"\nSELECT node, dist FROM s{rounds}"
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT {sd}node, dist FROM s{rounds}"
     )
 
 

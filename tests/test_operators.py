@@ -3951,6 +3951,94 @@ def test_sssp_frontier_equals_full_relax(spark):
     ) == [(1, 0), (2, 1), (3, 2)]
 
 
+def test_sssp_per_seed_landmark_mode(spark):
+    """per_seed=True (landmark mode): one (seed, node, dist) row per
+    landmark × reached node. Closed forms on a weighted path, the
+    collapse consistency (MIN over per-seed dists == the default
+    multi-source output), frontier composition (delta relax diffs on
+    the widened key), an ISOLATED landmark contributing only its own
+    dist-0 row, and bit-equality with the per-seed DuckDB twin on a
+    hub-skewed weighted graph."""
+    import duckdb
+
+    from ad_data_pipelines_spark.operators import graph
+
+    # weighted path 1-2-3-4-5, both orientations, cost 7 per hop
+    path = [(i, i + 1, 7) for i in range(1, 5)]
+    path += [(b, a, c) for a, b, c in path]
+    pdf = spark.createDataFrame(path, "src bigint, dst bigint, w bigint")
+    seeds = spark.createDataFrame([(1,), (5,)], "node bigint")
+    got = sorted(
+        map(tuple, graph.sssp(
+            pdf, seeds, weight="w", rounds=6, per_seed=True
+        ).collect())
+    )
+    assert got == sorted(
+        [(1, n, (n - 1) * 7) for n in range(1, 6)]
+        + [(5, n, (5 - n) * 7) for n in range(1, 6)]
+    )
+
+    # hub-skewed weighted graph: per-seed MIN-collapse == default mode,
+    # and frontier delta == full relax on the widened key (including a
+    # truncating round count)
+    pairs = [((i * 13) % 29, (i * 17 + 5) % 29) for i in range(80)]
+    pairs += [(0, i) for i in range(1, 12)]
+    rows = [(a, b, (a + 2 * b) % 7 + 1) for a, b in pairs if a != b]
+    rows += [(b, a, c) for a, b, c in rows]
+    df = spark.createDataFrame(rows, "src bigint, dst bigint, w bigint")
+    hseeds = spark.createDataFrame([(1,), (2,), (7,)], "node bigint")
+    for rounds in (2, 4):
+        per = graph.sssp(
+            df, hseeds, weight="w", rounds=rounds, per_seed=True
+        ).collect()
+        collapsed = sorted(
+            map(tuple, graph.sssp(
+                df, hseeds, weight="w", rounds=rounds
+            ).collect())
+        )
+        mins: dict = {}
+        for r in per:
+            mins[r.node] = min(mins.get(r.node, r.dist), r.dist)
+        assert sorted(mins.items()) == collapsed, rounds
+        delta = sorted(map(tuple, graph.sssp(
+            df, hseeds, weight="w", rounds=rounds,
+            per_seed=True, frontier=True,
+        ).collect()))
+        assert delta == sorted(map(tuple, per)), rounds
+
+    # isolated landmark: node 99 has no edges — it contributes exactly
+    # its own (99, 99, 0) row and nothing else
+    iso = spark.createDataFrame([(1,), (99,)], "node bigint")
+    got = sorted(map(tuple, graph.sssp(
+        pdf, iso, weight="w", rounds=3, per_seed=True
+    ).collect()))
+    assert (99, 99, 0) in got
+    assert [r for r in got if r[0] == 99] == [(99, 99, 0)]
+
+    # DuckDB twin bit-equality in landmark mode (weighted + unweighted)
+    values_sql = "SELECT * FROM (VALUES " + ", ".join(
+        f"({a}, {b}, {c})" for a, b, c in rows
+    ) + ") AS t(src, dst, w)"
+    seed_sql = "SELECT 1 AS node UNION ALL SELECT 2 UNION ALL SELECT 7"
+    con = duckdb.connect()
+    for weighted in (False, True):
+        got = sorted(
+            (r.seed, r.node, r.dist)
+            for r in graph.sssp(
+                df, hseeds, weight="w" if weighted else None,
+                rounds=5, per_seed=True,
+            ).collect()
+        )
+        want = sorted(
+            (int(s), int(n), int(d))
+            for s, n, d in con.execute(graph.sssp_sql(
+                values_sql, seed_sql, rounds=5,
+                weighted=weighted, per_seed=True,
+            )).fetchall()
+        )
+        assert got == want, f"weighted={weighted}"
+
+
 def test_bloom_contamination_superset_and_duckdb_twin(spark):
     """The bloom decontamination pass: (a) NO FALSE NEGATIVES — every
     doc the exact scan flags is bloom-flagged with at least as many

@@ -1040,6 +1040,49 @@ def test_sssp_10x_linear_and_exact(spark):
     )
 
 
+def test_sssp_per_seed_10x_linear_and_exact(spark):
+    """Landmark mode (per_seed=True) at 10× nodes: on a symmetric ring
+    with FOUR fixed landmarks (0, n/4, n/2, 3n/4 — the landmark-count-
+    is-constant contract), the per-landmark closed form is dist(L, v) =
+    min ring distance ≤ rounds, so the output is exactly 4 × 11 rows at
+    ANY scale (5 hops each way + the landmark itself); runtime stays
+    ~linear in the edge count (the relax join scans edges once per
+    round; the per-seed key widening must not change the growth
+    rate)."""
+    from ad_data_pipelines_spark.operators import graph
+
+    def ring(n):
+        fwd = spark.range(n).selectExpr(
+            "id AS src", f"(id + 1) % {n} AS dst"
+        )
+        return fwd.unionByName(fwd.selectExpr("dst AS src", "src AS dst"))
+
+    def run(n):
+        marks = [0, n // 4, n // 2, 3 * n // 4]
+        seeds = spark.createDataFrame(
+            [(m,) for m in marks], "node bigint"
+        )
+        t0 = time.perf_counter()
+        out = graph.sssp(ring(n), seeds, rounds=5, per_seed=True)
+        rows = [tuple(r) for r in out.collect()]
+        el = time.perf_counter() - t0
+        want = set()
+        for m in marks:
+            for d in range(6):
+                want.add((m, (m + d) % n, d))
+                want.add((m, (m - d) % n, d))
+        assert set(rows) == want, n
+        assert len(rows) == 4 * 11, n
+        return el
+
+    t1 = run(3_000)
+    t10 = run(30_000)
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"per-seed sssp 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — grows "
+        "super-linearly"
+    )
+
+
 def test_shingles_stage_10x_linear_and_no_shuffle(spark):
     """The shingles shared stage (char_shingles over documents — the
     most expensive shared-stage build at sf0.1) at 10× generated docs:
