@@ -6659,6 +6659,11 @@ def q_g3_trade_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         iterations=5,
         assume_normalized=True,
         cut_input=False,  # the shared stage is a checkpointed RDD
+        frontier=True,  # delta half-steps: the trade graph's label
+        # churn dies by iteration 3 (measured profile ends
+        # .../1524/0/0/0/0/0), so the joint-fixpoint bail-out skips
+        # the dead half-steps — in-session interleaved A/B at sf0.1:
+        # 5.62 -> 4.71 s median (0.84 pairwise), labels bit-equal
     )
     comm = labels.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_members")

@@ -2918,6 +2918,50 @@ def test_label_propagation_bit_equal_structure_and_guards(spark):
         graph.label_propagation(df, checkpoint_every=0)
 
 
+def test_label_propagation_frontier_equals_full(spark):
+    """frontier=True (delta half-steps + joint-fixpoint bail-out) is
+    label-identical to the default full sweep: on a hub-skewed
+    pseudo-random graph, a bipartite graph (the oscillation-prone
+    shape the half-steps exist for), and a ring, at thresholds that
+    force the delta path ALWAYS (0.0), the full path always (1.1),
+    and the production mix (0.25); and with an iteration budget far
+    past the fixpoint, where the bail-out must not change the output
+    (it only skips provably-no-op half-steps)."""
+    from ad_data_pipelines_spark.operators import graph
+
+    pairs = [((i * 13) % 29, (i * 17 + 5) % 29) for i in range(80)]
+    pairs += [(0, i) for i in range(1, 12)]
+    hub = [(a, b) for a, b in pairs if a != b]
+    hub += [(b, a) for a, b in hub]
+    bip = [(2 * a, 2 * b + 1) for a in range(10) for b in range(6)
+           if (a * 7 + b * 3) % 4 != 0]
+    bip += [(b, a) for a, b in bip]
+    ring = [(i, (i + 1) % 40) for i in range(40)]
+    ring += [(b, a) for a, b in ring]
+
+    for name, rows, iters in [
+        ("hub", hub, 5), ("bipartite", bip, 5), ("ring", ring, 7),
+    ]:
+        df = spark.createDataFrame(rows, "src bigint, dst bigint")
+        base = sorted(map(tuple, graph.label_propagation(
+            df, iterations=iters
+        ).collect()))
+        for thr in (0.0, 0.25, 1.1):
+            delta = sorted(map(tuple, graph.label_propagation(
+                df, iterations=iters, frontier=True,
+                frontier_threshold=thr,
+            ).collect()))
+            assert delta == base, (name, thr)
+
+    # iteration budget far past the fixpoint: bail-out path == default
+    df = spark.createDataFrame(bip, "src bigint, dst bigint")
+    assert sorted(map(tuple, graph.label_propagation(
+        df, iterations=12, frontier=True
+    ).collect())) == sorted(map(tuple, graph.label_propagation(
+        df, iterations=12
+    ).collect()))
+
+
 def test_pagerank_assume_normalized_bit_equal(spark):
     """A pre-normalized edge artifact (deduped, oriented, with a
     precomputed `od` column — the shared trade-graph stage shape) must

@@ -357,7 +357,10 @@ _SMJ_ALLOWED = {
     # both fact-scale, co-partitioned on the node key by design
     "g1_pagerank_suppliers",
     "g2_ppr_trusted_suppliers",
-    "g3_trade_communities",
+    # g3 left this list in round 11: frontier=True materializes the
+    # label state per half-step, so every vote join probes a
+    # checkpointed (node, label) frame small enough for AQE to
+    # broadcast — the final sf0.1 plan is SMJ/SHJ-free
     "g4_weighted_pagerank",
     "g6_cosupply_triangles",  # wedge/orientation self-joins, fact-fact
     "g7_coreness",
