@@ -3983,6 +3983,66 @@ def q_llm_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_leakage_safe_split",
+    oracle=f"""
+        WITH j AS (
+            SELECT d.doc_id,
+                   COALESCE(c.component, d.doc_id) AS cluster_id,
+                   c.component IS NOT NULL AS in_cluster
+            FROM documents d
+            LEFT JOIN ({_dedup.dup_components_sql(min_eq=8)}) c
+                   ON c.doc_id = d.doc_id
+        )
+        SELECT {_sampling.hash_split_sql(
+            "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        )} AS split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+               CAST(SUM(CASE WHEN in_cluster THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_member_docs
+        FROM j GROUP BY 1 ORDER BY 1
+    """,
+    doc="LEAKAGE-SAFE train/val/test split: hash-split by the near-dup "
+    "CLUSTER id (the CC component representative; singletons fall "
+    "back to their own doc_id) instead of the row id — llm_hash_split "
+    "keyed per doc would strand near-duplicates of a training doc in "
+    "the test set, the classic contamination-through-near-dups hole "
+    "that survives doc-level decontamination because the eval twin "
+    "isn't an exact match. Same cluster key ⇒ same split by "
+    "construction (atomicity property-tested). Scale shape: the "
+    "cluster table is the SHARED dup_components stage (tiny — only "
+    "docs in some cluster), broadcast-joined onto the doc spine; the "
+    "split itself stays a narrow map-side expression, so at 100 TB "
+    "this costs one dim broadcast over the corpus scan. "
+    "operators/sampling.py:hash_split + dedup.py:dup_components.",
+)
+def q_llm_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    comp = _dup_components_shared(spark, sf_dir, min_eq=8).select(
+        "doc_id", "component"
+    )
+    keyed = docs.join(maybe_broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("cluster_id"),
+        F.col("component").isNotNull().alias("in_cluster"),
+    )
+    split = _sampling.hash_split(
+        keyed, "cluster_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct("cluster_id").cast("bigint").alias("n_clusters"),
+            F.sum(F.when(F.col("in_cluster"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup_member_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
     "t4_funnel_conversion",
     oracle="""
         WITH nextp AS (
@@ -7548,6 +7608,8 @@ _GATE_PRIORITY = [
     "g11_sssp_trusted_distance",
     "g12_hop_histogram",
     "g13_harmonic_closeness",
+    "llm_leakage_safe_split",
+    "g3_trade_communities",
     "llm_bloom_decontam",
     "a5_distinct_approx",
     "g4_weighted_pagerank",
@@ -7682,7 +7744,6 @@ _GATE_PRIORITY = [
     "llm_pq_ivf_topk",
     "llm_cooccurrence",
     "g7_coreness",
-    "g3_trade_communities",
     # tier 4: r10 greens cheapest-first (freshest last)
     "llm_repetition",
     "llm_quality",

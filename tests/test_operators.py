@@ -3995,6 +3995,47 @@ def test_sssp_frontier_equals_full_relax(spark):
     ) == [(1, 0), (2, 1), (3, 2)]
 
 
+def test_leakage_safe_split_cluster_atomic(spark):
+    """The leakage-safe split's invariant: a near-dup cluster NEVER
+    straddles splits (same cluster_id ⇒ same md5 bucket ⇒ same split),
+    while the naive row-keyed split demonstrably WOULD leak — on the
+    deterministic sf0.01 corpus, 33 multi-doc clusters exist and
+    doc_id-keyed splitting strands members of 15 of them across split
+    boundaries (train-doc near-dups in val/test: the contamination
+    hole the query exists to close)."""
+    from pyspark.sql import functions as F
+
+    from ad_data_pipelines_spark.operators import sampling
+    from ad_data_pipelines_spark.plans import testdata_queries as tq
+
+    sf = "/root/testdata/sf0.01"
+    docs = tq.t(spark, sf, "documents").select("doc_id")
+    comp = tq._dup_components_shared(spark, sf, min_eq=8).select(
+        "doc_id", "component"
+    )
+    keyed = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("cluster_id")
+    )
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def straddles(split_key):
+        return (
+            sampling.hash_split(keyed, split_key, fr)
+            .groupBy("cluster_id")
+            .agg(F.count_distinct("split").alias("k"))
+            .filter("k > 1")
+            .count()
+        )
+
+    n_multi = (
+        keyed.groupBy("cluster_id").agg(F.count("*").alias("n"))
+        .filter("n > 1").count()
+    )
+    assert n_multi == 33  # non-vacuous: real multi-doc clusters
+    assert straddles("cluster_id") == 0
+    assert straddles("doc_id") == 15  # the hole, demonstrated
+
+
 def test_sssp_per_seed_landmark_mode(spark):
     """per_seed=True (landmark mode): one (seed, node, dist) row per
     landmark × reached node. Closed forms on a weighted path, the
