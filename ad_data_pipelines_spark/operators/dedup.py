@@ -1468,15 +1468,44 @@ def contamination_sql(eval_pred_sql: str, n: int = 8) -> str:
     """
 
 
-def _bloom_probe_positions_sql(gh_expr: str, k: int, m_bits: int) -> str:
-    """The k md5-derived bloom bit positions of one gram hash, as a
-    Spark-SQL array expression — pure deterministic arithmetic both
-    engines replay bit-for-bit (same portable-md5 scheme as
-    `portable_hash64`)."""
+# Kirsch-Mitzenmacher double hashing: the k bloom positions of a gram
+# hash derive from ONE md5 of it — h1 = first 60 digest bits, h2 =
+# bits 65-124 forced ODD (an odd stride visits distinct positions mod
+# a power-of-two m), position_i = (h1 + i·h2) mod m. Same FP
+# guarantees as k independent hashes (Kirsch & Mitzenmacher 2006) at
+# a FIFTH of the hash cost — the md5 per (gram, i) scheme this
+# replaced spent k md5 evaluations per corpus gram in the probe's hot
+# path (measured 4.3 s → see work log). Pure deterministic arithmetic
+# both engines replay bit-for-bit (same portable-md5 idiom as
+# `portable_hash64`).
+_BLOOM_DG_SQL = "md5(CAST({gh} AS STRING))"
+_BLOOM_H1_SQL = "CAST(conv(substring({dg}, 1, 15), 16, 10) AS BIGINT)"
+_BLOOM_H2_SQL = (
+    "(CAST(conv(substring({dg}, 17, 15), 16, 10) AS BIGINT) "
+    "| CAST(1 AS BIGINT))"
+)
+
+
+def _bloom_probe_positions_sql(
+    h1: str, h2: str, k: int, m_bits: int
+) -> str:
+    """The k double-hashed bloom positions as a Spark-SQL array
+    expression over PRE-STAGED h1/h2 columns (staging them keeps the
+    md5 at one evaluation per row — inlined into the lambda it would
+    re-evaluate per i)."""
     return (
         f"transform(sequence(0, {k - 1}), "
-        f"i -> CAST(conv(substring(md5(concat(CAST({gh_expr} AS STRING), "
-        f"'#', CAST(i AS STRING))), 1, 15), 16, 10) AS BIGINT) % {m_bits})"
+        f"i -> ({h1} + CAST(i AS BIGINT) * {h2}) % {m_bits})"
+    )
+
+
+def _with_bloom_hashes(df: DataFrame, gh_expr: str = "gh") -> DataFrame:
+    """Stage __h1/__h2 from one md5 of the gram hash."""
+    return (
+        df.withColumn("__dg", F.expr(_BLOOM_DG_SQL.format(gh=gh_expr)))
+        .withColumn("__h1", F.expr(_BLOOM_H1_SQL.format(dg="__dg")))
+        .withColumn("__h2", F.expr(_BLOOM_H2_SQL.format(dg="__dg")))
+        .drop("__dg")
     )
 
 
@@ -1485,19 +1514,19 @@ def bloom_bits(
 ) -> DataFrame:
     """(word, bits): the bloom filter of a gram-hash set as a BOUNDED
     bitmap-word table — ≤ 2^bits_log2 / 32 rows regardless of input
-    size. Positions are md5-derived (deterministic, DuckDB-replayable
-    — this bloom is EXACTLY reproducible cross-engine, so queries over
-    it hash-gate, no tolerance verdict needed); 32-bit words keep
-    every mask positive in int64 in both engines (bit 63 would go
-    negative two's-complement in Spark but overflow-error in DuckDB).
-    Build cost: one explode(k) over the DISTINCT eval grams + one
-    combinable bit_or — the eval side of decontamination is a
-    benchmark, tiny by definition."""
+    size. Positions are md5-derived via double hashing (deterministic,
+    DuckDB-replayable — this bloom is EXACTLY reproducible
+    cross-engine, so queries over it hash-gate, no tolerance verdict
+    needed); 32-bit words keep every mask positive in int64 in both
+    engines (bit 63 would go negative two's-complement in Spark but
+    overflow-error in DuckDB). Build cost: one explode(k) over the
+    DISTINCT eval grams + one combinable bit_or — the eval side of
+    decontamination is a benchmark, tiny by definition."""
     m = 1 << bits_log2
-    pos = eval_grams.select(
-        F.explode(F.expr(_bloom_probe_positions_sql("gh", k, m))).alias(
-            "pos"
-        )
+    pos = _with_bloom_hashes(eval_grams).select(
+        F.explode(
+            F.expr(_bloom_probe_positions_sql("__h1", "__h2", k, m))
+        ).alias("pos")
     )
     return pos.groupBy(
         F.expr("CAST(pos DIV 32 AS INT)").alias("word")
@@ -1596,8 +1625,9 @@ def bloom_hit_grams_from_words(
     batch scans and the streaming ingest gate
     (streaming/decontam.py) — probes it without touching the list
     itself. `k` and `bits_log2` MUST match the values the words table
-    was built with (a mismatch silently probes wrong positions — the
-    artifact's metadata is the place to carry them)."""
+    was built with, and so must the position-scheme version (a
+    mismatch silently probes wrong positions — the artifact's
+    metadata is the place to carry all three)."""
     m = 1 << bits_log2
     nwords = m // 32
     # densify the bounded word table into ONE array<bigint> scalar row:
@@ -1614,20 +1644,25 @@ def bloom_hit_grams_from_words(
         ).alias("bf")
     )
     hit = F.expr(
-        f"forall({_bloom_probe_positions_sql('gh', k, m)}, "
+        f"forall({_bloom_probe_positions_sql('__h1', '__h2', k, m)}, "
         "p -> (element_at(bf, CAST(p DIV 32 AS INT) + 1) & "
         "shiftleft(CAST(1 AS BIGINT), CAST(p % 32 AS INT))) != 0)"
     )
     # one-row scalar crossJoin (the repo's sanctioned broadcast form)
-    return corpus_grams.crossJoin(F.broadcast(bf)).filter(hit).drop("bf")
+    return (
+        _with_bloom_hashes(corpus_grams)
+        .crossJoin(F.broadcast(bf))
+        .filter(hit)
+        .drop("bf", "__h1", "__h2")
+    )
 
 
 def bloom_contamination_sql(
     eval_pred_sql: str, n: int = 8, k: int = 5, bits_log2: int = 18
 ) -> str:
     """DuckDB oracle twin of `bloom_contamination_filter`: rebuilds the
-    SAME md5-derived bloom bit-for-bit (relational form — probes join
-    the word table and bool_and the bit tests) and reproduces the
+    SAME double-hashed bloom bit-for-bit (relational form — probes
+    join the word table and bool_and the bit tests) and reproduces the
     exact flagged set, false positives included."""
     m = 1 << bits_log2
     grams = f"""
@@ -1643,10 +1678,14 @@ def bloom_contamination_sql(
         )
         GROUP BY 1, 2
     """
-    pos = (
-        "CAST('0x' || substr(md5(CAST(gh AS VARCHAR) || '#' || "
-        f"CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % {m}"
+    # Kirsch-Mitzenmacher double hashing, the exact Spark arithmetic:
+    # one md5 per gram hash, h1 = digest[1:15], h2 = digest[17:31]
+    # forced odd, position_i = (h1 + i*h2) % m
+    hashes = (
+        "CAST('0x' || substr(dg, 1, 15) AS BIGINT) AS h1, "
+        "CAST('0x' || substr(dg, 17, 15) AS BIGINT) | CAST(1 AS BIGINT) AS h2"
     )
+    pos = f"(h1 + i * h2) % {m}"
     return f"""
         WITH grams AS ({grams}),
         eval_grams AS (
@@ -1658,16 +1697,27 @@ def bloom_contamination_sql(
                    BIT_OR(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
             FROM (
                 SELECT {pos} AS pos
-                FROM eval_grams, UNNEST(generate_series(0, {k - 1})) AS t(i)
+                FROM (
+                    SELECT {hashes} FROM (
+                        SELECT md5(CAST(gh AS VARCHAR)) AS dg
+                        FROM eval_grams
+                    )
+                ), UNNEST(generate_series(0, {k - 1})) AS t(i)
             )
             GROUP BY 1
         ),
         corpus_probes AS (
-            SELECT g.doc_id, g.gh, {pos} AS pos
-            FROM grams g, UNNEST(generate_series(0, {k - 1})) AS t(i)
-            WHERE g.doc_id NOT IN (
-                SELECT doc_id FROM documents WHERE {eval_pred_sql}
-            )
+            SELECT doc_id, gh, {pos} AS pos
+            FROM (
+                SELECT doc_id, gh, {hashes} FROM (
+                    SELECT g.doc_id, g.gh,
+                           md5(CAST(g.gh AS VARCHAR)) AS dg
+                    FROM grams g
+                    WHERE g.doc_id NOT IN (
+                        SELECT doc_id FROM documents WHERE {eval_pred_sql}
+                    )
+                )
+            ), UNNEST(generate_series(0, {k - 1})) AS t(i)
         ),
         flagged AS (
             SELECT doc_id, gh

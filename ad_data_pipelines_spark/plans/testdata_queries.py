@@ -4980,8 +4980,10 @@ def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "full distinct hash set, fine for one benchmark but ~8 GB for a "
     "full decontamination list of ~1e9 grams where this bloom is "
     "2^18 bits = 32 KB). Probe is pure map-side arithmetic: forall "
-    "over k=5 in-row md5 positions against ONE broadcast "
-    "array<bigint> scalar — no join, nothing corpus-sized shuffles. "
+    "over k=5 in-row double-hashed positions (Kirsch-Mitzenmacher: "
+    "h1 + i*h2 mod m from ONE md5 — was k md5s/gram, -24% pairwise "
+    "A/B) against ONE broadcast array<bigint> scalar — no join, "
+    "nothing corpus-sized shuffles. "
     "The md5-derived positions make the filter deterministic and "
     "DuckDB-replayable, so the gate hash-checks the EXACT flagged "
     "set, false positives included (guaranteed superset of the exact "
