@@ -140,6 +140,10 @@ def quality_features(docs: DataFrame) -> DataFrame:
     return per_doc.select(
         "doc_id",
         "n_tokens",
+        # n_types rides along so integer-exact downstream predicates
+        # (2*n_types >= n_tokens) don't have to re-derive it from the
+        # ROUNDED ratio — a float boundary trap across engines
+        "n_types",
         F.round(F.col("n_types") / F.col("n_tokens"), 4).alias("type_token_ratio"),
         "mean_tok_len",
         F.round(F.least(F.col("n_tokens") / 100.0, F.lit(1.0)), 4).alias("len_score"),
@@ -179,7 +183,7 @@ def quality_sql() -> str:
                    ROUND(AVG(length(w)), 4) AS mean_tok_len
             FROM toks GROUP BY doc_id
         )
-        SELECT doc_id, n_tokens,
+        SELECT doc_id, n_tokens, n_types,
                ROUND(n_types * 1.0 / n_tokens, 4) AS type_token_ratio,
                mean_tok_len,
                ROUND(LEAST(n_tokens / 100.0, 1.0), 4) AS len_score

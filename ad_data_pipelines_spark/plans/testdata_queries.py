@@ -1105,6 +1105,103 @@ def _quality_features_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_source_quality_shrunk",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+        ),
+        per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   COUNT(DISTINCT w) AS n_types
+            FROM toks GROUP BY doc_id
+        ),
+        per_source AS (
+            SELECT d.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN p.n_tokens >= 50
+                                  AND 2 * p.n_types >= p.n_tokens
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_good
+            FROM documents d JOIN per_doc p USING (doc_id)
+            GROUP BY d.source
+        ),
+        prior AS (
+            SELECT CAST(SUM(n_docs) AS BIGINT) AS nn,
+                   CAST(SUM(n_good) AS BIGINT) AS kk
+            FROM per_source
+        )
+        SELECT source, n_docs, n_good,
+               CAST((2 * n_good * 1000000 + n_docs) // (2 * n_docs)
+                    AS BIGINT) AS raw_e6,
+               CAST((2 * (n_good * nn + 50 * kk) * 1000000
+                     + (n_docs + 50) * nn)
+                    // (2 * (n_docs + 50) * nn) AS BIGINT) AS shrunk_e6
+        FROM per_source, prior
+        ORDER BY source
+    """,
+    doc="Empirical-Bayes SHRUNK per-source quality rate — the "
+    "estimator source-level curation decisions actually need: a raw "
+    "good-doc rate over few documents overfits (a 3-doc source with 3 "
+    "passes is not a 100%-quality source), so each source's rate "
+    "shrinks toward the corpus prior with strength s=50 pseudo-counts "
+    "(Beta-Binomial posterior mean: (k + s·p0)/(n + s)). The good "
+    "flag is integer-exact (n_tokens ≥ 50 AND 2·n_types ≥ n_tokens — "
+    "the TTR≥0.5 rule restated without the ROUNDED float ratio, a "
+    "cross-engine boundary trap), and both rates are half-up integer "
+    "divisions in 1e-6 units, so the query hash-gates. Scale shape: "
+    "reuses the SHARED quality_features pass (one explode per "
+    "session), one doc-grain join-back, one per-source aggregate, one "
+    "broadcast one-row prior scalar. Int64 headroom note: the exact "
+    "integer restatement holds to ~1e11 docs·docs products; beyond "
+    "that rescale the units upstream. operators/textstats.py:"
+    "quality_features.",
+)
+def q_llm_source_quality_shrunk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    q = _quality_features_shared(spark, sf_dir).select(
+        "doc_id", "n_tokens", "n_types"
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    good = (F.col("n_tokens") >= 50) & (
+        2 * F.col("n_types") >= F.col("n_tokens")
+    )
+    per = (
+        docs.join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(good, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_good"),
+        )
+    )
+    glob = per.agg(
+        F.sum("n_docs").cast("bigint").alias("nn"),
+        F.sum("n_good").cast("bigint").alias("kk"),
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "n_docs",
+            "n_good",
+            F.expr("(2 * n_good * 1000000 + n_docs) DIV (2 * n_docs)")
+            .cast("bigint")
+            .alias("raw_e6"),
+            F.expr(
+                "(2 * (n_good * nn + 50 * kk) * 1000000"
+                " + (n_docs + 50) * nn) DIV (2 * (n_docs + 50) * nn)"
+            )
+            .cast("bigint")
+            .alias("shrunk_e6"),
+        )
+        .orderBy("source")
+    )
+
+
 def _entropy_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared(
         spark, sf_dir, "char_entropy",
@@ -7611,6 +7708,7 @@ _GATE_PRIORITY = [
     "g12_hop_histogram",
     "g13_harmonic_closeness",
     "llm_leakage_safe_split",
+    "llm_source_quality_shrunk",
     "g3_trade_communities",
     "llm_bloom_decontam",
     "a5_distinct_approx",
