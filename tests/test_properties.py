@@ -1058,3 +1058,118 @@ def test_merge_plan_matches_reference_model(spark, case):
             ).collect()
         }
         assert out == state, (broadcast, target_rows, change_rows)
+
+
+# --- per-seed SSSP vs a pure-python truncated Bellman-Ford ----------------
+
+sssp_case = st.tuples(
+    st.lists(  # directed weighted edges over a small id space
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=1, max_value=7),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.sets(st.integers(min_value=0, max_value=7), min_size=1, max_size=4),
+    st.integers(min_value=1, max_value=4),  # rounds (incl. truncating)
+)
+
+
+@given(sssp_case)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_sssp_per_seed_matches_python_reference(spark, case):
+    """Landmark-mode SSSP (full relax AND frontier delta) equals a
+    sequential synchronous Bellman-Ford per seed, truncated at the
+    same round budget, on generated graphs with duplicate edges
+    (MIN-collapsed), self-loops (dropped), isolated seeds, and
+    truncating round counts."""
+    from ad_data_pipelines_spark.operators import graph
+
+    raw_edges, seeds, rounds = case
+    edges = {}
+    for u, v, w in raw_edges:
+        if u != v:
+            edges[(u, v)] = min(edges.get((u, v), w), w)
+    # python reference: synchronous relax from the PREVIOUS round's
+    # state (matching the operator's state-join-then-min semantics)
+    dist = {(s, s): 0 for s in seeds}
+    for _ in range(rounds):
+        new = dict(dist)
+        for (u, v), w in edges.items():
+            for s in seeds:
+                du = dist.get((s, u))
+                if du is not None and du + w < new.get((s, v), 1 << 62):
+                    new[(s, v)] = du + w
+        dist = new
+    want = sorted((s, n, d) for (s, n), d in dist.items())
+
+    df = spark.createDataFrame(
+        [(u, v, w) for u, v, w in raw_edges if u != v]
+        or [(0, 1, 1)],  # placeholder never hit: min_size=1 + u!=v
+        "src bigint, dst bigint, w bigint",
+    )
+    if not edges:
+        # all generated edges were self-loops: the operator drops them
+        # and only the seed self-rows remain
+        df = df.limit(0)
+        want = sorted((s, s, 0) for s in seeds)
+    sf = spark.createDataFrame([(s,) for s in seeds], "node bigint")
+    for frontier in (False, True):
+        got = sorted(
+            (r.seed, r.node, r.dist)
+            for r in graph.sssp(
+                df, sf, weight="w", rounds=rounds,
+                per_seed=True, frontier=frontier,
+            ).collect()
+        )
+        assert got == want, (frontier, sorted(edges.items()), seeds, rounds)
+
+
+# --- frontier-delta label propagation == full sweep on random graphs ------
+
+lp_case = st.tuples(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=4),      # iterations
+    st.sampled_from([0.0, 0.3, 1.1]),           # frontier_threshold
+)
+
+
+@given(lp_case)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_label_propagation_frontier_matches_full(spark, case):
+    """frontier=True label propagation is label-identical to the
+    default sweep on generated directed graphs (self-loops, duplicate
+    edges, mixed parities, disconnected nodes) across forced-delta,
+    mixed, and forced-full thresholds and iteration budgets that may
+    or may not reach the fixpoint."""
+    from ad_data_pipelines_spark.operators import graph
+
+    raw_edges, iterations, thr = case
+    clean = [(u, v) for u, v in raw_edges if u != v]
+    if not clean:
+        return  # nothing survives normalization; operator output empty
+    df = spark.createDataFrame(clean, "src bigint, dst bigint")
+    base = sorted(map(tuple, graph.label_propagation(
+        df, iterations=iterations
+    ).collect()))
+    delta = sorted(map(tuple, graph.label_propagation(
+        df, iterations=iterations, frontier=True, frontier_threshold=thr
+    ).collect()))
+    assert delta == base, (clean, iterations, thr)
