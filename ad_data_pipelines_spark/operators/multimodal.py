@@ -700,6 +700,75 @@ def audio_energy(
     return docs_with_payload.mapInPandas(extract, AUDIO_ENERGY_SCHEMA)
 
 
+AUDIO_HASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_windows", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def audio_envelope_hash(
+    docs_with_payload: DataFrame, window_ms: int = 25, n_bits: int = 60
+) -> DataFrame:
+    """60-bit energy-envelope fingerprint — the AUDIO twin of
+    `image_dhash`: bit_i = 1 iff window i+1's RMS exceeds window i's,
+    the dHash gradient trick applied to the loudness envelope instead
+    of a pixel row. The envelope's SHAPE is what survives re-encoding
+    and level changes (a uniformly rescaled copy preserves every RMS
+    ordering, so its hash is IDENTICAL — unit-tested), which is
+    exactly the near-dup signal: same clip at different loudness or
+    codec settings lands within a few flipped bits.
+
+    Same real PCM decode / mono mix / `window_ms` windowing as
+    `audio_energy`; 60 bits keep the hash positive in int64 (the
+    repo-wide bitmap discipline). Docs with fewer than 2 windows or
+    non-PCM16 payloads yield a NULL hash — visible, not silently
+    dropped. Pair with `dhash_near_dup_pairs` (it bands ANY long-typed
+    fingerprint): `pairs = dhash_near_dup_pairs(
+    hashes.select("doc_id", F.col("ahash").alias("dhash")))` — hashes
+    shuffle, samples never do."""
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(payload):
+            if payload is None:
+                return None, None
+            try:
+                rate, channels, samples = wav_pcm16_samples(bytes(payload))
+            except ValueError:
+                return None, None
+            if channels > 1:
+                usable = len(samples) - (len(samples) % channels)
+                mono = samples[:usable].reshape(-1, channels).mean(axis=1)
+            else:
+                mono = samples.astype("float64")
+            win = max(1, rate * window_ms // 1000)
+            n_win = len(mono) // win
+            if n_win < 2:
+                return n_win, None
+            x = mono[: n_win * win].reshape(n_win, win) / 32768.0
+            rms = np.sqrt((x * x).mean(axis=1))
+            h = 0
+            for i in range(min(n_bits, n_win - 1)):
+                if rms[i + 1] > rms[i]:
+                    h |= 1 << i
+            return int(n_win), h
+
+        for b in batches:
+            out = b["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_windows": out.map(lambda t: t[0]).astype("object"),
+                    "ahash": out.map(lambda t: t[1]).astype("object"),
+                }
+            )
+
+    return docs_with_payload.mapInPandas(extract, AUDIO_HASH_SCHEMA)
+
+
 IMAGE_STATS_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

@@ -320,6 +320,56 @@ def test_audio_energy_windows_known_signal(spark):
     assert rows[3].sample_rate is None and rows[3].energies is None
 
 
+def test_audio_envelope_hash_level_invariant_and_pairing(spark):
+    """The energy-envelope fingerprint: closed-form bits on an
+    alternating quiet/loud square signal, EXACT INVARIANCE to a
+    uniform level rescale (the near-dup property the hash exists
+    for), a disjoint hash for the inverted envelope, NULLs for
+    sub-2-window and non-PCM payloads, and banded pairing finding
+    exactly the level-rescaled twin."""
+    from pyspark.sql import functions as F
+
+    from ad_data_pipelines_spark.operators import multimodal as mm
+
+    rate = 8000
+    win = rate * 25 // 1000  # 200 samples per window
+
+    def envelope(amps):
+        samples = []
+        for a in amps:
+            samples += [a, -a] * (win // 2)
+        return _wav16(rate, 1, samples)
+
+    # 61 windows alternating quiet/loud → bit_i = 1 for even i < 60
+    amps = [0 if i % 2 == 0 else 16384 for i in range(61)]
+    loud = envelope(amps)
+    half = envelope([a // 2 for a in amps])          # same SHAPE
+    inverted = envelope([16384 - a for a in amps])   # opposite shape
+    short = envelope([16384])                        # 1 window
+    docs = spark.createDataFrame(
+        [(1, bytearray(loud)), (2, bytearray(half)),
+         (3, bytearray(inverted)), (4, bytearray(short)),
+         (5, bytearray(b"not audio"))],
+        "doc_id bigint, payload binary",
+    )
+    rows = {r.doc_id: r for r in mm.audio_envelope_hash(docs).collect()}
+    want = sum(1 << i for i in range(0, 60, 2))
+    assert rows[1].n_windows == 61 and rows[1].ahash == want
+    assert rows[2].ahash == want  # level rescale → identical hash
+    assert rows[3].ahash == sum(1 << i for i in range(1, 60, 2))
+    assert rows[4].n_windows == 1 and rows[4].ahash is None
+    assert rows[5].n_windows is None and rows[5].ahash is None
+
+    hashes = mm.audio_envelope_hash(docs).select(
+        "doc_id", F.col("ahash").alias("dhash")
+    )
+    pairs = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in mm.dhash_near_dup_pairs(hashes, max_hamming=3).collect()
+    )
+    assert pairs == [(1, 2, 0)]  # the rescaled twin; inverted is 60 away
+
+
 def test_image_brightness_stats_known_pixels(spark):
     """Hand-constructed images: a half-black/half-white grayscale PNG
     gives mean 127.5, std 127.5, dark_frac 0.5; a solid mid-gray RGB
