@@ -1485,6 +1485,32 @@ _BLOOM_H2_SQL = (
     "| CAST(1 AS BIGINT))"
 )
 
+#: position-scheme revision carried in every `bloom_bits` word table
+#: and asserted at probe time: v2 = Kirsch-Mitzenmacher double hashing
+#: (one md5 per gram, h1=digest[1:15], h2=digest[17:31]|1). v1 (one
+#: md5 per (gram, i), retired r11) produced DIFFERENT positions —
+#: probing a v1 artifact with the v2 probe silently tests wrong bits
+#: and voids the no-false-negative guarantee, so the mismatch must
+#: fail loudly, not flag garbage.
+_BLOOM_SCHEME = 2
+
+#: double-hash stride bound: h1, h2 < 2^60, so h1 + i·h2 stays inside
+#: int64 only for i ≤ 7 (8 + 8·7 = 64 bits would overflow at i=8).
+#: Spark (non-ANSI) would WRAP to negative positions silently while
+#: DuckDB raises — a large k must be rejected, not allowed to diverge
+#: cross-engine.
+_BLOOM_MAX_K = 8
+
+
+def _check_bloom_k(k: int) -> None:
+    if not 1 <= k <= _BLOOM_MAX_K:
+        raise ValueError(
+            f"bloom k={k} out of range [1, {_BLOOM_MAX_K}]: position "
+            "arithmetic h1 + i*h2 (h1, h2 < 2^60) overflows int64 at "
+            "i >= 8 — Spark wraps silently, DuckDB errors; widen the "
+            "filter with bits_log2 instead of k"
+        )
+
 
 def _bloom_probe_positions_sql(
     h1: str, h2: str, k: int, m_bits: int
@@ -1493,6 +1519,7 @@ def _bloom_probe_positions_sql(
     expression over PRE-STAGED h1/h2 columns (staging them keeps the
     md5 at one evaluation per row — inlined into the lambda it would
     re-evaluate per i)."""
+    _check_bloom_k(k)
     return (
         f"transform(sequence(0, {k - 1}), "
         f"i -> ({h1} + CAST(i AS BIGINT) * {h2}) % {m_bits})"
@@ -1528,12 +1555,29 @@ def bloom_bits(
             F.expr(_bloom_probe_positions_sql("__h1", "__h2", k, m))
         ).alias("pos")
     )
-    return pos.groupBy(
+    words = pos.groupBy(
         F.expr("CAST(pos DIV 32 AS INT)").alias("word")
     ).agg(
         F.expr(
             "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT)))"
         ).alias("bits")
+    )
+    # Stamp the build parameters into the column metadata — it rides
+    # the Spark schema through parquet write/read, so a MATERIALIZED
+    # words artifact carries them to every later probe
+    # (`bloom_hit_grams_from_words` asserts the match). Without this a
+    # scheme/k/m drift between artifact build and probe silently tests
+    # wrong positions.
+    return words.select(
+        "word",
+        F.col("bits").alias(
+            "bits",
+            metadata={
+                "bloom_scheme": _BLOOM_SCHEME,
+                "k": k,
+                "bits_log2": bits_log2,
+            },
+        ),
     )
 
 
@@ -1625,9 +1669,26 @@ def bloom_hit_grams_from_words(
     batch scans and the streaming ingest gate
     (streaming/decontam.py) — probes it without touching the list
     itself. `k` and `bits_log2` MUST match the values the words table
-    was built with, and so must the position-scheme version (a
-    mismatch silently probes wrong positions — the artifact's
-    metadata is the place to carry all three)."""
+    was built with, and so must the position-scheme version —
+    `bloom_bits` stamps all three into the `bits` column metadata
+    (schema metadata survives the parquet round-trip), and the guard
+    below REFUSES a table whose stamp is absent or disagrees: a v1
+    (md5-per-(gram, i)) artifact probed with the v2 double-hash
+    arithmetic would silently test wrong positions and void the
+    no-false-negative guarantee. Pre-metadata artifacts must be
+    rebuilt with the current `bloom_bits`."""
+    md = dict(words.schema["bits"].metadata or {})
+    built = (
+        md.get("bloom_scheme"), md.get("k"), md.get("bits_log2")
+    )
+    if built != (_BLOOM_SCHEME, k, bits_log2):
+        raise ValueError(
+            "bloom words table does not match the probe: built with "
+            f"(scheme, k, bits_log2)={built}, probing with "
+            f"({_BLOOM_SCHEME}, {k}, {bits_log2}). A mismatch (or a "
+            "missing stamp on a pre-v2 artifact) silently probes "
+            "wrong positions — rebuild the artifact with bloom_bits()."
+        )
     m = 1 << bits_log2
     nwords = m // 32
     # densify the bounded word table into ONE array<bigint> scalar row:
@@ -1664,6 +1725,7 @@ def bloom_contamination_sql(
     SAME double-hashed bloom bit-for-bit (relational form — probes
     join the word table and bool_and the bit tests) and reproduces the
     exact flagged set, false positives included."""
+    _check_bloom_k(k)
     m = 1 << bits_log2
     grams = f"""
         SELECT doc_id,

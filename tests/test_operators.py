@@ -2923,8 +2923,10 @@ def test_label_propagation_frontier_equals_full(spark):
     label-identical to the default full sweep: on a hub-skewed
     pseudo-random graph, a bipartite graph (the oscillation-prone
     shape the half-steps exist for), and a ring, at thresholds that
-    force the delta path ALWAYS (0.0), the full path always (1.1),
-    and the production mix (0.25); and with an iteration budget far
+    force the FULL path always (0.0 — `n_touch > 0` holds every
+    half-step, so the full-vote branch fires), the delta path always
+    (1.1 — `n_touch > 1.1 * n_nodes` never holds), and the production
+    mix (0.25); and with an iteration budget far
     past the fixpoint, where the bail-out must not change the output
     (it only skips provably-no-op half-steps)."""
     from ad_data_pipelines_spark.operators import graph
@@ -4194,3 +4196,75 @@ def test_bloom_contamination_superset_and_duckdb_twin(spark):
             ).collect()
         }
         assert two_phase == exact, f"bits_log2={blog2}"
+
+
+def test_bloom_probe_guards(spark):
+    """The two latent-divergence guards from the r11 advice: (a) k > 8
+    overflows int64 in the h1 + i*h2 position arithmetic — Spark
+    (non-ANSI) would wrap to negative positions silently while DuckDB
+    raises, so BOTH engines' builders must reject it loudly; (b) a
+    words artifact built under a different (scheme, k, bits_log2) than
+    the probe silently tests wrong bit positions — `bloom_bits` stamps
+    the build parameters into column metadata (parquet round-trip
+    preserved) and `bloom_hit_grams_from_words` refuses a mismatch or
+    a missing stamp (pre-v2 artifact)."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id") < 40
+    )
+    grams = dedup.word_ngram_hashes(docs, 8)
+    eval_grams = grams.filter(F.col("doc_id") < 10).select("gh").distinct()
+
+    # (a) the k bound, in every k-accepting entry point
+    for fail in (
+        lambda: dedup.bloom_bits(eval_grams, k=9),
+        lambda: dedup.bloom_contamination_filter(docs, F.col("doc_id") < 10, 8, k=9),
+        lambda: dedup.bloom_contamination_sql("doc_id < 10", n=8, k=9),
+        lambda: dedup._bloom_probe_positions_sql("h1", "h2", 9, 1 << 18),
+        lambda: dedup.bloom_bits(eval_grams, k=0),
+    ):
+        with pytest.raises(ValueError, match="k"):
+            fail()
+    # k=8 is the last safe value and must still work
+    assert dedup.bloom_bits(eval_grams, k=8).count() > 0
+
+    # (b) scheme/parameter stamp asserted at probe time
+    words = dedup.bloom_bits(eval_grams, k=5, bits_log2=12)
+    md = dict(words.schema["bits"].metadata)
+    assert md == {"bloom_scheme": dedup._BLOOM_SCHEME, "k": 5,
+                  "bits_log2": 12}
+    probe_grams = grams.filter(F.col("doc_id") >= 10)
+    # matching probe works
+    assert dedup.bloom_hit_grams_from_words(
+        probe_grams, words, k=5, bits_log2=12
+    ).count() >= 0
+    # parameter drift refused
+    with pytest.raises(ValueError, match="does not match"):
+        dedup.bloom_hit_grams_from_words(probe_grams, words, k=4,
+                                         bits_log2=12)
+    with pytest.raises(ValueError, match="does not match"):
+        dedup.bloom_hit_grams_from_words(probe_grams, words, k=5,
+                                         bits_log2=18)
+    # a stamp-less table (pre-v2 artifact shape) refused
+    bare = words.select("word", F.col("bits").cast("bigint").alias("bits"))
+    assert not (bare.schema["bits"].metadata or {})
+    with pytest.raises(ValueError, match="does not match"):
+        dedup.bloom_hit_grams_from_words(probe_grams, bare, k=5,
+                                         bits_log2=12)
+    # and the stamp survives the parquet round-trip (the artifact path)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        words.write.mode("overwrite").parquet(f"{tmp}/bloom_words")
+        rt = spark.read.parquet(f"{tmp}/bloom_words")
+        assert dict(rt.schema["bits"].metadata) == md
+        hits_rt = dedup.bloom_hit_grams_from_words(
+            probe_grams, rt, k=5, bits_log2=12
+        ).count()
+        hits_mem = dedup.bloom_hit_grams_from_words(
+            probe_grams, words, k=5, bits_log2=12
+        ).count()
+        assert hits_rt == hits_mem
