@@ -17,8 +17,10 @@ Stages (each an already-tested operator; this job only wires them):
                    (operators/dedup.dup_components);
   4. decontam    — optional benchmark decontamination: drop corpus
                    docs sharing an 8-gram with the held-out eval set,
-                   and the eval docs themselves
-                   (operators/dedup.contamination_check);
+                   and the eval docs themselves — exact broadcast scan
+                   (operators/dedup.contamination_check) or the
+                   auto-sized bloom probe for production-size lists
+                   (operators/dedup.bloom_contamination_filter);
   5. mix         — optional temperature-weighted per-language budgets
                    (operators/sampling.temperature_mix);
   6. pack        — concat-and-chunk sequence packing plan
@@ -61,11 +63,46 @@ def curate(
     min_kept_chars: int = 50,
     classifier_seed_source: str | None = None,
     classifier_min_score: float = 0.0,
+    decontam: str = "exact",
+    bloom_bits_log2: int | None = None,
+    stage_timings: dict[str, float] | None = None,
 ) -> dict[str, int]:
     """Run the curation waterfall over `docs` (doc_id, text, lang, …),
     write curated documents + packing plan under `out_path`, return
-    per-stage counts."""
+    per-stage counts.
+
+    `decontam` picks the stage-4 engine: "exact" broadcasts the eval
+    set's full distinct gram-hash set (`contamination_check` — right
+    for one benchmark), "bloom" probes a 32 KB broadcast bloom scalar
+    instead (`bloom_contamination_filter` — the 100 TB shape for a
+    full decontamination list; may over-drop by its ~0.2% gram FP
+    rate, a superset of the exact drop by construction).
+
+    `stage_timings`, if a dict is passed, is filled with per-stage
+    wall seconds. Attribution is BY ACTION BARRIER: each stage's
+    number is the time from the previous stage's action to this one's
+    (count / agg / write), so it includes whatever lazy upstream work
+    the barrier forced — the honest schedule a DAG monitor would see,
+    not a per-operator microbenchmark."""
+    if decontam not in ("exact", "bloom"):
+        raise ValueError(
+            f"decontam={decontam!r}: expected 'exact' or 'bloom'"
+        )
+    import time as _time
+
+    _t0 = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        if stage_timings is not None:
+            stage_timings[stage] = round(
+                stage_timings.get(stage, 0.0) + (now - _t0), 4
+            )
+        _t0 = now
+
     stats: dict[str, int] = {"n_input": docs.count()}
+    _mark("input")
 
     # 1. normalize — replace text with its canonical form
     norm = _scrub.normalize_text(docs).select("doc_id", "norm_text")
@@ -83,6 +120,7 @@ def curate(
     # the filtered frame feeds two chain stages — persist once
     quality_docs = quality_docs.persist()
     stats["n_after_quality"] = quality_docs.count()
+    _mark("normalize_quality")
 
     # 2b. optional model-based filter (CCNet-style): train the hashed
     # NB classifier with `classifier_seed_source` docs as the positive
@@ -105,6 +143,7 @@ def curate(
         )
         filtered = quality_docs.join(keep_ids, "doc_id").persist()
         stats["n_after_classifier"] = filtered.count()
+        _mark("classifier")
         quality_docs.unpersist()
         quality_docs = filtered
 
@@ -116,6 +155,7 @@ def curate(
         losers.select("doc_id"), "doc_id", "left_anti"
     ).persist()
     stats["n_after_dedup"] = deduped.count()
+    _mark("dedup")
 
     # 3b. optional EXACTSUBSTR span removal (Lee et al. 2022) inside
     # the kept corpus: document-level near-dedup can't see a boilerplate
@@ -137,6 +177,7 @@ def curate(
             .persist()
         )
         stats["n_after_exactsubstr"] = rebuilt.count()
+        _mark("exactsubstr")
         deduped.unpersist()
         deduped = rebuilt
 
@@ -144,13 +185,48 @@ def curate(
     # corpus doc sharing an 8-gram with them leave the training set
     if eval_source is not None:
         eval_pred = F.col("source") == eval_source
-        contaminated = _dedup.contamination_check(deduped, eval_pred)
+        if decontam == "bloom":
+            if bloom_bits_log2 is None:
+                # AUTO-SIZE the filter to the eval list: a fixed m
+                # saturates once the list outgrows it (at ~5 positions
+                # per gram a 2^18-bit bloom is ~full by 150k grams —
+                # FP per gram ≈ 73%, so EVERY corpus doc false-flags
+                # and the stage silently empties the corpus; measured
+                # in tests/test_curate_scale.py before this sizing).
+                # ~32 bits per distinct gram keeps fill ≈ 14%, per-
+                # gram FP ≈ 0.145^5 ≈ 6e-5, so a 100-gram doc false-
+                # flags at ~0.7%. Counting the DISTINCT eval grams is
+                # one aggregate over the eval side only — small by
+                # definition (it's a benchmark list). Clamp to
+                # [18, 26]: a 32 KB floor and a 8 MB / 2M-word ceiling
+                # (good for ~2M distinct grams at 32 bits each; a
+                # bigger list should pass bloom_bits_log2 explicitly
+                # and accept the FP arithmetic, or shard the filter).
+                n_eval_grams = (
+                    _dedup.word_ngram_hashes(
+                        deduped.filter(eval_pred), 8
+                    )
+                    .select("gh")
+                    .distinct()
+                    .count()
+                )
+                bloom_bits_log2 = max(
+                    18,
+                    min(26, (32 * max(n_eval_grams, 1) - 1).bit_length()),
+                )
+                stats["bloom_bits_log2"] = bloom_bits_log2
+            contaminated = _dedup.bloom_contamination_filter(
+                deduped, eval_pred, bits_log2=bloom_bits_log2
+            )
+        else:
+            contaminated = _dedup.contamination_check(deduped, eval_pred)
         clean = (
             deduped.filter(~eval_pred)
             .join(contaminated.select("doc_id"), "doc_id", "left_anti")
             .persist()
         )
         stats["n_after_decontam"] = clean.count()
+        _mark("decontam")
         deduped.unpersist()
         deduped = clean
 
@@ -162,15 +238,18 @@ def curate(
     else:
         mixed = deduped
     stats["n_curated"] = mixed.count()
+    _mark("mix")
 
     # 6. packing plan for the curated corpus
     packing = _packing.pack_sequences(mixed, seq_tokens=seq_tokens)
     stats["n_sequences"] = (
         packing.agg(F.max("last_seq").cast("bigint")).collect()[0][0] or -1
     ) + 1
+    _mark("pack")
 
     mixed.write.mode("overwrite").parquet(f"{out_path}/documents")
     packing.write.mode("overwrite").parquet(f"{out_path}/packing")
+    _mark("write")
 
     # optional delivery format: gzip JSONL shards at ~target size —
     # what a training loader consumes directly
@@ -208,6 +287,13 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--export-jsonl", action="store_true",
                     help="also write gzip JSONL shards (training "
                     "loader delivery format)")
+    ap.add_argument("--decontam", choices=["exact", "bloom"],
+                    default="exact",
+                    help="decontamination engine: exact gram-set "
+                    "broadcast, or the auto-sized bloom probe")
+    ap.add_argument("--bloom-bits-log2", type=int, default=None,
+                    help="override the bloom filter's auto-sizing "
+                    "(log2 of the bit count)")
     ap.add_argument("--exactsubstr-k", type=int, default=None,
                     help="enable EXACTSUBSTR span removal with this "
                     "k-gram length (e.g. 50); off by default")
@@ -230,6 +316,7 @@ def main(argv: list[str] | None = None) -> None:
         spark, docs, args.out,
         budget=args.budget, tau=args.tau, seq_tokens=args.seq_tokens,
         eval_source=args.eval_source, export_jsonl=args.export_jsonl,
+        decontam=args.decontam, bloom_bits_log2=args.bloom_bits_log2,
         exactsubstr_k=args.exactsubstr_k,
         min_kept_chars=args.min_kept_chars,
         classifier_seed_source=args.classifier_seed_source,

@@ -1693,16 +1693,29 @@ def bloom_hit_grams_from_words(
     nwords = m // 32
     # densify the bounded word table into ONE array<bigint> scalar row:
     # a ~m/8-byte artifact every executor holds once (broadcast), with
-    # element_at probes inside whole-stage codegen
-    bf = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias(
-            "mp"
+    # element_at probes inside whole-stage codegen. The expansion
+    # unions an all-zero word spine and sorts ONCE — O(nwords log
+    # nwords). The previous form (map_from_entries + mp[w] inside a
+    # transform over every index) was O(nwords²): Spark's GetMapValue
+    # on ArrayBasedMapData is a LINEAR scan per lookup — invisible at
+    # the 2^18 default (8k² probes) but ~20 single-threaded MINUTES at
+    # an auto-sized 2^23 filter (measured via the curation 10× probe).
+    spark = words.sparkSession
+    zero_spine = spark.range(nwords).select(
+        F.col("id").cast("int").alias("word"),
+        F.lit(0).cast("bigint").alias("bits"),
+    )
+    bf = (
+        words.select("word", "bits")
+        .unionByName(zero_spine)
+        .groupBy("word")
+        .agg(F.expr("bit_or(bits)").alias("bits"))
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(word, bits))), "
+                "e -> e.bits)"
+            ).alias("bf")
         )
-    ).select(
-        F.expr(
-            f"transform(sequence(0, {nwords - 1}), "
-            "w -> coalesce(mp[w], CAST(0 AS BIGINT)))"
-        ).alias("bf")
     )
     hit = F.expr(
         f"forall({_bloom_probe_positions_sql('__h1', '__h2', k, m)}, "

@@ -253,6 +253,50 @@ def main() -> None:
         runs.append(time.perf_counter() - t0)
     pipelines["dwd_bus_route"] = round(statistics.median(runs), 4)
 
+    # LLM curation DAG (r11 verdict #1): the flagship beyond-reference
+    # pipeline — normalize → quality gate → MinHash/LSH/CC dedup →
+    # BLOOM decontamination (src19 as the held-out eval set) →
+    # temperature mix to a 2000-doc budget → sequence packing — timed
+    # END-TO-END over the sf documents table, INCLUDING the real
+    # parquet writes of <out>/documents and <out>/packing (the write
+    # IS the job's sink; the transit entries use noop because their
+    # reference jobs sink to JDBC, this one's contract is parquet).
+    # Per-stage wall seconds (action-barrier attribution — each number
+    # includes the lazy upstream work its barrier forced) land in
+    # BENCH_FULL.json as `curate_stages`.
+    import shutil
+    import statistics as _st
+    import tempfile
+
+    from ad_data_pipelines_spark.jobs.curate_corpus import curate
+
+    docs_tbl = load_t(spark, sf_dir, "documents")
+    croot = tempfile.mkdtemp(prefix="bench_curate_")
+    runs, stage_runs = [], []
+    try:
+        for i in range(max(1, args.n)):
+            stage: dict[str, float] = {}
+            t0 = time.perf_counter()
+            curate(
+                spark,
+                docs_tbl,
+                f"{croot}/run{i}",
+                budget=2000,
+                eval_source="src19",
+                decontam="bloom",
+                seq_tokens=2048,
+                stage_timings=stage,
+            )
+            runs.append(time.perf_counter() - t0)
+            stage_runs.append(stage)
+    finally:
+        shutil.rmtree(croot, ignore_errors=True)
+    pipelines["curate_corpus"] = round(statistics.median(runs), 4)
+    curate_stages = {
+        s: round(_st.median(d.get(s, 0.0) for d in stage_runs), 4)
+        for s in sorted({k for d in stage_runs for k in d})
+    }
+
     full = {
         "metric": "registry_total_runtime",
         "value": total,
@@ -263,6 +307,7 @@ def main() -> None:
         "pipelines": pipelines,
         "pipelines_total": round(sum(pipelines.values()), 4),
         "pipelines_legs_build": legs_build,
+        "curate_stages": curate_stages,
         "noise_floor": noise_floor,
         "canary_drift": canary_drift,
         "canary_start": canary_start,
