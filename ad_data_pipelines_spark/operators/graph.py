@@ -52,7 +52,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 
 def _cut(df: DataFrame, reliable: bool) -> DataFrame:
@@ -1725,4 +1725,175 @@ def pagerank_sql(
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT node, rank_fp FROM r{iterations}"
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 8,
+    scale: int = 10**6,
+    checkpoint_every: int = 1,
+    cut_input: bool = True,
+    reliable: bool = False,
+) -> DataFrame:
+    """(node, side, score_fp): HITS hubs & authorities (Kleinberg,
+    JACM 1999) over a DIRECTED edge list — the bipartite-flavored
+    source-quality signal PageRank can't give: an AUTHORITY is a node
+    pointed to by good hubs, a HUB points at good authorities. On the
+    customer→supplier trade graph that ranks suppliers by the quality
+    of the customers who buy from them (and customers by the quality
+    of what they buy) — the "endorsed by good endorsers" recursion
+    curation uses to seed trusted-source lists.
+
+    Integer recurrence at fixed point ``scale`` with L1 normalization
+    (the mutual-reinforcement fixpoint only needs SOME norm; L1 keeps
+    everything in exact BIGINT arithmetic where the classic L2 would
+    force floats):
+
+        h_0(u) = scale                      for every src node
+        a_k(v) = (Σ_{u→v} h_{k-1}(u)) · scale DIV Σ raw_a
+        h_k(u) = (Σ_{u→v} a_k(v))     · scale DIV Σ raw_h
+
+    Floor division + all-positive values ⇒ BIT-EQUAL to the unrolled
+    DuckDB twin (`hits_sql`), same contract as `pagerank`. Overflow
+    headroom: after the first normalization Σ score ≤ scale, so every
+    raw sum ≤ scale and raw·scale ≤ scale² — the guard below keeps
+    scale²·n inside int64 for the un-normalized FIRST step too.
+
+    Scale shape (the `pagerank` loop idiom): per half-step ONE equi-
+    join of the 2-long score state onto the edge list + ONE combinable
+    aggregate; the normalizer is a 1-row aggregate crossJoin-broadcast
+    back (never a driver collect); lineage cut per iteration
+    (`_cut` — ``reliable=True`` for cluster runs). Self-loops dropped,
+    duplicate edges collapsed (a duplicate would double-count
+    endorsement); NULL endpoints dropped.
+
+    Reference parity note: the reference system has no graph module —
+    this extends the beyond-reference graph family (g1–g13).
+    """
+    if iterations < 1:
+        raise ValueError(f"need >= 1 iteration, got {iterations}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    if not 0 < int(scale) <= 10**9:
+        # first-step raw sums reach n_src · scale; multiplied by scale
+        # for normalization they must stay inside int64. 1e9 leaves
+        # room for ~4e0 · 1e18 … enforce the pairwise product below.
+        raise ValueError(f"scale must be in (0, 1e9], got {scale}")
+    if edges.schema[src].dataType != edges.schema[dst].dataType:
+        raise ValueError(
+            f"src/dst types differ: {edges.schema[src].dataType} vs "
+            f"{edges.schema[dst].dataType}"
+        )
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if cut_input:
+        e = _cut(e, reliable)
+    n_src = e.select("src").distinct().count()
+    if n_src == 0:
+        spark = edges.sparkSession
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("node", edges.schema[src].dataType),
+                    StructField("side", StringType()),
+                    StructField("score_fp", LongType()),
+                ]
+            ),
+        )
+    if int(scale) * int(scale) * int(n_src) >= 2**62:
+        raise ValueError(
+            f"scale ({scale})^2 x {n_src} src nodes leaves no int64 "
+            "headroom for the first un-normalized step — lower scale"
+        )
+
+    def _normalize(raw: DataFrame) -> DataFrame:
+        total = raw.agg(F.sum("raw").alias("__t"))
+        return (
+            raw.crossJoin(F.broadcast(total))
+            .select(
+                "node",
+                F.expr(f"(raw * {int(scale)}) DIV __t").alias("score_fp"),
+            )
+        )
+
+    hubs = e.select("src").distinct().select(
+        F.col("src").alias("node"),
+        F.lit(int(scale)).cast("bigint").alias("score_fp"),
+    )
+    auths = None
+    for i in range(iterations):
+        raw_a = (
+            e.join(hubs.select(F.col("node").alias("src"), "score_fp"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("score_fp").alias("raw"))
+        )
+        auths = _normalize(raw_a)
+        raw_h = (
+            e.join(
+                auths.select(F.col("node").alias("dst"), "score_fp"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("score_fp").alias("raw"))
+        )
+        hubs = _normalize(raw_h)
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            hubs = _cut(hubs, reliable)
+            auths = _cut(auths, reliable)
+    return hubs.select(
+        "node", F.lit("hub").alias("side"), "score_fp"
+    ).unionByName(
+        auths.select("node", F.lit("auth").alias("side"), "score_fp")
+    )
+
+
+def hits_sql(edge_sql: str, iterations: int = 8, scale: int = 10**6) -> str:
+    """DuckDB twin of `hits`: the same L1-normalized integer
+    recurrence unrolled into a WITH chain. Raw-sum CTEs are
+    AS MATERIALIZED — each is referenced twice (the FROM and the
+    normalizer scalar subquery), and un-materialized double references
+    inline 2^iterations-fold (the label_propagation lesson)."""
+    parts = [
+        f"raw_e AS ({edge_sql})",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw_e"
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)",
+        "h0 AS MATERIALIZED (SELECT DISTINCT src AS node,"
+        f" CAST({int(scale)} AS BIGINT) AS score_fp FROM e)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"a{i}r AS MATERIALIZED (SELECT e.dst AS node,"
+            f" SUM(h.score_fp) AS raw FROM e JOIN h{i - 1} h"
+            " ON h.node = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT node, CAST(raw * {int(scale)}"
+            f" // (SELECT SUM(raw) FROM a{i}r) AS BIGINT) AS score_fp"
+            f" FROM a{i}r)"
+        )
+        parts.append(
+            f"h{i}r AS MATERIALIZED (SELECT e.src AS node,"
+            f" SUM(a.score_fp) AS raw FROM e JOIN a{i} a"
+            " ON a.node = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT node, CAST(raw * {int(scale)}"
+            f" // (SELECT SUM(raw) FROM h{i}r) AS BIGINT) AS score_fp"
+            f" FROM h{i}r)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, 'hub' AS side, score_fp FROM h{iterations}"
+        + f"\nUNION ALL SELECT node, 'auth' AS side, score_fp"
+        + f" FROM a{iterations}"
     )

@@ -268,6 +268,65 @@ def mixture_balance_sql(
     )
 
 
+def cluster_balanced_sample(
+    df: DataFrame,
+    strata_col: str,
+    per_stratum: int,
+    key: str,
+    salt: str = "cbal",
+    *,
+    fast: bool = False,
+) -> DataFrame:
+    """Semantic-diversity curation: exactly min(per_stratum, |stratum|)
+    rows from EVERY stratum, chosen by hash rank — `mixture_balance`
+    with a uniform budget and no drop-unlisted-strata semantics, built
+    for strata that are DISCOVERED (embedding-cluster cells from
+    `similarity.ivf_cells`, CC components, …) rather than enumerated
+    up front: a targets mapping can't list cluster ids it hasn't seen,
+    and a new cell appearing in the next corpus revision must default
+    to SAMPLED, not silently dropped.
+
+    Pairing nearest-centroid cells with this is the standard
+    diversity-preserving selection step (cluster-balanced sampling):
+    uniform-over-clusters beats uniform-over-rows when the corpus is
+    dominated by one dense mode. ONE window shuffle partitioned by the
+    stratum; the (hash, key) order key is unique, so reruns, engines,
+    and partition layouts pick the same rows, and a stratum's sample
+    never changes because OTHER strata grew. At 100 TB the window's
+    per-stratum sort is bounded by the largest cell — the centroid
+    count is the knob, exactly as in `semantic_dedup`.
+    """
+    if per_stratum < 1:
+        raise ValueError(
+            f"cluster_balanced_sample: per_stratum={per_stratum} "
+            "must be >= 1 (an empty sample keeps nothing)"
+        )
+    from pyspark.sql import Window
+
+    h = portable_hash64(
+        F.concat(F.col(key).cast("string"), F.lit("#" + salt)), fast=fast
+    )
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= per_stratum)
+        .drop("__rk")
+    )
+
+
+def cluster_balanced_sample_sql(
+    strata_expr: str, per_stratum: int, key_expr: str, salt: str = "cbal"
+) -> str:
+    """DuckDB twin of `cluster_balanced_sample`: rank-vs-budget
+    predicate for a QUALIFY-style subquery filter."""
+    keyed = f"(CAST({key_expr} AS VARCHAR) || '#{salt}')"
+    h = f"CAST('0x' || substr(md5({keyed}), 1, 15) AS BIGINT)"
+    return (
+        f"ROW_NUMBER() OVER (PARTITION BY {strata_expr} "
+        f"ORDER BY {h}, {key_expr}) <= {per_stratum}"
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key: str,

@@ -1180,6 +1180,160 @@ def pq_ivf_topk_sql(
 
 # --- exact L2 ground truth (PQ quality baseline) ---------------------------
 
+def sq_scales(emb: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """Per-dimension quantization scales for symmetric int8 scalar
+    quantization (the FAISS SQ8 index family): ONE row holding
+    array<double> of max|x_d| per dimension. posexplode → combinable
+    per-dimension MAX → one array_sort(collect_list) assembly (dim
+    rows, trivially bounded); the scalar row then broadcasts to the
+    encoder. Constant-zero dimensions get a floor of 1e-30 so the
+    encoder never divides by zero."""
+    dims = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.greatest(
+                F.max(F.abs(F.col("x").cast("double"))), F.lit(1e-30)
+            ).alias("s")
+        )
+    )
+    return dims.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, s))), e -> e.s)"
+        ).alias("scales")
+    )
+
+
+def sq_encode(
+    emb: DataFrame, scales: DataFrame | None = None, id_col: str = "vec_id"
+) -> DataFrame:
+    """int8-style scalar quantization: code_d = floor(x_d · 127 / s_d)
+    ∈ [−127, 127] — 1 byte per dimension standing in for 4, the
+    simplest of the FAISS compression tiers (SQ8; PQ is the next tier
+    down at 1 byte per SUBSPACE). floor of an IEEE double quotient,
+    not round: half-way rounding differs between engines, floor of
+    the same double agrees everywhere (the `weighted_sample` idiom),
+    so codes — and therefore every integer dot score — are bit-equal
+    cross-engine and hash-gateable.
+
+    Returns (vec_id, code array<bigint>). Scale shape: the scales row
+    is a broadcast scalar (one crossJoin of a 1-row frame); encoding
+    is pure map-side zip_with — no shuffle of anything corpus-sized;
+    the code table is the shareable/materializable artifact, like
+    `pq_encode`'s."""
+    sc = scales if scales is not None else sq_scales(emb, id_col)
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), "embedding")
+        .crossJoin(F.broadcast(sc))
+        .select(
+            "vec_id",
+            F.expr(
+                "zip_with(embedding, scales, (x, s) -> "
+                "CAST(floor(CAST(x AS DOUBLE) * 127.0D / s) AS BIGINT))"
+            ).alias("code"),
+        )
+    )
+
+
+def sq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    codes: DataFrame | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar-quantized top-k: rank corpus vectors per query by the
+    INTEGER dot product of their int8 codes — a symmetric
+    compressed-domain search (both sides quantized; the int dot is a
+    127²-scaled approximation of the float dot, so ranking ≈ cosine
+    ranking for normalized inputs). Self-matches excluded, exactly
+    like `cosine_topk`, so recall against the brute-force truth is
+    apples-to-apples.
+
+    Every score is exact BIGINT arithmetic over bit-equal codes —
+    the whole top-k is hash-gateable with no rounding contract at
+    all (|code| ≤ 127 ⇒ |dot| ≤ 127²·dim ≈ 10⁶, nowhere near int64).
+    Query codes broadcast; the corpus code table never shuffles.
+    """
+    cs = codes if codes is not None else sq_encode(emb, id_col=id_col)
+    q = (
+        cs.join(
+            F.broadcast(
+                queries.select(F.col(id_col).alias("vec_id"))
+            ),
+            "vec_id",
+        )
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("code").alias("q_code")
+        )
+    )
+    scored = (
+        cs.select(F.col("vec_id").alias("neighbor_id"), "code")
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "aggregate(zip_with(q_code, code, (a, b) -> a * b), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("qscore"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qscore").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "qscore", "rk")
+    )
+
+
+_SQ_SCALES_SQL = """
+    SELECT list(s ORDER BY pos) AS scales FROM (
+        SELECT i AS pos,
+               GREATEST(MAX(ABS(CAST(embedding[i] AS DOUBLE))), 1e-30) AS s
+        FROM embeddings,
+             UNNEST(generate_series(1, len(embedding))) AS t(i)
+        GROUP BY 1
+    )
+"""
+
+_SQ_CODES_SQL = """
+    SELECT vec_id,
+           list_transform(
+               list_zip(embedding, (SELECT scales FROM sq_sc)),
+               x -> CAST(floor(CAST(x[1] AS DOUBLE) * 127.0
+                               / CAST(x[2] AS DOUBLE)) AS BIGINT)
+           ) AS code
+    FROM embeddings
+"""
+
+
+def sq_topk_sql(max_query_id: int, k: int = 5) -> str:
+    """DuckDB twin of `sq_topk` (queries = vec_id < max_query_id):
+    identical floor quantization, identical integer dot."""
+    int_dot = (
+        "list_sum(list_transform(list_zip(q.code, c.code), "
+        "x -> x[1] * x[2]))"
+    )
+    return f"""
+        WITH sq_sc AS MATERIALIZED ({_SQ_SCALES_SQL}),
+        sq_codes AS MATERIALIZED ({_SQ_CODES_SQL}),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   CAST({int_dot} AS BIGINT) AS qscore
+            FROM sq_codes q JOIN sq_codes c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {max_query_id}
+        )
+        SELECT query_id, neighbor_id, qscore, rk FROM (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY qscore DESC, neighbor_id ASC
+            ) AS BIGINT) AS rk FROM pairs
+        ) WHERE rk <= {k}
+    """
+
+
 def l2_topk(
     embeddings: DataFrame,
     queries: DataFrame,

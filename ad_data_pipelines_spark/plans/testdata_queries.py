@@ -3900,7 +3900,8 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pq_codes 2, span_bounds 2,
     trade_edges 8 (g1/g2/g3/g4/g5/g7 + g11/g12 SSSP), cosupply_pairs 2
     (the knn build + g10), cosupply_knn 3 (g6/g8/g9),
-    cosine_truth25 3 (llm_cosine_topk/llm_ann_recall/llm_ivf_recall),
+    cosine_truth25 4 (llm_cosine_topk/llm_ann_recall/llm_ivf_recall/
+    llm_sq_recall), sq_codes 2 (llm_sq_topk/llm_sq_recall),
     l2_truth10 2 (llm_l2_topk/llm_pq_recall) — the recall gates'
     ground-truth tables, materialized once like a production recall
     harness would per index rebuild. Dropped as single-consumer:
@@ -3919,6 +3920,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _repetition_shared,
         "word_grams": _word_grams_shared,
         "pq_codes": _pq_codes_shared,
+        "sq_codes": _sq_codes_shared,
         "span_bounds": _span_bounds_shared,
         "trade_edges": _trade_edges_shared,
         "cosupply_pairs": _cosupply_pairs_shared,
@@ -5474,6 +5476,59 @@ def q_llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+_CBAL_DOT = (
+    "list_sum(list_transform(list_zip({a}.embedding, {b}.embedding), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+@register(
+    "llm_cluster_balanced_mix",
+    oracle=f"""
+        WITH cent AS (
+            SELECT vec_id AS cell_id, embedding FROM embeddings
+            WHERE vec_id < 4
+        ),
+        cells AS (
+            SELECT vec_id AS doc_id, cell_id FROM (
+                SELECT v.vec_id, cent.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ROUND({_CBAL_DOT.format(a='v', b='cent')}, 4) DESC,
+                                    cent.cell_id
+                       ) AS crk
+                FROM embeddings v CROSS JOIN cent
+            ) WHERE crk <= 1
+        )
+        SELECT doc_id, cell_id FROM (
+            SELECT doc_id, cell_id,
+                   {_sampling.cluster_balanced_sample_sql(
+                       "cell_id", 40, "doc_id"
+                   )} AS __keep
+            FROM cells
+        ) WHERE __keep
+    """,
+    doc="Cluster-balanced sampling (semantic-diversity curation): "
+    "nearest-centroid embedding cells — the SAME session-shared IVF "
+    "cell table semantic_dedup and the ANN probes consume — become "
+    "the strata of a uniform min(40, |cell|)-per-cell hash-rank "
+    "sample, so the selected corpus is balanced over embedding-space "
+    "modes, not just source labels (uniform-over-clusters beats "
+    "uniform-over-rows when one dense mode dominates the crawl). "
+    "Centroids broadcast for the cell assignment; the pick itself is "
+    "ONE window shuffle partitioned by cell_id with a unique "
+    "(hash, doc_id) order key — deterministic across engines, runs "
+    "and layouts, and a cell's sample never changes because other "
+    "cells grew. operators/sampling.py:cluster_balanced_sample.",
+)
+def q_llm_cluster_balanced_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = _ivf_cells_shared(spark, sf_dir).select(
+        F.col("neighbor_id").alias("doc_id"), "cell_id"
+    )
+    return _sampling.cluster_balanced_sample(
+        cells, "cell_id", 40, "doc_id"
+    ).select("doc_id", "cell_id")
+
+
 @register(
     "llm_semantic_dedup",
     oracle=_sim.semantic_dedup_sql(threshold=0.9, n_cells=4),
@@ -6702,6 +6757,51 @@ def q_g1_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "g14_hits_authorities",
+    oracle=(
+        "WITH hs AS (\n"
+        + _graph.hits_sql(
+            """
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS src,
+                            CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            """,
+            iterations=8,
+        )
+        + f"\n) SELECT {_G1_LABEL_SQL} AS node, score_fp AS auth_fp"
+        " FROM hs WHERE side = 'auth'"
+        " ORDER BY auth_fp DESC, node LIMIT 25"
+    ),
+    doc="HITS authorities (Kleinberg 1999) over the DIRECTED "
+    "customer→supplier trade graph: an authority is a supplier "
+    "endorsed by good hubs (customers who buy from good suppliers) — "
+    "the mutual-reinforcement source-quality signal PageRank's "
+    "single-score walk can't express; top 25 suppliers. L1-normalized "
+    "BIGINT fixed-point recurrence (floor division, all-positive) "
+    "makes 8 iterations BIT-EQUAL to the unrolled DuckDB twin — a "
+    "second iterative float algorithm made hash-gateable. Per half-"
+    "step: one equi-join of the 2-long score state onto the edges + "
+    "one combinable aggregate + a 1-row normalizer crossJoin (never a "
+    "driver collect); the c→s orientation filters the shared "
+    "checkpointed trade_edges artifact (even src = customer), so no "
+    "new shared stage. operators/graph.py:hits.",
+)
+def q_g14_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _trade_edges_shared(spark, sf_dir).filter(F.col("src") % 2 == 0)
+    hs = _graph.hits(e.select("src", "dst"), iterations=8)
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.expr("CAST(node DIV 2 AS STRING)"),
+    )
+    return (
+        hs.filter(F.col("side") == "auth")
+        .select(label.alias("node"), F.col("score_fp").alias("auth_fp"))
+        .orderBy(F.desc("auth_fp"), "node")
+        .limit(25)
+    )
+
+
 # seed predicate valid at EVERY test SF (sf0.001 has 10 suppliers,
 # keys 0-9, and no nation-1 supplier — a nation filter would leave
 # the teleport nowhere to land there)
@@ -7617,6 +7717,82 @@ def q_llm_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq_codes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantization code table (per-dim scales broadcast,
+    map-only encode) — consumed by llm_sq_topk and llm_sq_recall
+    (disk twin: the SQ code artifact an index rebuild materializes)."""
+    return _shared(
+        spark,
+        sf_dir,
+        "sq_codes",
+        lambda: _sim.sq_encode(t(spark, sf_dir, "embeddings")),
+    )
+
+
+@register(
+    "llm_sq_topk",
+    oracle=_sim.sq_topk_sql(max_query_id=10, k=5),
+    doc="int8 scalar-quantized ANN (the FAISS SQ8 tier between "
+    "float brute force and PQ): per-dimension max|x| scales quantize "
+    "every vector to floor(x·127/s) ∈ [−127, 127], search ranks by "
+    "the INTEGER dot of the codes — 4× smaller vectors, integer "
+    "SIMD-friendly scoring, and (unlike every float path) zero "
+    "rounding contract: codes and scores are exact BIGINTs, bit-equal "
+    "cross-engine. Scales are one broadcast scalar row; the encode is "
+    "map-side zip_with; the code table is the shareable corpus "
+    "artifact. operators/similarity.py:sq_encode,sq_topk.",
+)
+def q_llm_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return _sim.sq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        codes=_sq_codes_shared(spark, sf_dir),
+    )
+
+
+@register(
+    "llm_sq_recall",
+    oracle=f"""
+        WITH brute AS ({_sim.cosine_topk_sql(max_query_id=25, k=5)}),
+        ann AS ({_sim.sq_topk_sql(max_query_id=25, k=5)}),
+        per_q AS (
+            SELECT b.query_id,
+                   COUNT(*) AS k,
+                   COUNT(a.neighbor_id) AS hits
+            FROM brute b
+            LEFT JOIN ann a
+              ON b.query_id = a.query_id
+             AND b.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               ROUND(AVG(hits * 1.0 / k), 4) AS mean_recall,
+               ROUND(MIN(hits * 1.0 / k), 4) AS min_recall
+        FROM per_q
+    """,
+    doc="SQ8 quality gate: per-query recall of the scalar-quantized "
+    "top-5 against the brute-force cosine ground truth (the shared "
+    "25-query table), mean/min — completes the per-index recall "
+    "reports (LSH/IVF/PQ/SQ), so every compression tier ships with "
+    "its measured accuracy. Hit counting via the JOIN-FREE "
+    "_recall_report union+aggregate.",
+)
+def q_llm_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    truth = _cosine_truth25_shared(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann = _sim.sq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 25),
+        k=5,
+        codes=_sq_codes_shared(spark, sf_dir),
+    ).select("query_id", "neighbor_id")
+    return _recall_report(truth, ann)
+
+
 @register(
     "llm_packing_efficiency",
     oracle="""
@@ -7703,197 +7879,203 @@ _GATE_TAIL_ROWS_ONLY: list[str] = [
     # registration.
 ]
 _GATE_PRIORITY = [
-    # tier 0 (round 11): new registrations + changed-plan re-gates
-    "g11_sssp_trusted_distance",
-    "g12_hop_histogram",
-    "g13_harmonic_closeness",
-    "llm_leakage_safe_split",
-    "llm_source_quality_shrunk",
-    "g3_trade_communities",
+    # tier 0 (round 12): new registrations + the one changed plan
+    # (bloom_bits gained the metadata stamp + the de-quadraticized
+    # densify)
+    "llm_cluster_balanced_mix",
+    "llm_sq_topk",
+    "llm_sq_recall",
+    "g14_hits_authorities",
     "llm_bloom_decontam",
-    "a5_distinct_approx",
-    "g4_weighted_pagerank",
-    # tier 1: latest green r7 — the oldest tail, cheapest-first
-    "a7_histogram",
-    "p18_p19_days_in_month",
-    "llm_stratified_topk",
-    "p20_coord_convert",
-    "p16_threshold_bins",
-    "s13_first_seen",
-    "llm_chunking",
-    "llm_token_stats",
-    "p9_p10_p11_mapping",
-    "a4_conditional_sum",
-    "p15_binning",
-    "j12_point_in_polygon",
-    "llm_quality_filter",
-    "llm_mm_frame_sample",
-    "t5_cohort_retention",
-    "t1_events_hourly",
-    "w1_lead_gap",
-    "llm_mm_decode_resize",
-    "o4_union_spine_j6",
-    "w2_transfer_time",
-    "llm_quality_quantile",
-    "j15_asof_enrich",
-    "llm_contamination",
-    "t4_funnel_conversion",
-    "j5_regional_volume",
-    "j31_returned_item_customers",
-    "j8_full_outer_3way",
-    "a32_psi_trained_edges",
-    "llm_pii_scrub",
-    "w3_group_max_flag",
-    "a11_avg_daily_ratio",
-    "s14_scd2_history",
-    "a10_journey_reagg",
-    "w4_keep_last",
-    "j9_j10_composite_join",
-    "a14_wkt_assembly",
-    "g2_ppr_trusted_suppliers",
-    "g1_pagerank_suppliers",
-    # tier 2: r8 greens cheapest-first (the ~50 budget cuts off in here)
-    "llm_det_shuffle",
-    "llm_stratified_sample",
-    "llm_source_mix",
+    # tier 1: latest green r8 — the oldest tail, cheapest-first
     "o3_union_slices",
     "o13_gap_audit",
     "llm_normalize_text",
-    "llm_snapshot_diff",
     "w5_seq_lead",
-    "llm_dedup_keeper_policy",
     "w7_cumulative_share",
-    "o14_join_skew_report",
-    "llm_mm_binary_meta",
-    "llm_vocab",
-    "llm_dedup_stats",
     "llm_token_stats_bpe",
+    "llm_vocab",
+    "llm_mm_binary_meta",
+    "o14_join_skew_report",
+    "llm_dedup_keeper_policy",
+    "llm_snapshot_diff",
+    "w6_rolling_window",
+    "o7_topk_rank",
+    "llm_simhash_pairs",
     "o11_constraint_audit",
     "llm_pack_sequences",
-    "o7_topk_rank",
-    "w6_rolling_window",
-    "llm_simhash_pairs",
-    "o8_pivot_matrix",
-    "llm_lang_id",
-    "o10_profile",
-    "o9_unpivot_long",
-    "t3_sessionize",
-    "t2_events_json_props",
-    "llm_chunking_tokens",
-    "a22_psi_reference",
-    "a21_psi_drift",
-    "llm_budget_select",
     "llm_zipf",
+    "a21_psi_drift",
+    "o8_pivot_matrix",
+    "o10_profile",
+    "a22_psi_reference",
+    "o9_unpivot_long",
     "s15_json_props",
-    "llm_lang_confusion",
+    "llm_chunking_tokens",
+    "llm_dedup_stats",
+    "t3_sessionize",
+    "llm_lang_id",
+    "t2_events_json_props",
+    "llm_budget_select",
     "o12_table_checksum",
-    "a18_winsorize",
-    "llm_candidate_agreement",
-    "llm_tfidf_keywords",
     "a20_ks_drift",
-    "llm_ann_ivf",
-    "llm_ann_lsh",
+    "a18_winsorize",
+    "llm_tfidf_keywords",
     "a19_robust_outliers",
+    "llm_ann_lsh",
+    "llm_candidate_agreement",
+    "llm_lang_confusion",
+    "llm_ann_ivf",
     "llm_lang_mix",
     "llm_bigram_lm",
     "llm_cosine_near_dup",
-    # tier 3: r9 greens cheapest-first
+    # tier 2: r9 greens cheapest-first (the ~50 budget cuts off in here)
     "llm_minhash_sig",
     "llm_simhash",
     "llm_weighted_sample",
     "llm_dedup_corpus",
-    "j13_anti_join",
+    "a1_trips_daily",
     "llm_packing_efficiency",
     "a5_distinct_exact",
-    "llm_dedup_threshold_curve",
-    "a1_trips_daily",
-    "llm_boilerplate_ngrams",
-    "j20_fuzzy_name_match",
     "a12_guarded_ratio",
-    "j14_match_rate",
+    "j13_anti_join",
+    "j20_fuzzy_name_match",
     "a9_rollup_overall",
     "llm_cross_source_dup",
-    "llm_random_projection",
-    "o16_zorder_cells",
-    "j1_broadcast_enrich",
-    "llm_chunk_dedup",
-    "t6_user_streaks",
-    "a3_pricing_summary",
-    "j17_interval_join",
-    "llm_temperature_mix",
-    "llm_containment",
-    "llm_novelty",
-    "a29_top_revenue_suppliers",
     "j25_idle_rich_customers",
-    "t7_last_touch_attribution",
-    "llm_embedding_drift",
-    "j18_shipping_priority",
-    "j19_overlap_join",
-    "a8_adjacent_diff",
+    "llm_boilerplate_ngrams",
+    "j14_match_rate",
+    "llm_random_projection",
+    "a3_pricing_summary",
+    "j1_broadcast_enrich",
     "j27_customer_order_distribution",
-    "llm_semantic_dedup",
-    "t8_session_window",
-    "llm_incremental_dedup",
-    "a33_binned_quantile_shards",
+    "o16_zorder_cells",
+    "t6_user_streaks",
     "a2_conditional_counts",
-    "llm_pq_topk",
-    "llm_encode_docs",
-    "g5_kcore_backbone",
-    "llm_remove_boilerplate",
+    "llm_temperature_mix",
+    "a8_adjacent_diff",
+    "llm_chunk_dedup",
+    "a29_top_revenue_suppliers",
+    "j17_interval_join",
+    "llm_dedup_threshold_curve",
+    "llm_containment",
+    "t8_session_window",
+    "llm_embedding_drift",
+    "llm_novelty",
+    "j19_overlap_join",
+    "t7_last_touch_attribution",
+    "j18_shipping_priority",
+    "a33_binned_quantile_shards",
     "w8_balance_deciles",
-    "llm_pq_ivf_topk",
+    "llm_incremental_dedup",
+    "llm_semantic_dedup",
+    "llm_encode_docs",
+    "llm_pq_topk",
+    "llm_remove_boilerplate",
+    "g5_kcore_backbone",
     "llm_cooccurrence",
+    "llm_pq_ivf_topk",
     "g7_coreness",
-    # tier 4: r10 greens cheapest-first (freshest last)
-    "llm_repetition",
-    "llm_quality",
-    "llm_l2_topk",
+    # tier 3: r10 greens cheapest-first
     "llm_dedup_groups",
+    "llm_repetition",
     "llm_entropy",
+    "llm_l2_topk",
+    "llm_quality",
     "llm_cosine_topk",
     "llm_lsh_candidates",
     "p7_p8_clean_map",
-    "llm_hash_split",
     "llm_fingerprint",
+    "llm_hash_split",
     "llm_dedup_exact",
-    "p24_disjunctive_revenue",
-    "llm_mm_dhash_pairs",
-    "j30_late_order_priorities",
-    "llm_quality_quantile_approx",
-    "o6_topn_revenue",
-    "a25_time_weighted_avg",
-    "llm_ngram_jaccard",
-    "j7_dedup_then_join",
-    "a13_first_last_ordered",
-    "a24_cube_totals",
     "j23_small_quantity_revenue",
-    "a26_hll_shard_union",
-    "s16_merge_apply",
-    "a27_large_volume_orders",
-    "llm_prefix_jaccard",
-    "llm_dup_spans",
-    "llm_dup_span_removal",
-    "a31_supplier_variety",
-    "llm_ivf_recall",
+    "j30_late_order_priorities",
+    "a25_time_weighted_avg",
+    "llm_mm_dhash_pairs",
+    "p24_disjunctive_revenue",
+    "o6_topn_revenue",
+    "j7_dedup_then_join",
+    "a24_cube_totals",
     "a28_important_suppliers",
+    "a26_hll_shard_union",
+    "llm_quality_quantile_approx",
+    "a13_first_last_ordered",
+    "llm_ngram_jaccard",
+    "a27_large_volume_orders",
+    "j28_nation_trade_volume",
+    "s16_merge_apply",
     "llm_nb_quality",
-    "g6_cosupply_triangles",
-    "o15_entity_clusters",
-    "llm_ann_recall",
-    "llm_cms_estimates",
     "a30_market_share",
     "j29_local_supplier_volume",
-    "j28_nation_trade_volume",
+    "a31_supplier_variety",
+    "llm_prefix_jaccard",
+    "llm_dup_spans",
+    "j24_sole_late_supplier",
+    "g6_cosupply_triangles",
+    "o15_entity_clusters",
+    "a23_groupwise_ols",
+    "llm_dup_span_removal",
+    "llm_ann_recall",
     "g10_cosupply_jaccard",
     "j21_grid_knn",
-    "llm_heavy_hitters_sketch",
-    "a23_groupwise_ols",
-    "llm_pq_recall",
     "j22_min_cost_supplier",
-    "j24_sole_late_supplier",
+    "llm_cms_estimates",
+    "llm_ivf_recall",
+    "llm_pq_recall",
     "j26_dominant_suppliers",
+    "llm_heavy_hitters_sketch",
     "g9_neighborhood_anf",
     "g8_truss_backbone",
+    # tier 4: r11 greens cheapest-first (freshest last)
+    "a7_histogram",
+    "a4_conditional_sum",
+    "llm_det_shuffle",
+    "p16_threshold_bins",
+    "p20_coord_convert",
+    "llm_token_stats",
+    "llm_stratified_topk",
+    "llm_chunking",
+    "p18_p19_days_in_month",
+    "llm_stratified_sample",
+    "llm_source_mix",
+    "s13_first_seen",
+    "p9_p10_p11_mapping",
+    "p15_binning",
+    "t1_events_hourly",
+    "w2_transfer_time",
+    "w1_lead_gap",
+    "j12_point_in_polygon",
+    "llm_mm_frame_sample",
+    "llm_quality_filter",
+    "llm_mm_decode_resize",
+    "t5_cohort_retention",
+    "o4_union_spine_j6",
+    "llm_contamination",
+    "t4_funnel_conversion",
+    "llm_quality_quantile",
+    "llm_leakage_safe_split",
+    "j15_asof_enrich",
+    "j5_regional_volume",
+    "j31_returned_item_customers",
+    "a32_psi_trained_edges",
+    "llm_source_quality_shrunk",
+    "a11_avg_daily_ratio",
+    "s14_scd2_history",
+    "llm_pii_scrub",
+    "w3_group_max_flag",
+    "j8_full_outer_3way",
+    "a10_journey_reagg",
+    "w4_keep_last",
+    "a5_distinct_approx",
+    "g13_harmonic_closeness",
+    "a14_wkt_assembly",
+    "j9_j10_composite_join",
+    "g12_hop_histogram",
+    "g11_sssp_trusted_distance",
+    "g1_pagerank_suppliers",
+    "g3_trade_communities",
+    "g4_weighted_pagerank",
+    "g2_ppr_trusted_suppliers",
 ] + _GATE_TAIL_ROWS_ONLY
 assert set(_GATE_PRIORITY) == set(REGISTRY), (
     "gate-priority list drifted from registry: "

@@ -728,6 +728,104 @@ def test_mixture_balance_exact_counts_and_stability(spark):
     )
 
 
+def test_sq_quantization_codes_and_recall(spark):
+    """int8 scalar quantization: (a) codes are BIGINTs bounded by
+    ±127 (the per-dim max|x| scale guarantees it — floor(±127.0)
+    stays in range); (b) scores are exact integer dot products,
+    layout-independent; (c) recall of the SQ top-5 against the
+    brute-force cosine truth clears a floor (measured 0.85 mean /
+    0.60 min at sf0.01 — floor quantization trades a little recall
+    for a zero-rounding cross-engine contract); (d) the scales row
+    floors constant-zero dimensions so encoding never divides by
+    zero."""
+    from ad_data_pipelines_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{SF_MEDIUM}/embeddings.parquet")
+    codes = similarity.sq_encode(emb)
+    row = codes.selectExpr(
+        "max(array_max(code)) AS mx",
+        "min(array_min(code)) AS mn",
+        "count(*) AS n",
+    ).collect()[0]
+    assert row.n == emb.count()
+    assert -127 <= row.mn <= row.mx <= 127
+
+    top = similarity.sq_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    rows = top.collect()
+    assert len(rows) == 50 and all(isinstance(r.qscore, int) for r in rows)
+    assert all(r.query_id != r.neighbor_id for r in rows)
+    again = similarity.sq_topk(
+        emb.repartition(7), emb.filter(F.col("vec_id") < 10), k=5
+    )
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+    truth = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 25), k=5
+    ).select("query_id", "neighbor_id")
+    ann = similarity.sq_topk(
+        emb, emb.filter(F.col("vec_id") < 25), k=5
+    ).select("query_id", "neighbor_id")
+    from ad_data_pipelines_spark.plans.testdata_queries import _recall_report
+
+    rep = _recall_report(truth, ann).collect()[0]
+    assert rep.mean_recall >= 0.75, rep
+    assert rep.min_recall >= 0.4, rep
+
+    # zero dimension: scale floors at 1e-30, codes come out 0
+    zero = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [0.0, -1.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    zcodes = {r.vec_id: r.code for r in similarity.sq_encode(zero).collect()}
+    assert zcodes[0] == [0, 127] and zcodes[1] == [0, -127]
+
+
+def test_cluster_balanced_sample_exact_counts_per_cell(spark):
+    """Per-stratum EXACT counts: every stratum yields min(k, |stratum|)
+    rows — including strata the caller never enumerated (the operator
+    exists because discovered cluster ids can't be listed up front);
+    a cell's pick is independent of other cells' contents and of
+    partition layout; per_stratum < 1 is refused."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import sampling, similarity
+
+    # real strata: nearest-centroid cells over the sf0.01 embeddings —
+    # the registry query's exact composition
+    emb = spark.read.parquet(f"{SF_MEDIUM}/embeddings.parquet")
+    cells = similarity.ivf_cells(
+        emb, similarity.ivf_centroids(emb, n_cells=4), "doc_id", "emb", 1
+    ).select("doc_id", "cell_id")
+    sizes = {r.cell_id: r.n for r in cells.groupBy("cell_id").agg(
+        F.count("*").alias("n")).collect()}
+    assert len(sizes) >= 2  # the balance claim needs >1 stratum
+    for k in (1, 40, max(sizes.values()) + 10):
+        out = sampling.cluster_balanced_sample(cells, "cell_id", k, "doc_id")
+        got = {r.cell_id: r.n for r in out.groupBy("cell_id").agg(
+            F.count("*").alias("n")).collect()}
+        assert got == {c: min(k, n) for c, n in sizes.items()}, f"k={k}"
+
+    out = sampling.cluster_balanced_sample(cells, "cell_id", 40, "doc_id")
+    picked = sorted(tuple(r) for r in out.collect())
+    # cell-local stability: one cell's pick is identical when every
+    # other cell is removed from the input
+    some_cell = next(iter(sizes))
+    alone = sampling.cluster_balanced_sample(
+        cells.filter(F.col("cell_id") == some_cell), "cell_id", 40, "doc_id"
+    )
+    assert sorted(tuple(r) for r in alone.collect()) == [
+        p for p in picked if p[1] == some_cell
+    ]
+    # partition-layout independence
+    again = sampling.cluster_balanced_sample(
+        cells.repartition(7), "cell_id", 40, "doc_id"
+    )
+    assert sorted(tuple(r) for r in again.collect()) == picked
+
+    with pytest.raises(ValueError, match="per_stratum"):
+        sampling.cluster_balanced_sample(cells, "cell_id", 0, "doc_id")
+
+
 def test_semantic_dedup_matches_brute_force_within_cells(spark):
     """kept == vectors with NO same-cell smaller-id neighbor at
     sim >= threshold, verified against a brute-force recomputation;
@@ -2916,6 +3014,75 @@ def test_label_propagation_bit_equal_structure_and_guards(spark):
         graph.label_propagation(df, iterations=0)
     with pytest.raises(ValueError, match="checkpoint_every"):
         graph.label_propagation(df, checkpoint_every=0)
+
+
+def test_hits_structure_determinism_and_guards(spark):
+    """HITS hubs/authorities: (a) bit-equality with the unrolled
+    DuckDB twin on a directed endorsement graph; (b) structure — the
+    node endorsed by the strongest hubs is the top authority, equal
+    hubs score equally; (c) duplicate edges collapse (endorsing twice
+    is not endorsing harder) and partition layout never changes
+    scores; (d) loud guards for the int64 headroom and degenerate
+    parameters; (e) an edge list that is all self-loops/NULLs returns
+    an EMPTY typed frame, not a crash."""
+    import duckdb
+    import pytest
+
+    from ad_data_pipelines_spark.operators import graph
+
+    edges = [(1, 10), (2, 10), (3, 10), (1, 11), (2, 11), (4, 12), (10, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = sorted(map(tuple, graph.hits(df, iterations=4).collect()))
+
+    con = duckdb.connect()
+    esql = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"({a},{b})" for a, b in edges)
+        + ") AS t(src, dst)"
+    )
+    twin = sorted(
+        (int(n), s, int(v))
+        for n, s, v in con.execute(
+            graph.hits_sql(esql, iterations=4)
+        ).fetchall()
+    )
+    assert out == twin
+
+    scores = {(n, s): v for n, s, v in out}
+    # 10 is endorsed by the three strongest hubs — top authority
+    auths = {n: v for (n, s), v in scores.items() if s == "auth"}
+    assert max(auths, key=auths.get) == 10
+    # hubs 1 and 2 endorse identical sets — identical hub scores
+    assert scores[(1, "hub")] == scores[(2, "hub")]
+    assert scores[(1, "hub")] > scores[(3, "hub")] > scores[(4, "hub")]
+
+    # duplicate edges collapse; partition layout irrelevant
+    dup = spark.createDataFrame(
+        edges + edges[:3], "src bigint, dst bigint"
+    ).repartition(7)
+    assert sorted(map(tuple, graph.hits(dup, iterations=4).collect())) == out
+
+    with pytest.raises(ValueError, match="iteration"):
+        graph.hits(df, iterations=0)
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        graph.hits(df, checkpoint_every=0)
+    with pytest.raises(ValueError, match="scale"):
+        graph.hits(df, scale=10**10)
+    with pytest.raises(ValueError, match="headroom"):
+        graph.hits(df, scale=10**9)  # 1e18 * 4 src nodes > 2^62
+    with pytest.raises(ValueError, match="types differ"):
+        graph.hits(
+            spark.createDataFrame([(1, "a")], "src bigint, dst string")
+        )
+
+    empty = graph.hits(
+        spark.createDataFrame([(5, 5), (None, 3)], "src bigint, dst bigint"),
+        iterations=2,
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "node", "side", "score_fp"
+    ]
 
 
 def test_label_propagation_frontier_equals_full(spark):
