@@ -1240,6 +1240,7 @@ def sq_topk(
     queries: DataFrame,
     k: int = 5,
     codes: DataFrame | None = None,
+    scales: DataFrame | None = None,
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Scalar-quantized top-k: rank corpus vectors per query by the
@@ -1253,19 +1254,23 @@ def sq_topk(
     Every score is exact BIGINT arithmetic over bit-equal codes —
     the whole top-k is hash-gateable with no rounding contract at
     all (|code| ≤ 127 ⇒ |dot| ≤ 127²·dim ≈ 10⁶, nowhere near int64).
-    Query codes broadcast; the corpus code table never shuffles.
+
+    The QUERY side is re-encoded from `queries` with the SAME scales
+    (pass `scales` to share the corpus artifact's row — a mismatched
+    scales row would score in a different lattice) rather than
+    semi-joined out of the code table: the query side must carry a
+    broadcast hint for the non-equi scoring join, and a hint on a
+    join OUTPUT would root the hinted subtree in the full corpus scan
+    (the plan lint's forced-OOM class); re-encoding keeps the hinted
+    subtree bounded by the caller's id filter. Query codes broadcast;
+    the corpus code table never shuffles.
     """
-    cs = codes if codes is not None else sq_encode(emb, id_col=id_col)
-    q = (
-        cs.join(
-            F.broadcast(
-                queries.select(F.col(id_col).alias("vec_id"))
-            ),
-            "vec_id",
-        )
-        .select(
-            F.col("vec_id").alias("query_id"), F.col("code").alias("q_code")
-        )
+    sc = scales if scales is not None else sq_scales(emb, id_col)
+    cs = codes if codes is not None else sq_encode(emb, sc, id_col=id_col)
+    q = sq_encode(
+        queries.select(F.col(id_col).alias("vec_id"), "embedding"), sc
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("code").alias("q_code")
     )
     scored = (
         cs.select(F.col("vec_id").alias("neighbor_id"), "code")

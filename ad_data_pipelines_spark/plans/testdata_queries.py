@@ -3901,7 +3901,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     trade_edges 8 (g1/g2/g3/g4/g5/g7 + g11/g12 SSSP), cosupply_pairs 2
     (the knn build + g10), cosupply_knn 3 (g6/g8/g9),
     cosine_truth25 4 (llm_cosine_topk/llm_ann_recall/llm_ivf_recall/
-    llm_sq_recall), sq_codes 2 (llm_sq_topk/llm_sq_recall),
+    llm_sq_recall), sq_codes 2 + sq_scales 2 (llm_sq_topk/llm_sq_recall),
     l2_truth10 2 (llm_l2_topk/llm_pq_recall) — the recall gates'
     ground-truth tables, materialized once like a production recall
     harness would per index rebuild. Dropped as single-consumer:
@@ -3920,6 +3920,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition": _repetition_shared,
         "word_grams": _word_grams_shared,
         "pq_codes": _pq_codes_shared,
+        "sq_scales": _sq_scales_shared,
         "sq_codes": _sq_codes_shared,
         "span_bounds": _span_bounds_shared,
         "trade_edges": _trade_edges_shared,
@@ -7717,6 +7718,19 @@ def q_llm_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq_scales_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQ index's per-dimension scales row — PART OF the index
+    artifact (codes scored against different scales live in a
+    different lattice), shared by both SQ queries so their query-side
+    re-encode uses the exact corpus scales."""
+    return _shared(
+        spark,
+        sf_dir,
+        "sq_scales",
+        lambda: _sim.sq_scales(t(spark, sf_dir, "embeddings")),
+    )
+
+
 def _sq_codes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar-quantization code table (per-dim scales broadcast,
     map-only encode) — consumed by llm_sq_topk and llm_sq_recall
@@ -7725,7 +7739,10 @@ def _sq_codes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "sq_codes",
-        lambda: _sim.sq_encode(t(spark, sf_dir, "embeddings")),
+        lambda: _sim.sq_encode(
+            t(spark, sf_dir, "embeddings"),
+            _sq_scales_shared(spark, sf_dir),
+        ),
     )
 
 
@@ -7749,6 +7766,7 @@ def q_llm_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10),
         k=5,
         codes=_sq_codes_shared(spark, sf_dir),
+        scales=_sq_scales_shared(spark, sf_dir),
     )
 
 
@@ -7789,6 +7807,7 @@ def q_llm_sq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 25),
         k=5,
         codes=_sq_codes_shared(spark, sf_dir),
+        scales=_sq_scales_shared(spark, sf_dir),
     ).select("query_id", "neighbor_id")
     return _recall_report(truth, ann)
 
