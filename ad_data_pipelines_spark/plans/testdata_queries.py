@@ -1030,6 +1030,26 @@ def q_llm_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_source_diversity",
+    oracle=_cs.source_diversity_sql(),
+    doc="Per-source lexical-diversity triage: corpus-level word and "
+    "bigram type-token ratios ACROSS a source's docs — the inter-doc "
+    "self-BLEU-style signal per-doc repetition (Gopher) and "
+    "boilerplate mining can't give: a templated-spam source whose "
+    "docs are individually clean shows a collapsed corpus TTR long "
+    "before pairwise dedup prices it, so this is the cheap first "
+    "pass over thousands of sources. One token explode feeds both "
+    "gram levels (bigrams via zip_with of the array against its "
+    "tail, prefix-tagged — no second tokenization), then combinable "
+    "per-(source, gram) counts and one per-source aggregate: two "
+    "keyed shuffles, no windows, no driver data. "
+    "operators/corpusstats.py:source_diversity.",
+)
+def q_llm_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cs.source_diversity(t(spark, sf_dir, "documents"))
+
+
+@register(
     "llm_simhash",
     oracle=_dedup.simhash_sql(),
     doc="32-bit SimHash over word tokens (±1 per bit, sign-of-sum) — "
@@ -6768,7 +6788,7 @@ def q_g1_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                             CAST(l_suppkey AS BIGINT) * 2 + 1 AS dst
             FROM orders JOIN lineitem ON l_orderkey = o_orderkey
             """,
-            iterations=8,
+            iterations=6,
         )
         + f"\n) SELECT {_G1_LABEL_SQL} AS node, score_fp AS auth_fp"
         " FROM hs WHERE side = 'auth'"
@@ -6780,7 +6800,10 @@ def q_g1_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the mutual-reinforcement source-quality signal PageRank's "
     "single-score walk can't express; top 25 suppliers. L1-normalized "
     "BIGINT fixed-point recurrence (floor division, all-positive) "
-    "makes 8 iterations BIT-EQUAL to the unrolled DuckDB twin — a "
+    "makes the 6 iterations BIT-EQUAL to the unrolled DuckDB twin "
+    "(iteration count chosen pre-gate with measured evidence: the "
+    "top-25 is identical at 4/6/8/12 iterations at sf0.01 AND sf0.1 "
+    "— HITS converges fast on this graph) — a "
     "second iterative float algorithm made hash-gateable. Per half-"
     "step: one equi-join of the 2-long score state onto the edges + "
     "one combinable aggregate + a 1-row normalizer crossJoin (never a "
@@ -6790,7 +6813,15 @@ def q_g1_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_g14_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _trade_edges_shared(spark, sf_dir).filter(F.col("src") % 2 == 0)
-    hs = _graph.hits(e.select("src", "dst"), iterations=8)
+    hs = _graph.hits(
+        e.select("src", "dst"),
+        iterations=6,
+        # the artifact is distinct/NULL-free/self-loop-free by build
+        # (and a c→s edge can't self-loop: parities differ); a filter
+        # over the checkpointed RDD re-scans cheaply, so no input cut
+        assume_normalized=True,
+        cut_input=False,
+    )
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
         F.expr("CAST(node DIV 2 AS STRING)"),
@@ -7905,6 +7936,7 @@ _GATE_PRIORITY = [
     "llm_sq_topk",
     "llm_sq_recall",
     "g14_hits_authorities",
+    "llm_source_diversity",
     "llm_bloom_decontam",
     # tier 1: latest green r8 — the oldest tail, cheapest-first
     "o3_union_slices",
