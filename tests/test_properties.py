@@ -1173,3 +1173,65 @@ def test_label_propagation_frontier_matches_full(spark, case):
         df, iterations=iterations, frontier=True, frontier_threshold=thr
     ).collect()))
     assert delta == base, (clean, iterations, thr)
+
+
+# --- HITS vs a pure-python integer recurrence ------------------------------
+
+hits_case = st.tuples(
+    st.lists(  # directed edges over a small id space
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=4),  # iterations
+)
+
+
+@given(hits_case)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_hits_matches_python_reference(spark, case):
+    """graph.hits equals a sequential pure-python replay of the exact
+    L1-normalized integer recurrence (floor division at every step) on
+    generated directed graphs with duplicate edges (collapsed),
+    self-loops (dropped), sinks, sources, and disconnected nodes —
+    the cross-engine determinism contract holds against a THIRD
+    implementation, not just the DuckDB twin."""
+    from ad_data_pipelines_spark.operators import graph
+
+    raw_edges, iterations = case
+    edges = sorted({(u, v) for u, v in raw_edges if u != v})
+    if not edges:
+        return  # all self-loops: operator returns empty (unit-tested)
+    scale = 10**6
+    hubs = {u: scale for u in {u for u, _ in edges}}
+    auths = {}
+    for _ in range(iterations):
+        raw_a = {}
+        for u, v in edges:
+            if u in hubs:
+                raw_a[v] = raw_a.get(v, 0) + hubs[u]
+        ta = sum(raw_a.values())
+        auths = {v: (r * scale) // ta for v, r in raw_a.items()}
+        raw_h = {}
+        for u, v in edges:
+            if v in auths:
+                raw_h[u] = raw_h.get(u, 0) + auths[v]
+        th = sum(raw_h.values())
+        hubs = {u: (r * scale) // th for u, r in raw_h.items()}
+    want = sorted(
+        [(n, "hub", s) for n, s in hubs.items()]
+        + [(n, "auth", s) for n, s in auths.items()]
+    )
+
+    df = spark.createDataFrame(raw_edges, "src bigint, dst bigint")
+    got = sorted(
+        map(tuple, graph.hits(df, iterations=iterations).collect())
+    )
+    assert got == want, (raw_edges, iterations)
