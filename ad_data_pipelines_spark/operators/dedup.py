@@ -1031,6 +1031,110 @@ def dup_components_sql(min_eq: int = 8) -> str:
     """
 
 
+def decontam_blast_radius(
+    docs: DataFrame,
+    eval_pred,
+    n: int = 8,
+    min_eq: int = 8,
+    grams: DataFrame | None = None,
+    components: DataFrame | None = None,
+) -> DataFrame:
+    """Cluster-atomic decontamination accounting: for every near-dup
+    cluster touched by benchmark contamination, (cluster_rep,
+    n_members, n_direct, n_dragged) — how many docs the cluster-atomic
+    rule removes BEYOND the directly gram-flagged ones; flagged docs
+    with no near-duplicate report as (doc_id, 1, 1, 0).
+
+    Why it exists: dropping only the gram-flagged docs is leaky — a
+    near-duplicate of a contaminated doc carries (almost) the same
+    eval text with the flagged 8-gram paraphrased away, so correct
+    decontamination removes WHOLE clusters (the same cluster-atomicity
+    argument as `hash_split`'s leakage-safe splits). This report
+    prices that policy before you commit to it: Σ n_direct is the
+    naive removal, Σ n_members the atomic one, and a cluster with a
+    huge n_dragged flags either boilerplate contamination or an
+    over-merged cluster worth inspecting.
+
+    Composition, not new machinery: the `contamination_check`
+    broadcast gram probe ⋈ the `dup_components` cluster table — both
+    shareable artifacts (`grams=` / `components=`), so the marginal
+    cost is one left join at (doc_id) grain + one combinable
+    aggregate per cluster. Eval-set members inside a cluster count in
+    n_members/n_dragged (they leave the corpus regardless — the
+    report prices the cluster rule, not the eval split).
+    """
+    flagged = contamination_check(docs, eval_pred, n, grams=grams).select(
+        "doc_id", F.lit(1).cast("bigint").alias("direct")
+    )
+    comp = (
+        components
+        if components is not None
+        else dup_components(docs, min_eq=min_eq)
+    )
+    m = comp.select("doc_id", "component").join(flagged, "doc_id", "left")
+    clusters = (
+        m.groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum(F.coalesce("direct", F.lit(0)))
+            .cast("bigint")
+            .alias("n_direct"),
+        )
+        .filter(F.col("n_direct") >= 1)
+        .select(
+            F.col("component").alias("cluster_rep"),
+            "n_members",
+            "n_direct",
+            (F.col("n_members") - F.col("n_direct"))
+            .cast("bigint")
+            .alias("n_dragged"),
+        )
+    )
+    singles = (
+        flagged.join(comp.select("doc_id"), "doc_id", "left_anti")
+        .select(
+            F.col("doc_id").alias("cluster_rep"),
+            F.lit(1).cast("bigint").alias("n_members"),
+            F.lit(1).cast("bigint").alias("n_direct"),
+            F.lit(0).cast("bigint").alias("n_dragged"),
+        )
+    )
+    return clusters.unionByName(singles)
+
+
+def decontam_blast_radius_sql(
+    eval_pred_sql: str, n: int = 8, min_eq: int = 8
+) -> str:
+    """DuckDB twin of `decontam_blast_radius` — composes the
+    contamination and cluster oracles."""
+    return f"""
+        WITH flags AS ({contamination_sql(eval_pred_sql, n)}),
+        comp AS ({dup_components_sql(min_eq)}),
+        m AS (
+            SELECT c.component, c.doc_id,
+                   CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                       AS direct
+            FROM comp c LEFT JOIN flags f USING (doc_id)
+        ),
+        clusters AS (
+            SELECT component AS cluster_rep,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(direct) AS BIGINT) AS n_direct
+            FROM m GROUP BY 1 HAVING SUM(direct) >= 1
+        )
+        SELECT cluster_rep, n_members, n_direct,
+               CAST(n_members - n_direct AS BIGINT) AS n_dragged
+        FROM clusters
+        UNION ALL
+        SELECT f.doc_id AS cluster_rep,
+               CAST(1 AS BIGINT) AS n_members,
+               CAST(1 AS BIGINT) AS n_direct,
+               CAST(0 AS BIGINT) AS n_dragged
+        FROM flags f
+        WHERE f.doc_id NOT IN (SELECT doc_id FROM comp)
+    """
+
+
 # --- exact duplicated-substring coverage -----------------------------------
 
 def position_gram_bounds(docs: DataFrame, k: int = 20) -> DataFrame:

@@ -3914,9 +3914,9 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     still dedups repeated runs), so the shared-build phase charges
     only genuinely shared work. Registry consumer counts (r9 audit;
     update when registering consumers): shingles 4, minhash_sigs 2,
-    lsh_pairs 3, dup_components 4, simhash 2, lsh_corpus_buckets 2,
+    lsh_pairs 3, dup_components 5 (+blast_radius), simhash 2, lsh_corpus_buckets 2,
     ivf_corpus_cells 3, quality_features 2, char_entropy 2,
-    repetition 2, word_grams 3 (contamination/novelty/bloom_decontam),
+    repetition 2, word_grams 4 (contamination/novelty/bloom_decontam/blast_radius),
     pq_codes 2, span_bounds 2,
     trade_edges 8 (g1/g2/g3/g4/g5/g7 + g11/g12 SSSP), cosupply_pairs 2
     (the knn build + g10), cosupply_knn 3 (g6/g8/g9),
@@ -5088,6 +5088,34 @@ def q_llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 25,
         n=8,
         grams=_word_grams_shared(spark, sf_dir),
+    )
+
+
+@register(
+    "llm_decontam_blast_radius",
+    oracle=_dedup.decontam_blast_radius_sql("doc_id < 25", n=8, min_eq=8),
+    doc="Cluster-atomic decontamination accounting: per near-dup "
+    "cluster touched by contamination, how many docs the atomic rule "
+    "removes beyond the directly gram-flagged ones (a near-dup of a "
+    "contaminated doc carries the same eval text with the flagged "
+    "8-gram paraphrased away — dropping only direct flags is leaky, "
+    "the same argument as the leakage-safe splits). Pure composition "
+    "of two shared artifacts (word-gram table ⋈ dup-cluster table): "
+    "marginal cost is one doc_id-grain left join + one combinable "
+    "per-cluster aggregate. "
+    "operators/dedup.py:decontam_blast_radius.",
+)
+def q_llm_decontam_blast_radius(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return _dedup.decontam_blast_radius(
+        docs,
+        F.col("doc_id") < 25,
+        n=8,
+        min_eq=8,
+        grams=_word_grams_shared(spark, sf_dir),
+        components=_dup_components_shared(spark, sf_dir, min_eq=8),
     )
 
 
@@ -7937,6 +7965,7 @@ _GATE_PRIORITY = [
     "llm_sq_recall",
     "g14_hits_authorities",
     "llm_source_diversity",
+    "llm_decontam_blast_radius",
     "llm_bloom_decontam",
     # tier 1: latest green r8 — the oldest tail, cheapest-first
     "o3_union_slices",

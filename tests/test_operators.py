@@ -4365,6 +4365,49 @@ def test_bloom_contamination_superset_and_duckdb_twin(spark):
         assert two_phase == exact, f"bits_log2={blog2}"
 
 
+def test_decontam_blast_radius_planted(spark):
+    """Planted cluster-atomicity scenario: docs 0-1 near-dup pair with
+    doc 0 sharing an 8-gram with the eval doc 100 → the pair's cluster
+    reports (n_members=2, n_direct>=1, n_dragged=n_members-n_direct);
+    doc 5 is a flagged SINGLETON (shares the gram, near-dups nothing)
+    → (5, 1, 1, 0); doc 7 shares nothing and appears nowhere. Global
+    invariants: Σ n_direct == |contamination_check flags| and every
+    output row has n_members = n_direct + n_dragged."""
+    from ad_data_pipelines_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"  # the 8-gram
+    filler = " ".join(f"w{i}x" for i in range(40))
+    pad_a = " ".join(f"pada{i}" for i in range(30))
+    pad_b = " ".join(f"padb{i}" for i in range(30))
+    rows = [
+        (0, f"{base} {filler} tail zero"),        # flagged, in pair
+        (1, f"{base} {filler} tail one"),         # near-dup of 0
+        (5, f"{base} {pad_a}"),                   # flagged singleton
+        (7, f"clean {pad_b}"),                    # untouched
+        (100, f"{base} evalpad " + " ".join(f"e{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pred = F.col("doc_id") >= 100
+
+    flags = {
+        r.doc_id
+        for r in dedup.contamination_check(docs, pred, 8).collect()
+    }
+    assert {0, 1, 5} <= flags or {0, 5} <= flags  # 1 may or may not flag
+
+    out = {
+        r.cluster_rep: (r.n_members, r.n_direct, r.n_dragged)
+        for r in dedup.decontam_blast_radius(docs, pred, 8).collect()
+    }
+    assert 7 not in out and 100 not in out
+    assert out[5] == (1, 1, 0)
+    assert 0 in out  # the pair's min-id representative
+    nm, nd, ndr = out[0]
+    assert nm == 2 and nd >= 1 and ndr == nm - nd
+    assert sum(v[1] for v in out.values()) == len(flags)
+    assert all(m == d + g for m, d, g in out.values())
+
+
 def test_bloom_probe_guards(spark):
     """The two latent-divergence guards from the r11 advice: (a) k > 8
     overflows int64 in the h1 + i*h2 position arithmetic — Spark

@@ -66,7 +66,9 @@ _SCALED_TABLE_COLS = (
 #: TRANSITIVELY by an inner join whose other input carries the
 #: `doc_id < 25` filter; the subtree walk can't trace join-propagated
 #: bounds, so it's exempted by name (adjudicated scale-correct in the
-#: r7 verdict: "eval side broadcast; corpus text never shuffles")
+#: r7 verdict: "eval side broadcast; corpus text never shuffles");
+#: llm_decontam_blast_radius composes the same contamination_check
+#: subtree and inherits exactly that hint shape (r12)
 _SCALED_HINT_EXEMPT = {
     "j1_broadcast_enrich",
     "j5_regional_volume",
@@ -74,6 +76,7 @@ _SCALED_HINT_EXEMPT = {
     "a9_rollup_overall",
     "j21_grid_knn",
     "llm_contamination",
+    "llm_decontam_blast_radius",
 }
 
 #: a Filter whose predicate pins a unique-id column under a literal
@@ -396,6 +399,9 @@ _SMJ_ALLOWED = {
     # doc-grain LeftOuter join-backs (doc x per-doc aggregate)
     "llm_nb_quality",
     "llm_remove_boilerplate",
+    "llm_decontam_blast_radius",  # dup-cluster membership x
+    # contamination flags, both per-doc corpus-scale tables —
+    # co-partitioned doc_id SMJ is the right 100 TB plan
     # versioned-table merge: FullOuter strategy variant
     "s16_merge_apply",
 }

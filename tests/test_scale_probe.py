@@ -1175,3 +1175,43 @@ def test_trade_edges_stage_10x_linear_and_partitioned(spark):
     # edge rows to few partitions at this volume; the registry plans'
     # no-single-partition-collapse discipline is enforced by
     # test_plan_hygiene, the pagerank-probe precedent)
+
+
+def test_hits_10x_linear_and_structure(spark):
+    """HITS volume probe: a generated directed graph with a planted
+    super-authority runs at 1x and 10x edges — per-unit cost <= 3x
+    (each iteration is two state-join + combinable-agg half-steps, so
+    anything super-linear means a join degenerated), and the planted
+    structure (node 1 receives an edge from every 17th source) stays
+    the top authority at both scales."""
+    from ad_data_pipelines_spark.operators import graph
+
+    def build(n_edges: int):
+        n_nodes = max(n_edges // 8, 100)
+        base = spark.range(n_edges).select(
+            ((F.col("id") * 13 + 5) % n_nodes).alias("src"),
+            ((F.col("id") * 29 + 1) % n_nodes).alias("dst"),
+        )
+        planted = spark.range(n_edges // 17).select(
+            ((F.col("id") * 17 + 3) % n_nodes).alias("src"),
+            F.lit(1).cast("bigint").alias("dst"),
+        )
+        return base.unionByName(planted).filter(F.col("src") != F.col("dst"))
+
+    def run(n_edges: int):
+        t0 = time.perf_counter()
+        hs = graph.hits(build(n_edges), iterations=6)
+        top = (
+            hs.filter(F.col("side") == "auth")
+            .orderBy(F.desc("score_fp"), "node")
+            .limit(1)
+            .collect()[0]
+        )
+        return top.node, time.perf_counter() - t0
+
+    top1, t1 = run(50_000)
+    top10, t10 = run(500_000)
+    assert top1 == 1 and top10 == 1
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"hits 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — super-linear"
+    )
