@@ -1031,6 +1031,58 @@ def dup_components_sql(min_eq: int = 8) -> str:
     """
 
 
+def lsh_plan(
+    threshold: float,
+    n_perms: int = 16,
+    at_threshold_min: float = 0.5,
+) -> dict:
+    """Pick (n_bands, rows_per_band) for a target Jaccard threshold —
+    the knob-selection math behind N_BANDS/ROWS_PER_BAND, exposed so a
+    deployment retuning the dedup chain for a different similarity bar
+    computes its banding instead of guessing. Among the divisor
+    factorizations b·r = n_perms, choose the one whose S-curve
+    midpoint (1/b)^(1/r) sits closest to `threshold` while keeping
+    collision probability at the threshold itself ≥ `at_threshold_min`
+    (a plan whose midpoint is near τ but whose curve is too flat AT τ
+    under-recalls the pairs the caller actually wants).
+
+    Returns {n_bands, rows_per_band, midpoint, p_at_threshold,
+    p_collision(j)}: p_collision is the closed form
+    1 − (1 − j^r)^b for any Jaccard j — use it to budget expected
+    candidate pairs before running anything. Pure arithmetic, no
+    Spark; raises when no factorization clears `at_threshold_min`
+    (raise n_perms — more permutations sharpen the curve).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_perms < 2:
+        raise ValueError(f"n_perms must be >= 2, got {n_perms}")
+    candidates = []
+    for r in range(1, n_perms + 1):
+        if n_perms % r:
+            continue
+        b = n_perms // r
+        p_at = 1.0 - (1.0 - threshold**r) ** b
+        if p_at < at_threshold_min:
+            continue
+        midpoint = (1.0 / b) ** (1.0 / r)
+        candidates.append((abs(midpoint - threshold), r, b, midpoint, p_at))
+    if not candidates:
+        raise ValueError(
+            f"no (bands, rows) factorization of {n_perms} permutations "
+            f"keeps collision probability >= {at_threshold_min} at "
+            f"threshold {threshold} — raise n_perms"
+        )
+    _, r, b, midpoint, p_at = min(candidates)
+    return {
+        "n_bands": b,
+        "rows_per_band": r,
+        "midpoint": round(midpoint, 6),
+        "p_at_threshold": round(p_at, 6),
+        "p_collision": lambda j, r=r, b=b: 1.0 - (1.0 - j**r) ** b,
+    }
+
+
 def decontam_blast_radius(
     docs: DataFrame,
     eval_pred,

@@ -4365,6 +4365,56 @@ def test_bloom_contamination_superset_and_duckdb_twin(spark):
         assert two_phase == exact, f"bits_log2={blog2}"
 
 
+def test_lsh_plan_parameter_planner():
+    """lsh_plan picks the factorization whose S-curve midpoint is
+    nearest the target while clearing the at-threshold recall floor;
+    the shipped N_BANDS×ROWS_PER_BAND constants are exactly its answer
+    for the dedup chain's own regime; the closed-form p_collision
+    matches a direct evaluation; impossible regimes raise."""
+    import math
+
+    import pytest
+
+    from ad_data_pipelines_spark.operators import dedup
+
+    # the repo's own chain: 16 perms, high-similarity dedup regime
+    plan = dedup.lsh_plan(0.8, n_perms=16)
+    assert (plan["n_bands"], plan["rows_per_band"]) == (
+        dedup.N_BANDS, dedup.ROWS_PER_BAND
+    )
+    assert plan["p_at_threshold"] >= 0.5
+    # closed form sanity at the planted-probe regime (J≈0.93 pairs)
+    assert plan["p_collision"](0.93) > 0.99
+    assert plan["p_collision"](0.05) < 1e-4
+
+    # midpoint property: the returned factorization's midpoint is the
+    # closest among ALL qualifying divisor factorizations
+    for tau, n in ((0.5, 16), (0.8, 64), (0.3, 16)):
+        got = dedup.lsh_plan(tau, n_perms=n)
+        b, r = got["n_bands"], got["rows_per_band"]
+        assert b * r == n
+        assert math.isclose(got["midpoint"], (1 / b) ** (1 / r),
+                            abs_tol=1e-6)  # midpoint rounded to 6dp
+        for rr in range(1, n + 1):
+            if n % rr:
+                continue
+            bb = n // rr
+            if 1.0 - (1.0 - tau**rr) ** bb < 0.5:
+                continue
+            assert abs(got["midpoint"] - tau) <= abs(
+                (1 / bb) ** (1 / rr) - tau
+            ) + 1e-6  # reported midpoint is rounded to 6dp
+
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.lsh_plan(1.5)
+    with pytest.raises(ValueError, match="n_perms"):
+        dedup.lsh_plan(0.5, n_perms=1)
+    with pytest.raises(ValueError, match="raise n_perms"):
+        # 2 perms cannot clear a 0.5 floor at a 0.999 threshold's
+        # complement regime: threshold so low every curve is flat
+        dedup.lsh_plan(0.01, n_perms=2)
+
+
 def test_decontam_blast_radius_planted(spark):
     """Planted cluster-atomicity scenario: docs 0-1 near-dup pair with
     doc 0 sharing an 8-gram with the eval doc 100 → the pair's cluster
