@@ -3,7 +3,8 @@ operator layer exists for, as ONE runnable composition.
 
     spark-submit -m ad_data_pipelines_spark.jobs.curate_corpus \
         --corpus /data/corpus/sf1 --out /data/curated/run1 \
-        --budget 100000 --tau 0.5 --seq-tokens 2048
+        --budget 100000 --tau 0.5 --seq-tokens 2048 \
+        --checkpoint-dir /data/curated/run1_ckpt
 
 Stages (each an already-tested operator; this job only wires them):
 
@@ -14,13 +15,26 @@ Stages (each an already-tested operator; this job only wires them):
                    (operators/textstats.quality_verdicts);
   3. dedup       — MinHash→LSH→connected components on the surviving
                    docs, keep one representative per cluster
-                   (operators/dedup.dup_components);
+                   (operators/dedup.dup_components). Pass
+                   ``dedup_threshold`` to derive the LSH banding AND
+                   the verification bar from the target Jaccard via
+                   `dedup.dedup_plan_for_threshold` instead of the
+                   shipped high-similarity constants;
   4. decontam    — optional benchmark decontamination: drop corpus
                    docs sharing an 8-gram with the held-out eval set,
                    and the eval docs themselves — exact broadcast scan
                    (operators/dedup.contamination_check) or the
                    auto-sized bloom probe for production-size lists
-                   (operators/dedup.bloom_contamination_filter);
+                   (operators/dedup.bloom_contamination_filter). The
+                   eval side is sourced from the FULL normalized input
+                   (ADVICE r12: eval docs dropped by quality/dedup
+                   must still contribute grams — a corpus doc
+                   contaminated only by a quality-dropped eval doc
+                   must not escape). The stage also prices the
+                   CLUSTER-ATOMIC removal policy via
+                   `dedup.decontam_blast_radius` (reusing the run's
+                   own flag + component artifacts — one extra join,
+                   zero extra scans) into the stats waterfall;
   5. mix         — optional temperature-weighted per-language budgets
                    (operators/sampling.temperature_mix);
   6. pack        — concat-and-chunk sequence packing plan
@@ -30,23 +44,122 @@ Writes `<out>/documents` (curated docs, normalized text) and
 `<out>/packing` (per-doc token offsets and sequence ranges), and
 prints ONE JSON line of per-stage row counts — the waterfall a
 curation run is judged by. Every stage is deterministic (hash-rank
-sampling, min-id keepers), so reruns reproduce byte-identical
-outputs.
+sampling, min-id keepers), so reruns reproduce identical outputs.
+
+RESUMABLE RUNS (``checkpoint_dir``): at 100 TB a failure in stage 5
+of 7 must not re-pay normalize+quality+dedup — the three most
+expensive, super-linear stages. With a checkpoint dir, each expensive
+stage (quality, classifier, dedup, exactsubstr, decontam) persists
+its output as a versioned-parquet table (operators/merge.py atomic
+pointer commit) and THEN atomically moves a stage marker — the
+write-then-marker crash-safety pair the folder importer uses
+(sources/manifest.py; the reference's own restart device:
+data_ingestion/folder_import.R:69-91 `.imported` markers). A rerun
+resumes from the last completed stage: a crash between write and
+marker leaves no marker, so the stage recomputes (idempotent
+overwrite of v000001). Stage markers carry a CHAINED config
+fingerprint (this stage's knobs + every upstream stage's knobs and
+row counts): a marker whose fingerprint mismatches the current run
+config is REFUSED loudly (the bloom-artifact contract — never
+silently mix artifacts across configs), while markers downstream of
+a recomputed stage are presumed stale and overwritten.
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ad_data_pipelines_spark.operators import dedup as _dedup
+from ad_data_pipelines_spark.operators import merge as _merge
 from ad_data_pipelines_spark.operators import packing as _packing
 from ad_data_pipelines_spark.operators import sampling as _sampling
 from ad_data_pipelines_spark.operators import scrub as _scrub
 from ad_data_pipelines_spark.operators import textstats as _ts
+
+#: stages that persist a resumable artifact under --checkpoint-dir
+CHECKPOINT_STAGES = (
+    "quality", "classifier", "dedup", "exactsubstr", "decontam",
+)
+
+
+def _fingerprint(parts: dict) -> str:
+    """Stable 16-hex fingerprint of a stage's cumulative run config
+    (JSON-canonicalized). Chained: each stage's parts include every
+    upstream stage's knobs AND counts, so a changed upstream outcome
+    invalidates every downstream marker automatically."""
+    blob = json.dumps(parts, sort_keys=True, default=str).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def _ckpt_marker(ckpt_dir: str, stage: str) -> str:
+    return os.path.join(ckpt_dir, f"{stage}.done.json")
+
+
+def _ckpt_commit(
+    ckpt_dir: str,
+    stage: str,
+    frames: dict[str, DataFrame],
+    fingerprint: str,
+    stage_stats: dict,
+) -> dict[str, DataFrame]:
+    """Persist each frame as `<ckpt>/<stage>/<name>` (versioned
+    parquet, atomic `_CURRENT` pointer), THEN atomically move the
+    stage marker. Returns the READ-BACK frames so downstream stages
+    consume the materialized artifact, not live lineage — the point
+    of checkpointing is that a later failure replays nothing above
+    this line."""
+    spark = next(iter(frames.values())).sparkSession
+    out: dict[str, DataFrame] = {}
+    for name, df in frames.items():
+        root = os.path.join(ckpt_dir, stage, name)
+        _merge.table_init(df, root)
+        out[name] = _merge.table_read(spark, root)
+    marker = {"fingerprint": fingerprint, "stats": stage_stats}
+    path = _ckpt_marker(ckpt_dir, stage)
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(marker, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)  # marker AFTER the writes — crash-safe pair
+    return out
+
+
+def _ckpt_load(
+    spark: SparkSession,
+    ckpt_dir: str,
+    stage: str,
+    fingerprint: str,
+    names: list[str],
+) -> tuple[dict[str, DataFrame], dict] | None:
+    """Resume `stage` from its marker, or None when no marker exists.
+    A marker built under a DIFFERENT config is refused loudly — a
+    checkpoint dir is per-run-config, same contract as the bloom
+    artifact's (scheme, k, bits) stamp."""
+    path = _ckpt_marker(ckpt_dir, stage)
+    try:
+        with open(path, encoding="utf-8") as f:
+            marker = json.load(f)
+    except FileNotFoundError:
+        return None
+    if marker.get("fingerprint") != fingerprint:
+        raise ValueError(
+            f"checkpoint stage {stage!r} at {ckpt_dir} was built under "
+            f"a different run config (marker fingerprint "
+            f"{marker.get('fingerprint')!r} != expected {fingerprint!r})"
+            " — pass a fresh --checkpoint-dir or delete the old one"
+        )
+    frames = {
+        n: _merge.table_read(spark, os.path.join(ckpt_dir, stage, n))
+        for n in names
+    }
+    return frames, marker["stats"]
 
 
 def curate(
@@ -65,8 +178,11 @@ def curate(
     classifier_min_score: float = 0.0,
     decontam: str = "exact",
     bloom_bits_log2: int | None = None,
+    dedup_threshold: float | None = None,
+    checkpoint_dir: str | None = None,
     stage_timings: dict[str, float] | None = None,
-) -> dict[str, int]:
+    _fail_after_stage: str | None = None,
+) -> dict:
     """Run the curation waterfall over `docs` (doc_id, text, lang, …),
     write curated documents + packing plan under `out_path`, return
     per-stage counts.
@@ -76,7 +192,28 @@ def curate(
     for one benchmark), "bloom" probes a 32 KB broadcast bloom scalar
     instead (`bloom_contamination_filter` — the 100 TB shape for a
     full decontamination list; may over-drop by its ~0.2% gram FP
-    rate, a superset of the exact drop by construction).
+    rate, a superset of the exact drop by construction). Either way
+    the eval gram set covers the WHOLE eval source as found in the
+    input (normalized), not just eval docs surviving stages 1-3
+    (ADVICE r12), and the stage reports the cluster-atomic removal
+    price (decontam_n_direct / decontam_n_members /
+    decontam_n_dragged — see `dedup.decontam_blast_radius`; n_members
+    counts PRE-dedup cluster membership for every cluster whose
+    surviving representative is flagged, i.e. the contaminated text
+    family's full original footprint).
+
+    `dedup_threshold` (target Jaccard) derives the stage-3 LSH
+    banding and min_eq bar via `dedup.dedup_plan_for_threshold`
+    (r12 verdict #2); the chosen plan is recorded in the stats line
+    (dedup_n_bands / dedup_rows_per_band / dedup_min_eq /
+    dedup_p_at_threshold). Default: the fixed high-similarity
+    banding, `min_eq` as passed.
+
+    `checkpoint_dir` enables stage-checkpointed RESUMABLE runs (see
+    module docstring); resumed stage names land in
+    stats["resumed_stages"]. `_fail_after_stage` is the test-only
+    fault-injection hook (raises right after that stage's checkpoint
+    commit — the S11 mid-write fault pattern, tests/test_sources.py).
 
     `stage_timings`, if a dict is passed, is filled with per-stage
     wall seconds. Attribution is BY ACTION BARRIER: each stage's
@@ -101,136 +238,317 @@ def curate(
             )
         _t0 = now
 
-    stats: dict[str, int] = {"n_input": docs.count()}
+    stats: dict = {"n_input": docs.count()}
     _mark("input")
 
-    # 1. normalize — replace text with its canonical form
-    norm = _scrub.normalize_text(docs).select("doc_id", "norm_text")
-    canon = (
-        docs.drop("n_chars")
-        .join(norm, "doc_id")
-        .withColumn("text", F.col("norm_text"))
-        .drop("norm_text")
-        .withColumn("n_chars", F.length("text"))
-    )
+    # ---- checkpoint plumbing -------------------------------------------
+    ckpt = checkpoint_dir
+    if ckpt is not None:
+        os.makedirs(ckpt, exist_ok=True)
+        stats["resumed_stages"] = []
+    upstream_resumed = True  # False from the first recomputed stage on
 
-    # 2. quality verdicts (doc-local signals)
-    verdicts = _ts.quality_verdicts(canon).filter(F.col("pass"))
-    quality_docs = canon.join(verdicts.select("doc_id"), "doc_id")
-    # the filtered frame feeds two chain stages — persist once
-    quality_docs = quality_docs.persist()
-    stats["n_after_quality"] = quality_docs.count()
-    _mark("normalize_quality")
+    def _resume(stage: str, fp: str, names: list[str]):
+        """Stage artifacts + their recorded stats, or None to compute.
+        Once any upstream stage recomputed, downstream markers are
+        stale by construction — ignore (and later overwrite) them."""
+        if ckpt is None or not upstream_resumed:
+            return None
+        hit = _ckpt_load(spark, ckpt, stage, fp, names)
+        if hit is None:
+            return None
+        stats.update(hit[1])
+        stats["resumed_stages"].append(stage)
+        return hit[0]
 
-    # 2b. optional model-based filter (CCNet-style): train the hashed
-    # NB classifier with `classifier_seed_source` docs as the positive
-    # class (the curated reference subset), score everything, keep
-    # docs at or above the log-odds threshold — PLUS the seed itself
-    # (the reference set must not filter itself out on boundary
-    # scores). Train+score are pure aggregation (operators/classify).
-    if classifier_seed_source is not None:
-        from ad_data_pipelines_spark.operators import classify as _classify
-
-        seed_pred = F.col("source") == classifier_seed_source
-        weights, consts = _classify.train_nb(quality_docs, seed_pred)
-        scored = _classify.nb_score(quality_docs, weights, consts)
-        keep_ids = (
-            quality_docs.join(scored, "doc_id")
-            .filter(
-                (F.col("score") >= classifier_min_score) | seed_pred
+    def _commit(
+        stage: str, fp: str, frames: dict[str, DataFrame], before: set
+    ) -> dict[str, DataFrame]:
+        nonlocal upstream_resumed
+        upstream_resumed = False
+        if ckpt is not None:
+            stage_stats = {k: stats[k] for k in set(stats) - before}
+            frames = _ckpt_commit(ckpt, stage, frames, fp, stage_stats)
+        if _fail_after_stage == stage:
+            raise RuntimeError(
+                f"injected fault after stage {stage!r} (test hook)"
             )
-            .select("doc_id")
-        )
-        filtered = quality_docs.join(keep_ids, "doc_id").persist()
-        stats["n_after_classifier"] = filtered.count()
-        _mark("classifier")
-        quality_docs.unpersist()
-        quality_docs = filtered
+        return frames
 
-    # 3. near-dedup: drop non-keeper cluster members
-    losers = _dedup.dup_components(quality_docs, min_eq=min_eq).filter(
-        F.col("is_keeper") == 0
-    )
-    deduped = quality_docs.join(
-        losers.select("doc_id"), "doc_id", "left_anti"
-    ).persist()
-    stats["n_after_dedup"] = deduped.count()
-    _mark("dedup")
+    # chained fingerprint parts: grow with each stage's knobs + counts
+    fp_parts: dict = {"n_input": stats["n_input"]}
 
-    # 3b. optional EXACTSUBSTR span removal (Lee et al. 2022) inside
-    # the kept corpus: document-level near-dedup can't see a boilerplate
-    # paragraph shared by otherwise-distinct docs — this excises it from
-    # every non-owner copy and drops docs whose remaining text is too
-    # short to train on
-    if exactsubstr_k is not None:
-        cleaned = _dedup.remove_dup_spans(deduped, k=exactsubstr_k)
-        rebuilt = (
-            deduped.drop("text", "n_chars")
-            .join(
-                cleaned.select(
-                    "doc_id", F.col("kept_text").alias("text")
-                ),
-                "doc_id",
-            )
+    def _canonize(frame: DataFrame) -> DataFrame:
+        """Replace text with its normalized form (stage-1 transform,
+        reusable on arbitrary doc subsets — the decontam stage applies
+        it to the full eval source independently of stages 1-3)."""
+        norm = _scrub.normalize_text(frame).select("doc_id", "norm_text")
+        return (
+            frame.drop("n_chars")
+            .join(norm, "doc_id")
+            .withColumn("text", F.col("norm_text"))
+            .drop("norm_text")
             .withColumn("n_chars", F.length("text"))
-            .filter(F.col("n_chars") >= min_kept_chars)
-            .persist()
         )
-        stats["n_after_exactsubstr"] = rebuilt.count()
-        _mark("exactsubstr")
-        deduped.unpersist()
-        deduped = rebuilt
 
-    # 4. optional benchmark decontamination: the eval docs AND every
-    # corpus doc sharing an 8-gram with them leave the training set
-    if eval_source is not None:
-        eval_pred = F.col("source") == eval_source
-        if decontam == "bloom":
-            if bloom_bits_log2 is None:
-                # AUTO-SIZE the filter to the eval list: a fixed m
-                # saturates once the list outgrows it (at ~5 positions
-                # per gram a 2^18-bit bloom is ~full by 150k grams —
-                # FP per gram ≈ 73%, so EVERY corpus doc false-flags
-                # and the stage silently empties the corpus; measured
-                # in tests/test_curate_scale.py before this sizing).
-                # ~32 bits per distinct gram keeps fill ≈ 14%, per-
-                # gram FP ≈ 0.145^5 ≈ 6e-5, so a 100-gram doc false-
-                # flags at ~0.7%. Counting the DISTINCT eval grams is
-                # one aggregate over the eval side only — small by
-                # definition (it's a benchmark list). Clamp to
-                # [18, 26]: a 32 KB floor and a 8 MB / 2M-word ceiling
-                # (good for ~2M distinct grams at 32 bits each; a
-                # bigger list should pass bloom_bits_log2 explicitly
-                # and accept the FP arithmetic, or shard the filter).
-                n_eval_grams = (
-                    _dedup.word_ngram_hashes(
-                        deduped.filter(eval_pred), 8
-                    )
-                    .select("gh")
-                    .distinct()
-                    .count()
-                )
-                bloom_bits_log2 = max(
-                    18,
-                    min(26, (32 * max(n_eval_grams, 1) - 1).bit_length()),
-                )
-                stats["bloom_bits_log2"] = bloom_bits_log2
-            contaminated = _dedup.bloom_contamination_filter(
-                deduped, eval_pred, bits_log2=bloom_bits_log2
-            )
+    # ---- 1+2. normalize + quality verdicts (doc-local signals) --------
+    fp = _fingerprint(fp_parts)
+    hit = _resume("quality", fp, ["docs"])
+    if hit is not None:
+        quality_docs = hit["docs"]
+        _mark("normalize_quality")
+    else:
+        _before = set(stats)
+        canon = _canonize(docs)
+        verdicts = _ts.quality_verdicts(canon).filter(F.col("pass"))
+        live = canon.join(verdicts.select("doc_id"), "doc_id").persist()
+        stats["n_after_quality"] = live.count()
+        quality_docs = _commit("quality", fp, {"docs": live}, _before)[
+            "docs"
+        ]
+        if quality_docs is not live:
+            live.unpersist()
+        _mark("normalize_quality")
+    # the filtered frame feeds two chain stages — keep it warm when it
+    # is live lineage (persist on a parquet read-back is a no-op cost)
+    quality_docs = quality_docs.persist()
+    fp_parts["n_after_quality"] = stats["n_after_quality"]
+
+    # ---- 2b. optional model-based filter (CCNet-style) ----------------
+    # train the hashed NB classifier with `classifier_seed_source` docs
+    # as the positive class, score everything, keep docs at or above
+    # the log-odds threshold — PLUS the seed itself (the reference set
+    # must not filter itself out on boundary scores)
+    if classifier_seed_source is not None:
+        fp_parts["classifier"] = [
+            classifier_seed_source, classifier_min_score,
+        ]
+        fp = _fingerprint(fp_parts)
+        hit = _resume("classifier", fp, ["docs"])
+        if hit is not None:
+            quality_docs.unpersist()
+            quality_docs = hit["docs"].persist()
+            _mark("classifier")
         else:
-            contaminated = _dedup.contamination_check(deduped, eval_pred)
-        clean = (
-            deduped.filter(~eval_pred)
-            .join(contaminated.select("doc_id"), "doc_id", "left_anti")
-            .persist()
-        )
-        stats["n_after_decontam"] = clean.count()
-        _mark("decontam")
-        deduped.unpersist()
-        deduped = clean
+            from ad_data_pipelines_spark.operators import (
+                classify as _classify,
+            )
 
-    # 5. optional temperature mix to a row budget
+            _before = set(stats)
+            seed_pred = F.col("source") == classifier_seed_source
+            weights, consts = _classify.train_nb(quality_docs, seed_pred)
+            scored = _classify.nb_score(quality_docs, weights, consts)
+            keep_ids = (
+                quality_docs.join(scored, "doc_id")
+                .filter(
+                    (F.col("score") >= classifier_min_score) | seed_pred
+                )
+                .select("doc_id")
+            )
+            live = quality_docs.join(keep_ids, "doc_id").persist()
+            stats["n_after_classifier"] = live.count()
+            filtered = _commit(
+                "classifier", fp, {"docs": live}, _before
+            )["docs"]
+            if filtered is not live:
+                live.unpersist()
+            _mark("classifier")
+            quality_docs.unpersist()
+            quality_docs = filtered.persist()
+        fp_parts["n_after_classifier"] = stats["n_after_classifier"]
+
+    # ---- 3. near-dedup: drop non-keeper cluster members ----------------
+    # `comp` (doc_id, component, is_keeper) is a first-class stage
+    # artifact: the decontam stage's blast-radius accounting reuses it,
+    # and a resumed run must not re-pay the LSH chain to get it.
+    if dedup_threshold is not None:
+        dplan = _dedup.dedup_plan_for_threshold(dedup_threshold)
+        stats["dedup_n_bands"] = dplan["n_bands"]
+        stats["dedup_rows_per_band"] = dplan["rows_per_band"]
+        stats["dedup_min_eq"] = dplan["min_eq"]
+        stats["dedup_p_at_threshold"] = dplan["p_at_threshold"]
+    fp_parts["dedup"] = [min_eq, dedup_threshold]
+    fp = _fingerprint(fp_parts)
+    hit = _resume("dedup", fp, ["docs", "components"])
+    if hit is not None:
+        deduped, comp = hit["docs"], hit["components"]
+        _mark("dedup")
+    else:
+        _before = set(stats)
+        live_comp = _dedup.dup_components(
+            quality_docs, min_eq=min_eq, threshold=dedup_threshold
+        ).persist()
+        live = quality_docs.join(
+            live_comp.filter(F.col("is_keeper") == 0).select("doc_id"),
+            "doc_id",
+            "left_anti",
+        ).persist()
+        stats["n_after_dedup"] = live.count()
+        committed = _commit(
+            "dedup", fp, {"docs": live, "components": live_comp}, _before
+        )
+        deduped, comp = committed["docs"], committed["components"]
+        if deduped is not live:
+            live.unpersist()
+            live_comp.unpersist()
+        _mark("dedup")
+    deduped = deduped.persist()
+    comp = comp.persist()
+    fp_parts["n_after_dedup"] = stats["n_after_dedup"]
+
+    # ---- 3b. optional EXACTSUBSTR span removal (Lee et al. 2022) ------
+    # inside the kept corpus: document-level near-dedup can't see a
+    # boilerplate paragraph shared by otherwise-distinct docs — this
+    # excises it from every non-owner copy and drops docs whose
+    # remaining text is too short to train on
+    if exactsubstr_k is not None:
+        fp_parts["exactsubstr"] = [exactsubstr_k, min_kept_chars]
+        fp = _fingerprint(fp_parts)
+        hit = _resume("exactsubstr", fp, ["docs"])
+        if hit is not None:
+            deduped.unpersist()
+            deduped = hit["docs"].persist()
+            _mark("exactsubstr")
+        else:
+            _before = set(stats)
+            cleaned = _dedup.remove_dup_spans(deduped, k=exactsubstr_k)
+            live = (
+                deduped.drop("text", "n_chars")
+                .join(
+                    cleaned.select(
+                        "doc_id", F.col("kept_text").alias("text")
+                    ),
+                    "doc_id",
+                )
+                .withColumn("n_chars", F.length("text"))
+                .filter(F.col("n_chars") >= min_kept_chars)
+                .persist()
+            )
+            stats["n_after_exactsubstr"] = live.count()
+            rebuilt = _commit(
+                "exactsubstr", fp, {"docs": live}, _before
+            )["docs"]
+            if rebuilt is not live:
+                live.unpersist()
+            _mark("exactsubstr")
+            deduped.unpersist()
+            deduped = rebuilt.persist()
+        fp_parts["n_after_exactsubstr"] = stats["n_after_exactsubstr"]
+
+    # ---- 4. optional benchmark decontamination -------------------------
+    # the eval docs AND every corpus doc sharing an 8-gram with them
+    # leave the training set
+    if eval_source is not None:
+        fp_parts["decontam"] = [eval_source, decontam, bloom_bits_log2]
+        fp = _fingerprint(fp_parts)
+        hit = _resume("decontam", fp, ["docs"])
+        if hit is not None:
+            deduped.unpersist()
+            deduped = hit["docs"].persist()
+            _mark("decontam")
+        else:
+            _before = set(stats)
+            eval_pred = F.col("source") == eval_source
+            # ADVICE r12: the eval gram set must cover the WHOLE eval
+            # source — an eval doc dropped by the quality gate or as a
+            # dedup loser still contaminates. Restore those docs
+            # (normalized, from the ORIGINAL input) onto the eval side;
+            # the corpus side stays exactly the stage-3 survivors.
+            restored = _canonize(docs.filter(eval_pred)).join(
+                deduped.select("doc_id"), "doc_id", "left_anti"
+            )
+            decontam_docs = deduped.unionByName(
+                restored.select(*deduped.columns)
+            )
+            # ONE gram pass feeds the engine probe, the bloom
+            # auto-sizing count and nothing else (blast radius reuses
+            # the engine's own flag set, not the grams)
+            grams = _dedup.word_ngram_hashes(decontam_docs, 8).persist()
+            if decontam == "bloom":
+                bits = bloom_bits_log2
+                if bits is None:
+                    # AUTO-SIZE the filter to the eval list: a fixed m
+                    # saturates once the list outgrows it (at ~5
+                    # positions per gram a 2^18-bit bloom is ~full by
+                    # 150k grams — FP per gram ≈ 73%, so EVERY corpus
+                    # doc false-flags and the stage silently empties
+                    # the corpus; measured in tests/test_curate_scale
+                    # before this sizing). ~32 bits per distinct gram
+                    # keeps fill ≈ 14%, per-gram FP ≈ 0.145^5 ≈ 6e-5,
+                    # so a 100-gram doc false-flags at ~0.7%. Counting
+                    # the DISTINCT eval grams reuses the gram artifact
+                    # — small by definition (it's a benchmark list).
+                    # Clamp to [18, 26]: a 32 KB floor and an 8 MB /
+                    # 2M-gram ceiling (a bigger list should pass
+                    # bloom_bits_log2 explicitly and accept the FP
+                    # arithmetic, or shard the filter).
+                    eval_ids = decontam_docs.filter(eval_pred).select(
+                        "doc_id"
+                    )
+                    n_eval_grams = (
+                        grams.join(F.broadcast(eval_ids), "doc_id")
+                        .select("gh")
+                        .distinct()
+                        .count()
+                    )
+                    bits = max(
+                        18,
+                        min(
+                            26,
+                            (32 * max(n_eval_grams, 1) - 1).bit_length(),
+                        ),
+                    )
+                    stats["bloom_bits_log2"] = bits
+                contaminated = _dedup.bloom_contamination_filter(
+                    decontam_docs, eval_pred, grams=grams, bits_log2=bits
+                ).persist()
+            else:
+                contaminated = _dedup.contamination_check(
+                    decontam_docs, eval_pred, grams=grams
+                ).persist()
+            live = (
+                deduped.filter(~eval_pred)
+                .join(
+                    contaminated.select("doc_id"), "doc_id", "left_anti"
+                )
+                .persist()
+            )
+            stats["n_after_decontam"] = live.count()
+            # cluster-atomic removal price (r12 verdict #3): the
+            # engine's OWN flag set ⋈ the stage-3 component artifact —
+            # one join + one combinable aggregate, no new scans.
+            # Σ n_direct = docs this stage actually dropped;
+            # Σ n_members = the flagged text families' full pre-dedup
+            # footprint; Σ n_dragged = the gap the cluster-atomic rule
+            # would additionally charge (mostly dedup losers already
+            # gone — a LARGE value flags boilerplate contamination or
+            # an over-merged cluster worth inspecting).
+            radius = _dedup.decontam_blast_radius(
+                decontam_docs,
+                eval_pred,
+                components=comp,
+                flagged=contaminated.select("doc_id"),
+            ).agg(
+                F.sum("n_direct").alias("d"),
+                F.sum("n_members").alias("m"),
+                F.sum("n_dragged").alias("g"),
+            ).collect()[0]
+            stats["decontam_n_direct"] = int(radius["d"] or 0)
+            stats["decontam_n_members"] = int(radius["m"] or 0)
+            stats["decontam_n_dragged"] = int(radius["g"] or 0)
+            grams.unpersist()
+            contaminated.unpersist()
+            clean = _commit("decontam", fp, {"docs": live}, _before)[
+                "docs"
+            ]
+            if clean is not live:
+                live.unpersist()
+            _mark("decontam")
+            deduped.unpersist()
+            deduped = clean.persist()
+        fp_parts["n_after_decontam"] = stats["n_after_decontam"]
+
+    # ---- 5. optional temperature mix to a row budget -------------------
     if budget is not None:
         mixed = _sampling.temperature_mix(
             deduped, "lang", "doc_id", budget=budget, tau=tau
@@ -240,7 +558,7 @@ def curate(
     stats["n_curated"] = mixed.count()
     _mark("mix")
 
-    # 6. packing plan for the curated corpus
+    # ---- 6. packing plan for the curated corpus ------------------------
     packing = _packing.pack_sequences(mixed, seq_tokens=seq_tokens)
     stats["n_sequences"] = (
         packing.agg(F.max("last_seq").cast("bigint")).collect()[0][0] or -1
@@ -269,6 +587,7 @@ def curate(
 
     quality_docs.unpersist()
     deduped.unpersist()
+    comp.unpersist()
     return stats
 
 
@@ -294,6 +613,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--bloom-bits-log2", type=int, default=None,
                     help="override the bloom filter's auto-sizing "
                     "(log2 of the bit count)")
+    ap.add_argument("--dedup-threshold", type=float, default=None,
+                    help="target Jaccard for the dedup stage: derives "
+                    "the LSH banding and min_eq bar via lsh_plan "
+                    "instead of the shipped constants")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="enable stage-checkpointed resumable runs: "
+                    "expensive stage outputs persist here as "
+                    "versioned parquet + atomic markers; a rerun "
+                    "skips completed stages")
     ap.add_argument("--exactsubstr-k", type=int, default=None,
                     help="enable EXACTSUBSTR span removal with this "
                     "k-gram length (e.g. 50); off by default")
@@ -317,6 +645,8 @@ def main(argv: list[str] | None = None) -> None:
         budget=args.budget, tau=args.tau, seq_tokens=args.seq_tokens,
         eval_source=args.eval_source, export_jsonl=args.export_jsonl,
         decontam=args.decontam, bloom_bits_log2=args.bloom_bits_log2,
+        dedup_threshold=args.dedup_threshold,
+        checkpoint_dir=args.checkpoint_dir,
         exactsubstr_k=args.exactsubstr_k,
         min_kept_chars=args.min_kept_chars,
         classifier_seed_source=args.classifier_seed_source,

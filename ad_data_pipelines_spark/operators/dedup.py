@@ -200,8 +200,18 @@ def incremental_dedup_sql(
     """
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on ALL rows of ≥1 band.
+
+    `(n_bands, rows_per_band)` defaults to the shipped high-similarity
+    banding; pass `lsh_plan(threshold)`'s choice to retune the chain
+    for a different similarity bar (n_bands·rows_per_band must equal
+    the 16-permutation signature width — a partial banding would waste
+    paid-for permutations and flatten the S-curve).
 
     Scale path, in three narrow stages (what survives a 100 TB corpus):
       1. explode each signature into N_BANDS (band_idx, band_key) rows —
@@ -219,13 +229,22 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     shingle/hash pass instead of three; callers may unpersist after
     their action completes.
     """
+    if n_bands * rows_per_band != 16:
+        raise ValueError(
+            f"n_bands ({n_bands}) x rows_per_band ({rows_per_band}) "
+            "must equal the 16-permutation signature width — derive "
+            "the pair with lsh_plan(threshold, n_perms=16)"
+        )
     sigs = sigs.persist()
     band_keys = [
         F.concat_ws(
             "_",
-            *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            *[
+                F.col(f"mh{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ],
         ).alias(f"band{b}")
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     ]
     bands_arr = F.array(*[k for k in band_keys])
     exploded = sigs.select(
@@ -656,15 +675,17 @@ def minhash_sql(scope: str = "") -> str:
     """
 
 
-def lsh_candidates_sql() -> str:
+def lsh_candidates_sql(
+    n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> str:
     band_eq = " OR ".join(
         "("
         + " AND ".join(
-            f"a.mh{b * ROWS_PER_BAND + r} = b.mh{b * ROWS_PER_BAND + r}"
-            for r in range(ROWS_PER_BAND)
+            f"a.mh{b * rows_per_band + r} = b.mh{b * rows_per_band + r}"
+            for r in range(rows_per_band)
         )
         + ")"
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     )
     n_eq = " + ".join(
         f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(16)
@@ -954,16 +975,49 @@ def connected_components(
     return labels
 
 
-def dup_components(docs: DataFrame, min_eq: int = 8) -> DataFrame:
+def dedup_plan_for_threshold(threshold: float) -> dict:
+    """Resolve the WHOLE dedup-chain tuning for a target Jaccard
+    threshold, as pure data: `lsh_plan`'s (n_bands, rows_per_band)
+    over the 16-permutation signatures — the recall knob — plus the
+    verification bar ``min_eq = ceil(16·threshold)`` (estimated
+    Jaccard is n_eq/16, so a candidate pair survives iff its estimate
+    clears the threshold) — the precision knob. This is the one
+    function a deployment retuning the similarity bar calls; feed the
+    result into `dup_components(..., threshold=)`/`curate(...,
+    dedup_threshold=)` or persist it (JSON-safe) as a run config."""
+    import math
+
+    plan = lsh_plan(threshold, n_perms=16)
+    plan["threshold"] = threshold
+    plan["min_eq"] = min(16, max(1, math.ceil(16 * threshold)))
+    return plan
+
+
+def dup_components(
+    docs: DataFrame, min_eq: int = 8, threshold: float | None = None
+) -> DataFrame:
     """End of the MinHash dedup pipeline: LSH candidates with ≥ min_eq
     agreeing signature components (estimated Jaccard ≥ min_eq/16) are
     merged into duplicate clusters. Returns (doc_id, component,
     is_keeper) for every doc in a cluster; docs absent from the output
     have no near-duplicate and are kept implicitly.
+
+    Pass ``threshold`` (target Jaccard) to derive BOTH the LSH banding
+    and the verification bar from `dedup_plan_for_threshold` instead
+    of the shipped constants — `min_eq` is then ignored. Default
+    (no threshold): the fixed high-similarity banding, unchanged.
     """
-    pairs = lsh_candidate_pairs(minhash_signatures(docs)).filter(
-        F.col("n_eq") >= min_eq
-    )
+    if threshold is not None:
+        plan = dedup_plan_for_threshold(threshold)
+        pairs = lsh_candidate_pairs(
+            minhash_signatures(docs),
+            n_bands=plan["n_bands"],
+            rows_per_band=plan["rows_per_band"],
+        ).filter(F.col("n_eq") >= plan["min_eq"])
+    else:
+        pairs = lsh_candidate_pairs(minhash_signatures(docs)).filter(
+            F.col("n_eq") >= min_eq
+        )
     return dup_components_from_pairs(pairs)
 
 
@@ -1006,13 +1060,22 @@ def dup_components_table(
     return docs.sparkSession.table(table)
 
 
-def dup_components_sql(min_eq: int = 8) -> str:
+def dup_components_sql(
+    min_eq: int = 8, threshold: float | None = None
+) -> str:
     """Oracle: transitive closure via recursive CTE, component = min
     reachable doc_id. Quadratic-ish — fine at oracle scale, never the
-    production path (that's `connected_components`)."""
+    production path (that's `connected_components`). `threshold`
+    mirrors `dup_components`'s derived-banding mode exactly."""
+    if threshold is not None:
+        plan = dedup_plan_for_threshold(threshold)
+        cand = lsh_candidates_sql(plan["n_bands"], plan["rows_per_band"])
+        min_eq = plan["min_eq"]
+    else:
+        cand = lsh_candidates_sql()
     return f"""
         WITH RECURSIVE pairs AS (
-            SELECT doc_a, doc_b FROM ({lsh_candidates_sql()}) WHERE n_eq >= {min_eq}
+            SELECT doc_a, doc_b FROM ({cand}) WHERE n_eq >= {min_eq}
         ),
         edges AS (
             SELECT doc_a AS u, doc_b AS v FROM pairs
@@ -1031,6 +1094,17 @@ def dup_components_sql(min_eq: int = 8) -> str:
     """
 
 
+def lsh_collision_probability(
+    j: float, rows_per_band: int, n_bands: int
+) -> float:
+    """Closed-form banded-LSH S-curve: P[≥1 of ``n_bands`` bands
+    collides] = 1 − (1 − j^r)^b for a pair at Jaccard ``j``. Module-
+    level (ADVICE r12) so `lsh_plan`'s returned dict stays pure data —
+    deployments persist the chosen banding as JSON and re-derive the
+    curve from (rows_per_band, n_bands) with this function."""
+    return 1.0 - (1.0 - j**rows_per_band) ** n_bands
+
+
 def lsh_plan(
     threshold: float,
     n_perms: int = 16,
@@ -1046,11 +1120,12 @@ def lsh_plan(
     (a plan whose midpoint is near τ but whose curve is too flat AT τ
     under-recalls the pairs the caller actually wants).
 
-    Returns {n_bands, rows_per_band, midpoint, p_at_threshold,
-    p_collision(j)}: p_collision is the closed form
-    1 − (1 − j^r)^b for any Jaccard j — use it to budget expected
-    candidate pairs before running anything. Pure arithmetic, no
-    Spark; raises when no factorization clears `at_threshold_min`
+    Returns {n_bands, rows_per_band, midpoint, p_at_threshold} — PURE
+    DATA (json/pickle-serializable, ADVICE r12: a persisted banding
+    config must round-trip). Evaluate the curve at any Jaccard j with
+    `lsh_collision_probability(j, rows_per_band, n_bands)` to budget
+    expected candidate pairs before running anything. Pure arithmetic,
+    no Spark; raises when no factorization clears `at_threshold_min`
     (raise n_perms — more permutations sharpen the curve).
     """
     if not 0.0 < threshold < 1.0:
@@ -1079,7 +1154,6 @@ def lsh_plan(
         "rows_per_band": r,
         "midpoint": round(midpoint, 6),
         "p_at_threshold": round(p_at, 6),
-        "p_collision": lambda j, r=r, b=b: 1.0 - (1.0 - j**r) ** b,
     }
 
 
@@ -1090,6 +1164,7 @@ def decontam_blast_radius(
     min_eq: int = 8,
     grams: DataFrame | None = None,
     components: DataFrame | None = None,
+    flagged: DataFrame | None = None,
 ) -> DataFrame:
     """Cluster-atomic decontamination accounting: for every near-dup
     cluster touched by benchmark contamination, (cluster_rep,
@@ -1114,10 +1189,24 @@ def decontam_blast_radius(
     aggregate per cluster. Eval-set members inside a cluster count in
     n_members/n_dragged (they leave the corpus regardless — the
     report prices the cluster rule, not the eval split).
+
+    ``flagged`` injects a PRECOMPUTED direct-flag frame (any frame
+    with a doc_id column — `contamination_check` or
+    `bloom_contamination_filter` output) so a pipeline that already
+    materialized its stage-4 flags prices exactly THAT engine's drops
+    without a second gram pass — in bloom mode the exact path's full
+    eval-gram broadcast is the very thing the bloom avoided, so the
+    accounting must not reintroduce it (jobs/curate_corpus.py wires
+    this).
     """
-    flagged = contamination_check(docs, eval_pred, n, grams=grams).select(
-        "doc_id", F.lit(1).cast("bigint").alias("direct")
-    )
+    if flagged is not None:
+        flagged = flagged.select(
+            "doc_id", F.lit(1).cast("bigint").alias("direct")
+        )
+    else:
+        flagged = contamination_check(
+            docs, eval_pred, n, grams=grams
+        ).select("doc_id", F.lit(1).cast("bigint").alias("direct"))
     comp = (
         components
         if components is not None

@@ -1762,6 +1762,15 @@ def hits(
     headroom: after the first normalization Σ score ≤ scale, so every
     raw sum ≤ scale and raw·scale ≤ scale² — the guard below keeps
     scale²·n inside int64 for the un-normalized FIRST step too.
+    DEGENERATE-REGIME guard (vouched-scale contract, mirroring
+    `pagerank`): ``scale`` must EXCEED the active node count. Each
+    normalization floors per node (Σ score ≥ scale − n_active) and
+    every hub has ≥1 out-edge / every authority ≥1 in-edge, so
+    scale > n_nodes keeps every normalizer total ≥ 1. Below that,
+    flooring can zero an entire half-step, the next normalizer total
+    is 0, and the two engines DIVERGE SILENTLY — Spark's non-ANSI DIV
+    yields NULL where DuckDB's ``//`` raises — so this raises loudly
+    instead.
 
     Scale shape (the `pagerank` loop idiom): per half-step ONE equi-
     join of the 2-long score state onto the edge list + ONE combinable
@@ -1806,7 +1815,21 @@ def hits(
         )
     if cut_input:
         e = _cut(e, reliable)
-    n_src = e.select("src").distinct().count()
+    # ONE pass over the edges for both guards: distinct src count
+    # (int64 headroom on the un-normalized first step) and distinct
+    # node count across BOTH sides (the degenerate-flooring guard) —
+    # posexplode tags the side, countDistinct ignores the when-NULLs.
+    _counts = (
+        e.select(F.posexplode(F.array("src", "dst")).alias("pos", "node"))
+        .agg(
+            F.countDistinct("node").alias("n_nodes"),
+            F.countDistinct(
+                F.when(F.col("pos") == 0, F.col("node"))
+            ).alias("n_src"),
+        )
+        .collect()[0]
+    )
+    n_nodes, n_src = int(_counts["n_nodes"]), int(_counts["n_src"])
     if n_src == 0:
         spark = edges.sparkSession
         return spark.createDataFrame(
@@ -1823,6 +1846,20 @@ def hits(
         raise ValueError(
             f"scale ({scale})^2 x {n_src} src nodes leaves no int64 "
             "headroom for the first un-normalized step — lower scale"
+        )
+    if int(scale) <= n_nodes:
+        # ADVICE r12: inside the int64-headroom region there is still a
+        # degenerate regime — with more active nodes than fixed-point
+        # units, one normalization can floor EVERY score to 0, the next
+        # normalizer total is 0, and Spark's DIV emits NULL score_fp
+        # where DuckDB's // raises. Fail loudly in BOTH engines'
+        # driver instead (scale > n_nodes provably keeps every
+        # normalizer total >= 1 — see the docstring argument).
+        raise ValueError(
+            f"scale ({scale}) must exceed the active node count "
+            f"({n_nodes}): below that, L1-normalization flooring can "
+            "zero a whole half-step and the normalizer divides by 0 "
+            "— raise scale (keep scale^2 x n_src inside int64)"
         )
 
     def _normalize(raw: DataFrame) -> DataFrame:

@@ -4080,6 +4080,29 @@ def q_llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dedup_threshold",
+    oracle=_dedup.dup_components_sql(threshold=0.5),
+    doc="Threshold-parameterized dedup chain (r12 verdict #2): the "
+    "banding AND the verification bar derived from lsh_plan for a "
+    "target Jaccard of 0.5 — (8 bands x 2 rows, min_eq=8) instead of "
+    "the shipped high-similarity (4x4) constants — then the same "
+    "LSH -> connected-components pipeline. Wider bands collide more "
+    "readily (S-curve midpoint 0.354 vs 0.707), so this catches "
+    "moderate-similarity clusters the default banding under-recalls; "
+    "signatures are banding-independent and REUSED from the shared "
+    "artifact. operators/dedup.py:dedup_plan_for_threshold,lsh_plan.",
+)
+def q_llm_dedup_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    plan = _dedup.dedup_plan_for_threshold(0.5)
+    pairs = _dedup.lsh_candidate_pairs(
+        _minhash_sigs_shared(spark, sf_dir),
+        n_bands=plan["n_bands"],
+        rows_per_band=plan["rows_per_band"],
+    ).filter(F.col("n_eq") >= plan["min_eq"])
+    return _dedup.dup_components_from_pairs(pairs)
+
+
+@register(
     "llm_hash_split",
     oracle=f"""
         SELECT {_sampling.hash_split_sql(
@@ -7928,17 +7951,16 @@ def q_llm_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
-# ~50-row budget. Round-11 rotation (the r10 verdict's brief #2 — done
-# condition: no oracle-backed query's latest green older than r8 after this
+# ~50-row budget. Round-13 rotation (the r12 verdict's brief #4 — done
+# condition: no oracle-backed query's latest green older than r10 after this
 # gate):
-#   tier 0 — round-11 registrations and CHANGED-PLAN queries (g11 SSSP new;
-#            a5_distinct_approx gained the NULL-key pre-filter, ADVICE r10;
-#            g4 consumes the vouched-scale ws metadata the artifact now
-#            records),
-#   tier 1 — the 38 oracle-backed queries whose latest green is r7 (the
-#            oldest tier after the r10 gate), cheapest-first,
-#   tier 2 — r8 greens cheapest-first; the ~50-row budget cuts off in here,
-#   tier 3 — r9 greens, tier 4 — r10 greens (freshest last; re-confirming
+#   tier 0 — the round-13 registration (llm_dedup_threshold) and every query
+#            whose operator code changed this round,
+#   tier 1 — the 44 oracle-backed queries whose latest green is r9 (the
+#            oldest tier after the r12 gate), cheapest-first — tier 0 +
+#            tier 1 is ~49 rows, inside the budget,
+#   tier 2 — r10 greens cheapest-first; the budget cuts off at its head,
+#   tier 3 — r11 greens, tier 4 — r12 greens (freshest last; re-confirming
 #            these is the lowest-value use of a budget slot),
 #   tail   — EMPTY since r10 (every registration is oracle-backed).
 # Standing rule (enforced by tests/test_gate_priority.py): any commit that
@@ -7957,205 +7979,209 @@ _GATE_TAIL_ROWS_ONLY: list[str] = [
     # registration.
 ]
 _GATE_PRIORITY = [
-    # tier 0 (round 12): new registrations + the one changed plan
-    # (bloom_bits gained the metadata stamp + the de-quadraticized
-    # densify)
-    "llm_cluster_balanced_mix",
-    "llm_sq_topk",
-    "llm_sq_recall",
+    # tier 0 (round 13): the new registration + every query whose
+    # operator code changed this round (g14 gained the degenerate-
+    # scale guard and the one-pass node/src count; the LSH chain
+    # gained banding parameters and blast-radius gained flag
+    # injection — default paths are value-identical, re-gated anyway)
+    "llm_dedup_threshold",
     "g14_hits_authorities",
-    "llm_source_diversity",
     "llm_decontam_blast_radius",
-    "llm_bloom_decontam",
-    # tier 1: latest green r8 — the oldest tail, cheapest-first
-    "o3_union_slices",
-    "o13_gap_audit",
-    "llm_normalize_text",
-    "w5_seq_lead",
-    "w7_cumulative_share",
-    "llm_token_stats_bpe",
-    "llm_vocab",
-    "llm_mm_binary_meta",
-    "o14_join_skew_report",
-    "llm_dedup_keeper_policy",
-    "llm_snapshot_diff",
-    "w6_rolling_window",
-    "o7_topk_rank",
-    "llm_simhash_pairs",
-    "o11_constraint_audit",
-    "llm_pack_sequences",
-    "llm_zipf",
-    "a21_psi_drift",
-    "o8_pivot_matrix",
-    "o10_profile",
-    "a22_psi_reference",
-    "o9_unpivot_long",
-    "s15_json_props",
-    "llm_chunking_tokens",
-    "llm_dedup_stats",
-    "t3_sessionize",
-    "llm_lang_id",
-    "t2_events_json_props",
-    "llm_budget_select",
-    "o12_table_checksum",
-    "a20_ks_drift",
-    "a18_winsorize",
-    "llm_tfidf_keywords",
-    "a19_robust_outliers",
-    "llm_ann_lsh",
-    "llm_candidate_agreement",
-    "llm_lang_confusion",
-    "llm_ann_ivf",
-    "llm_lang_mix",
-    "llm_bigram_lm",
-    "llm_cosine_near_dup",
-    # tier 2: r9 greens cheapest-first (the ~50 budget cuts off in here)
-    "llm_minhash_sig",
-    "llm_simhash",
+    "llm_dedup_groups",
+    "llm_lsh_candidates",
+    # tier 1: latest green r9 — the oldest tail, cheapest-first
+    # (the ~50-row budget covers tier 0 + all of tier 1)
     "llm_weighted_sample",
-    "llm_dedup_corpus",
     "a1_trips_daily",
-    "llm_packing_efficiency",
-    "a5_distinct_exact",
-    "a12_guarded_ratio",
     "j13_anti_join",
-    "j20_fuzzy_name_match",
+    "llm_dedup_corpus",
+    "a12_guarded_ratio",
+    "llm_packing_efficiency",
     "a9_rollup_overall",
+    "a5_distinct_exact",
+    "a3_pricing_summary",
     "llm_cross_source_dup",
     "j25_idle_rich_customers",
     "llm_boilerplate_ngrams",
     "j14_match_rate",
-    "llm_random_projection",
-    "a3_pricing_summary",
-    "j1_broadcast_enrich",
     "j27_customer_order_distribution",
-    "o16_zorder_cells",
-    "t6_user_streaks",
-    "a2_conditional_counts",
-    "llm_temperature_mix",
-    "a8_adjacent_diff",
-    "llm_chunk_dedup",
-    "a29_top_revenue_suppliers",
-    "j17_interval_join",
+    "j20_fuzzy_name_match",
     "llm_dedup_threshold_curve",
-    "llm_containment",
+    "o16_zorder_cells",
+    "llm_random_projection",
+    "t6_user_streaks",
+    "j1_broadcast_enrich",
+    "llm_chunk_dedup",
+    "llm_temperature_mix",
+    "a29_top_revenue_suppliers",
+    "a2_conditional_counts",
     "t8_session_window",
-    "llm_embedding_drift",
+    "a8_adjacent_diff",
+    "j17_interval_join",
     "llm_novelty",
     "j19_overlap_join",
-    "t7_last_touch_attribution",
+    "llm_containment",
     "j18_shipping_priority",
+    "t7_last_touch_attribution",
     "a33_binned_quantile_shards",
-    "w8_balance_deciles",
-    "llm_incremental_dedup",
     "llm_semantic_dedup",
-    "llm_encode_docs",
+    "llm_embedding_drift",
     "llm_pq_topk",
+    "llm_incremental_dedup",
+    "llm_encode_docs",
+    "w8_balance_deciles",
     "llm_remove_boilerplate",
     "g5_kcore_backbone",
-    "llm_cooccurrence",
     "llm_pq_ivf_topk",
+    "llm_cooccurrence",
     "g7_coreness",
-    # tier 3: r10 greens cheapest-first
-    "llm_dedup_groups",
+    # tier 2: r10 greens cheapest-first
+    "llm_quality",
     "llm_repetition",
     "llm_entropy",
-    "llm_l2_topk",
-    "llm_quality",
     "llm_cosine_topk",
-    "llm_lsh_candidates",
+    "llm_l2_topk",
     "p7_p8_clean_map",
     "llm_fingerprint",
     "llm_hash_split",
     "llm_dedup_exact",
     "j23_small_quantity_revenue",
     "j30_late_order_priorities",
+    "j7_dedup_then_join",
     "a25_time_weighted_avg",
+    "llm_quality_quantile_approx",
     "llm_mm_dhash_pairs",
     "p24_disjunctive_revenue",
     "o6_topn_revenue",
-    "j7_dedup_then_join",
-    "a24_cube_totals",
-    "a28_important_suppliers",
-    "a26_hll_shard_union",
-    "llm_quality_quantile_approx",
     "a13_first_last_ordered",
+    "a24_cube_totals",
     "llm_ngram_jaccard",
-    "a27_large_volume_orders",
     "j28_nation_trade_volume",
+    "a28_important_suppliers",
+    "a27_large_volume_orders",
     "s16_merge_apply",
-    "llm_nb_quality",
-    "a30_market_share",
+    "a26_hll_shard_union",
     "j29_local_supplier_volume",
-    "a31_supplier_variety",
     "llm_prefix_jaccard",
-    "llm_dup_spans",
-    "j24_sole_late_supplier",
-    "g6_cosupply_triangles",
-    "o15_entity_clusters",
-    "a23_groupwise_ols",
-    "llm_dup_span_removal",
-    "llm_ann_recall",
+    "a31_supplier_variety",
+    "a30_market_share",
+    "llm_nb_quality",
     "g10_cosupply_jaccard",
-    "j21_grid_knn",
-    "j22_min_cost_supplier",
+    "o15_entity_clusters",
     "llm_cms_estimates",
+    "llm_ann_recall",
+    "g6_cosupply_triangles",
+    "llm_dup_span_removal",
+    "llm_dup_spans",
+    "a23_groupwise_ols",
+    "j22_min_cost_supplier",
+    "j24_sole_late_supplier",
     "llm_ivf_recall",
-    "llm_pq_recall",
     "j26_dominant_suppliers",
+    "llm_pq_recall",
+    "j21_grid_knn",
     "llm_heavy_hitters_sketch",
     "g9_neighborhood_anf",
     "g8_truss_backbone",
-    # tier 4: r11 greens cheapest-first (freshest last)
+    # tier 3: r11 greens cheapest-first
     "a7_histogram",
-    "a4_conditional_sum",
-    "llm_det_shuffle",
-    "p16_threshold_bins",
     "p20_coord_convert",
-    "llm_token_stats",
-    "llm_stratified_topk",
-    "llm_chunking",
+    "p16_threshold_bins",
     "p18_p19_days_in_month",
-    "llm_stratified_sample",
     "llm_source_mix",
-    "s13_first_seen",
+    "llm_chunking",
+    "llm_det_shuffle",
+    "llm_token_stats",
+    "llm_stratified_sample",
+    "llm_stratified_topk",
     "p9_p10_p11_mapping",
-    "p15_binning",
+    "a4_conditional_sum",
     "t1_events_hourly",
-    "w2_transfer_time",
-    "w1_lead_gap",
-    "j12_point_in_polygon",
-    "llm_mm_frame_sample",
+    "s13_first_seen",
     "llm_quality_filter",
-    "llm_mm_decode_resize",
-    "t5_cohort_retention",
+    "j12_point_in_polygon",
+    "p15_binning",
     "o4_union_spine_j6",
-    "llm_contamination",
-    "t4_funnel_conversion",
-    "llm_quality_quantile",
-    "llm_leakage_safe_split",
-    "j15_asof_enrich",
+    "w1_lead_gap",
+    "llm_mm_frame_sample",
+    "llm_mm_decode_resize",
+    "w2_transfer_time",
+    "t5_cohort_retention",
     "j5_regional_volume",
+    "llm_contamination",
+    "llm_quality_quantile",
     "j31_returned_item_customers",
-    "a32_psi_trained_edges",
-    "llm_source_quality_shrunk",
+    "j15_asof_enrich",
+    "t4_funnel_conversion",
+    "llm_leakage_safe_split",
     "a11_avg_daily_ratio",
-    "s14_scd2_history",
-    "llm_pii_scrub",
-    "w3_group_max_flag",
+    "llm_source_quality_shrunk",
+    "a32_psi_trained_edges",
     "j8_full_outer_3way",
+    "llm_pii_scrub",
     "a10_journey_reagg",
+    "s14_scd2_history",
+    "w3_group_max_flag",
     "w4_keep_last",
     "a5_distinct_approx",
     "g13_harmonic_closeness",
     "a14_wkt_assembly",
     "j9_j10_composite_join",
-    "g12_hop_histogram",
     "g11_sssp_trusted_distance",
-    "g1_pagerank_suppliers",
+    "g12_hop_histogram",
     "g3_trade_communities",
+    "g1_pagerank_suppliers",
     "g4_weighted_pagerank",
     "g2_ppr_trusted_suppliers",
+    # tier 4: r12 greens cheapest-first (freshest last)
+    "llm_simhash",
+    "llm_minhash_sig",
+    "o13_gap_audit",
+    "w5_seq_lead",
+    "llm_normalize_text",
+    "o3_union_slices",
+    "llm_dedup_keeper_policy",
+    "llm_snapshot_diff",
+    "llm_vocab",
+    "w7_cumulative_share",
+    "o14_join_skew_report",
+    "llm_token_stats_bpe",
+    "w6_rolling_window",
+    "o7_topk_rank",
+    "a22_psi_reference",
+    "llm_pack_sequences",
+    "llm_cluster_balanced_mix",
+    "o9_unpivot_long",
+    "llm_mm_binary_meta",
+    "llm_simhash_pairs",
+    "a21_psi_drift",
+    "t3_sessionize",
+    "t2_events_json_props",
+    "o8_pivot_matrix",
+    "s15_json_props",
+    "o11_constraint_audit",
+    "llm_chunking_tokens",
+    "llm_dedup_stats",
+    "a18_winsorize",
+    "llm_zipf",
+    "llm_lang_id",
+    "o10_profile",
+    "llm_sq_topk",
+    "a20_ks_drift",
+    "o12_table_checksum",
+    "llm_budget_select",
+    "a19_robust_outliers",
+    "llm_ann_ivf",
+    "llm_tfidf_keywords",
+    "llm_candidate_agreement",
+    "llm_ann_lsh",
+    "llm_lang_confusion",
+    "llm_source_diversity",
+    "llm_bigram_lm",
+    "llm_lang_mix",
+    "llm_sq_recall",
+    "llm_bloom_decontam",
+    "llm_cosine_near_dup",
 ] + _GATE_TAIL_ROWS_ONLY
 assert set(_GATE_PRIORITY) == set(REGISTRY), (
     "gate-priority list drifted from registry: "

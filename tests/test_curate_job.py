@@ -82,6 +82,123 @@ def test_curate_jsonl_export_round_trips(spark, tmp_path):
     assert a == b and len(a) == stats["n_curated"]
 
 
+def test_curate_checkpoint_kill_resume(spark, tmp_path):
+    """r12 verdict #1: stage-checkpointed runs survive a mid-run kill.
+    Run 1 is killed right after the dedup stage's artifact+marker
+    commit (injected fault — the S11 mid-write fault pattern,
+    tests/test_sources.py); run 2 against the same checkpoint dir
+    RESUMES (quality + dedup read back from the versioned-parquet
+    artifacts, accounted in stats["resumed_stages"]) and produces
+    final outputs content-identical to a from-scratch un-checkpointed
+    run — same stats waterfall, same curated rows, same packing rows.
+    A third run resumes EVERY checkpointable stage. A marker built
+    under a different run config is refused loudly."""
+    import pathlib
+
+    import pytest
+
+    docs = tq.t(spark, SF_SMALL, "documents")
+    base = dict(budget=100, seq_tokens=256, eval_source="src0")
+
+    # ground truth: from-scratch, no checkpointing
+    out_ref = str(tmp_path / "ref")
+    ref_stats = curate(spark, docs, out_ref, **base)
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError, match="injected fault"):
+        curate(spark, docs, out, checkpoint_dir=ckpt,
+               _fail_after_stage="dedup", **base)
+    # the kill left completed write+marker pairs for quality+dedup and
+    # NOTHING beyond (marker moves only after the stage's writes)
+    names = {p.name for p in pathlib.Path(ckpt).iterdir()}
+    assert {"quality.done.json", "dedup.done.json"} <= names
+    assert "decontam.done.json" not in names
+    # versioned-parquet artifacts with committed _CURRENT pointers
+    from ad_data_pipelines_spark.operators import merge as _merge
+
+    assert _merge.table_current_version(f"{ckpt}/dedup/docs") == "v000001"
+    assert (
+        _merge.table_current_version(f"{ckpt}/dedup/components")
+        == "v000001"
+    )
+
+    stats = curate(spark, docs, out, checkpoint_dir=ckpt, **base)
+    assert stats.pop("resumed_stages") == ["quality", "dedup"]
+    assert stats == ref_stats  # identical waterfall incl. blast radius
+    for sub in ("documents", "packing"):
+        a = sorted(map(tuple,
+                       spark.read.parquet(f"{out_ref}/{sub}").collect()))
+        b = sorted(map(tuple,
+                       spark.read.parquet(f"{out}/{sub}").collect()))
+        assert a == b, f"{sub} diverged after resume"
+
+    # a fresh rerun resumes EVERY checkpointable stage
+    stats2 = curate(
+        spark, docs, str(tmp_path / "resumed2"), checkpoint_dir=ckpt,
+        **base,
+    )
+    assert stats2.pop("resumed_stages") == ["quality", "dedup",
+                                            "decontam"]
+    assert stats2 == ref_stats
+
+    # changed config (dedup bar) → the dedup marker's chained
+    # fingerprint mismatches → refused loudly, nothing silently mixed
+    with pytest.raises(ValueError, match="different run config"):
+        curate(spark, docs, str(tmp_path / "other"),
+               checkpoint_dir=ckpt, min_eq=9, **base)
+
+
+def test_curate_dedup_threshold_and_blast_radius_stats(spark, tmp_path):
+    """r12 verdict #2+#3 wiring: dedup_threshold derives the banding
+    from lsh_plan (recorded in the stats line and matching
+    dedup_plan_for_threshold exactly), and the decontam stage reports
+    the cluster-atomic blast radius, reconciled: Σ n_direct is
+    EXACTLY the number of corpus docs the stage dropped, and
+    n_members = n_direct + n_dragged by construction."""
+    import pyspark.sql.functions as F
+
+    from ad_data_pipelines_spark.operators import dedup as _dedup
+
+    from ad_data_pipelines_spark.operators import merge as _merge
+
+    docs = tq.t(spark, SF_SMALL, "documents")
+    out = str(tmp_path / "run")
+    ckpt = str(tmp_path / "ckpt")
+    stats = curate(
+        spark, docs, out, seq_tokens=256, eval_source="src0",
+        dedup_threshold=0.5, checkpoint_dir=ckpt,
+    )
+    plan = _dedup.dedup_plan_for_threshold(0.5)
+    assert stats["dedup_n_bands"] == plan["n_bands"] == 8
+    assert stats["dedup_rows_per_band"] == plan["rows_per_band"] == 2
+    assert stats["dedup_min_eq"] == plan["min_eq"] == 8
+    assert stats["dedup_p_at_threshold"] == plan["p_at_threshold"]
+
+    # blast-radius reconciliation against the run's OWN dedup artifact:
+    # Σ n_direct is exactly the corpus docs the decontam stage dropped
+    # — (non-eval dedup survivors) − (decontam survivors)
+    deduped = _merge.table_read(spark, f"{ckpt}/dedup/docs")
+    n_non_eval = deduped.filter(F.col("source") != "src0").count()
+    assert (
+        stats["decontam_n_direct"]
+        == n_non_eval - stats["n_after_decontam"]
+    )
+    assert stats["decontam_n_direct"] >= 1  # testdata does contaminate
+    assert (
+        stats["decontam_n_members"]
+        == stats["decontam_n_direct"] + stats["decontam_n_dragged"]
+    )
+    # the wider τ=0.5 banding can only merge MORE docs into clusters
+    # than the default 4x4 chain at the same bar
+    default_stats = curate(
+        spark, docs, str(tmp_path / "default"), seq_tokens=256,
+        eval_source="src0",
+    )
+    assert stats["n_after_dedup"] <= default_stats["n_after_dedup"]
+    assert "dedup_n_bands" not in default_stats
+
+
 def test_curate_exactsubstr_stage(spark, tmp_path):
     """With --exactsubstr-k, a boilerplate paragraph shared by
     otherwise-distinct docs survives in exactly ONE curated doc (the

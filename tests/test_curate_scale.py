@@ -187,6 +187,30 @@ def test_curate_corpus_10x_linear_and_accounted(spark, tmp_path):
         # false-flags and the corpus empties; this stat is the guard)
         assert stats["bloom_bits_log2"] >= 18
 
+        # --- blast-radius accounting (r12 verdict #3), reconciled
+        # EXACTLY against the planted corpus: Σ n_direct is the number
+        # of corpus docs the decontam stage dropped — (non-eval dedup
+        # survivors) − (decontam survivors). Eval docs (s0, even ids)
+        # are min-id keepers of their pair clusters, so every
+        # quality-surviving eval doc survives dedup.
+        n_eval_surv = len([i for i in surv if i % 10 == 0])
+        assert stats["decontam_n_direct"] == (
+            stats["n_after_dedup"] - n_eval_surv
+            - stats["n_after_decontam"]
+        )
+        # the planted gram-sharers are a guaranteed subset of the
+        # direct flags (bloom: no false negatives)
+        assert stats["decontam_n_direct"] >= len(planted)
+        # Σ identity of the cluster report
+        assert stats["decontam_n_members"] == (
+            stats["decontam_n_direct"] + stats["decontam_n_dragged"]
+        )
+        # cluster-atomicity prices REAL drag here: every flagged s4
+        # keeper whose odd partner survived quality heads a 2-member
+        # cluster, so the atomic rule charges strictly more than the
+        # direct rule at both scales
+        assert stats["decontam_n_dragged"] > 0
+
         # --- packing covers exactly the curated docs, sequences
         # contiguous from 0
         pk = ds.dataset(f"{out}/packing").to_table().to_pydict()

@@ -3070,6 +3070,16 @@ def test_hits_structure_determinism_and_guards(spark):
         graph.hits(df, scale=10**10)
     with pytest.raises(ValueError, match="headroom"):
         graph.hits(df, scale=10**9)  # 1e18 * 4 src nodes > 2^62
+    # ADVICE r12: the degenerate-flooring regime (scale <= active node
+    # count) must raise LOUDLY — below it one L1 normalization can
+    # floor every score to 0 and Spark's DIV-by-0 silently NULLs where
+    # DuckDB raises. This graph has 7 active nodes (1-4, 10-12), so
+    # scale=7 is inside int64 headroom but inside the degenerate
+    # regime; scale=8 (the provably-safe boundary) must run clean.
+    with pytest.raises(ValueError, match="exceed the active node"):
+        graph.hits(df, scale=7)
+    ok = graph.hits(df, scale=8, iterations=4).collect()
+    assert all(r.score_fp is not None for r in ok)
     with pytest.raises(ValueError, match="types differ"):
         graph.hits(
             spark.createDataFrame([(1, "a")], "src bigint, dst string")
@@ -4383,9 +4393,18 @@ def test_lsh_plan_parameter_planner():
         dedup.N_BANDS, dedup.ROWS_PER_BAND
     )
     assert plan["p_at_threshold"] >= 0.5
-    # closed form sanity at the planted-probe regime (J≈0.93 pairs)
-    assert plan["p_collision"](0.93) > 0.99
-    assert plan["p_collision"](0.05) < 1e-4
+    # closed form sanity at the planted-probe regime (J≈0.93 pairs) —
+    # evaluated via the module-level function (ADVICE r12: the plan
+    # dict itself is pure data)
+    p = lambda j: dedup.lsh_collision_probability(  # noqa: E731
+        j, plan["rows_per_band"], plan["n_bands"]
+    )
+    assert p(0.93) > 0.99
+    assert p(0.05) < 1e-4
+    # the plan must round-trip as JSON (a persisted banding config)
+    import json
+
+    assert json.loads(json.dumps(plan)) == plan
 
     # midpoint property: the returned factorization's midpoint is the
     # closest among ALL qualifying divisor factorizations
@@ -4413,6 +4432,60 @@ def test_lsh_plan_parameter_planner():
         # 2 perms cannot clear a 0.5 floor at a 0.999 threshold's
         # complement regime: threshold so low every curve is flat
         dedup.lsh_plan(0.01, n_perms=2)
+
+
+def test_dedup_threshold_wiring(spark):
+    """r12 verdict #2: the dedup chain accepts a target Jaccard
+    threshold and derives BOTH knobs (LSH banding, min_eq bar) from
+    lsh_plan instead of the shipped constants. Asserts (a) the derived
+    banding IS lsh_plan's choice, (b) dup_components(threshold=) is
+    row-identical to the explicit-banding composition, (c) a banding
+    that doesn't use the full 16-perm signature raises, (d) the
+    resolved plan is pure serializable data."""
+    import json
+
+    import pytest
+
+    from ad_data_pipelines_spark.operators import dedup
+
+    plan = dedup.dedup_plan_for_threshold(0.5)
+    ref = dedup.lsh_plan(0.5, n_perms=16)
+    assert plan["n_bands"] == ref["n_bands"]
+    assert plan["rows_per_band"] == ref["rows_per_band"]
+    # the concrete regime the registry query pins: τ=0.5 → 8 bands of
+    # 2 rows (midpoint 0.354, steep enough at 0.5) and min_eq=8
+    assert (plan["n_bands"], plan["rows_per_band"]) == (8, 2)
+    assert plan["min_eq"] == 8
+    assert json.loads(json.dumps(plan)) == plan
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    via_threshold = sorted(
+        map(tuple, dedup.dup_components(docs, threshold=0.5).collect())
+    )
+    pairs = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(docs), n_bands=8, rows_per_band=2
+    ).filter(F.col("n_eq") >= 8)
+    composed = sorted(
+        map(tuple, dedup.dup_components_from_pairs(pairs).collect())
+    )
+    assert via_threshold == composed
+    # the wider banding can only ADD candidate pairs vs the 4x4
+    # default at the same bar (2-row bands collide on any agreeing
+    # adjacent pair; 4-row bands need all four): clusters cover at
+    # least the default chain's clustered docs
+    default_docs = {
+        r.doc_id
+        for r in dedup.dup_components(docs, min_eq=8).collect()
+    }
+    threshold_docs = {d for d, _, _ in via_threshold}
+    assert default_docs <= threshold_docs
+
+    with pytest.raises(ValueError, match="signature width"):
+        dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures(docs), n_bands=3, rows_per_band=4
+        )
 
 
 def test_decontam_blast_radius_planted(spark):
@@ -4456,6 +4529,23 @@ def test_decontam_blast_radius_planted(spark):
     assert nm == 2 and nd >= 1 and ndr == nm - nd
     assert sum(v[1] for v in out.values()) == len(flags)
     assert all(m == d + g for m, d, g in out.values())
+
+    # flagged= injection (r13: curate reuses its stage-4 engine's own
+    # flag set): a precomputed flag frame must reproduce the default
+    # path exactly — and lets the caller price a DIFFERENT engine's
+    # drops (bloom superset) without re-running the gram scan
+    injected = {
+        r.cluster_rep: (r.n_members, r.n_direct, r.n_dragged)
+        for r in dedup.decontam_blast_radius(
+            docs,
+            pred,
+            8,
+            flagged=dedup.contamination_check(docs, pred, 8).select(
+                "doc_id"
+            ),
+        ).collect()
+    }
+    assert injected == out
 
 
 def test_bloom_probe_guards(spark):
