@@ -89,15 +89,20 @@ def minhash_signatures(
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def _band_key_cols() -> list:
-    """The N_BANDS concat'd band keys of a signature row — shared by
+def _band_key_cols(
+    n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> list:
+    """The n_bands concat'd band keys of a signature row — shared by
     within-corpus pairing and incremental (new-vs-history) dedup."""
     return [
         F.concat_ws(
             "_",
-            *[F.col(f"mh{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+            *[
+                F.col(f"mh{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ],
         ).alias(f"band{b}")
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     ]
 
 
@@ -113,7 +118,10 @@ def _n_eq_expr(left: str = "sa", right: str = "sb"):
 
 
 def dedup_against_corpus(
-    new_sigs: DataFrame, corpus_sigs: DataFrame, min_eq: int = 8
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    min_eq: int = 8,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Incremental near-dedup: the daily-batch-vs-history shape. Each
     incoming doc's signature LSH-joins against the EXISTING corpus
@@ -131,14 +139,27 @@ def dedup_against_corpus(
     maintains for ANN — so the join shuffles ONLY the (kilobyte) new
     batch; the new side never exceeds one day's crawl and history is
     touched pre-bucketed, never rescanned.
+
+    ``threshold`` (target Jaccard) derives the banding and the min_eq
+    bar via `dedup_plan_for_threshold`, keeping the ingest-time gate
+    tunable with the SAME knob as the within-corpus chain — a corpus
+    deduped at τ must gate its ingest at τ, or the history drifts
+    above the corpus's own similarity bar. NOTE: the history's banded
+    artifact must have been built under the same banding.
     """
+    if threshold is not None:
+        plan = dedup_plan_for_threshold(threshold)
+        n_bands, rows_per_band = plan["n_bands"], plan["rows_per_band"]
+        min_eq = plan["min_eq"]
+    else:
+        n_bands, rows_per_band = N_BANDS, ROWS_PER_BAND
 
     def bands(sigs: DataFrame, out_id: str) -> DataFrame:
         return sigs.select(
             F.col("doc_id").alias(out_id),
-            F.posexplode(F.array(*_band_key_cols())).alias(
-                "band_idx", "band_key"
-            ),
+            F.posexplode(
+                F.array(*_band_key_cols(n_bands, rows_per_band))
+            ).alias("band_idx", "band_key"),
         )
 
     pairs = (
@@ -168,18 +189,28 @@ def dedup_against_corpus(
 
 
 def incremental_dedup_sql(
-    new_pred: str, corpus_pred: str, min_eq: int = 8
+    new_pred: str,
+    corpus_pred: str,
+    min_eq: int = 8,
+    threshold: float | None = None,
 ) -> str:
     """DuckDB twin of `dedup_against_corpus` over the documents table,
-    with the new/history split given as predicates."""
+    with the new/history split given as predicates; `threshold`
+    mirrors the derived-banding mode exactly."""
+    if threshold is not None:
+        plan = dedup_plan_for_threshold(threshold)
+        n_bands, rows_per_band = plan["n_bands"], plan["rows_per_band"]
+        min_eq = plan["min_eq"]
+    else:
+        n_bands, rows_per_band = N_BANDS, ROWS_PER_BAND
     band_eq = " OR ".join(
         "("
         + " AND ".join(
-            f"a.mh{b * ROWS_PER_BAND + r} = b.mh{b * ROWS_PER_BAND + r}"
-            for r in range(ROWS_PER_BAND)
+            f"a.mh{b * rows_per_band + r} = b.mh{b * rows_per_band + r}"
+            for r in range(rows_per_band)
         )
         + ")"
-        for b in range(N_BANDS)
+        for b in range(n_bands)
     )
     n_eq = " + ".join(
         f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(16)

@@ -92,6 +92,106 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    query_pred,
+    clusters: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each query
+    vector, the k most-similar corpus vectors that are neither the
+    query itself nor a NEAR-DUPLICATE of it. A near-dup of the query
+    carries (almost) the query's own content — sampling it as a
+    negative poisons a contrastive loss with false negatives, so the
+    dedup chain's cluster table is exactly the exclusion set the miner
+    needs (the same artifact leakage-safe splits key on).
+
+    `query_pred` is a boolean Column selecting the query rows;
+    `clusters` is a (doc_id, component) map (`dedup.dup_components`
+    output — docs absent from it are singletons and exclude only
+    themselves). Returns (query_id, neighbor_id, sim, rk).
+
+    Scale shape: cluster labels join onto the corpus at doc_id grain
+    (co-partitioned; AQE broadcasts when the cluster table is small),
+    the labeled queries BROADCAST, the corpus streams — never
+    shuffled; top-k via the per-query rank window over the (tiny)
+    query-keyed score set. Same double math + round(…, 4) contract as
+    `cosine_topk`, so the DuckDB twin is bit-equal.
+    """
+    lab = (
+        embeddings.join(
+            clusters.select(
+                F.col("doc_id").alias(id_col), "component"
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            "embedding",
+            F.coalesce("component", F.col(id_col)).alias("cluster"),
+        )
+    )
+    q = lab.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("cluster").alias("q_cluster"),
+    )
+    c = lab.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("cluster").alias("c_cluster"),
+    )
+    sims = c.join(
+        F.broadcast(q), F.col("q_cluster") != F.col("c_cluster")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot(F.col("q_emb"), F.col("c_emb")), 4).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+def hard_negatives_sql(
+    clusters_sql: str, max_query_id: int, k: int = 5
+) -> str:
+    """DuckDB twin of `hard_negatives` over the embeddings table with
+    vec_id < max_query_id as the query set; `clusters_sql` supplies
+    the (doc_id, component) map (`dedup.dup_components_sql`)."""
+    dot_sql = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    return f"""
+        WITH comp AS ({clusters_sql}),
+        lab AS (
+            SELECT e.vec_id, e.embedding,
+                   COALESCE(cp.component, e.vec_id) AS cluster
+            FROM embeddings e
+            LEFT JOIN comp cp ON cp.doc_id = e.vec_id
+        ),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND({dot_sql}, 4) AS sim
+            FROM lab q JOIN lab c ON q.cluster <> c.cluster
+            WHERE q.vec_id < {max_query_id}
+        )
+        SELECT query_id, neighbor_id, sim, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+            ) AS rk FROM pairs
+        ) WHERE rk <= {k}
+    """
+
+
 def lsh_bucket(
     embeddings: DataFrame, id_col: str = "vec_id", n_planes: int = N_PLANES
 ) -> DataFrame:

@@ -1349,6 +1349,28 @@ def q_llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_hard_negatives",
+    oracle=_sim.hard_negatives_sql(
+        _dedup.dup_components_sql(min_eq=8), max_query_id=25, k=5
+    ),
+    doc="Contrastive-training hard-negative mining: per query (vec_id"
+    "<25, broadcast) the top-5 most-similar corpus vectors EXCLUDING "
+    "the query's own near-dup cluster — a near-dup sampled as a "
+    "negative is a false negative that poisons the contrastive loss, "
+    "so the dedup chain's cluster table (reused from the shared "
+    "artifact) is the exclusion set. Corpus streams, never shuffles; "
+    "cluster labels join at doc_id grain. operators/similarity.py:"
+    "hard_negatives.",
+)
+def q_llm_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    comp = _dup_components_shared(spark, sf_dir, min_eq=8)
+    return _sim.hard_negatives(
+        emb, F.col("vec_id") < 25, comp.select("doc_id", "component"), k=5
+    )
+
+
+@register(
     "llm_ann_lsh",
     oracle=_sim.lsh_topk_sql(max_query_id=25, k=5, n_planes=4, multiprobe=1),
     doc="Hyperplane-LSH ANN top-5 (4 deterministic planes → 16 buckets, "
@@ -7985,6 +8007,7 @@ _GATE_PRIORITY = [
     # gained banding parameters and blast-radius gained flag
     # injection — default paths are value-identical, re-gated anyway)
     "llm_dedup_threshold",
+    "llm_hard_negatives",
     "g14_hits_authorities",
     "llm_decontam_blast_radius",
     "llm_dedup_groups",

@@ -46,6 +46,42 @@ def test_ivf_recall_floor(spark):
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
 
 
+def test_hard_negatives_excludes_query_cluster(spark):
+    """Planted scenario where the near-dup exclusion MUST bite (the
+    sf0.01 gate run exercises the agreement with DuckDB but its query
+    set happens to have no clustered top-5 neighbors): query 0's
+    nearest vector by cosine is its own dup-cluster partner 1 — a
+    FALSE negative for contrastive training — so hard_negatives must
+    skip it and return the next-best vectors 2 and 3; singleton
+    vectors exclude only themselves; ranks re-pack densely."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9999, 0.0141]),  # near-identical to 0, same cluster
+            (2, [0.95, 0.3122]),
+            (3, [0.80, 0.60]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0)], "doc_id bigint, component bigint"
+    )
+    out = similarity.hard_negatives(
+        emb, F.col("vec_id") < 1, clusters, k=2
+    ).collect()
+    got = [(r.neighbor_id, r.rk) for r in sorted(out, key=lambda r: r.rk)]
+    assert got == [(2, 1), (3, 2)]  # partner 1 excluded, ranks dense
+    # without the cluster table entry, 1 would have been rank 1
+    plain = similarity.hard_negatives(
+        emb, F.col("vec_id") < 1,
+        spark.createDataFrame([], "doc_id bigint, component bigint"),
+        k=2,
+    ).collect()
+    assert [(r.neighbor_id, r.rk)
+            for r in sorted(plain, key=lambda r: r.rk)] == [(1, 1), (2, 2)]
+
+
 def test_lsh_candidates_superset_of_high_jaccard(spark):
     """Property: every pair with high estimated signature agreement must
     have been produced by the band join (banding can only *miss* pairs
@@ -4486,6 +4522,35 @@ def test_dedup_threshold_wiring(spark):
         dedup.lsh_candidate_pairs(
             dedup.minhash_signatures(docs), n_bands=3, rows_per_band=4
         )
+
+    # the ingest-time gate takes the SAME knob and stays bit-equal to
+    # its DuckDB twin under the derived banding
+    import duckdb
+
+    sigs = dedup.minhash_signatures(docs).persist()
+    new_sigs = sigs.filter(F.col("doc_id") >= 100)
+    corpus_sigs = sigs.filter(F.col("doc_id") < 100)
+    got = sorted(
+        (r.doc_id, r.matched_doc, r.kept)
+        for r in dedup.dedup_against_corpus(
+            new_sigs, corpus_sigs, threshold=0.5
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet') WHERE doc_id < 200"
+    )
+    want = sorted(
+        (int(a), None if b is None else int(b), bool(k))
+        for a, b, k in con.execute(
+            dedup.incremental_dedup_sql(
+                "doc_id >= 100", "doc_id < 100", threshold=0.5
+            )
+        ).fetchall()
+    )
+    assert got == want
+    sigs.unpersist()
 
 
 def test_decontam_blast_radius_planted(spark):
