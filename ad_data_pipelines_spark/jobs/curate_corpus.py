@@ -506,13 +506,24 @@ def curate(
                 contaminated = _dedup.contamination_check(
                     decontam_docs, eval_pred, grams=grams
                 ).persist()
-            live = (
-                deduped.filter(~eval_pred)
-                .join(
-                    contaminated.select("doc_id"), "doc_id", "left_anti"
-                )
-                .persist()
+            live = deduped.filter(~eval_pred).join(
+                contaminated.select("doc_id"), "doc_id", "left_anti"
             )
+            if ckpt is None:
+                # LINEAGE CUT, not just a persist: the decontam plan
+                # (eval-restore union + gram explodes + the probe) is
+                # big enough that Spark's plan-equality cache
+                # substitution MISSES some downstream re-references —
+                # measured at sf0.1: the temperature-mix targets
+                # branch recomputed this whole stage from raw files on
+                # every later action (pack 3.6 s → 13 s, write 4 s →
+                # 13 s). localCheckpoint makes every consumer read the
+                # materialized blocks unconditionally. With a
+                # checkpoint dir the committed parquet artifact is
+                # read back below, which cuts lineage durably instead.
+                live = live.localCheckpoint(eager=False)
+            else:
+                live = live.persist()
             stats["n_after_decontam"] = live.count()
             # cluster-atomic removal price (r12 verdict #3): the
             # engine's OWN flag set ⋈ the stage-3 component artifact —
@@ -536,6 +547,8 @@ def curate(
             stats["decontam_n_direct"] = int(radius["d"] or 0)
             stats["decontam_n_members"] = int(radius["m"] or 0)
             stats["decontam_n_dragged"] = int(radius["g"] or 0)
+            # the stage's scratch frames are consumed (live is cut or
+            # committed below; the radius is collected) — release them
             grams.unpersist()
             contaminated.unpersist()
             clean = _commit("decontam", fp, {"docs": live}, _before)[
@@ -545,7 +558,9 @@ def curate(
                 live.unpersist()
             _mark("decontam")
             deduped.unpersist()
-            deduped = clean.persist()
+            # localCheckpoint already holds materialized blocks — a
+            # second persist would only double the storage
+            deduped = clean if ckpt is None else clean.persist()
         fp_parts["n_after_decontam"] = stats["n_after_decontam"]
 
     # ---- 5. optional temperature mix to a row budget -------------------
