@@ -225,6 +225,13 @@ def curate(
         raise ValueError(
             f"decontam={decontam!r}: expected 'exact' or 'bloom'"
         )
+    if _fail_after_stage is not None and (
+        _fail_after_stage not in CHECKPOINT_STAGES
+    ):
+        raise ValueError(
+            f"_fail_after_stage={_fail_after_stage!r}: not a "
+            f"checkpointable stage {CHECKPOINT_STAGES}"
+        )
     import time as _time
 
     _t0 = _time.perf_counter()
