@@ -357,6 +357,211 @@ def ivf_train_centroids(
     )
 
 
+def kmeans_fp(
+    embeddings: DataFrame,
+    n_cells: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    scale_log2: int = 20,
+) -> DataFrame:
+    """Deterministic fixed-point Lloyd k-means — the ORACLE-GATEABLE
+    trainer behind the IVF family (`ivf_train_centroids` is Spark-ML
+    and has no SQL twin, so trained-codebook paths could never
+    hash-gate; this one is BIT-EQUAL to the unrolled DuckDB twin
+    `kmeans_sql`). Returns exactly ``n_cells`` rows
+    (cell_id, n_members, centroid_fp array<bigint>).
+
+    Determinism contract (every choice removes an engine- or
+    order-dependence):
+      * OFFSET QUANTIZATION ``floor((x + 1) · 2^scale_log2)``: +1
+        shifts unit-norm components into [0, 2] so every quantized
+        value, sum and centroid is NON-NEGATIVE — floor division then
+        agrees across Python //, Spark DIV and DuckDB // (negative
+        operands floor vs truncate differently — the `hits`
+        all-positive lesson). The multiply is by a POWER OF TWO, an
+        exact exponent shift in binary floating point, and the float32
+        inputs widen to double exactly — so quantization is bit-equal
+        in any IEEE engine, no round() boundary to disagree on.
+      * squared-L2 distances in pure int64 (translation-invariant, so
+        the offset never changes an argmin); headroom: diff ≤ 2^21+ε,
+        squared ≤ 2^43, × 64 dims ≤ 2^49.
+      * argmin tie → lowest cell_id (lexicographic (dist, cell) min);
+      * centroid update = integer sums (associative — partial-agg
+        order cannot change them) then floor division by the member
+        count; an EMPTIED cell carries its previous centroid;
+      * seeds = the ``n_cells`` lowest-id vectors (`ivf_centroids`'s
+        convention).
+
+    Scale shape (the Spark-ML KMeans schedule): per iteration ONE pass
+    over the quantized corpus (persisted once) — a broadcast-literal
+    argmin (centroids are n_cells × 64 ints, embedded as column
+    literals) + one combinable (cell, dim) sum aggregate; the K×64
+    centroid table is collected driver-side per iteration (KB — the
+    `train_bpe` per-iteration-scalar precedent), so plans stay flat
+    instead of growing per-iteration lineage. Recover float centroids
+    as ``centroid_fp / 2^scale_log2 − 1`` (`kmeans_centroids`).
+    """
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    s = 1 << scale_log2
+    vq = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(floor((CAST(x AS DOUBLE) + 1.0d) * {s}) AS BIGINT))"
+        ).alias("v"),
+    ).persist()
+    seed_rows = vq.filter(F.col("vid") < n_cells).orderBy("vid").collect()
+    if len(seed_rows) < n_cells:
+        vq.unpersist()
+        raise ValueError(
+            f"need {n_cells} seed vectors with {id_col} < {n_cells}, "
+            f"found {len(seed_rows)}"
+        )
+    cents: list[list[int]] = [list(r.v) for r in seed_rows]
+
+    def assigned() -> DataFrame:
+        # per-row argmin over literal centroids: array_min of
+        # (dist, cell) structs — lexicographic, ties -> lowest cell
+        structs = []
+        for j, c in enumerate(cents):
+            arr = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+            d = F.aggregate(
+                F.zip_with("v", arr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            structs.append(
+                F.struct(
+                    d.alias("d"), F.lit(j).cast("bigint").alias("cell")
+                )
+            )
+        return vq.select(
+            "vid", "v", F.array_min(F.array(*structs))["cell"].alias("cell")
+        )
+
+    for _ in range(iterations):
+        sums = (
+            assigned()
+            .select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("sm"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, int]] = {}
+        n_of: dict[int, int] = {}
+        for r in sums:
+            by_cell.setdefault(int(r.cell), {})[int(r.pos)] = int(r.sm)
+            n_of[int(r.cell)] = int(r.n)
+        cents = [
+            [by_cell[j][p] // n_of[j] for p in sorted(by_cell[j])]
+            if j in by_cell
+            else cents[j]  # emptied cell keeps its previous centroid
+            for j in range(n_cells)
+        ]
+    counts = {
+        int(r.cell): int(r.n)
+        for r in assigned().groupBy("cell").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    vq.unpersist()
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        [(j, counts.get(j, 0), cents[j]) for j in range(n_cells)],
+        "cell_id bigint, n_members bigint, centroid_fp array<bigint>",
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 4,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    scale_log2: int = 20,
+) -> DataFrame:
+    """`kmeans_fp` de-quantized to the (cell_id, cent_emb) contract,
+    so `ivf_cells`/`ivf_topk` consume the deterministic trained
+    codebook interchangeably with `ivf_centroids` (seeds) and
+    `ivf_train_centroids` (Spark ML)."""
+    s = float(1 << scale_log2)
+    return kmeans_fp(
+        embeddings, n_cells, iterations, id_col, scale_log2
+    ).select(
+        "cell_id",
+        F.expr(
+            f"transform(centroid_fp, f -> CAST(f AS DOUBLE) / {s} - 1.0d)"
+        ).alias("cent_emb"),
+    )
+
+
+def kmeans_sql(
+    n_cells: int = 4, iterations: int = 3, scale_log2: int = 20
+) -> str:
+    """DuckDB twin of `kmeans_fp`: the same offset-quantized integer
+    Lloyd recurrence unrolled into a WITH chain (CTEs AS MATERIALIZED
+    — each is referenced twice, the label_propagation lesson). List
+    element access via generate_series subscripts; all-positive
+    integer // matches Spark's DIV and Python's // bit for bit."""
+    s = 1 << scale_log2
+    dist = (
+        "list_sum(list_transform(list_zip(a.v, c.cent), "
+        "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    parts = [
+        "v AS MATERIALIZED (SELECT vec_id AS vid, "
+        f"list_transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE)"
+        f" + 1.0) * {s}) AS BIGINT)) AS v FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT vid AS cell_id, v AS cent FROM v"
+        f" WHERE vid < {n_cells})",
+    ]
+    for i in range(1, iterations + 2):
+        prev = f"c{i - 1}"
+        # assignment under the previous centroids (ties -> lowest cell)
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vid, v, cell FROM ("
+            f"SELECT a.vid, a.v, c.cell_id AS cell, ROW_NUMBER() OVER ("
+            f"PARTITION BY a.vid ORDER BY {dist}, c.cell_id) AS rk "
+            f"FROM v a CROSS JOIN {prev} c) WHERE rk = 1)"
+        )
+        if i == iterations + 1:
+            break  # final assignment only feeds the member counts
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT cell, i, "
+            f"SUM(v[i]) AS sm, COUNT(*) AS n "
+            f"FROM a{i}, UNNEST(generate_series(1, len(v))) AS t(i) "
+            f"GROUP BY 1, 2)"
+        )
+        parts.append(
+            # CAST inside the list: DuckDB SUM widens to HUGEINT and
+            # hugeint // hugeint stays hugeint — Arrow would surface
+            # decimal128 centroids and the driver's type-tagged hash
+            # would mismatch Spark's bigint (the round-1 lesson)
+            f"u{i} AS MATERIALIZED (SELECT cell AS cell_id, "
+            f"list(CAST(sm // n AS BIGINT) ORDER BY i) AS cent "
+            f"FROM s{i} GROUP BY 1)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT p.cell_id, "
+            f"COALESCE(u.cent, p.cent) AS cent "
+            f"FROM {prev} p LEFT JOIN u{i} u USING (cell_id))"
+        )
+    final_a = f"a{iterations + 1}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT c.cell_id,
+               CAST(COALESCE(m.n, 0) AS BIGINT) AS n_members,
+               c.cent AS centroid_fp
+        FROM c{iterations} c
+        LEFT JOIN (SELECT cell, COUNT(*) AS n FROM {final_a} GROUP BY 1) m
+          ON m.cell = c.cell_id
+        """
+    )
+
+
 def ivf_cells(
     side: DataFrame,
     centroids: DataFrame,
@@ -560,17 +765,28 @@ def cosine_near_dup_sql(threshold: float, scope_max_id: int) -> str:
 
 
 def ivf_topk_sql(
-    max_query_id: int, k: int = 5, n_cells: int = 4, nprobe: int = 2
+    max_query_id: int,
+    k: int = 5,
+    n_cells: int = 4,
+    nprobe: int = 2,
+    cent_sql: str | None = None,
 ) -> str:
-    """DuckDB oracle for ivf_topk — same centroids, same ranking."""
+    """DuckDB oracle for ivf_topk — same centroids, same ranking.
+    ``cent_sql`` swaps in an alternative (cell_id, embedding) centroid
+    query (e.g. the de-quantized `kmeans_sql` codebook) in place of
+    the default lowest-id seed vectors."""
+    if cent_sql is None:
+        cent_sql = (
+            f"SELECT vec_id AS cell_id, embedding FROM embeddings "
+            f"WHERE vec_id < {n_cells}"
+        )
     dot_ab = (
         "list_sum(list_transform(list_zip({a}.embedding, {b}.embedding), "
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
     )
     return f"""
         WITH cent AS (
-            SELECT vec_id AS cell_id, embedding FROM embeddings
-            WHERE vec_id < {n_cells}
+            {cent_sql}
         ),
         corpus_cells AS (
             SELECT neighbor_id, cell_id FROM (

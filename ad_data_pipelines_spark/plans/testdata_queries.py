@@ -3461,6 +3461,81 @@ def q_llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_report(truth, ann)
 
 
+# the trained codebook, de-quantized to (cell_id, embedding) doubles —
+# division by 2^20 is an exact exponent shift, so Spark and DuckDB see
+# identical doubles feeding the dot-product ranking
+_KMEANS_CENT_SQL = f"""
+    SELECT cell_id,
+           list_transform(centroid_fp,
+                          f -> CAST(f AS DOUBLE) / {1 << 20} - 1.0)
+               AS embedding
+    FROM ({_sim.kmeans_sql(n_cells=4, iterations=3)})
+"""
+
+
+@register(
+    "llm_kmeans_cells",
+    oracle=_sim.kmeans_sql(n_cells=4, iterations=3),
+    doc="Deterministic fixed-point Lloyd k-means (4 cells, 3 "
+    "iterations, offset quantization at 2^20): the ORACLE-GATEABLE "
+    "trainer behind the IVF family — Spark-ML KMeans (llm-ops "
+    "ivf_train_centroids) has no SQL twin, so trained-codebook paths "
+    "could never hash-gate before this. Integer sums + all-positive "
+    "floor division + lowest-cell tie-breaks make it bit-equal to the "
+    "unrolled DuckDB recurrence. Per iteration: one cached-corpus "
+    "pass, broadcast-literal argmin, one combinable (cell,dim) sum; "
+    "K x 64 centroids collect driver-side (KB — the train_bpe "
+    "precedent). operators/similarity.py:kmeans_fp.",
+)
+def q_llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.kmeans_fp(
+        t(spark, sf_dir, "embeddings"), n_cells=4, iterations=3
+    )
+
+
+@register(
+    "llm_ivf_kmeans_recall",
+    oracle=f"""
+        WITH truth AS ({_sim.cosine_topk_sql(max_query_id=25, k=5)}),
+        ann AS ({_sim.ivf_topk_sql(
+            max_query_id=25, k=5, nprobe=2, cent_sql=_KMEANS_CENT_SQL,
+        )}),
+        per_q AS (
+            SELECT b.query_id,
+                   COUNT(*) AS k,
+                   COUNT(a.neighbor_id) AS hits
+            FROM truth b
+            LEFT JOIN ann a
+              ON b.query_id = a.query_id
+             AND b.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               ROUND(AVG(hits * 1.0 / k), 4) AS mean_recall,
+               ROUND(MIN(hits * 1.0 / k), 4) AS min_recall
+    FROM per_q
+    """,
+    doc="IVF recall under the TRAINED deterministic codebook "
+    "(kmeans_fp de-quantized via kmeans_centroids — exact power-of-2 "
+    "division, both engines identical doubles) instead of the seed "
+    "vectors: the full trained-ANN path hash-gated end to end, "
+    "closing the one recall-family gap (the Spark-ML codebook could "
+    "only pytest). Same 25-query scope and recall report as its "
+    "siblings.",
+)
+def q_llm_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 25)
+    truth = _cosine_truth25_shared(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    cents = _sim.kmeans_centroids(emb, n_cells=4, iterations=3)
+    ann = _sim.ivf_topk(
+        emb, q, k=5, n_cells=4, nprobe=2, centroids=cents
+    ).select("query_id", "neighbor_id")
+    return _recall_report(truth, ann)
+
+
 @register(
     "a4_conditional_sum",
     oracle="""
@@ -8008,6 +8083,8 @@ _GATE_PRIORITY = [
     # injection — default paths are value-identical, re-gated anyway)
     "llm_dedup_threshold",
     "llm_hard_negatives",
+    "llm_kmeans_cells",
+    "llm_ivf_kmeans_recall",
     "g14_hits_authorities",
     "llm_decontam_blast_radius",
     "llm_dedup_groups",

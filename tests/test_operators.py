@@ -33,6 +33,82 @@ def test_ann_recall_floor(spark):
     assert recall >= 0.2, f"ANN recall collapsed: {recall}"
 
 
+def test_kmeans_fp_planted_blobs_and_guards(spark):
+    """Deterministic fixed-point Lloyd: (a) two planted tight blobs
+    (around +e1 and +e2) separate perfectly with blob-mean centroids
+    regardless of which blob the seeds start in; (b) an emptied cell
+    carries its previous centroid (duplicate seed vectors: all ties go
+    to the lowest cell, the other empties); (c) de-quantized
+    `kmeans_centroids` matches centroid_fp/2^20 − 1 exactly;
+    (d) degenerate parameters raise."""
+    import pytest
+
+    dim = 8
+
+    def vec(axis, eps):
+        v = [0.0] * dim
+        v[axis] = 1.0 - abs(eps)
+        v[(axis + 1) % dim] = eps
+        return v
+
+    rows = []
+    for i in range(10):  # blob A around e0
+        rows.append((i, vec(0, 0.01 * (i % 3))))
+    for i in range(10, 20):  # blob B around e2
+        rows.append((i, vec(2, 0.01 * (i % 3))))
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    out = {
+        r.cell_id: (r.n_members, list(r.centroid_fp))
+        for r in similarity.kmeans_fp(emb, n_cells=2, iterations=3).collect()
+    }
+    # seeds 0 and 1 both start in blob A, but one Lloyd update pulls a
+    # centroid to each blob (blob B's points all assign to the nearer
+    # seed and drag it over) — 10/10 split
+    assert sorted(v[0] for v in out.values()) == [10, 10]
+    s = 1 << 20
+    cents = {j: [f / s - 1.0 for f in v[1]] for j, v in out.items()}
+    # one centroid lives on axis 0, the other on axis 2
+    axes = sorted(max(range(dim), key=lambda d: c[d]) for c in cents.values())
+    assert axes == [0, 2]
+
+    # (b) duplicate seeds: in update 1 every point ties to the LOWEST
+    # cell (cell 1 empties and CARRIES its seed centroid bit-exact);
+    # the final assignment then runs under (mean-of-all, seed) — the
+    # two exact-seed points snap back to the carried centroid (dist
+    # 0) and the off-seed point stays with the dragged mean
+    dup = spark.createDataFrame(
+        [(0, vec(0, 0.0)), (1, vec(0, 0.0)), (2, vec(0, 0.01))],
+        "vec_id bigint, embedding array<double>",
+    )
+    dout = {
+        r.cell_id: (r.n_members, list(r.centroid_fp))
+        for r in similarity.kmeans_fp(dup, n_cells=2, iterations=1).collect()
+    }
+    assert dout[0][0] == 1 and dout[1][0] == 2
+    seed1_fp = [int((x + 1.0) * s) for x in vec(0, 0.0)]
+    assert dout[1][1] == seed1_fp  # the carried centroid, bit-exact
+
+    # (c) the de-quantized contract
+    dq = {
+        r.cell_id: list(r.cent_emb)
+        for r in similarity.kmeans_centroids(
+            emb, n_cells=2, iterations=3
+        ).collect()
+    }
+    for j in dq:
+        assert dq[j] == cents[j]
+
+    # (d) guards
+    with pytest.raises(ValueError, match="n_cells"):
+        similarity.kmeans_fp(emb, n_cells=0)
+    with pytest.raises(ValueError, match="iterations"):
+        similarity.kmeans_fp(emb, iterations=0)
+    with pytest.raises(ValueError, match="seed vectors"):
+        similarity.kmeans_fp(emb.filter(F.col("vec_id") >= 19), n_cells=2)
+
+
 def test_ivf_recall_floor(spark):
     """IVF cell-probe ANN (4 cells, nprobe=2 → ~half the corpus probed)
     must recover a healthy fraction of brute-force neighbors."""
