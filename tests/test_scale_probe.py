@@ -1215,3 +1215,59 @@ def test_hits_10x_linear_and_structure(spark):
     assert t10 <= 3.0 * 10 * max(t1, 2.0), (
         f"hits 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — super-linear"
     )
+
+
+def test_kmeans_fp_10x_linear_and_structure(spark):
+    """Deterministic Lloyd trainer at 10× the vectors: a planted
+    8-blob corpus (blob axis = vec_id % 8, seeds 0..7 land one per
+    blob) must classify membership EXACTLY at both scales — n/8
+    members per cell, each centroid's dominant axis its blob's — and
+    per-unit runtime must stay within 3× (the per-iteration work is
+    one cached-corpus pass + a K×dim driver collect; anything
+    super-linear here would be a recompute or an unpersisted
+    re-quantization)."""
+    import time
+
+    from ad_data_pipelines_spark.operators import similarity
+
+    dim, k = 16, 8
+
+    def build(n: int):
+        cell = (F.col("id") % k).cast("int")
+        # noise in [0, 0.1) per (id, dim) from md5 — deterministic,
+        # engine-free generation; blob axis gets 0.8 + noise
+        dims = [
+            (
+                F.when(cell == d, F.lit(0.8)).otherwise(F.lit(0.0))
+                + F.expr(
+                    f"conv(substring(md5(concat(id, '_', {d})), 1, 4), "
+                    "16, 10)"
+                ).cast("double")
+                / 655360.0
+            ).alias(f"d{d}")
+            for d in range(dim)
+        ]
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(*dims).alias("embedding"),
+        )
+
+    def run(n: int):
+        t0 = time.perf_counter()
+        out = {
+            r.cell_id: (r.n_members, list(r.centroid_fp))
+            for r in similarity.kmeans_fp(
+                build(n), n_cells=k, iterations=3
+            ).collect()
+        }
+        return out, time.perf_counter() - t0
+
+    out1, t1 = run(20_000)
+    out10, t10 = run(200_000)
+    for n, out in ((20_000, out1), (200_000, out10)):
+        assert sorted(v[0] for v in out.values()) == [n // k] * k
+        for j, (_, cent) in out.items():
+            assert max(range(dim), key=lambda d: cent[d]) == j
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"kmeans 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — super-linear"
+    )
