@@ -474,6 +474,20 @@ def kmeans_fp(
     )
 
 
+def kmeans_dequantize(fp: DataFrame, scale_log2: int = 20) -> DataFrame:
+    """A `kmeans_fp` result de-quantized to the (cell_id, cent_emb)
+    contract — split out so a memoized/materialized fp table feeds the
+    search path without re-training. Division by a power of two is an
+    exact exponent shift: both engines recover identical doubles."""
+    s = float(1 << scale_log2)
+    return fp.select(
+        "cell_id",
+        F.expr(
+            f"transform(centroid_fp, f -> CAST(f AS DOUBLE) / {s} - 1.0d)"
+        ).alias("cent_emb"),
+    )
+
+
 def kmeans_centroids(
     embeddings: DataFrame,
     n_cells: int = 4,
@@ -485,14 +499,9 @@ def kmeans_centroids(
     so `ivf_cells`/`ivf_topk` consume the deterministic trained
     codebook interchangeably with `ivf_centroids` (seeds) and
     `ivf_train_centroids` (Spark ML)."""
-    s = float(1 << scale_log2)
-    return kmeans_fp(
-        embeddings, n_cells, iterations, id_col, scale_log2
-    ).select(
-        "cell_id",
-        F.expr(
-            f"transform(centroid_fp, f -> CAST(f AS DOUBLE) / {s} - 1.0d)"
-        ).alias("cent_emb"),
+    return kmeans_dequantize(
+        kmeans_fp(embeddings, n_cells, iterations, id_col, scale_log2),
+        scale_log2,
     )
 
 

@@ -3487,10 +3487,22 @@ _KMEANS_CENT_SQL = f"""
     "K x 64 centroids collect driver-side (KB — the train_bpe "
     "precedent). operators/similarity.py:kmeans_fp.",
 )
-def q_llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sim.kmeans_fp(
-        t(spark, sf_dir, "embeddings"), n_cells=4, iterations=3
+def _kmeans_fp_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained 4×3 fixed-point codebook, memoized: the trainer's
+    per-iteration collects run once per (session, sf_dir) — both the
+    cells query and the trained-recall query consume the same table
+    (the result is a K-row LOCAL frame; the memo skips re-training,
+    not a persist)."""
+    return _shared(
+        spark, sf_dir, "kmeans_fp_4x3",
+        lambda: _sim.kmeans_fp(
+            t(spark, sf_dir, "embeddings"), n_cells=4, iterations=3
+        ),
     )
+
+
+def q_llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kmeans_fp_shared(spark, sf_dir)
 
 
 @register(
@@ -3529,7 +3541,7 @@ def q_llm_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = _cosine_truth25_shared(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    cents = _sim.kmeans_centroids(emb, n_cells=4, iterations=3)
+    cents = _sim.kmeans_dequantize(_kmeans_fp_shared(spark, sf_dir))
     ann = _sim.ivf_topk(
         emb, q, k=5, n_cells=4, nprobe=2, centroids=cents
     ).select("query_id", "neighbor_id")
@@ -4017,14 +4029,19 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pq_codes 2, span_bounds 2,
     trade_edges 8 (g1/g2/g3/g4/g5/g7 + g11/g12 SSSP), cosupply_pairs 2
     (the knn build + g10), cosupply_knn 3 (g6/g8/g9),
-    cosine_truth25 4 (llm_cosine_topk/llm_ann_recall/llm_ivf_recall/
-    llm_sq_recall), sq_codes 2 + sq_scales 2 (llm_sq_topk/llm_sq_recall),
+    cosine_truth25 5 (llm_cosine_topk/llm_ann_recall/llm_ivf_recall/
+    llm_sq_recall/llm_ivf_kmeans_recall), sq_codes 2 + sq_scales 2
+    (llm_sq_topk/llm_sq_recall),
     l2_truth10 2 (llm_l2_topk/llm_pq_recall) — the recall gates'
     ground-truth tables, materialized once like a production recall
-    harness would per index rebuild. Dropped as single-consumer:
+    harness would per index rebuild —, kmeans_fp_4x3 2
+    (llm_kmeans_cells/llm_ivf_kmeans_recall; the memo skips the
+    trainer's per-iteration collects, the frame itself is K rows).
+    Dropped as single-consumer:
     nb_buckets (llm_nb_quality trains and scores off one memoized
     explode — reuse is WITHIN the query)."""
     return {
+        "kmeans_fp_4x3": _kmeans_fp_shared,
         "shingles": _shingles_shared,
         "minhash_sigs": _minhash_sigs_shared,
         "lsh_pairs": _lsh_pairs_shared,
