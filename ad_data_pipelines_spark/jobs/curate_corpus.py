@@ -113,8 +113,23 @@ def _ckpt_commit(
     stage marker. Returns the READ-BACK frames so downstream stages
     consume the materialized artifact, not live lineage — the point
     of checkpointing is that a later failure replays nothing above
-    this line."""
+    this line.
+
+    INVALIDATE-THEN-WRITE-THEN-COMMIT (r13 review): before touching
+    the parquet, the stage's OWN marker and every DOWNSTREAM stage's
+    marker are deleted — (a) `table_init` overwrites v000001 in
+    place, so a crash mid-overwrite must not leave a marker vouching
+    for half-written parquet, and (b) downstream artifacts derive
+    from the output being replaced, so a run that dies between this
+    commit and the next stage's must make the rerun RECOMPUTE
+    downstream rather than refuse on a now-stale fingerprint (or
+    worse, resume it)."""
     spark = next(iter(frames.values())).sparkSession
+    for later in CHECKPOINT_STAGES[CHECKPOINT_STAGES.index(stage):]:
+        try:
+            os.remove(_ckpt_marker(ckpt_dir, later))
+        except FileNotFoundError:
+            pass
     out: dict[str, DataFrame] = {}
     for name, df in frames.items():
         root = os.path.join(ckpt_dir, stage, name)
@@ -456,16 +471,21 @@ def curate(
         else:
             _before = set(stats)
             eval_pred = F.col("source") == eval_source
-            # ADVICE r12: the eval gram set must cover the WHOLE eval
-            # source — an eval doc dropped by the quality gate or as a
-            # dedup loser still contaminates. Restore those docs
-            # (normalized, from the ORIGINAL input) onto the eval side;
-            # the corpus side stays exactly the stage-3 survivors.
-            restored = _canonize(docs.filter(eval_pred)).join(
-                deduped.select("doc_id"), "doc_id", "left_anti"
-            )
-            decontam_docs = deduped.unionByName(
-                restored.select(*deduped.columns)
+            # ADVICE r12 (+ r13 review): the eval gram set must cover
+            # the WHOLE eval source AS FOUND IN THE INPUT — an eval
+            # doc dropped by the quality gate or as a dedup loser
+            # still contaminates, and an eval doc that SURVIVED but
+            # had a boilerplate span excised by the exactsubstr stage
+            # must still contribute the excised span's grams (the span
+            # owner keeps that text in the corpus). So the eval side
+            # is the full normalized ORIGINAL eval source; the corpus
+            # side is exactly the stage-3 survivors. The tiny eval
+            # frame is persisted — three consumers (gram pass,
+            # auto-size ids, engine split) would otherwise re-run the
+            # normalize join each.
+            full_evals = _canonize(docs.filter(eval_pred)).persist()
+            decontam_docs = deduped.filter(~eval_pred).unionByName(
+                full_evals.select(*deduped.columns)
             )
             # ONE gram pass feeds the engine probe, the bloom
             # auto-sizing count and nothing else (blast radius reuses
@@ -489,9 +509,7 @@ def curate(
                     # 2M-gram ceiling (a bigger list should pass
                     # bloom_bits_log2 explicitly and accept the FP
                     # arithmetic, or shard the filter).
-                    eval_ids = decontam_docs.filter(eval_pred).select(
-                        "doc_id"
-                    )
+                    eval_ids = full_evals.select("doc_id")
                     n_eval_grams = (
                         grams.join(F.broadcast(eval_ids), "doc_id")
                         .select("gh")
@@ -558,6 +576,7 @@ def curate(
             # committed below; the radius is collected) — release them
             grams.unpersist()
             contaminated.unpersist()
+            full_evals.unpersist()
             clean = _commit("decontam", fp, {"docs": live}, _before)[
                 "docs"
             ]

@@ -709,6 +709,14 @@ def minhash_sql(scope: str = "") -> str:
 def lsh_candidates_sql(
     n_bands: int = N_BANDS, rows_per_band: int = ROWS_PER_BAND
 ) -> str:
+    if n_bands * rows_per_band != 16:
+        # mirror lsh_candidate_pairs: a partial banding would emit a
+        # silently under-recalling oracle where the Spark side raises
+        raise ValueError(
+            f"n_bands ({n_bands}) x rows_per_band ({rows_per_band}) "
+            "must equal the 16-permutation signature width — derive "
+            "the pair with lsh_plan(threshold, n_perms=16)"
+        )
     band_eq = " OR ".join(
         "("
         + " AND ".join(
@@ -1168,7 +1176,7 @@ def lsh_plan(
         if n_perms % r:
             continue
         b = n_perms // r
-        p_at = 1.0 - (1.0 - threshold**r) ** b
+        p_at = lsh_collision_probability(threshold, r, b)
         if p_at < at_threshold_min:
             continue
         midpoint = (1.0 / b) ** (1.0 / r)

@@ -3473,20 +3473,6 @@ _KMEANS_CENT_SQL = f"""
 """
 
 
-@register(
-    "llm_kmeans_cells",
-    oracle=_sim.kmeans_sql(n_cells=4, iterations=3),
-    doc="Deterministic fixed-point Lloyd k-means (4 cells, 3 "
-    "iterations, offset quantization at 2^20): the ORACLE-GATEABLE "
-    "trainer behind the IVF family — Spark-ML KMeans (llm-ops "
-    "ivf_train_centroids) has no SQL twin, so trained-codebook paths "
-    "could never hash-gate before this. Integer sums + all-positive "
-    "floor division + lowest-cell tie-breaks make it bit-equal to the "
-    "unrolled DuckDB recurrence. Per iteration: one cached-corpus "
-    "pass, broadcast-literal argmin, one combinable (cell,dim) sum; "
-    "K x 64 centroids collect driver-side (KB — the train_bpe "
-    "precedent). operators/similarity.py:kmeans_fp.",
-)
 def _kmeans_fp_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained 4×3 fixed-point codebook, memoized: the trainer's
     per-iteration collects run once per (session, sf_dir) — both the
@@ -3501,6 +3487,20 @@ def _kmeans_fp_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "llm_kmeans_cells",
+    oracle=_sim.kmeans_sql(n_cells=4, iterations=3),
+    doc="Deterministic fixed-point Lloyd k-means (4 cells, 3 "
+    "iterations, offset quantization at 2^20): the ORACLE-GATEABLE "
+    "trainer behind the IVF family — Spark-ML KMeans (llm-ops "
+    "ivf_train_centroids) has no SQL twin, so trained-codebook paths "
+    "could never hash-gate before this. Integer sums + all-positive "
+    "floor division + lowest-cell tie-breaks make it bit-equal to the "
+    "unrolled DuckDB recurrence. Per iteration: one cached-corpus "
+    "pass, broadcast-literal argmin, one combinable (cell,dim) sum; "
+    "K x 64 centroids collect driver-side (KB — the train_bpe "
+    "precedent). operators/similarity.py:kmeans_fp.",
+)
 def q_llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _kmeans_fp_shared(spark, sf_dir)
 

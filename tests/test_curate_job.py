@@ -148,6 +148,32 @@ def test_curate_checkpoint_kill_resume(spark, tmp_path):
         curate(spark, docs, str(tmp_path / "other"),
                checkpoint_dir=ckpt, min_eq=9, **base)
 
+    # r13 review: a mid-chain recompute INVALIDATES downstream markers
+    # at commit time, so a run that dies right after the recomputed
+    # stage leaves a resumable dir — not one bricked on stale
+    # fingerprints. Enable the classifier (a new stage between quality
+    # and dedup under the same quality fingerprint), kill right after
+    # its commit, then rerun the SAME config: quality+classifier
+    # resume, dedup/decontam recompute (their old markers were
+    # deleted, not refused), and the run completes.
+    cls = dict(base, classifier_seed_source="src1",
+               classifier_min_score=-1e18)
+    with pytest.raises(RuntimeError, match="injected fault"):
+        curate(spark, docs, str(tmp_path / "cls_killed"),
+               checkpoint_dir=ckpt, _fail_after_stage="classifier",
+               **cls)
+    names = {p.name for p in pathlib.Path(ckpt).iterdir()}
+    assert "classifier.done.json" in names
+    assert "dedup.done.json" not in names  # invalidated at commit
+    stats3 = curate(spark, docs, str(tmp_path / "cls_resumed"),
+                    checkpoint_dir=ckpt, **cls)
+    assert stats3["resumed_stages"] == ["quality", "classifier"]
+    # the no-op classifier (every score above -1e18) keeps the same
+    # downstream waterfall as the reference run
+    assert stats3["n_after_classifier"] == stats3["n_after_quality"]
+    assert stats3["n_after_dedup"] == ref_stats["n_after_dedup"]
+    assert stats3["n_curated"] == ref_stats["n_curated"]
+
 
 def test_curate_dedup_threshold_and_blast_radius_stats(spark, tmp_path):
     """r12 verdict #2+#3 wiring: dedup_threshold derives the banding
@@ -251,6 +277,56 @@ def test_curate_exactsubstr_stage(spark, tmp_path):
         exactsubstr_k=30, min_kept_chars=60,
     )
     assert stats2 == stats
+
+
+def test_curate_exactsubstr_does_not_blind_decontam(spark, tmp_path):
+    """r13 review: an eval doc that SURVIVES curation up to the
+    exactsubstr stage but has a boilerplate span excised (it is not
+    the span's min-id owner) must still contribute the excised span's
+    grams to the decontamination list — the corpus-side OWNER keeps
+    that exact text, so sourcing eval grams from the post-excision
+    text would let the contaminated owner escape. Plant: corpus doc 0
+    (owner) and eval doc 50 share a long boilerplate span; after span
+    removal only doc 0 still carries it; decontam must drop doc 0."""
+    import pyspark.sql.functions as F
+
+    words = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu").split()
+    boiler = "shared evaltext " + " ".join(
+        f"{words[j % len(words)]}e{j}" for j in range(53)
+    )
+    rows = []
+    for i in range(6):
+        picks = " ".join(words[(i * 3 + j) % len(words)] + str(i * 7 + j)
+                         for j in range(30))
+        body = f"corpus body number {i} {picks} "
+        # doc 0 carries the span (and OWNS it: min doc_id); 1-5 don't
+        text = (body + boiler) if i == 0 else body + " ".join(
+            f"pad{i}x{j}" for j in range(40)
+        )
+        rows.append((i, text.lower(), "en", "web"))
+    eval_body = " ".join(f"evalpad{j}" for j in range(30))
+    rows.append((50, (eval_body + " " + boiler).lower(), "en", "heldout"))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+
+    out = str(tmp_path / "run")
+    stats = curate(
+        spark, docs, out, seq_tokens=256, min_eq=99,  # no near-dedup
+        exactsubstr_k=30, min_kept_chars=60,
+        eval_source="heldout",
+    )
+    curated = spark.read.parquet(out + "/documents")
+    kept = {r.doc_id for r in curated.select("doc_id").collect()}
+    assert 50 not in kept  # eval doc always leaves
+    assert 0 not in kept, (
+        "owner doc 0 kept the eval span but escaped decontamination — "
+        "eval grams were sourced from the excised text"
+    )
+    assert {1, 2, 3, 4, 5} <= kept  # clean docs survive
+    assert stats["decontam_n_direct"] >= 1
 
 
 def test_curate_classifier_stage(spark, tmp_path):
