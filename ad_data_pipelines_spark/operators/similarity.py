@@ -403,6 +403,17 @@ def kmeans_fp(
     """
     if n_cells < 1:
         raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    if n_cells > 256:
+        # each assignment pass embeds n_cells x dim centroid values as
+        # plan LITERALS and every iteration collects K x dim rows to the
+        # driver — fine for gate-sized codebooks, a plan/driver bomb at
+        # large K. Large codebooks belong to the Spark-ML path (the same
+        # vouched-knob discipline as pagerank's scale guard).
+        raise ValueError(
+            f"kmeans_fp embeds centroids as plan literals; n_cells="
+            f"{n_cells} > 256 would explode the plan — use "
+            f"ivf_train_centroids (Spark ML) for large codebooks"
+        )
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     s = 1 << scale_log2
@@ -414,11 +425,17 @@ def kmeans_fp(
         ).alias("v"),
     ).persist()
     seed_rows = vq.filter(F.col("vid") < n_cells).orderBy("vid").collect()
-    if len(seed_rows) < n_cells:
+    # exact-set check, not just a count: duplicate or negative ids below
+    # n_cells would seed MORE than n_cells centroids — iteration 1 then
+    # assigns to phantom cells whose sums the range(n_cells) rebuild
+    # silently drops, diverging from the kmeans_sql twin (where the
+    # extra c0 rows persist through every COALESCE).
+    if [int(r.vid) for r in seed_rows] != list(range(n_cells)):
         vq.unpersist()
         raise ValueError(
-            f"need {n_cells} seed vectors with {id_col} < {n_cells}, "
-            f"found {len(seed_rows)}"
+            f"kmeans_fp seeds must be exactly {id_col}=0..{n_cells - 1} "
+            f"(one row each); found ids "
+            f"{[int(r.vid) for r in seed_rows][:8]}"
         )
     cents: list[list[int]] = [list(r.v) for r in seed_rows]
 

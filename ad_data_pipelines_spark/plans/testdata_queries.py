@@ -3489,7 +3489,14 @@ def _kmeans_fp_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_kmeans_cells",
-    oracle=_sim.kmeans_sql(n_cells=4, iterations=3),
+    oracle=f"""
+        SELECT k.cell_id,
+               k.n_members,
+               CAST(t.i - 1 AS BIGINT) AS dim,
+               CAST(k.centroid_fp[t.i] AS BIGINT) AS centroid_q
+        FROM ({_sim.kmeans_sql(n_cells=4, iterations=3)}) k,
+             UNNEST(generate_series(1, len(k.centroid_fp))) AS t(i)
+    """,
     doc="Deterministic fixed-point Lloyd k-means (4 cells, 3 "
     "iterations, offset quantization at 2^20): the ORACLE-GATEABLE "
     "trainer behind the IVF family — Spark-ML KMeans (llm-ops "
@@ -3499,10 +3506,25 @@ def _kmeans_fp_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unrolled DuckDB recurrence. Per iteration: one cached-corpus "
     "pass, broadcast-literal argmin, one combinable (cell,dim) sum; "
     "K x 64 centroids collect driver-side (KB — the train_bpe "
-    "precedent). operators/similarity.py:kmeans_fp.",
+    "precedent). GATE SHAPE: the codebook is posexploded to one "
+    "(cell_id, n_members, dim, centroid_q) BIGINT row per dimension — "
+    "the registry's flat-output convention (the r13 array<bigint> "
+    "column crashed the driver's canonicalizer; arrays stay on the "
+    "programmatic kmeans_fp contract only). "
+    "operators/similarity.py:kmeans_fp.",
 )
 def q_llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _kmeans_fp_shared(spark, sf_dir)
+    fp = _kmeans_fp_shared(spark, sf_dir)
+    return fp.select(
+        "cell_id",
+        "n_members",
+        F.posexplode("centroid_fp").alias("dim", "centroid_q"),
+    ).select(
+        "cell_id",
+        "n_members",
+        F.col("dim").cast("bigint").alias("dim"),
+        "centroid_q",
+    )
 
 
 @register(

@@ -105,8 +105,25 @@ def test_kmeans_fp_planted_blobs_and_guards(spark):
         similarity.kmeans_fp(emb, n_cells=0)
     with pytest.raises(ValueError, match="iterations"):
         similarity.kmeans_fp(emb, iterations=0)
-    with pytest.raises(ValueError, match="seed vectors"):
+    with pytest.raises(ValueError, match="seeds must be exactly"):
         similarity.kmeans_fp(emb.filter(F.col("vec_id") >= 19), n_cells=2)
+    # duplicate ids below n_cells would seed phantom cells whose sums
+    # the rebuild silently drops — must refuse (ADVICE r13)
+    dup_ids = spark.createDataFrame(
+        [(0, vec(0, 0.0)), (0, vec(2, 0.0)), (1, vec(0, 0.01))],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="seeds must be exactly"):
+        similarity.kmeans_fp(dup_ids, n_cells=2)
+    neg_ids = spark.createDataFrame(
+        [(-1, vec(0, 0.0)), (0, vec(2, 0.0)), (1, vec(0, 0.01))],
+        "vec_id bigint, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="seeds must be exactly"):
+        similarity.kmeans_fp(neg_ids, n_cells=2)
+    # literal-embedded centroids cap: large codebooks belong to Spark ML
+    with pytest.raises(ValueError, match="ivf_train_centroids"):
+        similarity.kmeans_fp(emb, n_cells=257)
 
 
 def test_ivf_recall_floor(spark):

@@ -157,9 +157,34 @@ def single_partition_collapses(plan: str) -> list[str]:
     return bad
 
 
+def nested_output_cols(schema) -> list[str]:
+    """Columns whose type the driver's gate canonicalizer cannot hash:
+    the registry's output convention is date/string/bigint/rounded-
+    double ONLY (testdata_queries.py module docstring). r13 shipped the
+    first array<bigint> result column and the external gate's pandas
+    canonicalizer crashed on it (`unhashable type: 'list'`,
+    CORRECTNESS_r13) while the local verify skill tuple-ized it — this
+    lint turns the docstring convention into an enforced invariant so
+    the local-green/driver-red class can never ship again."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 @pytest.mark.parametrize("name", ALL_QUERIES)
 def test_no_cartesian_no_row_udfs(name, spark):
     df = REGISTRY[name].fn(spark, SF_SMALL)
+    nested = nested_output_cols(df.schema)
+    assert not nested, (
+        f"{name}: non-flat result column(s) {nested} — the driver "
+        f"gate's canonicalizer crashes on array/map/struct cells "
+        f"(CORRECTNESS_r13 llm_kmeans_cells); posexplode or "
+        f"concat_ws to gate-safe scalars"
+    )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, (
         f"{name}: unconditioned non-broadcast join\n{plan}"
@@ -289,6 +314,24 @@ def test_a30_inlist_stays_pushed_and_broadcast_only(spark):
         r"BroadcastHashJoin \[l_suppkey[^\n]*", final
     )
     assert supp_join and "BuildRight" in supp_join.group(0), final
+
+
+def test_flat_output_lint_catches_nested_columns(spark):
+    """Negative control for the flat-output lint: the exact r13 shape
+    (an array<bigint> result column) is flagged; its posexploded flat
+    twin is not."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    bad = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x * 100 AS BIGINT))").alias(
+            "centroid_fp"
+        ),
+    )
+    assert nested_output_cols(bad.schema) == ["centroid_fp"]
+    ok = bad.select("vec_id", F.posexplode("centroid_fp").alias("dim", "q"))
+    assert not nested_output_cols(ok.schema)
 
 
 def test_single_partition_collapse_lint_catches_global_window(spark):
