@@ -919,17 +919,27 @@ def semantic_dedup(
     )
 
 
-def semantic_dedup_sql(threshold: float = 0.9, n_cells: int = 4) -> str:
+def semantic_dedup_sql(
+    threshold: float = 0.9, n_cells: int = 4, cent_sql: str | None = None
+) -> str:
     """DuckDB oracle for semantic_dedup — same centroids, same cell
-    assignment ranking, same min-id-neighbor rule."""
+    assignment ranking, same min-id-neighbor rule. ``cent_sql`` swaps
+    in an alternative (cell_id, embedding) centroid query (e.g. the
+    de-quantized `kmeans_sql` codebook) in place of the default
+    lowest-id seed vectors — the same injection point as
+    `ivf_topk_sql`."""
+    if cent_sql is None:
+        cent_sql = (
+            f"SELECT vec_id AS cell_id, embedding FROM embeddings "
+            f"WHERE vec_id < {n_cells}"
+        )
     dot_ab = (
         "list_sum(list_transform(list_zip({a}.embedding, {b}.embedding), "
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
     )
     return f"""
         WITH cent AS (
-            SELECT vec_id AS cell_id, embedding FROM embeddings
-            WHERE vec_id < {n_cells}
+            {cent_sql}
         ),
         cells AS (
             SELECT vec_id, cell_id FROM (
@@ -1444,10 +1454,18 @@ def pq_ivf_topk_sql(
     nprobe: int = 2,
     codebooks: list[list[list[float]]] | None = None,
     round_dp: int = 5,
+    cent_sql: str | None = None,
 ) -> str:
     """DuckDB twin of `pq_ivf_topk` (IVF cell CTEs from ivf_topk_sql +
-    PQ code/LUT algebra from pq_topk_sql)."""
+    PQ code/LUT algebra from pq_topk_sql). ``cent_sql`` swaps in an
+    alternative (cell_id, embedding) centroid query, same injection
+    point as `ivf_topk_sql`."""
     cbs = codebooks or pq_codebooks()
+    if cent_sql is None:
+        cent_sql = (
+            f"SELECT vec_id AS cell_id, embedding FROM embeddings "
+            f"WHERE vec_id < {n_cells}"
+        )
     dot_ab = (
         "list_sum(list_transform(list_zip({a}.embedding, {b}.embedding), "
         "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
@@ -1470,8 +1488,7 @@ def pq_ivf_topk_sql(
     )
     return f"""
         WITH cent AS (
-            SELECT vec_id AS cell_id, embedding FROM embeddings
-            WHERE vec_id < {n_cells}
+            {cent_sql}
         ),
         corpus_cells AS (
             SELECT neighbor_id, cell_id FROM (

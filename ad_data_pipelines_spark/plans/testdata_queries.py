@@ -3396,30 +3396,74 @@ def q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the trained codebook, de-quantized to (cell_id, embedding) doubles —
+# division by 2^20 is an exact exponent shift, so Spark and DuckDB see
+# identical doubles feeding the dot-product ranking
+_KMEANS_CENT_SQL = f"""
+    SELECT cell_id,
+           list_transform(centroid_fp,
+                          f -> CAST(f AS DOUBLE) / {1 << 20} - 1.0)
+               AS embedding
+    FROM ({_sim.kmeans_sql(n_cells=4, iterations=3)})
+"""
+
+
+def _kmeans_fp_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained 4×3 fixed-point codebook, memoized: the trainer's
+    per-iteration collects run once per (session, sf_dir); every
+    trained-cell consumer (the cells query, the recall gates, the
+    shared corpus-cell table) reads the same K-row LOCAL frame — the
+    memo skips re-training, not a persist."""
+    return _shared(
+        spark, sf_dir, "kmeans_fp_4x3",
+        lambda: _sim.kmeans_fp(
+            t(spark, sf_dir, "embeddings"), n_cells=4, iterations=3
+        ),
+    )
+
+
+def _kmeans_cents_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained codebook de-quantized to (cell_id, cent_emb) —
+    derived per call from the memoized fp table (K local rows, no
+    persist needed)."""
+    return _sim.kmeans_dequantize(_kmeans_fp_shared(spark, sf_dir))
+
+
+def _ivf_cells_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE session cell table: every nearest-centroid consumer (IVF
+    ANN + both recall gates, SemDeDup, cluster-balanced sampling)
+    reads this ONE corpus assignment, built on the TRAINED kmeans_fp
+    codebook — the r13 verdict's unification ask. At 100 TB this is a
+    materialized table partitioned by cell_id, rebuilt only when the
+    codebook retrains; the seed-vector cells it replaced were the
+    bootstrap stand-in."""
+    return _shared(
+        spark, sf_dir, "kmeans_corpus_cells",
+        lambda: _sim.ivf_cells(
+            t(spark, sf_dir, "embeddings"),
+            _kmeans_cents_shared(spark, sf_dir),
+            "neighbor_id", "c_emb", 1,
+        ),
+    )
+
+
 @register(
     "llm_ann_ivf",
-    oracle=_sim.ivf_topk_sql(max_query_id=25, k=5),
-    doc="IVF-style ANN top-5: corpus assigned to nearest of 4 "
-    "deterministic seed centroids (stand-in for a k-means pass — same "
-    "plan shape), queries probe their 2 nearest cells; the search join "
-    "shuffles on cell_id only. operators/similarity.py:ivf_topk.",
+    oracle=_sim.ivf_topk_sql(
+        max_query_id=25, k=5, nprobe=2, cent_sql=_KMEANS_CENT_SQL
+    ),
+    doc="IVF ANN top-5 on the TRAINED codebook: corpus assigned to its "
+    "nearest kmeans_fp cell (the session-shared trained cell table — "
+    "same artifact SemDeDup and cluster-balanced sampling consume), "
+    "queries probe their 2 nearest cells; the search join shuffles on "
+    "cell_id only. operators/similarity.py:ivf_topk.",
 )
 def q_llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
     return _sim.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 25), k=5, n_cells=4, nprobe=2,
         corpus_cells=_ivf_cells_shared(spark, sf_dir),
-    )
-
-
-def _ivf_cells_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _shared(
-        spark, sf_dir, "ivf_corpus_cells",
-        lambda: _sim.ivf_cells(
-            t(spark, sf_dir, "embeddings"),
-            _sim.ivf_centroids(t(spark, sf_dir, "embeddings"), n_cells=4),
-            "neighbor_id", "c_emb", 1,
-        ),
+        centroids=_kmeans_cents_shared(spark, sf_dir),
     )
 
 
@@ -3427,7 +3471,9 @@ def _ivf_cells_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llm_ivf_recall",
     oracle=f"""
         WITH truth AS ({_sim.cosine_topk_sql(max_query_id=25, k=5)}),
-        ann AS ({_sim.ivf_topk_sql(max_query_id=25, k=5)}),
+        ann AS ({_sim.ivf_topk_sql(
+            max_query_id=25, k=5, nprobe=1, cent_sql=_KMEANS_CENT_SQL,
+        )}),
         per_q AS (
             SELECT b.query_id,
                    COUNT(*) AS k,
@@ -3443,10 +3489,12 @@ def _ivf_cells_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(MIN(hits * 1.0 / k), 4) AS min_recall
         FROM per_q
     """,
-    doc="IVF quality gate: per-query recall of the cell-probing search "
-    "against the brute-force cosine ground truth (same metric, same "
-    "25-query scope) — completes the recall family (LSH, PQ, IVF): "
-    "every approximate path ships with its own regression report.",
+    doc="IVF probe-sensitivity gate: single-probe (nprobe=1) recall on "
+    "the trained codebook vs the brute-force cosine ground truth — "
+    "paired with llm_ivf_kmeans_recall (nprobe=2, same cells, same "
+    "scope) it pins the recall-vs-probe-cost curve's two endpoints, so "
+    "a codebook regression AND a probing regression each move a gated "
+    "number. Shares the one trained corpus-cell table.",
 )
 def q_llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
@@ -3455,36 +3503,11 @@ def q_llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     ann = _sim.ivf_topk(
-        emb, q, k=5, n_cells=4, nprobe=2,
+        emb, q, k=5, n_cells=4, nprobe=1,
         corpus_cells=_ivf_cells_shared(spark, sf_dir),
+        centroids=_kmeans_cents_shared(spark, sf_dir),
     ).select("query_id", "neighbor_id")
     return _recall_report(truth, ann)
-
-
-# the trained codebook, de-quantized to (cell_id, embedding) doubles —
-# division by 2^20 is an exact exponent shift, so Spark and DuckDB see
-# identical doubles feeding the dot-product ranking
-_KMEANS_CENT_SQL = f"""
-    SELECT cell_id,
-           list_transform(centroid_fp,
-                          f -> CAST(f AS DOUBLE) / {1 << 20} - 1.0)
-               AS embedding
-    FROM ({_sim.kmeans_sql(n_cells=4, iterations=3)})
-"""
-
-
-def _kmeans_fp_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The trained 4×3 fixed-point codebook, memoized: the trainer's
-    per-iteration collects run once per (session, sf_dir) — both the
-    cells query and the trained-recall query consume the same table
-    (the result is a K-row LOCAL frame; the memo skips re-training,
-    not a persist)."""
-    return _shared(
-        spark, sf_dir, "kmeans_fp_4x3",
-        lambda: _sim.kmeans_fp(
-            t(spark, sf_dir, "embeddings"), n_cells=4, iterations=3
-        ),
-    )
 
 
 @register(
@@ -3551,11 +3574,10 @@ def q_llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="IVF recall under the TRAINED deterministic codebook "
     "(kmeans_fp de-quantized via kmeans_centroids — exact power-of-2 "
-    "division, both engines identical doubles) instead of the seed "
-    "vectors: the full trained-ANN path hash-gated end to end, "
-    "closing the one recall-family gap (the Spark-ML codebook could "
-    "only pytest). Same 25-query scope and recall report as its "
-    "siblings.",
+    "division, both engines identical doubles): the full trained-ANN "
+    "path hash-gated end to end. nprobe=2 endpoint of the "
+    "recall-vs-probe-cost curve (llm_ivf_recall pins nprobe=1); both "
+    "read the ONE session-shared trained corpus-cell table.",
 )
 def q_llm_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t(spark, sf_dir, "embeddings")
@@ -3563,9 +3585,10 @@ def q_llm_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = _cosine_truth25_shared(spark, sf_dir).select(
         "query_id", "neighbor_id"
     )
-    cents = _sim.kmeans_dequantize(_kmeans_fp_shared(spark, sf_dir))
     ann = _sim.ivf_topk(
-        emb, q, k=5, n_cells=4, nprobe=2, centroids=cents
+        emb, q, k=5, n_cells=4, nprobe=2,
+        corpus_cells=_ivf_cells_shared(spark, sf_dir),
+        centroids=_kmeans_cents_shared(spark, sf_dir),
     ).select("query_id", "neighbor_id")
     return _recall_report(truth, ann)
 
@@ -4046,7 +4069,10 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     only genuinely shared work. Registry consumer counts (r9 audit;
     update when registering consumers): shingles 4, minhash_sigs 2,
     lsh_pairs 3, dup_components 5 (+blast_radius), simhash 2, lsh_corpus_buckets 2,
-    ivf_corpus_cells 3, quality_features 2, char_entropy 2,
+    kmeans_corpus_cells 5 (llm_ann_ivf/llm_ivf_recall/
+    llm_ivf_kmeans_recall/llm_semantic_dedup/llm_cluster_balanced_mix —
+    the ONE trained cell table, r13 verdict unification),
+    quality_features 2, char_entropy 2,
     repetition 2, word_grams 4 (contamination/novelty/bloom_decontam/blast_radius),
     pq_codes 2, span_bounds 2,
     trade_edges 8 (g1/g2/g3/g4/g5/g7 + g11/g12 SSSP), cosupply_pairs 2
@@ -4056,9 +4082,10 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (llm_sq_topk/llm_sq_recall),
     l2_truth10 2 (llm_l2_topk/llm_pq_recall) — the recall gates'
     ground-truth tables, materialized once like a production recall
-    harness would per index rebuild —, kmeans_fp_4x3 2
-    (llm_kmeans_cells/llm_ivf_kmeans_recall; the memo skips the
-    trainer's per-iteration collects, the frame itself is K rows).
+    harness would per index rebuild —, kmeans_fp_4x3 6
+    (llm_kmeans_cells + every kmeans_corpus_cells consumer; the memo
+    skips the trainer's per-iteration collects, the frame itself is
+    K rows).
     Dropped as single-consumer:
     nb_buckets (llm_nb_quality trains and scores off one memoized
     explode — reuse is WITHIN the query)."""
@@ -4070,7 +4097,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": lambda s, d: _dup_components_shared(s, d, min_eq=8),
         "simhash": _simhash_shared,
         "lsh_corpus_buckets": _lsh_buckets_shared,
-        "ivf_corpus_cells": _ivf_cells_shared,
+        "kmeans_corpus_cells": _ivf_cells_shared,
         "quality_features": _quality_features_shared,
         "char_entropy": _entropy_shared,
         "repetition": _repetition_shared,
@@ -5693,8 +5720,7 @@ _CBAL_DOT = (
     "llm_cluster_balanced_mix",
     oracle=f"""
         WITH cent AS (
-            SELECT vec_id AS cell_id, embedding FROM embeddings
-            WHERE vec_id < 4
+            {_KMEANS_CENT_SQL}
         ),
         cells AS (
             SELECT vec_id AS doc_id, cell_id FROM (
@@ -5716,9 +5742,9 @@ _CBAL_DOT = (
         ) WHERE __keep
     """,
     doc="Cluster-balanced sampling (semantic-diversity curation): "
-    "nearest-centroid embedding cells — the SAME session-shared IVF "
-    "cell table semantic_dedup and the ANN probes consume — become "
-    "the strata of a uniform min(40, |cell|)-per-cell hash-rank "
+    "nearest-centroid embedding cells — the SAME session-shared "
+    "TRAINED (kmeans_fp) cell table semantic_dedup and the ANN probes "
+    "consume — become the strata of a uniform min(40, |cell|)-per-cell hash-rank "
     "sample, so the selected corpus is balanced over embedding-space "
     "modes, not just source labels (uniform-over-clusters beats "
     "uniform-over-rows when one dense mode dominates the crawl). "
@@ -5739,15 +5765,18 @@ def q_llm_cluster_balanced_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_semantic_dedup",
-    oracle=_sim.semantic_dedup_sql(threshold=0.9, n_cells=4),
+    oracle=_sim.semantic_dedup_sql(
+        threshold=0.9, cent_sql=_KMEANS_CENT_SQL
+    ),
     doc="SemDeDup-style embedding-space pruning (arXiv:2303.09540): "
     "nearest-centroid clustering, WITHIN-cell cosine pairs only, drop "
     "every vector with a same-cell neighbor at sim>=0.9 and smaller id "
     "— kept rows are each neighborhood's min-id representative. "
     "Centroids broadcast; the pairwise stage shuffles cell_id only and "
     "costs sum(|cell|^2), bounded by the centroid-count knob — never "
-    "the unscoped corpus quadratic. Reuses the session-shared IVF "
-    "cell table (renamed) — same centroids/nprobe, so no per-call "
+    "the unscoped corpus quadratic. Reuses the session-shared TRAINED "
+    "(kmeans_fp) cell table (renamed) — the same codebook the ANN "
+    "probes and cluster-balanced sampling consume, so no per-call "
     "persist of a fresh assignment. "
     "operators/similarity.py:semantic_dedup.",
 )
@@ -7913,14 +7942,17 @@ def q_llm_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_pq_ivf_topk",
-    oracle=_sim.pq_ivf_topk_sql(max_query_id=10, k=5),
+    oracle=_sim.pq_ivf_topk_sql(
+        max_query_id=10, k=5, cent_sql=_KMEANS_CENT_SQL
+    ),
     doc="PQ-within-IVF (the FAISS IVFPQ production composition): "
-    "queries probe their nprobe nearest cells, then PQ-score ONLY the "
-    "probed cells' codes in the compressed domain — IVF bounds the "
-    "candidate set sublinearly, PQ makes each candidate 8 LUT lookups "
-    "with no float vectors at search time. Both corpus artifacts "
-    "(cell assignment, code table) are shareable/materializable; "
-    "the search join shuffles cell_id + 8 small ints per vector. "
+    "queries probe their nprobe nearest TRAINED (kmeans_fp) cells, "
+    "then PQ-score ONLY the probed cells' codes in the compressed "
+    "domain — IVF bounds the candidate set sublinearly, PQ makes each "
+    "candidate 8 LUT lookups with no float vectors at search time. "
+    "Both corpus artifacts (the shared trained cell assignment, the "
+    "code table) are shareable/materializable; the search join "
+    "shuffles cell_id + 8 small ints per vector. "
     "operators/similarity.py:pq_ivf_topk.",
 )
 def q_llm_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7933,6 +7965,7 @@ def q_llm_pq_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_cells=_ivf_cells_shared(spark, sf_dir).select(
             "neighbor_id", "cell_id", F.col("c_emb")
         ),
+        centroids=_kmeans_cents_shared(spark, sf_dir),
     )
 
 
