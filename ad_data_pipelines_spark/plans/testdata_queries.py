@@ -8120,21 +8120,24 @@ def q_llm_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Gate-priority ordering -------------------------------------------------
 # The driver's CORRECTNESS gate walks REGISTRY in dict-insertion order with a
-# ~50-row budget. Round-13 rotation (the r12 verdict's brief #4 — done
-# condition: no oracle-backed query's latest green older than r10 after this
-# gate):
-#   tier 0 — the round-13 registration (llm_dedup_threshold) and every query
-#            whose operator code changed this round,
-#   tier 1 — the 44 oracle-backed queries whose latest green is r9 (the
-#            oldest tier after the r12 gate), cheapest-first — tier 0 +
-#            tier 1 is ~49 rows, inside the budget,
-#   tier 2 — r10 greens cheapest-first; the budget cuts off at its head,
-#   tier 3 — r11 greens, tier 4 — r12 greens (freshest last; re-confirming
-#            these is the lowest-value use of a budget slot),
-#   tail   — EMPTY since r10 (every registration is oracle-backed).
-# Standing rule (enforced by tests/test_gate_priority.py): any commit that
-# registers a query MUST add it to tier 0 of this list; the set-equality
-# assert below fails the suite otherwise.
+# ~50-row budget. Since round 14 the rotation is DERIVED FROM THE ARTIFACTS,
+# not a hand-kept note (the r13 verdict caught the note drifting: WORKLOG
+# claimed "nothing older than r10" while llm_cooccurrence and g7_coreness
+# were r9-latest — absent from every r10-r13 gate because the hand-ordered
+# tier-1 tail fell past the 50-row budget):
+#   tier 0 — _GATE_TIER0 below, hand-kept: queries whose PLAN changed this
+#            round (artifacts cannot know that) — re-gate before anything,
+#   rest   — every other oracle-backed query ordered by (latest hash-green
+#            round replayed from CORRECTNESS_r*.json, then bench cost
+#            cheapest-first from BENCH_FULL.json, then name): never-green
+#            registrations sort first, the stalest greens next, so the
+#            budget always eats the oldest tail and no query can silently
+#            stay ungated while fresher ones re-confirm,
+#   tail   — rows-only (no-oracle) queries, EMPTY since r10.
+# New registrations need NO list edit: with no CORRECTNESS row they sort
+# ahead of every green query automatically. tests/test_gate_priority.py
+# asserts the monotone-staleness invariant and that the stalest rows sit
+# inside the budget.
 _GATE_ROWS_ONLY_ROTATED: list[str] = [
     # empty this round — every oracle-free query already has its
     # rows_match row on file (a26's landed in r7)
@@ -8147,214 +8150,99 @@ _GATE_TAIL_ROWS_ONLY: list[str] = [
     # remain. Kept as a slot for any future intentionally-oracle-free
     # registration.
 ]
-_GATE_PRIORITY = [
-    # tier 0 (round 13): the new registration + every query whose
-    # operator code changed this round (g14 gained the degenerate-
-    # scale guard and the one-pass node/src count; the LSH chain
-    # gained banding parameters and blast-radius gained flag
-    # injection — default paths are value-identical, re-gated anyway)
-    "llm_dedup_threshold",
-    "llm_hard_negatives",
+_GATE_TIER0 = [
+    # round 14: the reshaped trainer gate (never driver-green — the r13
+    # array-column canonicalizer crash) + every query whose plan changed
+    # with the trained-cell unification (the one kmeans_corpus_cells
+    # table now feeds all nearest-centroid consumers)
     "llm_kmeans_cells",
-    "llm_ivf_kmeans_recall",
-    "g14_hits_authorities",
-    "llm_decontam_blast_radius",
-    "llm_dedup_groups",
-    "llm_lsh_candidates",
-    # tier 1: latest green r9 — the oldest tail, cheapest-first
-    # (the ~50-row budget covers tier 0 + all of tier 1)
-    "llm_weighted_sample",
-    "a1_trips_daily",
-    "j13_anti_join",
-    "llm_dedup_corpus",
-    "a12_guarded_ratio",
-    "llm_packing_efficiency",
-    "a9_rollup_overall",
-    "a5_distinct_exact",
-    "a3_pricing_summary",
-    "llm_cross_source_dup",
-    "j25_idle_rich_customers",
-    "llm_boilerplate_ngrams",
-    "j14_match_rate",
-    "j27_customer_order_distribution",
-    "j20_fuzzy_name_match",
-    "llm_dedup_threshold_curve",
-    "o16_zorder_cells",
-    "llm_random_projection",
-    "t6_user_streaks",
-    "j1_broadcast_enrich",
-    "llm_chunk_dedup",
-    "llm_temperature_mix",
-    "a29_top_revenue_suppliers",
-    "a2_conditional_counts",
-    "t8_session_window",
-    "a8_adjacent_diff",
-    "j17_interval_join",
-    "llm_novelty",
-    "j19_overlap_join",
-    "llm_containment",
-    "j18_shipping_priority",
-    "t7_last_touch_attribution",
-    "a33_binned_quantile_shards",
-    "llm_semantic_dedup",
-    "llm_embedding_drift",
-    "llm_pq_topk",
-    "llm_incremental_dedup",
-    "llm_encode_docs",
-    "w8_balance_deciles",
-    "llm_remove_boilerplate",
-    "g5_kcore_backbone",
-    "llm_pq_ivf_topk",
-    "llm_cooccurrence",
-    "g7_coreness",
-    # tier 2: r10 greens cheapest-first
-    "llm_quality",
-    "llm_repetition",
-    "llm_entropy",
-    "llm_cosine_topk",
-    "llm_l2_topk",
-    "p7_p8_clean_map",
-    "llm_fingerprint",
-    "llm_hash_split",
-    "llm_dedup_exact",
-    "j23_small_quantity_revenue",
-    "j30_late_order_priorities",
-    "j7_dedup_then_join",
-    "a25_time_weighted_avg",
-    "llm_quality_quantile_approx",
-    "llm_mm_dhash_pairs",
-    "p24_disjunctive_revenue",
-    "o6_topn_revenue",
-    "a13_first_last_ordered",
-    "a24_cube_totals",
-    "llm_ngram_jaccard",
-    "j28_nation_trade_volume",
-    "a28_important_suppliers",
-    "a27_large_volume_orders",
-    "s16_merge_apply",
-    "a26_hll_shard_union",
-    "j29_local_supplier_volume",
-    "llm_prefix_jaccard",
-    "a31_supplier_variety",
-    "a30_market_share",
-    "llm_nb_quality",
-    "g10_cosupply_jaccard",
-    "o15_entity_clusters",
-    "llm_cms_estimates",
-    "llm_ann_recall",
-    "g6_cosupply_triangles",
-    "llm_dup_span_removal",
-    "llm_dup_spans",
-    "a23_groupwise_ols",
-    "j22_min_cost_supplier",
-    "j24_sole_late_supplier",
-    "llm_ivf_recall",
-    "j26_dominant_suppliers",
-    "llm_pq_recall",
-    "j21_grid_knn",
-    "llm_heavy_hitters_sketch",
-    "g9_neighborhood_anf",
-    "g8_truss_backbone",
-    # tier 3: r11 greens cheapest-first
-    "a7_histogram",
-    "p20_coord_convert",
-    "p16_threshold_bins",
-    "p18_p19_days_in_month",
-    "llm_source_mix",
-    "llm_chunking",
-    "llm_det_shuffle",
-    "llm_token_stats",
-    "llm_stratified_sample",
-    "llm_stratified_topk",
-    "p9_p10_p11_mapping",
-    "a4_conditional_sum",
-    "t1_events_hourly",
-    "s13_first_seen",
-    "llm_quality_filter",
-    "j12_point_in_polygon",
-    "p15_binning",
-    "o4_union_spine_j6",
-    "w1_lead_gap",
-    "llm_mm_frame_sample",
-    "llm_mm_decode_resize",
-    "w2_transfer_time",
-    "t5_cohort_retention",
-    "j5_regional_volume",
-    "llm_contamination",
-    "llm_quality_quantile",
-    "j31_returned_item_customers",
-    "j15_asof_enrich",
-    "t4_funnel_conversion",
-    "llm_leakage_safe_split",
-    "a11_avg_daily_ratio",
-    "llm_source_quality_shrunk",
-    "a32_psi_trained_edges",
-    "j8_full_outer_3way",
-    "llm_pii_scrub",
-    "a10_journey_reagg",
-    "s14_scd2_history",
-    "w3_group_max_flag",
-    "w4_keep_last",
-    "a5_distinct_approx",
-    "g13_harmonic_closeness",
-    "a14_wkt_assembly",
-    "j9_j10_composite_join",
-    "g11_sssp_trusted_distance",
-    "g12_hop_histogram",
-    "g3_trade_communities",
-    "g1_pagerank_suppliers",
-    "g4_weighted_pagerank",
-    "g2_ppr_trusted_suppliers",
-    # tier 4: r12 greens cheapest-first (freshest last)
-    "llm_simhash",
-    "llm_minhash_sig",
-    "o13_gap_audit",
-    "w5_seq_lead",
-    "llm_normalize_text",
-    "o3_union_slices",
-    "llm_dedup_keeper_policy",
-    "llm_snapshot_diff",
-    "llm_vocab",
-    "w7_cumulative_share",
-    "o14_join_skew_report",
-    "llm_token_stats_bpe",
-    "w6_rolling_window",
-    "o7_topk_rank",
-    "a22_psi_reference",
-    "llm_pack_sequences",
-    "llm_cluster_balanced_mix",
-    "o9_unpivot_long",
-    "llm_mm_binary_meta",
-    "llm_simhash_pairs",
-    "a21_psi_drift",
-    "t3_sessionize",
-    "t2_events_json_props",
-    "o8_pivot_matrix",
-    "s15_json_props",
-    "o11_constraint_audit",
-    "llm_chunking_tokens",
-    "llm_dedup_stats",
-    "a18_winsorize",
-    "llm_zipf",
-    "llm_lang_id",
-    "o10_profile",
-    "llm_sq_topk",
-    "a20_ks_drift",
-    "o12_table_checksum",
-    "llm_budget_select",
-    "a19_robust_outliers",
     "llm_ann_ivf",
-    "llm_tfidf_keywords",
-    "llm_candidate_agreement",
-    "llm_ann_lsh",
-    "llm_lang_confusion",
-    "llm_source_diversity",
-    "llm_bigram_lm",
-    "llm_lang_mix",
-    "llm_sq_recall",
-    "llm_bloom_decontam",
-    "llm_cosine_near_dup",
-] + _GATE_TAIL_ROWS_ONLY
+    "llm_ivf_recall",
+    "llm_ivf_kmeans_recall",
+    "llm_pq_ivf_topk",
+    "llm_semantic_dedup",
+    "llm_cluster_balanced_mix",
+]
+
+
+def _repo_root() -> str:
+    import os
+
+    return os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+
+
+def latest_green_rounds() -> dict[str, int]:
+    """Replay every committed CORRECTNESS_r*.json: the latest round each
+    query hash-matched its oracle (rows_match for oracle-free rows).
+    THE source of gate-freshness truth — never a WORKLOG note."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    latest: dict[str, int] = {}
+    for path in sorted(
+        _glob.glob(_os.path.join(_repo_root(), "CORRECTNESS_r*.json"))
+    ):
+        m = _re.search(r"r(\d+)", _os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = _json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for q, res in rows.items():
+            ok = res.get("hash_match") or (
+                res.get("hash_match") is None and res.get("rows_match")
+            )
+            if ok:
+                latest[q] = max(latest.get(q, 0), rnd)
+    return latest
+
+
+def _bench_costs() -> dict[str, float]:
+    import json as _json
+    import os as _os
+
+    try:
+        d = _json.load(
+            open(_os.path.join(_repo_root(), "BENCH_FULL.json"))
+        )
+        return dict(d.get("queries") or {})
+    except (OSError, ValueError):
+        return {}
+
+
+def gate_freshness_histogram() -> dict[int, int]:
+    """{latest-green round: query count} over the registry (0 = never
+    green) — paste THIS into WORKLOG, never a hand count."""
+    latest = latest_green_rounds()
+    hist: dict[int, int] = {}
+    for name in REGISTRY:
+        r = latest.get(name, 0)
+        hist[r] = hist.get(r, 0) + 1
+    return dict(sorted(hist.items()))
+
+
+_latest_green = latest_green_rounds()
+_gate_cost = _bench_costs()
+_GATE_REST = sorted(
+    (
+        n
+        for n in REGISTRY
+        if n not in set(_GATE_TIER0)
+        and n not in set(_GATE_TAIL_ROWS_ONLY)
+    ),
+    key=lambda n: (
+        _latest_green.get(n, -1),
+        _gate_cost.get(n, float("inf")),
+        n,
+    ),
+)
+_GATE_PRIORITY = _GATE_TIER0 + _GATE_REST + _GATE_TAIL_ROWS_ONLY
 assert set(_GATE_PRIORITY) == set(REGISTRY), (
     "gate-priority list drifted from registry: "
     f"missing={sorted(set(REGISTRY) - set(_GATE_PRIORITY))} "
