@@ -75,6 +75,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ad_data_pipelines_spark.functions import hashing as _hashing
 from ad_data_pipelines_spark.operators import dedup as _dedup
 from ad_data_pipelines_spark.operators import merge as _merge
 from ad_data_pipelines_spark.operators import packing as _packing
@@ -260,7 +261,26 @@ def curate(
             )
         _t0 = now
 
-    stats: dict = {"n_input": docs.count()}
+    # count + content fingerprint in ONE aggregate pass: seeding the
+    # checkpoint chain with the row count alone let a checkpoint dir be
+    # reused against DIFFERENT input data of the same size — stale stage
+    # artifacts resumed silently instead of the documented loud refusal
+    # (r13 advice). The fingerprint is a bit_xor of per-doc hashes over
+    # (doc_id, length) — combinable, order/partition independent, and
+    # overflow-free at ANY row count (SUM of 63-bit hashes overflows
+    # int64 under ANSI); catches id changes and text edits that keep
+    # the row count.
+    _in_agg = docs.agg(
+        F.count("*").alias("n"),
+        F.bit_xor(
+            _hashing.portable_hash64(
+                F.concat_ws("\x1f", F.col("doc_id"), F.length("text")),
+                fast=True,
+            )
+        ).alias("content_fp"),
+    ).collect()[0]
+    stats: dict = {"n_input": int(_in_agg.n)}
+    _input_content_fp = int(_in_agg.content_fp or 0)
     _mark("input")
 
     # ---- checkpoint plumbing -------------------------------------------
@@ -297,8 +317,12 @@ def curate(
             )
         return frames
 
-    # chained fingerprint parts: grow with each stage's knobs + counts
-    fp_parts: dict = {"n_input": stats["n_input"]}
+    # chained fingerprint parts: grow with each stage's knobs + counts,
+    # seeded with the input's count AND content fingerprint
+    fp_parts: dict = {
+        "n_input": stats["n_input"],
+        "input_fp": _input_content_fp,
+    }
 
     def _canonize(frame: DataFrame) -> DataFrame:
         """Replace text with its normalized form (stage-1 transform,

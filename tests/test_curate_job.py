@@ -148,6 +148,17 @@ def test_curate_checkpoint_kill_resume(spark, tmp_path):
         curate(spark, docs, str(tmp_path / "other"),
                checkpoint_dir=ckpt, min_eq=9, **base)
 
+    # r13 advice: DIFFERENT input data with the SAME row count must
+    # also refuse — the chain is seeded with a content fingerprint of
+    # the input (combinable hash over doc_id+length), not just n_input,
+    # so a checkpoint dir can never vouch for another corpus's stages.
+    from pyspark.sql import functions as F
+
+    mutated = docs.withColumn("text", F.concat(F.col("text"), F.lit(" x")))
+    with pytest.raises(ValueError, match="different run config"):
+        curate(spark, mutated, str(tmp_path / "mutated"),
+               checkpoint_dir=ckpt, **base)
+
     # r13 review: a mid-chain recompute INVALIDATES downstream markers
     # at commit time, so a run that dies right after the recomputed
     # stage leaves a resumable dir — not one bricked on stale
