@@ -459,23 +459,35 @@ def kmeans_fp(
             "vid", "v", F.array_min(F.array(*structs))["cell"].alias("cell")
         )
 
+    dim = len(cents[0])
     for _ in range(iterations):
+        # per-dimension sums as ONE wide aggregate (count + dim sum
+        # columns), never a posexplode: the explode form pushed
+        # n_rows × dim rows through the partial aggregate — a dim×
+        # (64×) row blowup before the map-side combine that the
+        # column form never materializes. Sums are identical integers
+        # either way (bit-equal contract untouched; A/B'd r14).
         sums = (
             assigned()
-            .select("cell", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("val").alias("sm"), F.count("*").alias("n"))
+            .groupBy("cell")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                    for i in range(dim)
+                ],
+            )
             .collect()
         )
-        by_cell: dict[int, dict[int, int]] = {}
-        n_of: dict[int, int] = {}
-        for r in sums:
-            by_cell.setdefault(int(r.cell), {})[int(r.pos)] = int(r.sm)
-            n_of[int(r.cell)] = int(r.n)
+        upd = {
+            int(r["cell"]): [
+                int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)
+            ]
+            for r in sums
+        }
         cents = [
-            [by_cell[j][p] // n_of[j] for p in sorted(by_cell[j])]
-            if j in by_cell
-            else cents[j]  # emptied cell keeps its previous centroid
+            # emptied cell keeps its previous centroid
+            upd.get(j, cents[j])
             for j in range(n_cells)
         ]
     counts = {
