@@ -92,6 +92,114 @@ def bigram_lm_score(
     )
 
 
+def bigram_lm_score_held_out(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    k: float = 0.5,
+    round_dp: int = 4,
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_ll) of `score_docs` under the LM trained
+    on `train_docs` — the full CCNet/KenLM perplexity-filter shape:
+    train the count LM on a curated reference corpus, score candidate
+    docs against it, drop (or bucket) the improbable tail. Unlike
+    `bigram_lm_score` (self-scoring, every bigram present by
+    construction), held-out scoring hits the smoothing fallbacks:
+    an unseen bigram scores ln(k / (c(w1) + k·V)) and an unseen
+    context word ln(1/V) — same add-k algebra, coalesced counts.
+
+    Scale shape: the LM is two combinable count aggregates over the
+    TRAIN corpus; scoring left-joins (doc_id, bigram) occurrence pairs
+    to the bigram and unigram tables on their keys — the shuffle moves
+    key strings and counts, never document text; V broadcasts as one
+    row. Production interns the bigram key via portable_hash64; the
+    string form keeps the DuckDB twin byte-identical.
+    """
+    toks = _token_arrays(train_docs).select(F.explode("toks").alias("token"))
+    uni = toks.groupBy("token").agg(F.count("*").alias("cu"))
+    vocab = uni.agg(F.count("*").cast("double").alias("v"))
+    big = _doc_bigrams(train_docs).groupBy("bg").agg(
+        F.count("*").alias("cb")
+    )
+    docbg = _doc_bigrams(score_docs).withColumn(
+        "w1", F.split("bg", " ")[0]
+    )
+    scored = (
+        docbg.join(big, "bg", "left")
+        .join(uni.withColumnRenamed("token", "w1"), "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(k))
+                / (
+                    F.coalesce(F.col("cu"), F.lit(0))
+                    + F.lit(k) * F.col("v")
+                )
+            ).alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("logp") / F.count("*"), round_dp).alias("avg_ll"),
+    )
+
+
+def bigram_lm_heldout_sql(
+    train_where: str,
+    score_where: str,
+    k: float = 0.5,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of `bigram_lm_score_held_out` over the documents
+    table; `train_where` / `score_where` are SQL predicates selecting
+    the two corpora."""
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang, source,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        tdocs AS (SELECT * FROM base WHERE {train_where}),
+        sdocs AS (SELECT * FROM base WHERE {score_where}),
+        cu AS (
+            SELECT token, COUNT(*) AS cu FROM (
+                SELECT unnest(toks) AS token FROM tdocs
+            ) GROUP BY token
+        ),
+        vocab AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM cu
+        ),
+        cb AS (
+            SELECT bg, COUNT(*) AS cb FROM (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS bg
+                FROM tdocs WHERE len(toks) >= 2
+            ) GROUP BY bg
+        ),
+        docbg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1])) AS bg
+            FROM sdocs WHERE len(toks) >= 2
+        ),
+        scored AS (
+            SELECT d.doc_id,
+                   ln((COALESCE(cb.cb, 0) + {k})
+                      / (COALESCE(cu.cu, 0) + {k} * v)) AS logp
+            FROM docbg d
+            LEFT JOIN cb ON cb.bg = d.bg
+            LEFT JOIN cu ON cu.token = split_part(d.bg, ' ', 1)
+            CROSS JOIN vocab
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(logp) / COUNT(*), {round_dp}) AS avg_ll
+        FROM scored
+        GROUP BY doc_id
+    """
+
+
 def bigram_lm_score_sql(k: float = 0.5, round_dp: int = 4) -> str:
     """DuckDB twin of `bigram_lm_score` over the documents table."""
     return f"""

@@ -5954,6 +5954,31 @@ def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_lm_heldout",
+    oracle=_lm.bigram_lm_heldout_sql(
+        train_where="lang = 'en'", score_where="lang <> 'en'", k=0.5
+    ),
+    doc="HELD-OUT bigram-LM perplexity scoring — the full CCNet/KenLM "
+    "filter shape llm_bigram_lm's self-scoring cannot exercise: the "
+    "LM trains on the curated reference slice (lang='en') and scores "
+    "DISJOINT candidate docs, so unseen bigrams hit the add-k "
+    "fallback ln(k/(c(w1)+k*V)) and unseen context words ln(1/V) — "
+    "wrong-language and off-distribution docs sink to the improbable "
+    "tail, which is the drop rule. LM = two combinable counts over "
+    "the train slice; scoring left-joins (doc_id, bigram) pairs to "
+    "the count tables, text never shuffles. "
+    "operators/lm.py:bigram_lm_score_held_out.",
+)
+def q_llm_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return _lm.bigram_lm_score_held_out(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        k=0.5,
+    )
+
+
+@register(
     "llm_tfidf_keywords",
     oracle=_ts.tfidf_keywords_sql("source", k=5),
     doc="Top-5 TF-IDF keywords per source slice — the per-slice "

@@ -1202,6 +1202,46 @@ def test_bigram_lm_score_known_values(spark):
     assert out[2].avg_ll > out[3].avg_ll
 
 
+def test_bigram_lm_heldout_fallbacks(spark):
+    """Held-out scoring against a disjoint train corpus pins all three
+    smoothing branches: seen bigram (full counts), unseen bigram with a
+    seen context word (ln(k/(cu+kV))), and unseen context word
+    (ln(k/(kV)) = ln(1/V)). An off-distribution doc lands below the
+    in-distribution one — the filter's drop rule."""
+    import math
+
+    from ad_data_pipelines_spark.operators import lm
+
+    train = spark.createDataFrame(
+        [(100, "a b a b"), (101, "a c")],
+        "doc_id bigint, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (1, "a b"),    # seen bigram
+            (2, "a z"),    # unseen bigram, seen context 'a'
+            (3, "q z"),    # unseen context word entirely
+            (4, "x"),      # no bigrams -> drops
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in lm.bigram_lm_score_held_out(train, score, k=0.5).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # train: unigrams a=3 b=2 c=1 -> V=3; bigrams 'a b'=2 'b a'=1 'a c'=1
+    k, v = 0.5, 3
+    assert out[1].avg_ll == round(math.log((2 + k) / (3 + k * v)), 4)
+    assert out[2].avg_ll == round(math.log(k / (3 + k * v)), 4)
+    assert out[3].avg_ll == round(math.log(k / (k * v)), 4)
+    # the seen transition outranks both fallbacks; among fallbacks the
+    # unseen continuation of a FREQUENT context ('a z') is the most
+    # surprising — its denominator carries c('a') — while a fully
+    # novel context ('q z') gets the flat ln(1/V)
+    assert out[1].avg_ll > out[3].avg_ll > out[2].avg_ll
+
+
 def test_tfidf_keywords_discriminative_terms(spark):
     """A term unique to one group gets idf=ln(n_groups); a term in all
     groups gets tfidf 0; top-k and deterministic tie order hold."""
