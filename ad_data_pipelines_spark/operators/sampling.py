@@ -478,3 +478,99 @@ def temperature_mix_sql(
         JOIN targets ON {strata_col} = targets.s
         WHERE rk <= targets.k
     """
+
+def epoch_plan(
+    docs: DataFrame,
+    strata_col: str,
+    budget_tokens: int,
+    tau: float = 0.5,
+    max_epochs: float = 4.0,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Token-budget mixing plan with repetition caps — the planning
+    stage of assembling a training mixture when the token budget
+    exceeds some sources' size: stratum s holding n_s tokens is
+    allotted desired_s = budget · n_s^τ / Σ n^τ tokens (the
+    `temperature_mix` recipe at token grain), giving a repeat factor
+    epochs_s = desired_s / n_s CAPPED at `max_epochs` (repeating a
+    small source many times degrades quality faster than undershooting
+    the budget — the data-constrained-scaling rule of thumb), so the
+    plan reports per source: available tokens, the capped epoch count,
+    the planned token allotment, and whether the cap bit. Summing
+    planned_tokens against the budget gives the shortfall to re-weight
+    or backfill.
+
+    Pure plan computation, no data moves: ONE combinable token-count
+    aggregate over the corpus + a 1-row weight-sum broadcast; output is
+    one row per stratum. τ=0.5 computes weights via sqrt (IEEE
+    correctly-rounded everywhere); other τ go through pow, whose last
+    ulp may differ across libm builds — `eps` absorbs that at the
+    floor boundary (the `temperature_mix` determinism note).
+    """
+    from ad_data_pipelines_spark.operators.textstats import token_count
+
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be non-negative")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be positive")
+    counts = docs.groupBy(strata_col).agg(
+        F.sum(token_count("text")).cast("bigint").alias("avail_tokens")
+    )
+    weight = (
+        F.sqrt(F.col("avail_tokens"))
+        if tau == 0.5
+        else F.pow(F.col("avail_tokens"), F.lit(float(tau)))
+    )
+    wsum = counts.agg(F.sum(weight).alias("__w"))
+    raw = (
+        F.lit(float(budget_tokens))
+        * weight
+        / F.col("__w")
+        / F.col("avail_tokens")
+    )
+    capped = F.least(raw, F.lit(float(max_epochs)))
+    return (
+        counts.crossJoin(F.broadcast(wsum))
+        .select(
+            strata_col,
+            "avail_tokens",
+            F.round(capped, 4).alias("epochs"),
+            F.floor(F.col("avail_tokens") * capped + F.lit(eps))
+            .cast("bigint")
+            .alias("planned_tokens"),
+            (raw > F.lit(float(max_epochs))).alias("capped"),
+        )
+    )
+
+
+def epoch_plan_sql(
+    strata_col: str,
+    budget_tokens: int,
+    tau: float = 0.5,
+    max_epochs: float = 4.0,
+    eps: float = 1e-9,
+) -> str:
+    """DuckDB twin of `epoch_plan` over the documents table (τ=0.5
+    mirrors the sqrt path; expression shapes match the Spark side op
+    for op so both engines see identical doubles)."""
+    wexpr = (
+        "sqrt(avail_tokens)" if tau == 0.5 else f"pow(avail_tokens, {tau!r})"
+    )
+    raw = f"{float(budget_tokens)!r} * {wexpr} / w / avail_tokens"
+    return f"""
+        WITH counts AS (
+            SELECT {strata_col},
+                   CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                        AS BIGINT) AS avail_tokens
+            FROM documents GROUP BY 1
+        ),
+        wsum AS (SELECT SUM({wexpr}) AS w FROM counts)
+        SELECT {strata_col},
+               avail_tokens,
+               ROUND(LEAST({raw}, {float(max_epochs)!r}), 4) AS epochs,
+               CAST(FLOOR(avail_tokens
+                          * LEAST({raw}, {float(max_epochs)!r})
+                          + {eps!r}) AS BIGINT) AS planned_tokens,
+               ({raw}) > {float(max_epochs)!r} AS capped
+        FROM counts CROSS JOIN wsum
+    """

@@ -979,6 +979,81 @@ def semantic_dedup_sql(
     """
 
 
+def truncate_renorm(
+    embeddings: DataFrame, d: int, id_col: str = "vec_id"
+) -> DataFrame:
+    """Matryoshka-style dimension truncation (MRL, arXiv:2205.13147):
+    keep the FIRST `d` dimensions and L2-renormalize, so cosine search
+    runs in a d-dim prefix space — the memory/compute knob of
+    matryoshka-trained embedding stacks (a d/D fraction of the dot-
+    product work and index bytes, graded by a recall gate like every
+    other compression tier here). Map-only, no shuffle; the norm guard
+    keeps a degenerate all-zero prefix finite identically in both
+    engines."""
+    if d < 1:
+        raise ValueError(f"d must be >= 1, got {d}")
+    pre = embeddings.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(slice(embedding, 1, {d}), "
+            f"x -> CAST(x AS DOUBLE))"
+        ).alias("pre"),
+    ).withColumn(
+        "nrm",
+        F.greatest(
+            F.sqrt(
+                F.aggregate(
+                    "pre", F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
+            F.lit(1e-12),
+        ),
+    )
+    return pre.select(
+        id_col,
+        F.transform("pre", lambda x: x / F.col("nrm")).alias("embedding"),
+    )
+
+
+def truncated_cosine_topk_sql(
+    max_query_id: int, k: int = 5, d: int = 16
+) -> str:
+    """DuckDB twin of `cosine_topk` over `truncate_renorm(·, d)` —
+    identical slice/renormalize/dot double math."""
+    sq = (
+        f"list_transform(embedding[1:{d}], "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    )
+    dot_sql = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    return f"""
+        WITH tr AS (
+            SELECT vec_id,
+                   list_transform(pre, x -> x / nrm) AS embedding
+            FROM (
+                SELECT vec_id,
+                       list_transform(embedding[1:{d}],
+                                      x -> CAST(x AS DOUBLE)) AS pre,
+                       GREATEST(sqrt(list_sum({sq})), 1e-12) AS nrm
+                FROM embeddings
+            )
+        ),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND({dot_sql}, 4) AS sim
+            FROM tr q JOIN tr c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {max_query_id}
+        )
+        SELECT query_id, neighbor_id, sim, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+            ) AS rk FROM pairs
+        ) WHERE rk <= {k}
+    """
+
+
 def cosine_topk_sql(max_query_id: int, k: int = 5) -> str:
     """DuckDB oracle for cosine_topk with identical double math."""
     dot_sql = (

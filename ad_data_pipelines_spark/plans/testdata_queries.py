@@ -3594,6 +3594,49 @@ def q_llm_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_matryoshka_recall",
+    oracle=f"""
+        WITH truth AS ({_sim.cosine_topk_sql(max_query_id=25, k=5)}),
+        ann AS ({_sim.truncated_cosine_topk_sql(
+            max_query_id=25, k=5, d=16,
+        )}),
+        per_q AS (
+            SELECT b.query_id,
+                   COUNT(*) AS k,
+                   COUNT(a.neighbor_id) AS hits
+            FROM truth b
+            LEFT JOIN ann a
+              ON b.query_id = a.query_id
+             AND b.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               ROUND(AVG(hits * 1.0 / k), 4) AS mean_recall,
+               ROUND(MIN(hits * 1.0 / k), 4) AS min_recall
+        FROM per_q
+    """,
+    doc="Matryoshka truncation recall gate: cosine search in the "
+    "L2-renormalized FIRST-16-dims prefix space (MRL, "
+    "arXiv:2205.13147 — 1/4 of the dot-product work and index bytes) "
+    "vs the full 64-dim brute-force ground truth. Completes the "
+    "compression-tier recall family (LSH / IVF / PQ / SQ / now "
+    "dimension truncation): every cost knob ships a gated recall "
+    "regression. Truncation is map-only; the search is the shared "
+    "25-query scope. operators/similarity.py:truncate_renorm.",
+)
+def q_llm_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    tr = _sim.truncate_renorm(emb, d=16)
+    truth = _cosine_truth25_shared(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ann = _sim.cosine_topk(
+        tr, tr.filter(F.col("vec_id") < 25), k=5
+    ).select("query_id", "neighbor_id")
+    return _recall_report(truth, ann)
+
+
+@register(
     "a4_conditional_sum",
     oracle="""
         SELECT p_brand,
@@ -5709,6 +5752,29 @@ def q_llm_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.temperature_mix(
         docs, "lang", "doc_id", budget=200
     ).select("doc_id", "lang")
+
+
+@register(
+    "llm_epoch_plan",
+    oracle=_sampling.epoch_plan_sql(
+        "lang", budget_tokens=100_000, tau=0.5, max_epochs=4.0
+    ),
+    doc="Token-budget mixing plan with repetition caps: each language "
+    "stratum is allotted budget*sqrt(n)/sum(sqrt(n)) tokens "
+    "(temperature mixing at token grain), its repeat factor "
+    "epochs = allotment/available CAPPED at 4 — repeating a small "
+    "source many times degrades quality faster than undershooting "
+    "(the data-constrained-scaling rule) — and the plan reports "
+    "(avail_tokens, epochs, planned_tokens, capped) per stratum. "
+    "Pure plan computation: one combinable token-count aggregate + a "
+    "1-row weight-sum broadcast; no corpus rows move. "
+    "operators/sampling.py:epoch_plan.",
+)
+def q_llm_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    return _sampling.epoch_plan(
+        docs, "lang", budget_tokens=100_000, tau=0.5, max_epochs=4.0
+    )
 
 
 _CBAL_DOT = (

@@ -1202,6 +1202,34 @@ def test_bigram_lm_score_known_values(spark):
     assert out[2].avg_ll > out[3].avg_ll
 
 
+def test_truncate_renorm_prefix_space(spark):
+    """MRL truncation: output is the L2-renormalized first-d prefix
+    (hand-checked), an all-zero prefix stays finite via the norm
+    guard, and d<1 raises."""
+    import math
+
+    import pytest
+
+    from ad_data_pipelines_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [
+            (0, [3.0, 4.0, 100.0, -7.0]),
+            (1, [0.0, 0.0, 1.0, 0.0]),  # zero prefix at d=2
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r.vec_id: list(r.embedding)
+        for r in similarity.truncate_renorm(emb, d=2).collect()
+    }
+    assert out[0] == [3.0 / 5.0, 4.0 / 5.0]
+    assert all(math.isfinite(x) for x in out[1])  # guarded, no NaN/inf
+    assert out[1] == [0.0, 0.0]
+    with pytest.raises(ValueError, match="d must be"):
+        similarity.truncate_renorm(emb, d=0)
+
+
 def test_bigram_lm_heldout_fallbacks(spark):
     """Held-out scoring against a disjoint train corpus pins all three
     smoothing branches: seen bigram (full counts), unseen bigram with a
@@ -2448,6 +2476,46 @@ def test_cooccurrence_and_zipf_degenerate_inputs(spark):
     )
     row = corpusstats.zipf_slope(one_word).collect()[0]
     assert row.n_top == 1 and row.zipf_slope is None  # slope undefined
+
+
+def test_epoch_plan_caps_and_allotments(spark):
+    """Hand-computed τ=0.5 token allotments on a two-stratum corpus:
+    the small stratum hits the 2-epoch cap (planned = 2·n), the large
+    one takes its uncapped temperature share; guards raise."""
+    import math
+
+    import pytest
+
+    from ad_data_pipelines_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        # 'big': 16 tokens over 2 docs; 'small': 4 tokens over 1 doc
+        [
+            (1, "t " * 8, "big"),
+            (2, "t " * 8, "big"),
+            (3, "t " * 4, "small"),
+        ],
+        "doc_id bigint, text string, lang string",
+    ).select("doc_id", F.trim("text").alias("text"), "lang")
+    out = {
+        r.lang: r
+        for r in sampling.epoch_plan(
+            docs, "lang", budget_tokens=40, tau=0.5, max_epochs=2.0
+        ).collect()
+    }
+    wsum = math.sqrt(16) + math.sqrt(4)  # 6.0
+    raw_small = 40 * 2 / wsum / 4  # 3.33 -> capped at 2
+    raw_big = 40 * 4 / wsum / 16  # 1.667 -> uncapped
+    assert out["small"].capped and out["small"].epochs == 2.0
+    assert out["small"].planned_tokens == 8  # 2 epochs x 4 tokens
+    assert raw_small > 2.0
+    assert not out["big"].capped
+    assert out["big"].epochs == round(raw_big, 4)
+    assert out["big"].planned_tokens == int(16 * raw_big + 1e-9)
+    with pytest.raises(ValueError, match="budget_tokens"):
+        sampling.epoch_plan(docs, "lang", budget_tokens=-1)
+    with pytest.raises(ValueError, match="max_epochs"):
+        sampling.epoch_plan(docs, "lang", 10, max_epochs=0)
 
 
 def test_temperature_mix_budgets_and_determinism(spark):
