@@ -363,6 +363,7 @@ def kmeans_fp(
     iterations: int = 3,
     id_col: str = "vec_id",
     scale_log2: int = 20,
+    seed_ids: list[int] | None = None,
 ) -> DataFrame:
     """Deterministic fixed-point Lloyd k-means — the ORACLE-GATEABLE
     trainer behind the IVF family (`ivf_train_centroids` is Spark-ML
@@ -390,7 +391,9 @@ def kmeans_fp(
         order cannot change them) then floor division by the member
         count; an EMPTIED cell carries its previous centroid;
       * seeds = the ``n_cells`` lowest-id vectors (`ivf_centroids`'s
-        convention).
+        convention), or the explicit ``seed_ids`` list (cell j = the
+        vector with seed_ids[j] — pass `kcenter_seeds` picks for the
+        farthest-point init; mirror with `kmeans_sql(seed_sql=...)`).
 
     Scale shape (the Spark-ML KMeans schedule): per iteration ONE pass
     over the quantized corpus (persisted once) — a broadcast-literal
@@ -424,20 +427,39 @@ def kmeans_fp(
             f"CAST(floor((CAST(x AS DOUBLE) + 1.0d) * {s}) AS BIGINT))"
         ).alias("v"),
     ).persist()
-    seed_rows = vq.filter(F.col("vid") < n_cells).orderBy("vid").collect()
-    # exact-set check, not just a count: duplicate or negative ids below
-    # n_cells would seed MORE than n_cells centroids — iteration 1 then
-    # assigns to phantom cells whose sums the range(n_cells) rebuild
-    # silently drops, diverging from the kmeans_sql twin (where the
-    # extra c0 rows persist through every COALESCE).
-    if [int(r.vid) for r in seed_rows] != list(range(n_cells)):
-        vq.unpersist()
-        raise ValueError(
-            f"kmeans_fp seeds must be exactly {id_col}=0..{n_cells - 1} "
-            f"(one row each); found ids "
-            f"{[int(r.vid) for r in seed_rows][:8]}"
-        )
-    cents: list[list[int]] = [list(r.v) for r in seed_rows]
+    if seed_ids is None:
+        seed_rows = vq.filter(F.col("vid") < n_cells).orderBy("vid").collect()
+        # exact-set check, not just a count: duplicate or negative ids
+        # below n_cells would seed MORE than n_cells centroids —
+        # iteration 1 then assigns to phantom cells whose sums the
+        # range(n_cells) rebuild silently drops, diverging from the
+        # kmeans_sql twin (where the extra c0 rows persist through
+        # every COALESCE).
+        if [int(r.vid) for r in seed_rows] != list(range(n_cells)):
+            vq.unpersist()
+            raise ValueError(
+                f"kmeans_fp seeds must be exactly {id_col}=0.."
+                f"{n_cells - 1} (one row each); found ids "
+                f"{[int(r.vid) for r in seed_rows][:8]}"
+            )
+        cents: list[list[int]] = [list(r.v) for r in seed_rows]
+    else:
+        ids = [int(i) for i in seed_ids]
+        if len(ids) != n_cells or len(set(ids)) != n_cells:
+            vq.unpersist()
+            raise ValueError(
+                f"seed_ids must be {n_cells} distinct ids, got {ids}"
+            )
+        seed_rows = vq.filter(F.col("vid").isin(ids)).collect()
+        found = {int(r.vid): list(r.v) for r in seed_rows}
+        if len(seed_rows) != n_cells or set(found) != set(ids):
+            vq.unpersist()
+            raise ValueError(
+                f"seed_ids must match exactly one row each (got "
+                f"{len(seed_rows)} rows for {n_cells} ids; missing "
+                f"{sorted(set(ids) - set(found))})"
+            )
+        cents = [found[i] for i in ids]
 
     def assigned() -> DataFrame:
         # per-row argmin over literal centroids: array_min of
@@ -503,6 +525,132 @@ def kmeans_fp(
     )
 
 
+def kcenter_seeds(
+    embeddings: DataFrame,
+    n_cells: int = 4,
+    id_col: str = "vec_id",
+    scale_log2: int = 20,
+) -> DataFrame:
+    """Deterministic farthest-point (Gonzalez k-center) seed selection
+    in the `kmeans_fp` fixed-point domain — the k-means++-style
+    alternative to lowest-id seeds, without the sampling
+    nondeterminism: seed 0 is the lowest-id vector; every next seed is
+    the vector FARTHEST (max squared-L2, int64) from its nearest
+    already-chosen seed, ties to the lowest id. Spreads the codebook
+    across the data's extremes — a 2-approximation to the optimal
+    k-center cover — where lowest-id seeds can all land in one dense
+    mode. Returns (cell_id, vec_id, min_dist_fp) with min_dist_fp the
+    chosen vector's distance to the prior seed set (0 for seed 0).
+
+    Scale shape (the kmeans_fp schedule): K−1 passes over the
+    quantized corpus (persisted once); each pass evaluates the chosen
+    seeds as plan literals and reduces to ONE row via a lexicographic
+    struct-min aggregate — combinable, no window, no shuffle beyond
+    the 1-row reduction; the same ≤256-centroid literal guard applies.
+    Integer distances make the argmax bit-equal to the unrolled DuckDB
+    twin (`kcenter_seeds_sql`).
+    """
+    if n_cells < 1:
+        raise ValueError(f"n_cells must be >= 1, got {n_cells}")
+    if n_cells > 256:
+        raise ValueError(
+            f"kcenter_seeds embeds seeds as plan literals; n_cells="
+            f"{n_cells} > 256 would explode the plan — use "
+            f"ivf_train_centroids (Spark ML) for large codebooks"
+        )
+    s = 1 << scale_log2
+    vq = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(floor((CAST(x AS DOUBLE) + 1.0d) * {s}) AS BIGINT))"
+        ).alias("v"),
+    ).persist()
+    first = vq.orderBy("vid").limit(1).collect()
+    if not first:
+        vq.unpersist()
+        raise ValueError("kcenter_seeds: empty input")
+    chosen: list[list[int]] = [list(first[0].v)]
+    picks: list[tuple[int, int, int]] = [(0, int(first[0].vid), 0)]
+
+    def dist_to(c: list[int]):
+        arr = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+        return F.aggregate(
+            F.zip_with("v", arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    for j in range(1, n_cells):
+        mind = F.least(*[dist_to(c) for c in chosen]) if len(
+            chosen
+        ) > 1 else dist_to(chosen[0])
+        # farthest point = lexicographic min over (-min_dist, vid):
+        # largest distance first, ties to the lowest id; the vector
+        # rides along (unique (nd, vid) key, it never orders)
+        best = (
+            vq.select(
+                F.min(
+                    F.struct(
+                        (-mind).alias("nd"),
+                        F.col("vid").alias("vid"),
+                        F.col("v").alias("v"),
+                    )
+                ).alias("m")
+            )
+            .collect()[0]
+            .m
+        )
+        picks.append((j, int(best.vid), int(-best.nd)))
+        chosen.append(list(best.v))
+    vq.unpersist()
+    spark = embeddings.sparkSession
+    return spark.createDataFrame(
+        picks, "cell_id bigint, vec_id bigint, min_dist_fp bigint"
+    )
+
+
+def kcenter_seeds_sql(n_cells: int = 4, scale_log2: int = 20) -> str:
+    """DuckDB twin of `kcenter_seeds`: the same greedy recurrence
+    unrolled into a WITH chain — each step cross-joins the 1-row prior
+    seeds and takes the (distance DESC, vid ASC) head. CTE names carry
+    a kc_ prefix so the query nests inside `kmeans_sql(seed_sql=...)`
+    without colliding with its `v` CTE (DuckDB rejects the shadowing
+    as a duplicate alias)."""
+    s = 1 << scale_log2
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({a}, {b}), "
+            "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        )
+
+    parts = [
+        "kc_v AS MATERIALIZED (SELECT vec_id AS vid, "
+        f"list_transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE)"
+        f" + 1.0) * {s}) AS BIGINT)) AS v FROM embeddings)",
+        "kc_s0 AS MATERIALIZED "
+        "(SELECT vid, v FROM kc_v ORDER BY vid LIMIT 1)",
+    ]
+    for j in range(1, n_cells):
+        prior = ", ".join(f"kc_s{i}" for i in range(j))
+        dists = [dist("kc_v.v", f"kc_s{i}.v") for i in range(j)]
+        md = dists[0] if j == 1 else f"LEAST({', '.join(dists)})"
+        parts.append(
+            f"kc_s{j} AS MATERIALIZED (SELECT kc_v.vid, kc_v.v, "
+            f"CAST({md} AS BIGINT) AS md "
+            f"FROM kc_v, {prior} ORDER BY {md} DESC, kc_v.vid LIMIT 1)"
+        )
+    rows = [
+        "SELECT CAST(0 AS BIGINT) AS cell_id, vid AS vec_id, "
+        "CAST(0 AS BIGINT) AS min_dist_fp FROM kc_s0"
+    ] + [
+        f"SELECT CAST({j} AS BIGINT), vid, md FROM kc_s{j}"
+        for j in range(1, n_cells)
+    ]
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(rows)
+
+
 def kmeans_dequantize(fp: DataFrame, scale_log2: int = 20) -> DataFrame:
     """A `kmeans_fp` result de-quantized to the (cell_id, cent_emb)
     contract — split out so a memoized/materialized fp table feeds the
@@ -535,24 +683,35 @@ def kmeans_centroids(
 
 
 def kmeans_sql(
-    n_cells: int = 4, iterations: int = 3, scale_log2: int = 20
+    n_cells: int = 4,
+    iterations: int = 3,
+    scale_log2: int = 20,
+    seed_sql: str | None = None,
 ) -> str:
     """DuckDB twin of `kmeans_fp`: the same offset-quantized integer
     Lloyd recurrence unrolled into a WITH chain (CTEs AS MATERIALIZED
     — each is referenced twice, the label_propagation lesson). List
     element access via generate_series subscripts; all-positive
-    integer // matches Spark's DIV and Python's // bit for bit."""
+    integer // matches Spark's DIV and Python's // bit for bit.
+    ``seed_sql`` swaps in an alternative (cell_id, vid) seed-pick
+    query (e.g. `kcenter_seeds_sql` re-projected) in place of the
+    lowest-id default — the twin of kmeans_fp's ``seed_ids``."""
     s = 1 << scale_log2
     dist = (
         "list_sum(list_transform(list_zip(a.v, c.cent), "
         "p -> (p[1] - p[2]) * (p[1] - p[2])))"
     )
+    c0 = (
+        f"SELECT vid AS cell_id, v AS cent FROM v WHERE vid < {n_cells}"
+        if seed_sql is None
+        else f"SELECT s.cell_id, v.v AS cent FROM ({seed_sql}) s "
+        f"JOIN v ON v.vid = s.vid"
+    )
     parts = [
         "v AS MATERIALIZED (SELECT vec_id AS vid, "
         f"list_transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE)"
         f" + 1.0) * {s}) AS BIGINT)) AS v FROM embeddings)",
-        f"c0 AS MATERIALIZED (SELECT vid AS cell_id, v AS cent FROM v"
-        f" WHERE vid < {n_cells})",
+        f"c0 AS MATERIALIZED ({c0})",
     ]
     for i in range(1, iterations + 2):
         prev = f"c{i - 1}"

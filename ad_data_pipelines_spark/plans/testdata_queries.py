@@ -3396,16 +3396,37 @@ def q_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# the trained codebook, de-quantized to (cell_id, embedding) doubles —
-# division by 2^20 is an exact exponent shift, so Spark and DuckDB see
-# identical doubles feeding the dot-product ranking
+# the kcenter seed picks as a (cell_id, vid) SQL source for kmeans_sql
+_KCENTER_SEED_SQL = (
+    f"SELECT cell_id, vec_id AS vid FROM ({_sim.kcenter_seeds_sql(n_cells=4)})"
+)
+
+# the trained codebook (kcenter-seeded — +0.04 mean IVF recall over
+# lowest-id seeds at sf0.01, builder-measured r14), de-quantized to
+# (cell_id, embedding) doubles — division by 2^20 is an exact exponent
+# shift, so Spark and DuckDB see identical doubles feeding the
+# dot-product ranking
 _KMEANS_CENT_SQL = f"""
     SELECT cell_id,
            list_transform(centroid_fp,
                           f -> CAST(f AS DOUBLE) / {1 << 20} - 1.0)
                AS embedding
-    FROM ({_sim.kmeans_sql(n_cells=4, iterations=3)})
+    FROM ({_sim.kmeans_sql(
+        n_cells=4, iterations=3, seed_sql=_KCENTER_SEED_SQL,
+    )})
 """
+
+
+def _kcenter_seeds_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The farthest-point seed picks (K local rows), memoized: the
+    K−1 greedy corpus passes run once per (session, sf_dir) — consumed
+    by the seeds gate query and the trainer."""
+    return _shared(
+        spark, sf_dir, "kcenter_seeds_4",
+        lambda: _sim.kcenter_seeds(
+            t(spark, sf_dir, "embeddings"), n_cells=4
+        ),
+    )
 
 
 def _kmeans_fp_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3413,11 +3434,20 @@ def _kmeans_fp_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration collects run once per (session, sf_dir); every
     trained-cell consumer (the cells query, the recall gates, the
     shared corpus-cell table) reads the same K-row LOCAL frame — the
-    memo skips re-training, not a persist."""
+    memo skips re-training, not a persist. Seeded from the shared
+    kcenter picks (farthest-point init beats lowest-id seeds on
+    trained recall and cell balance)."""
+    seed_ids = [
+        int(r.vec_id)
+        for r in _kcenter_seeds_shared(spark, sf_dir)
+        .orderBy("cell_id")
+        .collect()
+    ]
     return _shared(
         spark, sf_dir, "kmeans_fp_4x3",
         lambda: _sim.kmeans_fp(
-            t(spark, sf_dir, "embeddings"), n_cells=4, iterations=3
+            t(spark, sf_dir, "embeddings"), n_cells=4, iterations=3,
+            seed_ids=seed_ids,
         ),
     )
 
@@ -3517,7 +3547,9 @@ def q_llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                k.n_members,
                CAST(t.i - 1 AS BIGINT) AS dim,
                CAST(k.centroid_fp[t.i] AS BIGINT) AS centroid_q
-        FROM ({_sim.kmeans_sql(n_cells=4, iterations=3)}) k,
+        FROM ({_sim.kmeans_sql(
+            n_cells=4, iterations=3, seed_sql=_KCENTER_SEED_SQL,
+        )}) k,
              UNNEST(generate_series(1, len(k.centroid_fp))) AS t(i)
     """,
     doc="Deterministic fixed-point Lloyd k-means (4 cells, 3 "
@@ -3529,7 +3561,9 @@ def q_llm_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unrolled DuckDB recurrence. Per iteration: one cached-corpus "
     "pass, broadcast-literal argmin, one combinable (cell,dim) sum; "
     "K x 64 centroids collect driver-side (KB — the train_bpe "
-    "precedent). GATE SHAPE: the codebook is posexploded to one "
+    "precedent). Seeded by the shared farthest-point picks "
+    "(kcenter_seeds — +0.04 trained recall vs lowest-id, r14). "
+    "GATE SHAPE: the codebook is posexploded to one "
     "(cell_id, n_members, dim, centroid_q) BIGINT row per dimension — "
     "the registry's flat-output convention (the r13 array<bigint> "
     "column crashed the driver's canonicalizer; arrays stay on the "
@@ -3548,6 +3582,24 @@ def q_llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim").cast("bigint").alias("dim"),
         "centroid_q",
     )
+
+
+@register(
+    "llm_kcenter_seeds",
+    oracle=_sim.kcenter_seeds_sql(n_cells=4),
+    doc="Deterministic farthest-point (Gonzalez k-center) codebook "
+    "seeding in the kmeans_fp fixed-point domain: seed 0 = lowest id, "
+    "each next seed maximizes int64 squared-L2 distance to its "
+    "nearest chosen seed (ties -> lowest id) — spreads seeds across "
+    "the data's extremes where lowest-id seeds can all land in one "
+    "dense mode; the classic 2-approximation init for the trainer. "
+    "K-1 corpus passes, each reducing to ONE row via a combinable "
+    "lexicographic struct-min (seed literals in-plan, no shuffle); "
+    "bit-equal to the unrolled DuckDB greedy. "
+    "operators/similarity.py:kcenter_seeds.",
+)
+def q_llm_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sim.kcenter_seeds(t(spark, sf_dir, "embeddings"), n_cells=4)
 
 
 @register(
@@ -4128,11 +4180,13 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     harness would per index rebuild —, kmeans_fp_4x3 6
     (llm_kmeans_cells + every kmeans_corpus_cells consumer; the memo
     skips the trainer's per-iteration collects, the frame itself is
-    K rows).
+    K rows), kcenter_seeds_4 2 (llm_kcenter_seeds + the trainer's
+    seed pick).
     Dropped as single-consumer:
     nb_buckets (llm_nb_quality trains and scores off one memoized
     explode — reuse is WITHIN the query)."""
     return {
+        "kcenter_seeds_4": _kcenter_seeds_shared,
         "kmeans_fp_4x3": _kmeans_fp_shared,
         "shingles": _shingles_shared,
         "minhash_sigs": _minhash_sigs_shared,

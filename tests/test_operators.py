@@ -1202,6 +1202,55 @@ def test_bigram_lm_score_known_values(spark):
     assert out[2].avg_ll > out[3].avg_ll
 
 
+def test_kcenter_seeds_greedy_geometry_and_seed_ids(spark):
+    """Farthest-point picks on a planted 1-d line follow the greedy
+    exactly (seed 0 = lowest id, then the far end, then the midpoint);
+    kmeans_fp(seed_ids=) reproduces the default when handed [0..K-1]
+    and refuses duplicate/missing ids."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import similarity
+
+    line = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [0.1, 0.0]),
+            (2, [0.5, 0.0]),
+            (3, [1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    picks = {
+        int(r.cell_id): int(r.vec_id)
+        for r in similarity.kcenter_seeds(line, n_cells=3).collect()
+    }
+    assert picks == {0: 0, 1: 3, 2: 2}  # start, far end, midpoint
+    with pytest.raises(ValueError, match="n_cells"):
+        similarity.kcenter_seeds(line, n_cells=0)
+    with pytest.raises(ValueError, match="ivf_train_centroids"):
+        similarity.kcenter_seeds(line, n_cells=257)
+    with pytest.raises(ValueError, match="empty input"):
+        similarity.kcenter_seeds(
+            line.filter(F.col("vec_id") < 0), n_cells=2
+        )
+
+    # explicit seed_ids [0, 1] == the lowest-id default, bit-exact
+    a = sorted(
+        map(tuple, similarity.kmeans_fp(line, 2, 2).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            similarity.kmeans_fp(line, 2, 2, seed_ids=[0, 1]).collect(),
+        )
+    )
+    assert a == b
+    with pytest.raises(ValueError, match="distinct"):
+        similarity.kmeans_fp(line, 2, 1, seed_ids=[3, 3])
+    with pytest.raises(ValueError, match="one row each"):
+        similarity.kmeans_fp(line, 2, 1, seed_ids=[0, 99])
+
+
 def test_truncate_renorm_prefix_space(spark):
     """MRL truncation: output is the L2-renormalized first-d prefix
     (hand-checked), an all-zero prefix stays finite via the norm
