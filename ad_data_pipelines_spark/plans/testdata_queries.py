@@ -3599,7 +3599,7 @@ def q_llm_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/similarity.py:kcenter_seeds.",
 )
 def q_llm_kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sim.kcenter_seeds(t(spark, sf_dir, "embeddings"), n_cells=4)
+    return _kcenter_seeds_shared(spark, sf_dir)
 
 
 @register(
