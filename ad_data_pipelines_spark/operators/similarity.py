@@ -581,15 +581,21 @@ def kcenter_seeds(
             lambda acc, x: acc + x,
         )
 
+    chosen_ids = [int(first[0].vid)]
     for j in range(1, n_cells):
         mind = F.least(*[dist_to(c) for c in chosen]) if len(
             chosen
         ) > 1 else dist_to(chosen[0])
         # farthest point = lexicographic min over (-min_dist, vid):
         # largest distance first, ties to the lowest id; the vector
-        # rides along (unique (nd, vid) key, it never orders)
-        best = (
-            vq.select(
+        # rides along (unique (nd, vid) key, it never orders).
+        # Already-chosen ids are EXCLUDED — a chosen seed's distance is
+        # 0 so it never wins normally, but on a corpus of identical
+        # vectors the 0-distance tie would re-pick seed 0 and the
+        # trainer would refuse the duplicate id downstream.
+        best_rows = (
+            vq.filter(~F.col("vid").isin(chosen_ids))
+            .select(
                 F.min(
                     F.struct(
                         (-mind).alias("nd"),
@@ -598,11 +604,18 @@ def kcenter_seeds(
                     )
                 ).alias("m")
             )
-            .collect()[0]
-            .m
+            .collect()
         )
+        best = best_rows[0].m if best_rows else None
+        if best is None:
+            vq.unpersist()
+            raise ValueError(
+                f"kcenter_seeds: only {j} vectors available for "
+                f"n_cells={n_cells}"
+            )
         picks.append((j, int(best.vid), int(-best.nd)))
         chosen.append(list(best.v))
+        chosen_ids.append(int(best.vid))
     vq.unpersist()
     spark = embeddings.sparkSession
     return spark.createDataFrame(
@@ -636,10 +649,14 @@ def kcenter_seeds_sql(n_cells: int = 4, scale_log2: int = 20) -> str:
         prior = ", ".join(f"kc_s{i}" for i in range(j))
         dists = [dist("kc_v.v", f"kc_s{i}.v") for i in range(j)]
         md = dists[0] if j == 1 else f"LEAST({', '.join(dists)})"
+        # chosen ids excluded, mirroring the Spark side's duplicate-
+        # vector guard
+        excl = " AND ".join(f"kc_v.vid <> kc_s{i}.vid" for i in range(j))
         parts.append(
             f"kc_s{j} AS MATERIALIZED (SELECT kc_v.vid, kc_v.v, "
             f"CAST({md} AS BIGINT) AS md "
-            f"FROM kc_v, {prior} ORDER BY {md} DESC, kc_v.vid LIMIT 1)"
+            f"FROM kc_v, {prior} WHERE {excl} "
+            f"ORDER BY {md} DESC, kc_v.vid LIMIT 1)"
         )
     rows = [
         "SELECT CAST(0 AS BIGINT) AS cell_id, vid AS vec_id, "

@@ -85,6 +85,92 @@ def build_vocab_sql(max_size: int = 1000) -> str:
     """
 
 
+def vocab_coverage(
+    docs: DataFrame, sizes: tuple[int, ...] = (100, 1000, 10000)
+) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-sizing diagnostic:
+    for each candidate vocab size K, the fraction of corpus token
+    OCCURRENCES covered by the K most frequent types (same
+    (count DESC, token ASC) rank as `build_vocab`, so coverage(K) is
+    exactly the non-OOV occurrence share a K-sized `build_vocab`
+    would achieve). Returns (vocab_size, n_types, coverage) with
+    n_types = min(K, |V|) — coverage 1.0 once K exhausts the
+    vocabulary.
+
+    Scale shape: ONE token explode into a combinable (token, count)
+    aggregate; the rank/running-sum window runs over the AGGREGATED
+    vocabulary (post-aggregate single partition — the w8 pattern, and
+    vocabulary size, not corpus size); sizes broadcast; the final
+    aggregate groups len(sizes) keys."""
+    if not sizes or any(s < 1 for s in sizes):
+        raise ValueError(f"sizes must be positive, got {sizes}")
+    counts = _tokens(docs).groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
+    ranked = counts.select(
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    spark = docs.sparkSession
+    sizes_df = spark.createDataFrame(
+        [(int(s),) for s in sorted(set(sizes))], "vocab_size bigint"
+    )
+    return (
+        ranked.join(
+            F.broadcast(sizes_df), F.col("rk") <= F.col("vocab_size")
+        )
+        .groupBy("vocab_size")
+        .agg(
+            F.max("rk").alias("n_types"),
+            F.max("cum").alias("cov_n"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            "n_types",
+            F.round(F.col("cov_n") / F.col("t"), 6).alias("coverage"),
+        )
+    )
+
+
+def vocab_coverage_sql(sizes: tuple[int, ...] = (100, 1000, 10000)) -> str:
+    """DuckDB twin of `vocab_coverage` over the documents table."""
+    size_list = ", ".join(str(int(s)) for s in sorted(set(sizes)))
+    return f"""
+        WITH toks AS (
+            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+            FROM documents
+        ),
+        counts AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM toks WHERE token <> '' GROUP BY 1
+        ),
+        ranked AS (
+            SELECT CAST(ROW_NUMBER() OVER (
+                       ORDER BY n DESC, token
+                   ) AS BIGINT) AS rk,
+                   SUM(n) OVER (
+                       ORDER BY n DESC, token
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM counts
+        ),
+        total AS (SELECT SUM(n) AS t FROM counts),
+        sizes AS (
+            SELECT CAST(unnest([{size_list}]) AS BIGINT) AS vocab_size
+        )
+        SELECT vocab_size,
+               CAST(MAX(rk) AS BIGINT) AS n_types,
+               ROUND(CAST(MAX(cum) AS DOUBLE) / t, 6) AS coverage
+        FROM ranked
+        JOIN sizes ON rk <= vocab_size
+        CROSS JOIN total
+        GROUP BY vocab_size, t
+    """
+
+
 def encode_docs(docs: DataFrame, vocab: DataFrame) -> DataFrame:
     """Encode each document against a `build_vocab` table: one row per
     doc with `token_ids` (array<bigint>, OOV → 0, original token

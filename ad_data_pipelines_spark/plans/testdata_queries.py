@@ -5990,6 +5990,26 @@ def q_llm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_vocab_coverage",
+    oracle=_vocab.vocab_coverage_sql(sizes=(5, 10, 25)),
+    doc="Vocabulary coverage curve — the tokenizer-sizing diagnostic: "
+    "for K in {5, 10, 25} (the synthetic corpus holds ~31 types; "
+    "real corpora use 2^13..2^18), the fraction of corpus token "
+    "occurrences the K most frequent types cover (same rank as "
+    "build_vocab, so coverage(K) IS the non-OOV share a K-sized "
+    "vocab achieves; n_types = min(K, |V|) shows where the curve "
+    "saturates). One explode into a combinable (token, count) "
+    "aggregate; rank/running-sum window over the AGGREGATED "
+    "vocabulary only (post-aggregate single partition, the w8 "
+    "pattern); sizes broadcast. operators/vocab.py:vocab_coverage.",
+)
+def q_llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vocab.vocab_coverage(
+        t(spark, sf_dir, "documents"), sizes=(5, 10, 25)
+    )
+
+
+@register(
     "llm_encode_docs",
     oracle=_vocab.encode_docs_sql(max_size=200),
     doc="Corpus encoding against the built vocabulary: every doc "

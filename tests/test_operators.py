@@ -1098,6 +1098,24 @@ def test_vocab_and_encode_roundtrip(spark):
     plan = v._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
 
+    # coverage curve on the same corpus: 9 occurrences over 4 types
+    # ranked a(4) b(3) c(1) zzz(1); K clamps to |V| once exhausted
+    cov = {
+        r.vocab_size: (r.n_types, r.coverage)
+        for r in vb.vocab_coverage(docs, sizes=(1, 2, 10)).collect()
+    }
+    assert cov == {
+        1: (1, round(4 / 9, 6)),
+        2: (2, round(7 / 9, 6)),
+        10: (4, 1.0),
+    }
+    import pytest
+
+    with pytest.raises(ValueError, match="sizes"):
+        vb.vocab_coverage(docs, sizes=())
+    with pytest.raises(ValueError, match="sizes"):
+        vb.vocab_coverage(docs, sizes=(0,))
+
 
 def test_remove_boilerplate_lines_crafted(spark):
     """Line mode: a footer line shared by most docs is removed
@@ -1232,6 +1250,22 @@ def test_kcenter_seeds_greedy_geometry_and_seed_ids(spark):
     with pytest.raises(ValueError, match="empty input"):
         similarity.kcenter_seeds(
             line.filter(F.col("vec_id") < 0), n_cells=2
+        )
+    # identical-vector corpus: chosen ids are excluded from later
+    # picks, so seeds stay DISTINCT ids (all at distance 0) instead of
+    # re-picking seed 0 and crashing the trainer downstream
+    dup_corpus = spark.createDataFrame(
+        [(i, [0.5, 0.5]) for i in range(4)],
+        "vec_id bigint, embedding array<double>",
+    )
+    dpicks = {
+        int(r.cell_id): (int(r.vec_id), int(r.min_dist_fp))
+        for r in similarity.kcenter_seeds(dup_corpus, n_cells=3).collect()
+    }
+    assert dpicks == {0: (0, 0), 1: (1, 0), 2: (2, 0)}
+    with pytest.raises(ValueError, match="only 2 vectors"):
+        similarity.kcenter_seeds(
+            line.filter(F.col("vec_id") < 2), n_cells=3
         )
 
     # explicit seed_ids [0, 1] == the lowest-id default, bit-exact
