@@ -240,3 +240,89 @@ def bigram_lm_score_sql(k: float = 0.5, round_dp: int = 4) -> str:
         FROM docbg JOIN lm USING (bg)
         GROUP BY doc_id
     """
+
+def perplexity_buckets(
+    docs: DataFrame,
+    k: float = 0.5,
+    lo: float = 0.3333333333333333,
+    hi: float = 0.6666666666666666,
+    round_dp: int = 4,
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: score every doc's
+    average bigram log-likelihood under the corpus LM, then split each
+    language at exact per-language quantile thresholds (head = most
+    probable third — the slice CCNet keeps outright; tail = the
+    improbable third a pipeline drops or down-weights). Returns the
+    bucket report (lang, bucket, n_docs, mean_ll).
+
+    Scale shape: scoring is `bigram_lm_score` (combinable counts,
+    keyed joins, text never shuffles); thresholds are ONE exact-
+    percentile aggregate per language broadcast back (production swaps
+    percentile → approx_percentile, the documented llm_quality_
+    quantile divergence); bucketing is a map-side CASE; the report is
+    a languages×3-row aggregate. No global window anywhere.
+
+    Determinism: avg_ll is already rounded to `round_dp`; thresholds
+    round the interpolated quantile to the same dp (the
+    llm_quality_quantile precedent), and buckets use >=-comparisons on
+    those rounded doubles — identical in both engines.
+    """
+    scored = bigram_lm_score(docs, k=k, round_dp=round_dp)
+    langd = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    pct = langd.groupBy("lang").agg(
+        F.round(F.expr(f"percentile(avg_ll, {lo!r})"), round_dp).alias(
+            "p_lo"
+        ),
+        F.round(F.expr(f"percentile(avg_ll, {hi!r})"), round_dp).alias(
+            "p_hi"
+        ),
+    )
+    bucketed = langd.join(F.broadcast(pct), "lang").select(
+        "lang",
+        "avg_ll",
+        F.when(F.col("avg_ll") >= F.col("p_hi"), F.lit("head"))
+        .when(F.col("avg_ll") >= F.col("p_lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.sum("avg_ll") / F.count("*"), round_dp).alias("mean_ll"),
+    )
+
+
+def perplexity_buckets_sql(
+    k: float = 0.5,
+    lo: float = 0.3333333333333333,
+    hi: float = 0.6666666666666666,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of `perplexity_buckets` over the documents table
+    (quantile_cont == Spark's exact percentile, linear
+    interpolation)."""
+    return f"""
+        WITH scored AS ({bigram_lm_score_sql(k=k, round_dp=round_dp)}),
+        langd AS (
+            SELECT s.doc_id, s.avg_ll, d.lang
+            FROM scored s JOIN documents d USING (doc_id)
+        ),
+        pct AS (
+            SELECT lang,
+                   ROUND(quantile_cont(avg_ll, {lo!r}), {round_dp}) AS p_lo,
+                   ROUND(quantile_cont(avg_ll, {hi!r}), {round_dp}) AS p_hi
+            FROM langd GROUP BY 1
+        ),
+        bucketed AS (
+            SELECT l.lang,
+                   l.avg_ll,
+                   CASE WHEN l.avg_ll >= p.p_hi THEN 'head'
+                        WHEN l.avg_ll >= p.p_lo THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM langd l JOIN pct p USING (lang)
+        )
+        SELECT lang, bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND(SUM(avg_ll) / COUNT(*), {round_dp}) AS mean_ll
+        FROM bucketed
+        GROUP BY 1, 2
+    """

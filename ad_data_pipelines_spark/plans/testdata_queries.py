@@ -6119,6 +6119,24 @@ def q_llm_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_ppl_buckets",
+    oracle=_lm.perplexity_buckets_sql(k=0.5),
+    doc="CCNet-style head/middle/tail perplexity bucketing: every doc "
+    "scored under the corpus bigram LM, each language split at its "
+    "exact tercile thresholds (head = the most probable third CCNet "
+    "keeps outright, tail = the improbable third to drop or "
+    "down-weight), reported as (lang, bucket, n_docs, mean_ll). "
+    "Thresholds are ONE exact-percentile aggregate per language "
+    "broadcast back (production: approx_percentile, the documented "
+    "quantile divergence); bucketing is a map-side CASE over the "
+    "already-rounded scores; no global window anywhere. "
+    "operators/lm.py:perplexity_buckets.",
+)
+def q_llm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lm.perplexity_buckets(t(spark, sf_dir, "documents"), k=0.5)
+
+
+@register(
     "llm_tfidf_keywords",
     oracle=_ts.tfidf_keywords_sql("source", k=5),
     doc="Top-5 TF-IDF keywords per source slice — the per-slice "

@@ -1353,6 +1353,39 @@ def test_bigram_lm_heldout_fallbacks(spark):
     assert out[1].avg_ll > out[3].avg_ll > out[2].avg_ll
 
 
+def test_perplexity_buckets_structure(spark):
+    """Bucket report invariants on a two-language corpus: per language
+    the counts cover all scoreable docs, head mean >= middle mean >=
+    tail mean (buckets order by likelihood), and a language whose docs
+    all score identically lands entirely in 'head' (>= threshold)."""
+    from ad_data_pipelines_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [
+            # six 'en' docs with spread likelihoods (common vs rare
+            # transitions)
+            (1, "a b a b a b", "en"),
+            (2, "a b a b", "en"),
+            (3, "a b c d", "en"),
+            (4, "c d c d", "en"),
+            (5, "e f g h", "en"),
+            (6, "h g f e", "en"),
+            # identical 'zz' docs -> one avg_ll value
+            (7, "x y x y", "zz"),
+            (8, "x y x y", "zz"),
+            (9, "x y x y", "zz"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    rows = lm.perplexity_buckets(docs, k=0.5).collect()
+    by = {(r.lang, r.bucket): r for r in rows}
+    assert sum(r.n_docs for r in rows if r.lang == "en") == 6
+    means = {b: by[("en", b)].mean_ll for b in ("head", "middle", "tail")}
+    assert means["head"] >= means["middle"] >= means["tail"]
+    zz = [r for r in rows if r.lang == "zz"]
+    assert len(zz) == 1 and zz[0].bucket == "head" and zz[0].n_docs == 3
+
+
 def test_tfidf_keywords_discriminative_terms(spark):
     """A term unique to one group gets idf=ln(n_groups); a term in all
     groups gets tfidf 0; top-k and deterministic tie order hold."""
