@@ -119,6 +119,183 @@ def train_nb(
     return weights, consts
 
 
+def hashed_gram_buckets(
+    docs: DataFrame,
+    n_features: int = 4096,
+    text_col: str = "text",
+    *,
+    fast: bool = False,
+) -> DataFrame:
+    """(doc_id, bucket): one row per unigram AND bigram occurrence,
+    each gram hashed to [0, n_features) — the DSIR featurizer (Xie et
+    al. 2023 use hashed uni+bigram bag models). Bigrams build
+    ARRAY-SIDE with zip_with over two slices (the lm.py trick) so
+    extraction is a narrow map stage; docs with zero tokens contribute
+    no rows (and therefore drop from any per-doc score — mirrored by
+    the oracle's unnest of an empty list)."""
+    toks = F.filter(
+        F.split(F.lower(F.trim(text_col)), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    n = F.size("__toks")
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("__toks", 1, n - 1),
+            F.slice("__toks", 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", toks.alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(F.concat(F.col("__toks"), bigrams)).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            F.pmod(
+                portable_hash64("gram", fast=fast), F.lit(n_features)
+            ).alias("bucket"),
+        )
+    )
+
+
+def dsir_weights(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    n_features: int = 4096,
+    alpha: float = 1.0,
+    text_col: str = "text",
+    round_dp: int = 4,
+    *,
+    fast: bool = False,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): fit two bag-of-hashed-ngram generative models — p̂ on the
+    TARGET corpus (the domain you want more of), q̂ on the RAW pool —
+    and score every raw doc with its log importance weight
+
+        log w(doc) = Σ_gram  ln p̂(bucket(gram)) − ln q̂(bucket(gram)),
+
+    add-α smoothed over the n_features-bucket feature space. Docs that
+    look like the target score high; resampling raw data ∝ w shifts
+    the pretraining mixture toward the target domain without a hard
+    classifier threshold (pair with `sampling.gumbel_topk_sample` for
+    the fixed-size resample step). Returns (doc_id, n_grams, log_w),
+    log_w rounded to `round_dp`.
+
+    Scale shape: featurization is a narrow map+explode (text never
+    shuffles — only (doc_id, bucket) longs); each model is ONE
+    combinable count aggregate reduced to ≤ n_features rows; the
+    per-bucket log-ratio table broadcasts to the scoring join; the
+    per-doc score is one combinable sum. Retraining on a new target
+    at 100 TB is two groupBys. Every scored bucket appears in the raw
+    counts by construction (raw scores itself), so no unseen-bucket
+    fallback path is needed — callers scoring a THIRD corpus should
+    score it as part of the raw pool or add the NB-style coalesce.
+    """
+    if n_features <= 0 or alpha <= 0:
+        raise ValueError(
+            "dsir_weights: n_features and alpha must be positive "
+            f"(got n_features={n_features}, alpha={alpha})"
+        )
+    bt = hashed_gram_buckets(target_docs, n_features, text_col, fast=fast)
+    br = hashed_gram_buckets(raw_docs, n_features, text_col, fast=fast)
+    ct = bt.groupBy("bucket").agg(F.count("*").alias("ct"))
+    cr = br.groupBy("bucket").agg(F.count("*").alias("cr"))
+    counts = (
+        ct.join(cr, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("ct", F.lit(0)).alias("ct"),
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    a, b = float(alpha), float(n_features)
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + a) / (F.col("nt") + a * b))
+            - F.log((F.col("cr") + a) / (F.col("nr") + a * b))
+        ).alias("w"),
+    )
+    return (
+        br.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.round(F.sum("w"), round_dp).alias("log_w"),
+        )
+    )
+
+
+def dsir_weights_sql(
+    raw_where: str,
+    target_where: str,
+    n_features: int = 4096,
+    alpha: float = 1.0,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of `dsir_weights` over the documents table;
+    `raw_where` / `target_where` are SQL predicates selecting the two
+    corpora. Same md5-portable bucket hash, same add-α algebra."""
+    a, b = float(alpha), float(n_features)
+    return f"""
+        WITH base AS (
+            SELECT doc_id, lang, source,
+                   list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, lang, source,
+                   unnest(toks || list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS gram
+            FROM base
+        ),
+        gb AS (
+            SELECT doc_id, lang, source,
+                   CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                       % {n_features} AS bucket
+            FROM grams
+        ),
+        ct AS (
+            SELECT bucket, COUNT(*) AS ct FROM gb
+            WHERE {target_where} GROUP BY bucket
+        ),
+        cr AS (
+            SELECT bucket, COUNT(*) AS cr FROM gb
+            WHERE {raw_where} GROUP BY bucket
+        ),
+        counts AS (
+            SELECT COALESCE(ct.bucket, cr.bucket) AS bucket,
+                   COALESCE(ct.ct, 0) AS ct, COALESCE(cr.cr, 0) AS cr
+            FROM ct FULL OUTER JOIN cr ON ct.bucket = cr.bucket
+        ),
+        totals AS (
+            SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM counts
+        ),
+        w AS (
+            SELECT bucket,
+                   ln((ct + {a}) / (nt + {a} * {b}))
+                   - ln((cr + {a}) / (nr + {a} * {b})) AS w
+            FROM counts CROSS JOIN totals
+        )
+        SELECT gb.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               ROUND(SUM(w.w), {round_dp}) AS log_w
+        FROM gb JOIN w USING (bucket)
+        WHERE {raw_where}
+        GROUP BY gb.doc_id
+    """
+
+
 def nb_score(
     docs: DataFrame,
     weights: DataFrame,

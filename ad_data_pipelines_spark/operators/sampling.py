@@ -207,6 +207,85 @@ def weighted_sample_sql(
     return f"{bucket} < FLOOR({w} * {N_BUCKETS})"
 
 
+#: 31-bit Mersenne prime — uniform-draw modulus for the Gumbel trick.
+_M31 = (1 << 31) - 1
+
+
+def gumbel_key(
+    log_weight: Column,
+    key: Column | str,
+    salt: str = "gumbel",
+    round_dp: int = 4,
+    *,
+    fast: bool = False,
+) -> Column:
+    """Per-row Gumbel-perturbed sampling key: log_weight + g where
+    g = −ln(−ln(u)) and u is a deterministic hash-uniform in (0, 1)
+    ((h mod (2^31−1)) + 1) / 2^31 — an exactly-representable dyadic
+    rational, so both engines feed ln identical doubles. Rounded to
+    `round_dp` so the cross-engine contract is the registry's usual
+    rounded-double one."""
+    c = F.col(key) if isinstance(key, str) else key
+    h = portable_hash64(
+        F.concat(c.cast("string"), F.lit("#" + salt)), fast=fast
+    )
+    u = ((h % F.lit(_M31)) + F.lit(1)) / F.lit(float(1 << 31))
+    return F.round(log_weight - F.log(-F.log(u)), round_dp)
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    log_weight: Column,
+    k: int,
+    key: str,
+    salt: str = "gumbel",
+    round_dp: int = 4,
+    *,
+    fast: bool = False,
+) -> DataFrame:
+    """Fixed-size weighted sample WITHOUT replacement in ONE pass —
+    the Gumbel-max / Efraimidis–Spirakis trick: perturb each row's
+    log-weight with deterministic Gumbel noise and keep the global
+    top-k keys. Distributionally this samples k rows with probability
+    proportional to exp(log_weight) without replacement, which is the
+    DSIR resampling step (pair with `classify.dsir_weights`) and the
+    general answer to "draw a fixed-size weighted subsample of a
+    100 TB corpus" — `weighted_sample` is Bernoulli (size varies),
+    this pins the size.
+
+    Scale shape: the key is map-only; the top-k is a TakeOrdered
+    (per-partition heaps + k-row driver merge) — never a global
+    window, never a full sort. Deterministic: the noise is keyed to
+    the row, and the (gumbel_key, key) order is unique, so reruns,
+    engines and partitionings pick the same k rows.
+
+    Returns the selected rows with their `gumbel_key` column.
+    """
+    if k <= 0:
+        raise ValueError(f"gumbel_topk_sample: k must be positive, got {k}")
+    out = df.withColumn(
+        "gumbel_key",
+        gumbel_key(log_weight, key, salt, round_dp, fast=fast),
+    )
+    return out.orderBy(
+        F.col("gumbel_key").desc(), F.col(key).asc()
+    ).limit(k)
+
+
+def gumbel_key_sql(
+    log_w_expr: str,
+    key_expr: str,
+    salt: str = "gumbel",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of `gumbel_key` — embed in an ORDER BY ... LIMIT k
+    with the same (DESC, key ASC) tie-break as `gumbel_topk_sample`."""
+    keyed = f"(CAST({key_expr} AS VARCHAR) || '#{salt}')"
+    h = f"CAST('0x' || substr(md5({keyed}), 1, 15) AS BIGINT)"
+    u = f"(({h} % {_M31}) + 1) / {float(1 << 31)!r}"
+    return f"ROUND(({log_w_expr}) - ln(-ln({u})), {round_dp})"
+
+
 def mixture_balance(
     df: DataFrame,
     strata_col: str,

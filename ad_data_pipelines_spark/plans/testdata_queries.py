@@ -825,6 +825,7 @@ from ad_data_pipelines_spark.operators import scrub as _scrub  # noqa: E402
 from ad_data_pipelines_spark.operators import similarity as _sim  # noqa: E402
 from ad_data_pipelines_spark.operators import textstats as _ts  # noqa: E402
 from ad_data_pipelines_spark.operators import lm as _lm  # noqa: E402
+from ad_data_pipelines_spark.operators import classify as _cls  # noqa: E402
 from ad_data_pipelines_spark.operators import snapshot as _snapshot  # noqa: E402
 from ad_data_pipelines_spark.operators import audit as _audit  # noqa: E402
 from ad_data_pipelines_spark.operators import agg as _agg  # noqa: E402
@@ -4181,7 +4182,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (llm_kmeans_cells + every kmeans_corpus_cells consumer; the memo
     skips the trainer's per-iteration collects, the frame itself is
     K rows), kcenter_seeds_4 2 (llm_kcenter_seeds + the trainer's
-    seed pick).
+    seed pick), dsir_weights 2 (llm_dsir_weights/llm_dsir_select).
     Dropped as single-consumer:
     nb_buckets (llm_nb_quality trains and scores off one memoized
     explode — reuse is WITHIN the query)."""
@@ -4208,6 +4209,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosupply_knn": _cosupply_knn_shared,
         "cosine_truth25": _cosine_truth25_shared,
         "l2_truth10": _l2_truth10_shared,
+        "dsir_weights": _dsir_weights_shared,
     }
 
 
@@ -5042,6 +5044,84 @@ def q_llm_nb_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_pred_en"),
             F.round(F.avg("score"), 4).alias("avg_score"),
         )
+    )
+
+
+def _dsir_weights_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR log-importance weights of the raw pool (source<>'src0')
+    against the src0 target domain — shared by llm_dsir_weights (the
+    weight table itself) and llm_dsir_select (the Gumbel resample over
+    it); the disk twin is the per-candidate weight column a curation
+    run materializes once and resamples from many times."""
+    docs = t(spark, sf_dir, "documents")
+    return _shared(
+        spark,
+        sf_dir,
+        "dsir_weights",
+        lambda: _cls.dsir_weights(
+            docs.filter(F.col("source") != "src0"),
+            docs.filter(F.col("source") == "src0"),
+            n_features=4096,
+        ),
+    )
+
+
+_DSIR_SQL = _cls.dsir_weights_sql(
+    raw_where="source <> 'src0'",
+    target_where="source = 'src0'",
+    n_features=4096,
+)
+
+
+@register(
+    "llm_dsir_weights",
+    oracle=_DSIR_SQL,
+    doc="DSIR — Data Selection via Importance Resampling (Xie et al. "
+    "2023): hashed uni+bigram bag models p̂ (target = source='src0') "
+    "and q̂ (raw = the rest), every raw doc scored with its log "
+    "importance weight Σ ln p̂(b) − ln q̂(b) (add-1 smoothing over "
+    "4096 md5 buckets). High scores = raw docs that look like the "
+    "target domain — the principled alternative to a hard classifier "
+    "threshold for shifting a pretraining mixture. Featurization is a "
+    "narrow map+explode (text never shuffles); each model is ONE "
+    "combinable count aggregate (≤4096 rows, broadcast); scoring is "
+    "one broadcast join + per-doc sum. "
+    "operators/classify.py:dsir_weights.",
+)
+def q_llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_weights_shared(spark, sf_dir)
+
+
+@register(
+    "llm_dsir_select",
+    oracle=f"""
+        WITH dw AS ({_cls.dsir_weights_sql(
+            raw_where="source <> 'src0'",
+            target_where="source = 'src0'",
+            n_features=4096,
+        )})
+        SELECT doc_id, n_grams, log_w,
+               {_sampling.gumbel_key_sql("log_w", "doc_id")} AS gumbel_key
+        FROM dw
+        ORDER BY gumbel_key DESC, doc_id ASC
+        LIMIT 40
+    """,
+    doc="The DSIR resampling step: a FIXED-SIZE weighted sample "
+    "without replacement over the importance weights via the "
+    "Gumbel-max / Efraimidis–Spirakis trick — each doc's log-weight "
+    "perturbed by deterministic hash-keyed Gumbel noise, global "
+    "top-40 keys kept. One map + TakeOrdered (per-partition heaps + "
+    "40-row driver merge) — never a global window or full sort; the "
+    "(gumbel_key, doc_id) order is unique so engines and "
+    "partitionings agree. Reads the session-shared weight stage. "
+    "operators/sampling.py:gumbel_topk_sample.",
+)
+def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sampling.gumbel_topk_sample(
+        _dsir_weights_shared(spark, sf_dir),
+        F.col("log_w"),
+        k=40,
+        key="doc_id",
     )
 
 

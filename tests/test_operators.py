@@ -822,6 +822,96 @@ def test_weighted_sample_monotone_and_calibrated(spark):
     assert rates[True] > rates[False]
 
 
+def test_dsir_weights_target_likeness_and_guards(spark):
+    """Raw docs that look like the target domain outscore off-domain
+    raw docs; n_grams = unigrams + bigrams; zero-token docs drop; bad
+    knobs raise."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import classify
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),  # exactly target-like
+            (2, "alpha beta zeta"),  # partially target-like
+            (3, "qq rr ss"),  # off-domain
+            (4, "   "),  # zero tokens -> no gram rows -> absent
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in classify.dsir_weights(raw, target, n_features=64).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    # 3 tokens -> 3 unigrams + 2 bigrams
+    assert rows[1].n_grams == 5
+    assert rows[1].log_w > rows[2].log_w > rows[3].log_w
+
+    with pytest.raises(ValueError, match="n_features"):
+        classify.dsir_weights(raw, target, n_features=0)
+    with pytest.raises(ValueError, match="alpha"):
+        classify.dsir_weights(raw, target, alpha=0.0)
+
+
+def test_gumbel_topk_sample_fixed_size_weighted(spark):
+    """Exactly k rows come back; with weight gaps far above the Gumbel
+    noise scale the top-weight rows win; the pick is deterministic
+    across calls; k >= n returns everything; k <= 0 raises."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import sampling
+
+    # weights 0/1000: Gumbel noise spans a few units, never 1000
+    df = spark.createDataFrame(
+        [(i, 1000.0 if i < 5 else 0.0) for i in range(50)],
+        "doc_id bigint, lw double",
+    )
+    got = sampling.gumbel_topk_sample(df, F.col("lw"), k=5, key="doc_id")
+    picked = {r.doc_id for r in got.collect()}
+    assert picked == {0, 1, 2, 3, 4}
+    assert "gumbel_key" in got.columns
+
+    again = {
+        r.doc_id
+        for r in sampling.gumbel_topk_sample(
+            df, F.col("lw"), k=5, key="doc_id"
+        ).collect()
+    }
+    assert again == picked  # deterministic — keyed noise, not random()
+
+    assert (
+        sampling.gumbel_topk_sample(df, F.col("lw"), k=99, key="doc_id")
+        .count()
+        == 50
+    )
+    with pytest.raises(ValueError, match="k must be positive"):
+        sampling.gumbel_topk_sample(df, F.col("lw"), k=0, key="doc_id")
+
+    # equal weights: the sample is a uniform k-subset driven ONLY by
+    # the keyed noise — different salts pick different subsets
+    flat = spark.createDataFrame(
+        [(i, 0.0) for i in range(200)], "doc_id bigint, lw double"
+    )
+    a = {
+        r.doc_id
+        for r in sampling.gumbel_topk_sample(
+            flat, F.col("lw"), k=20, key="doc_id", salt="s1"
+        ).collect()
+    }
+    b = {
+        r.doc_id
+        for r in sampling.gumbel_topk_sample(
+            flat, F.col("lw"), k=20, key="doc_id", salt="s2"
+        ).collect()
+    }
+    assert len(a) == len(b) == 20 and a != b
+
+
 def test_mixture_balance_exact_counts_and_stability(spark):
     """Exactly min(target, |stratum|) rows per stratum, untargeted
     strata dropped; a stratum's pick is independent of OTHER strata's
