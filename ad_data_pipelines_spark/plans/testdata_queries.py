@@ -826,6 +826,7 @@ from ad_data_pipelines_spark.operators import similarity as _sim  # noqa: E402
 from ad_data_pipelines_spark.operators import textstats as _ts  # noqa: E402
 from ad_data_pipelines_spark.operators import lm as _lm  # noqa: E402
 from ad_data_pipelines_spark.operators import classify as _cls  # noqa: E402
+from ad_data_pipelines_spark.operators import retrieval as _ret  # noqa: E402
 from ad_data_pipelines_spark.operators import snapshot as _snapshot  # noqa: E402
 from ad_data_pipelines_spark.operators import audit as _audit  # noqa: E402
 from ad_data_pipelines_spark.operators import agg as _agg  # noqa: E402
@@ -4182,7 +4183,8 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (llm_kmeans_cells + every kmeans_corpus_cells consumer; the memo
     skips the trainer's per-iteration collects, the frame itself is
     K rows), kcenter_seeds_4 2 (llm_kcenter_seeds + the trainer's
-    seed pick), dsir_weights 2 (llm_dsir_weights/llm_dsir_select).
+    seed pick), dsir_weights 2 (llm_dsir_weights/llm_dsir_select),
+    bm25_scores 2 (llm_bm25_topk/llm_hybrid_rrf).
     Dropped as single-consumer:
     nb_buckets (llm_nb_quality trains and scores off one memoized
     explode — reuse is WITHIN the query)."""
@@ -4210,6 +4212,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_truth25": _cosine_truth25_shared,
         "l2_truth10": _l2_truth10_shared,
         "dsir_weights": _dsir_weights_shared,
+        "bm25_scores": _bm25_scores_shared,
     }
 
 
@@ -5122,6 +5125,94 @@ def q_llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("log_w"),
         k=40,
         key="doc_id",
+    )
+
+
+#: the registry retrieval query — four mid-frequency corpus terms
+_BM25_TERMS = ["hash", "join", "vector", "stream"]
+
+
+def _bm25_scores_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 score table for the registry's 4-term query — shared by
+    llm_bm25_topk (its top-20) and llm_hybrid_rrf (its top-50 rank
+    list), so the corpus tokenizes once per session; the disk twin is
+    the per-query score table a retrieval pipeline materializes once
+    and cuts at several depths."""
+    return _shared(
+        spark,
+        sf_dir,
+        "bm25_scores",
+        lambda: _ret.bm25_scores(t(spark, sf_dir, "documents"), _BM25_TERMS),
+    )
+
+
+@register(
+    "llm_bm25_topk",
+    oracle=f"""
+        WITH bm AS ({_ret.bm25_scores_sql(_BM25_TERMS)})
+        SELECT doc_id, n_terms, score FROM bm
+        ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="Okapi BM25 top-20 lexical retrieval for a 4-term query over "
+    "the documents table — the query-targeted selection primitive "
+    "(pick the corpus slice most relevant to a target domain/query). "
+    "Tokens filter to the query terms MAP-SIDE (the exchange carries "
+    "only matching (doc_id, term) occurrences, never text); N/avgdl "
+    "are a 1-row broadcast aggregate, per-term dfs a 4-row broadcast; "
+    "the cut is TakeOrdered on (score DESC, doc_id). "
+    "operators/retrieval.py:bm25_topk.",
+)
+def q_llm_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_scores_shared(spark, sf_dir)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "llm_hybrid_rrf",
+    oracle=f"""
+        WITH bm AS ({_ret.bm25_scores_sql(_BM25_TERMS)}),
+        bm_rank AS (
+            SELECT doc_id, rank FROM (
+                SELECT doc_id, ROW_NUMBER() OVER (
+                    ORDER BY score DESC, doc_id
+                ) AS rank FROM bm
+            ) WHERE rank <= 50
+        ),
+        cos AS ({_sim.cosine_topk_sql(max_query_id=1, k=50)}),
+        u AS (
+            SELECT * FROM bm_rank
+            UNION ALL
+            SELECT neighbor_id AS doc_id, rk AS rank FROM cos
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lists,
+               ROUND(SUM(1.0 / (60 + rank)), 4) AS rrf
+        FROM u GROUP BY doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 20
+    """,
+    doc="Hybrid retrieval by reciprocal-rank fusion (Cormack et al. "
+    "2009): the BM25 top-50 lexical list fused with the embedding "
+    "cosine top-50 for query vector 0 (vec_id AS doc_id, the "
+    "registry's doc↔vec bridge) via Σ 1/(60+rank), final top-20 on "
+    "(rrf DESC, doc_id). Rank-only fusion needs no score "
+    "calibration; docs on BOTH lists (n_lists=2) dominate. Each "
+    "input list is already k-row-bounded, so fusion cost is "
+    "O(Σ list length) regardless of corpus size. "
+    "operators/retrieval.py:rrf_fuse.",
+)
+def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    bm = _ret.rank_by(_bm25_scores_shared(spark, sf_dir), "score", k=50)
+    cos = _sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 1), k=50).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rk").alias("rank")
+    )
+    return (
+        _ret.rrf_fuse({"bm25": bm, "cosine": cos}, k0=60)
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(20)
     )
 
 

@@ -912,6 +912,101 @@ def test_gumbel_topk_sample_fixed_size_weighted(spark):
     assert len(a) == len(b) == 20 and a != b
 
 
+def test_bm25_hand_computed_and_guards(spark):
+    """BM25 scores match a hand-computed Okapi formula on a 3-doc
+    corpus (always-positive Lucene idf, k1=1.2, b=0.75); docs with no
+    query term drop; bad knobs raise."""
+    import math
+
+    import pytest
+
+    from ad_data_pipelines_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "kiwi kiwi kiwi kiwi"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in retrieval.bm25_scores(docs, ["apple", "banana"]).collect()
+    }
+    assert set(rows) == {1, 2}
+    # N=3, avgdl=3; df(apple)=2 -> idf=ln(1+1.5/2.5); df(banana)=1 ->
+    # idf=ln(1+2.5/1.5)
+    idf_a, idf_b = math.log(1 + 1.5 / 2.5), math.log(1 + 2.5 / 1.5)
+    d1 = idf_a * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 3 / 3)) + idf_b * (
+        1 * 2.2
+    ) / (1 + 1.2 * (0.25 + 0.75 * 3 / 3))
+    d2 = idf_a * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 2 / 3))
+    assert rows[1].score == round(d1, 4)
+    assert rows[2].score == round(d2, 4)
+    assert rows[1].n_terms == 2 and rows[2].n_terms == 1
+
+    top = retrieval.bm25_topk(docs, ["apple", "banana"], k=1).collect()
+    assert [r.doc_id for r in top] == [1]
+
+    with pytest.raises(ValueError, match="non-empty"):
+        retrieval.bm25_scores(docs, [])
+    with pytest.raises(ValueError, match="lowercase single tokens"):
+        retrieval.bm25_scores(docs, ["Apple"])
+    with pytest.raises(ValueError, match="lowercase single tokens"):
+        retrieval.bm25_scores(docs, ["two words"])
+    with pytest.raises(ValueError, match="k1"):
+        retrieval.bm25_scores(docs, ["apple"], k1=0.0)
+    with pytest.raises(ValueError, match="k must be positive"):
+        retrieval.bm25_topk(docs, ["apple"], k=0)
+
+
+def test_rrf_fuse_and_rank_by(spark):
+    """rrf = Σ 1/(k0+rank) exactly; docs on both lists carry
+    n_lists=2; rank_by cuts to k with 1-based ranks on
+    (score DESC, doc_id); guards raise."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import retrieval
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id bigint, rank bigint"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id bigint, rank bigint"
+    )
+    fused = {
+        r.doc_id: r for r in retrieval.rrf_fuse({"a": a, "b": b}).collect()
+    }
+    assert fused[20].n_lists == 2
+    assert fused[20].rrf == round(1 / 62 + 1 / 61, 4)
+    assert fused[10].n_lists == 1 and fused[10].rrf == round(1 / 61, 4)
+    assert set(fused) == {10, 20, 30, 40}
+
+    scored = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (4, 1.0)],
+        "doc_id bigint, score double",
+    )
+    ranked = {
+        r.doc_id: r.rank
+        for r in retrieval.rank_by(scored, "score", k=3).collect()
+    }
+    # ties on score break on doc_id: 2 before 3
+    assert ranked == {2: 1, 3: 2, 1: 3}
+    asc = {
+        r.doc_id: r.rank
+        for r in retrieval.rank_by(scored, "score", k=2, ascending=True).collect()
+    }
+    assert asc == {4: 1, 1: 2}
+
+    with pytest.raises(ValueError, match="at least two"):
+        retrieval.rrf_fuse({"a": a})
+    with pytest.raises(ValueError, match="k0"):
+        retrieval.rrf_fuse({"a": a, "b": b}, k0=0)
+    with pytest.raises(ValueError, match="k must be positive"):
+        retrieval.rank_by(scored, "score", k=0)
+
+
 def test_mixture_balance_exact_counts_and_stability(spark):
     """Exactly min(target, |stratum|) rows per stratum, untargeted
     strata dropped; a stratum's pick is independent of OTHER strata's
