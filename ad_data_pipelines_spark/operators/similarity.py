@@ -1155,6 +1155,98 @@ def semantic_dedup_sql(
     """
 
 
+def semantic_decontam(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Embedding-space decontamination: score every corpus vector by
+    its maximum cosine to ANY eval vector and flag those at or above
+    `threshold` — the semantic member of the decontamination family
+    (exact gram match → bloom probe → THIS), catching paraphrased or
+    re-tokenized benchmark leakage that n-gram matching misses
+    (DCLM/FineWeb-style eval-embedding filtering). Returns one row per
+    corpus vector: (vec_id, eval_id, max_sim, flagged), eval_id = the
+    nearest eval vector (lowest id on ties).
+
+    Scale shape: the eval set broadcasts (benchmarks are thousands of
+    rows, never corpus-scale) and the max-sim reduces per corpus
+    vector as ONE combinable struct-max aggregate — a map-side-partial
+    O(N×E) scan with NO shuffle of embeddings; only (id, sim) pairs
+    reach the exchange. Flagging is a map-side comparison. Corpus
+    vectors also present in the eval set are excluded (they'd match
+    themselves at 1.0).
+    """
+    ev = eval_set.select(
+        F.col(id_col).alias("eval_id"), F.col("embedding").alias("e_emb")
+    )
+    sims = (
+        corpus.select(
+            F.col(id_col).alias("vec_id"), F.col("embedding").alias("c_emb")
+        )
+        .join(
+            F.broadcast(ev.select("eval_id")),
+            F.col("vec_id") == F.col("eval_id"),
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(ev))
+        .select(
+            "vec_id",
+            "eval_id",
+            F.round(dot(F.col("c_emb"), F.col("e_emb")), round_dp).alias(
+                "sim"
+            ),
+        )
+    )
+    best = sims.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("eval_id")).alias("neg"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.neg")).cast("bigint").alias("eval_id"),
+        F.col("b.sim").alias("max_sim"),
+        (F.col("b.sim") >= threshold).alias("flagged"),
+    )
+
+
+def semantic_decontam_sql(
+    eval_where: str = "vec_id < 10",
+    threshold: float = 0.35,
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of `semantic_decontam` over the embeddings table;
+    `eval_where` selects the eval rows (the rest is the corpus)."""
+    dot_sql = (
+        "list_sum(list_transform(list_zip(c.embedding, ev.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    return f"""
+        WITH sd_ev AS (
+            SELECT vec_id AS eval_id, embedding FROM embeddings
+            WHERE {eval_where}
+        ),
+        sd_sims AS (
+            SELECT c.vec_id, ev.eval_id,
+                   ROUND({dot_sql}, {round_dp}) AS sim
+            FROM embeddings c CROSS JOIN sd_ev ev
+            WHERE c.vec_id NOT IN (SELECT eval_id FROM sd_ev)
+        )
+        SELECT vec_id, eval_id, max_sim,
+               (max_sim >= {threshold}) AS flagged
+        FROM (
+            SELECT vec_id, eval_id, sim AS max_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, eval_id
+                   ) AS rk
+            FROM sd_sims
+        ) WHERE rk = 1
+    """
+
+
 def truncate_renorm(
     embeddings: DataFrame, d: int, id_col: str = "vec_id"
 ) -> DataFrame:

@@ -5217,6 +5217,70 @@ def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_semantic_decontam",
+    oracle=_sim.semantic_decontam_sql(eval_where="vec_id < 10", threshold=0.35),
+    doc="Embedding-space decontamination — the semantic member of the "
+    "decontam family (exact gram → bloom probe → THIS): every corpus "
+    "vector scored by its max cosine to ANY of the 10 eval vectors, "
+    "flagged at ≥0.35; catches paraphrased/re-tokenized benchmark "
+    "leakage n-gram matching misses (DCLM-style eval-embedding "
+    "filter). The eval set broadcasts; max-sim is ONE combinable "
+    "struct-max aggregate — a map-side O(N×E) scan, embeddings never "
+    "shuffle. operators/similarity.py:semantic_decontam.",
+)
+def q_llm_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    return _sim.semantic_decontam(
+        emb, emb.filter(F.col("vec_id") < 10), threshold=0.35
+    )
+
+
+@register(
+    "llm_selection_frontier",
+    oracle="""
+        WITH qf AS (
+            SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT w) AS n_types
+            FROM (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+                FROM documents
+            ) GROUP BY doc_id
+        ),
+        grid AS (SELECT unnest(generate_series(1, 9)) AS thr_decile)
+        SELECT thr_decile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+        FROM qf CROSS JOIN grid
+        WHERE 10 * n_types >= thr_decile * n_tokens
+        GROUP BY thr_decile
+    """,
+    doc="Quality-selection frontier: the data-budget curve of docs and "
+    "tokens surviving each type-token-ratio cutoff (deciles 0.1..0.9) "
+    "— the sweep a curation run consults to price a quality bar in "
+    "retained tokens BEFORE committing a filter (complements the "
+    "single-point llm_quality_quantile). Thresholds compare "
+    "INTEGER-exactly (10·n_types ≥ d·n_tokens — never a rounded "
+    "ratio, the cross-engine float-boundary trap); the per-doc stats "
+    "aggregate once and the 9-row grid joins broadcast. "
+    "operators/textstats.py:quality_features.",
+)
+def q_llm_selection_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    qf = _ts.quality_features(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "n_types"
+    )
+    grid = spark.range(1, 10).select(F.col("id").alias("thr_decile"))
+    return (
+        qf.crossJoin(F.broadcast(grid))
+        .filter(10 * F.col("n_types") >= F.col("thr_decile") * F.col("n_tokens"))
+        .groupBy("thr_decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+    )
+
+
+@register(
     "llm_cms_estimates",
     oracle="""
         WITH ev AS (SELECT event_type FROM events),

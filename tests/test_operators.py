@@ -1007,6 +1007,35 @@ def test_rrf_fuse_and_rank_by(spark):
         retrieval.rank_by(scored, "score", k=0)
 
 
+def test_semantic_decontam_planted_geometry(spark):
+    """Planted 2-d vectors: max-sim and flags are exact; eval members
+    are excluded from the corpus side; sim ties pick the LOWEST
+    eval_id."""
+    rows = [
+        (0, [1.0, 0.0]),  # eval
+        (1, [0.0, 1.0]),  # eval
+        (10, [1.0, 0.0]),  # sim 1.0 to eval 0 -> flagged
+        (11, [0.0, -1.0]),  # sim -1/0 -> nearest eval 0 (tie? no: 0 vs -1)
+        (12, [0.8, 0.6]),  # sim .8 to e0, .6 to e1 -> flagged at .75
+        (13, [0.7071, 0.7071]),  # equal sim to both -> eval_id 0
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    got = {
+        r.vec_id: r
+        for r in similarity.semantic_decontam(
+            emb, emb.filter(F.col("vec_id") < 2), threshold=0.75
+        ).collect()
+    }
+    assert set(got) == {10, 11, 12, 13}  # 0/1 excluded (eval members)
+    assert got[10].eval_id == 0 and got[10].max_sim == 1.0 and got[10].flagged
+    assert got[11].eval_id == 0 and got[11].max_sim == 0.0
+    assert not got[11].flagged
+    assert got[12].eval_id == 0 and got[12].max_sim == 0.8 and got[12].flagged
+    assert got[13].eval_id == 0 and got[13].max_sim == 0.7071  # tie -> low id
+
+
 def test_mixture_balance_exact_counts_and_stability(spark):
     """Exactly min(target, |stratum|) rows per stratum, untargeted
     strata dropped; a stratum's pick is independent of OTHER strata's
