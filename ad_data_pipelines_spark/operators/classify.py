@@ -202,33 +202,79 @@ def dsir_weights(
         )
     bt = hashed_gram_buckets(target_docs, n_features, text_col, fast=fast)
     br = hashed_gram_buckets(raw_docs, n_features, text_col, fast=fast)
-    ct = bt.groupBy("bucket").agg(F.count("*").alias("ct"))
-    cr = br.groupBy("bucket").agg(F.count("*").alias("cr"))
-    counts = (
-        ct.join(cr, "bucket", "full_outer")
-        .select(
-            "bucket",
-            F.coalesce("ct", F.lit(0)).alias("ct"),
-            F.coalesce("cr", F.lit(0)).alias("cr"),
-        )
-    )
-    totals = counts.agg(
-        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
-    )
-    a, b = float(alpha), float(n_features)
-    weights = counts.crossJoin(F.broadcast(totals)).select(
-        "bucket",
-        (
-            F.log((F.col("ct") + a) / (F.col("nt") + a * b))
-            - F.log((F.col("cr") + a) / (F.col("nr") + a * b))
-        ).alias("w"),
-    )
+    weights = dsir_bucket_weights(br, bt, n_features, alpha)
     return (
         br.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_grams"),
             F.round(F.sum("w"), round_dp).alias("log_w"),
+        )
+    )
+
+
+def dsir_bucket_weights(
+    raw_buckets: DataFrame,
+    target_buckets: DataFrame,
+    n_features: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The DSIR model itself: the per-bucket log importance ratio
+    table (bucket, w) with w = ln p̂(b) − ln q̂(b), add-α smoothed —
+    fit from two (doc_id, bucket) gram frames (`hashed_gram_buckets`
+    output). ≤ n_features rows; persist/broadcast it to score any
+    stream or corpus slice later (`dsir_score`) without refitting —
+    at ingest time the model is a KB-scale broadcast artifact, the
+    same deployment shape as the NB classifier weights."""
+    # ONE tagged-union aggregate, not ct ⋈FULL OUTER⋈ cr: a full outer
+    # join cannot broadcast, so Spark plans a sort-merge exchange for
+    # two ≤n_features-row frames (caught by the sf0.1 SMJ allowlist
+    # sweep) — whereas the union form is a single combinable count
+    # with no join anywhere
+    tagged = raw_buckets.select(
+        "bucket", F.lit(0).alias("is_t")
+    ).unionByName(target_buckets.select("bucket", F.lit(1).alias("is_t")))
+    counts = tagged.groupBy("bucket").agg(
+        F.sum("is_t").alias("ct"),
+        F.sum(F.lit(1) - F.col("is_t")).alias("cr"),
+    )
+    totals = counts.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    a, b = float(alpha), float(n_features)
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("ct") + a) / (F.col("nt") + a * b))
+            - F.log((F.col("cr") + a) / (F.col("nr") + a * b))
+        ).alias("w"),
+    )
+
+
+def dsir_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    n_features: int = 4096,
+    text_col: str = "text",
+    round_dp: int = 4,
+    *,
+    fast: bool = False,
+) -> DataFrame:
+    """Score docs against an already-fit DSIR weight table
+    (`dsir_bucket_weights` output): per-doc (n_grams, log_w). Buckets
+    absent from the table contribute 0 (unseen under BOTH models —
+    the neutral prior), via the left join's coalesce. The scoring
+    side is one gram explode + a broadcast join + a combinable sum —
+    the per-micro-batch shape of the streaming ingest gate."""
+    gb = hashed_gram_buckets(docs, n_features, text_col, fast=fast)
+    return (
+        gb.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_grams"),
+            F.round(F.sum(F.coalesce("w", F.lit(0.0))), round_dp).alias(
+                "log_w"
+            ),
         )
     )
 
@@ -293,6 +339,123 @@ def dsir_weights_sql(
         FROM gb JOIN w USING (bucket)
         WHERE {raw_where}
         GROUP BY gb.doc_id
+    """
+
+
+def hashed_doc_embedding(
+    docs: DataFrame,
+    n_features: int = 4096,
+    dim: int = 8,
+    seed: int = 0,
+    text_col: str = "text",
+    *,
+    fast: bool = False,
+) -> DataFrame:
+    """Model-free text featurizer: a signed-count Johnson–Lindenstrauss
+    sketch of each doc's hashed uni+bigram bag —
+
+        val(doc, d) = Σ_buckets count(doc, bucket) · sign(bucket, d),
+
+    sign(bucket, d) = ±1 from md5(seed:bucket:d) parity (the
+    `similarity.projection_signs` convention, portable to any engine).
+    Returns one flat row per (doc_id, dim): (doc_id, dim, val) with
+    val an exact BIGINT — no floats anywhere, so the cross-engine
+    contract is integer-exact. Docs with zero tokens contribute no
+    rows.
+
+    This is the text-side bridge to the similarity family: when no
+    neural embedder is at hand (or before one runs), it gives every
+    document a cheap dense vector for clustering, near-dup scanning,
+    and drift monitoring — the same hashed-feature idea DSIR uses for
+    importance weights, projected instead of scored.
+
+    Scale shape: featurization is the narrow map+explode of
+    `hashed_gram_buckets`; per-doc bucket counts are one combinable
+    aggregate; the (n_features × dim) sign table is generated
+    ENGINE-SIDE (spark.range cross spark.range — never driver data)
+    and broadcast to the projection join; the final reduce is a
+    second combinable aggregate on (doc_id, dim). Text never
+    shuffles; re-featurizing 100 TB is two groupBys.
+    """
+    if n_features <= 0 or dim <= 0:
+        raise ValueError(
+            "hashed_doc_embedding: n_features and dim must be positive "
+            f"(got n_features={n_features}, dim={dim})"
+        )
+    spark = docs.sparkSession
+    gb = hashed_gram_buckets(docs, n_features, text_col, fast=fast)
+    counts = gb.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    signs = (
+        spark.range(n_features)
+        .select(F.col("id").alias("bucket"))
+        .crossJoin(spark.range(dim).select(F.col("id").alias("dim")))
+        .select(
+            "bucket",
+            "dim",
+            (
+                portable_hash64(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.col("bucket"), F.col("dim")
+                    ),
+                    fast=fast,
+                )
+                % 2
+                * 2
+                - 1
+            ).alias("sign"),
+        )
+    )
+    return (
+        counts.join(F.broadcast(signs), "bucket")
+        .groupBy("doc_id", "dim")
+        .agg(F.sum(F.col("cnt") * F.col("sign")).cast("bigint").alias("val"))
+    )
+
+
+def hashed_doc_embedding_sql(
+    n_features: int = 4096,
+    dim: int = 8,
+    seed: int = 0,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of `hashed_doc_embedding` over the documents table
+    — same md5 gram buckets, same md5-parity signs, integer-exact."""
+    return f"""
+        WITH de_base AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents WHERE {where}
+        ),
+        de_grams AS (
+            SELECT doc_id,
+                   unnest(toks || list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS gram
+            FROM de_base
+        ),
+        de_counts AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT)
+                       % {n_features} AS bucket,
+                   COUNT(*) AS cnt
+            FROM de_grams GROUP BY 1, 2
+        ),
+        de_signs AS (
+            SELECT b.bucket, d.dim,
+                   (CAST('0x' || substr(md5(
+                        '{seed}:' || CAST(b.bucket AS VARCHAR) || ':'
+                        || CAST(d.dim AS VARCHAR)), 1, 15) AS BIGINT)
+                    % 2) * 2 - 1 AS sign
+            FROM (SELECT unnest(generate_series(0, {n_features - 1}))
+                      AS bucket) b
+            CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1}))
+                            AS dim) d
+        )
+        SELECT doc_id, dim, CAST(SUM(cnt * sign) AS BIGINT) AS val
+        FROM de_counts JOIN de_signs USING (bucket)
+        GROUP BY doc_id, dim
     """
 
 

@@ -5217,6 +5217,27 @@ def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_doc_embedding",
+    oracle=_cls.hashed_doc_embedding_sql(n_features=4096, dim=8),
+    doc="Model-free text featurizer: a signed-count Johnson–"
+    "Lindenstrauss sketch of each doc's hashed uni+bigram bag — "
+    "val(doc,d) = Σ_buckets count·sign(bucket,d), signs from md5 "
+    "parity. One flat BIGINT row per (doc_id, dim): integer-exact "
+    "cross-engine, no floats anywhere. The text-side bridge to the "
+    "similarity family — a cheap dense vector per document for "
+    "clustering/near-dup/drift when no neural embedder has run (the "
+    "DSIR hashed-feature idea, projected instead of scored). Text "
+    "never shuffles: narrow gram explode, one combinable bucket-count "
+    "aggregate, an engine-generated broadcast sign table, one final "
+    "combinable reduce. operators/classify.py:hashed_doc_embedding.",
+)
+def q_llm_doc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cls.hashed_doc_embedding(
+        t(spark, sf_dir, "documents"), n_features=4096, dim=8
+    )
+
+
+@register(
     "llm_semantic_decontam",
     oracle=_sim.semantic_decontam_sql(eval_where="vec_id < 10", threshold=0.35),
     doc="Embedding-space decontamination — the semantic member of the "

@@ -1007,6 +1007,54 @@ def test_rrf_fuse_and_rank_by(spark):
         retrieval.rank_by(scored, "score", k=0)
 
 
+def test_hashed_doc_embedding_python_replay_and_guards(spark):
+    """The JL sketch equals a pure-python replay of the md5 bucket +
+    md5-parity sign algebra; zero-token docs drop; knob guards raise."""
+    import hashlib
+
+    import pytest
+
+    from ad_data_pipelines_spark.operators import classify
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha alpha"), (3, "   ")],
+        "doc_id bigint, text string",
+    )
+    B, D = 64, 4
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def grams(text):
+        ts = [w for w in text.strip().lower().split() if w]
+        return ts + [f"{a} {b}" for a, b in zip(ts, ts[1:])]
+
+    expected = {}
+    for doc_id, text in [(1, "alpha beta"), (2, "alpha alpha")]:
+        counts = {}
+        for g in grams(text):
+            b = h(g) % B
+            counts[b] = counts.get(b, 0) + 1
+        for d in range(D):
+            expected[(doc_id, d)] = sum(
+                c * ((h(f"0:{b}:{d}") % 2) * 2 - 1)
+                for b, c in counts.items()
+            )
+
+    got = {
+        (r.doc_id, r.dim): r.val
+        for r in classify.hashed_doc_embedding(
+            docs, n_features=B, dim=D
+        ).collect()
+    }
+    assert got == expected  # doc 3 absent: no tokens -> no rows
+
+    with pytest.raises(ValueError, match="n_features and dim"):
+        classify.hashed_doc_embedding(docs, n_features=0)
+    with pytest.raises(ValueError, match="n_features and dim"):
+        classify.hashed_doc_embedding(docs, dim=0)
+
+
 def test_semantic_decontam_planted_geometry(spark):
     """Planted 2-d vectors: max-sim and flags are exact; eval members
     are excluded from the corpus side; sim ties pick the LOWEST

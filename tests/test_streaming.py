@@ -328,6 +328,60 @@ def test_streaming_quality_gate_matches_batch(spark, tmp_path):
     assert "ok_entropy" in quar.columns  # flags ride along for triage
 
 
+def test_streaming_dsir_gate_matches_batch(spark, tmp_path):
+    """The streamed DSIR split == batch `dsir_score` against the same
+    batch-fit weight table: same keep set at the median threshold,
+    exhaustive + disjoint, exact across multiple micro-batches
+    (doc-local scoring, broadcast model, zero streaming state)."""
+    from ad_data_pipelines_spark.operators import classify
+    from ad_data_pipelines_spark.streaming import dsir as sdsir
+
+    docs = tq.t(spark, SF_SMALL, "documents")
+    weights = classify.dsir_bucket_weights(
+        classify.hashed_gram_buckets(
+            docs.filter(F.col("source") != "src0"), 256
+        ),
+        classify.hashed_gram_buckets(
+            docs.filter(F.col("source") == "src0"), 256
+        ),
+        n_features=256,
+    ).persist()
+
+    batch_scores = {
+        r.doc_id: r.log_w
+        for r in classify.dsir_score(docs, weights, 256).collect()
+    }
+    thr = sorted(batch_scores.values())[len(batch_scores) // 2]
+
+    src = tmp_path / "docs_src"
+    docs.repartition(4).write.parquet(str(src))
+    sdsir.run_dsir_gate_available_now(
+        spark,
+        str(src),
+        weights,
+        str(tmp_path / "ck"),
+        str(tmp_path / "keep"),
+        str(tmp_path / "rest"),
+        n_features=256,
+        min_log_w=thr,
+    )
+
+    keep = spark.read.parquet(str(tmp_path / "keep"))
+    kept = {r.doc_id: r.log_w for r in keep.select("doc_id", "log_w").collect()}
+    rest_ids = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "rest"))
+        .select("doc_id")
+        .collect()
+    }
+    expected_keep = {d for d, w in batch_scores.items() if w >= thr}
+    assert set(kept) == expected_keep
+    assert all(kept[d] == batch_scores[d] for d in kept)  # bit-equal
+    assert kept.keys().isdisjoint(rest_ids)
+    assert set(kept) | rest_ids == {r.doc_id for r in docs.collect()}
+    weights.unpersist()
+
+
 def test_jsonl_stream_ingest_quarantine_and_idempotent(spark, tmp_path):
     """AvailableNow JSONL drain: clean rows land in parquet, broken
     lines land verbatim in the quarantine text folder, nothing lands in
