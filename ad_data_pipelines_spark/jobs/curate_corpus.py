@@ -195,6 +195,7 @@ def curate(
     decontam: str = "exact",
     bloom_bits_log2: int | None = None,
     dedup_threshold: float | None = None,
+    dsir_target: str | None = None,
     checkpoint_dir: str | None = None,
     stage_timings: dict[str, float] | None = None,
     _fail_after_stage: str | None = None,
@@ -225,6 +226,18 @@ def curate(
     dedup_p_at_threshold). Default: the fixed high-similarity
     banding, `min_eq` as passed.
 
+    `dsir_target` (a source value) swaps the stage-5 selection from
+    language-temperature mixing to DSIR importance targeting (Xie et
+    al. 2023): the target source's surviving docs fit the reference
+    bag-of-hashed-ngram model, every OTHER surviving doc gets a log
+    importance weight, and the budget is filled by a fixed-size
+    Gumbel-top-k resample ∝ exp(log_w) — the pretraining mixture
+    shifts toward the target domain instead of toward a flat language
+    mix. The target docs themselves act as the reference only and do
+    not enter the curated output (the selection is OF the raw pool);
+    requires `budget`. Deterministic: hash-keyed Gumbel noise, unique
+    (key, doc_id) order.
+
     `checkpoint_dir` enables stage-checkpointed RESUMABLE runs (see
     module docstring); resumed stage names land in
     stats["resumed_stages"]. `_fail_after_stage` is the test-only
@@ -240,6 +253,11 @@ def curate(
     if decontam not in ("exact", "bloom"):
         raise ValueError(
             f"decontam={decontam!r}: expected 'exact' or 'bloom'"
+        )
+    if dsir_target is not None and budget is None:
+        raise ValueError(
+            "dsir_target requires a budget (the DSIR stage is a "
+            "fixed-size resample of the raw pool)"
         )
     if _fail_after_stage is not None and (
         _fail_after_stage not in CHECKPOINT_STAGES
@@ -613,8 +631,27 @@ def curate(
             deduped = clean if ckpt is None else clean.persist()
         fp_parts["n_after_decontam"] = stats["n_after_decontam"]
 
-    # ---- 5. optional temperature mix to a row budget -------------------
-    if budget is not None:
+    # ---- 5. optional selection to a row budget -------------------------
+    # dsir_target: importance targeting (fit on the target source,
+    # score the rest, Gumbel-resample ∝ exp(log_w)); otherwise the
+    # language-temperature mix. Both deterministic.
+    if budget is not None and dsir_target is not None:
+        from ad_data_pipelines_spark.operators import (
+            classify as _classify,
+        )
+
+        target_pred = F.col("source") == dsir_target
+        scored = _classify.dsir_weights(
+            deduped.filter(~target_pred), deduped.filter(target_pred)
+        )
+        stats["dsir_n_candidates"] = scored.count()
+        sel = _sampling.gumbel_topk_sample(
+            scored, F.col("log_w"), k=budget, key="doc_id"
+        )
+        mixed = deduped.join(sel.select("doc_id"), "doc_id").select(
+            *deduped.columns
+        )
+    elif budget is not None:
         mixed = _sampling.temperature_mix(
             deduped, "lang", "doc_id", budget=budget, tau=tau
         ).select(*deduped.columns)
@@ -678,6 +715,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--bloom-bits-log2", type=int, default=None,
                     help="override the bloom filter's auto-sizing "
                     "(log2 of the bit count)")
+    ap.add_argument("--dsir-target", default=None,
+                    help="source value marking the DSIR target "
+                    "domain: stage 5 becomes a fixed-size Gumbel "
+                    "resample of the raw pool by importance weight "
+                    "(requires --budget) instead of the temperature "
+                    "mix")
     ap.add_argument("--dedup-threshold", type=float, default=None,
                     help="target Jaccard for the dedup stage: derives "
                     "the LSH banding and min_eq bar via lsh_plan "
@@ -711,6 +754,7 @@ def main(argv: list[str] | None = None) -> None:
         eval_source=args.eval_source, export_jsonl=args.export_jsonl,
         decontam=args.decontam, bloom_bits_log2=args.bloom_bits_log2,
         dedup_threshold=args.dedup_threshold,
+        dsir_target=args.dsir_target,
         checkpoint_dir=args.checkpoint_dir,
         exactsubstr_k=args.exactsubstr_k,
         min_kept_chars=args.min_kept_chars,

@@ -391,3 +391,76 @@ def test_curate_classifier_stage(spark, tmp_path):
         classifier_seed_source="wiki", classifier_min_score=0.0,
     )
     assert stats2 == stats
+
+
+def test_curate_dsir_targeting_stage(spark, tmp_path):
+    """With dsir_target, stage 5 fills the budget by importance
+    resampling toward the target source's vocabulary: target-like raw
+    docs dominate the selection, the target reference itself stays
+    out of the output, reruns are identical, and omitting the budget
+    raises."""
+    import pytest
+    import pyspark.sql.functions as F
+
+    # planted-vocab corpus (the classifier test's shape, but with
+    # DOC-UNIQUE fillers so the near-dedup stage keeps every doc):
+    # reference docs (vocab A, source=wiki), target-like web docs
+    # (vocab A), off-domain web docs (vocab B)
+    a_words = [f"alpha{k} bravo{k}".split()[k % 2] + str(k) for k in range(40)]
+    b_words = [f"zulu{k} xray{k}".split()[k % 2] + str(k) for k in range(40)]
+
+    def text(words, i):
+        # interleave class words with per-(doc, position) 8-hex
+        # fillers: the char-shingle Jaccard between any two docs
+        # stays far below the near-dup bar (fillers share no
+        # shingles), while the class-vocabulary signal the DSIR
+        # model keys on stays strong
+        toks = []
+        for j in range(40):
+            toks.append(words[(i * 7 + j) % 40])
+            toks.append(f"{(i * 1000 + j) * 2654435761 % 16**8:08x}")
+        return " ".join(toks)
+
+    rows = []
+    for i in range(30):      # target reference, vocab A
+        rows.append((i, text(a_words, i), "en", "wiki"))
+    for i in range(30, 60):  # target-like raw docs, vocab A
+        rows.append((i, text(a_words, i), "en", "web"))
+    for i in range(60, 90):  # off-domain raw docs, vocab B
+        rows.append((i, text(b_words, i), "en", "web"))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text"))
+
+    out = str(tmp_path / "run")
+    stats = curate(
+        spark, docs, out, budget=20, seq_tokens=256, dsir_target="wiki"
+    )
+    assert stats["n_curated"] == 20
+    assert stats["dsir_n_candidates"] == stats["n_after_dedup"] - 30
+
+    kept = spark.read.parquet(out + "/documents")
+    assert kept.count() == 20
+    assert kept.filter(F.col("source") == "wiki").count() == 0  # ref only
+    # the 20-row budget over 30 target-like + 30 off-domain candidates
+    # picks overwhelmingly from the target-like half (importance gap
+    # between the vocabularies dwarfs the Gumbel noise scale)
+    n_target_like = kept.filter(F.col("doc_id") < 60).count()
+    assert n_target_like >= 18
+
+    stats2 = curate(
+        spark, docs, str(tmp_path / "run2"), budget=20, seq_tokens=256,
+        dsir_target="wiki",
+    )
+    assert stats2 == stats
+    a = sorted(r.doc_id for r in kept.select("doc_id").collect())
+    b = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "run2") + "/documents")
+        .select("doc_id")
+        .collect()
+    )
+    assert a == b
+
+    with pytest.raises(ValueError, match="requires a budget"):
+        curate(spark, docs, str(tmp_path / "x"), dsir_target="wiki")
