@@ -197,6 +197,172 @@ def bm25_scores_sql(
     """
 
 
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch BM25: top-k retrieval for MANY queries in one corpus
+    pass — the shape of a retrieval-evaluation run or a
+    multi-domain targeted-selection sweep. `queries` is a list of
+    (query_id, terms). Returns (query_id, doc_id, n_terms, score,
+    rk), rk 1-based per query on (score DESC, doc_id).
+
+    Scale shape: the corpus tokenizes ONCE for the union of all query
+    terms (map-side in-list filter — document text never shuffles);
+    tf/df/idf are term-global so they are computed once and shared by
+    every query touching that term; the per-query expansion joins the
+    ≤(queries×terms)-row literal frame BROADCAST on term, so the only
+    corpus-scale exchange carries (query_id, doc_id) partial scores.
+    The per-query cut is a window partitioned by query_id — at any
+    corpus size each query's candidate set is already bounded by its
+    matching docs.
+    """
+    if not queries:
+        raise ValueError("bm25_batch_topk: queries must be non-empty")
+    if k <= 0:
+        raise ValueError(f"bm25_batch_topk: k must be positive, got {k}")
+    qids = [q for q, _ in queries]
+    if len(set(qids)) != len(qids):
+        raise ValueError("bm25_batch_topk: duplicate query_id")
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    _validate_bm25(all_terms, k1, b)
+    spark = docs.sparkSession
+    qt = spark.createDataFrame(
+        [(q, t) for q, ts in queries for t in dict.fromkeys(ts)],
+        "query_id bigint, term string",
+    )
+    # same stages as `bm25_scores` but keeping the term grain, which
+    # the single-query path collapses before its per-doc sum
+    toks = F.filter(
+        F.split(F.lower(F.trim(text_col)), _TOKEN_SPLIT),
+        lambda x: x != F.lit(""),
+    )
+    base = docs.select("doc_id", toks.alias("__toks")).select(
+        "doc_id",
+        F.size("__toks").alias("dl"),
+        F.filter("__toks", lambda x: x.isin(all_terms)).alias("__hits"),
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        base.select("doc_id", "dl", F.explode("__hits").alias("term"))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("w"),
+        )
+    )
+    per_query = (
+        contrib.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms"),
+            F.round(F.sum("w"), round_dp).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_query.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "doc_id", "n_terms", "score", "rk")
+    )
+
+
+def bm25_batch_topk_sql(
+    queries: list[tuple[int, list[str]]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_dp: int = 4,
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin of `bm25_batch_topk` over the documents table."""
+    all_terms = sorted({t for _, ts in queries for t in ts})
+    in_list = ", ".join(f"'{t}'" for t in all_terms)
+    qvals = ", ".join(
+        f"({q}, '{t}')" for q, ts in queries for t in dict.fromkeys(ts)
+    )
+    return f"""
+        WITH bq_base AS (
+            SELECT doc_id,
+                   list_filter(
+                       regexp_split_to_array(trim(lower(text)), '\\s+'),
+                       x -> x <> '') AS toks
+            FROM documents WHERE {where}
+        ),
+        bq_stats AS (
+            SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl
+            FROM bq_base
+        ),
+        bq_tf AS (
+            SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+                SELECT doc_id, len(toks) AS dl, unnest(toks) AS term
+                FROM bq_base
+            ) WHERE term IN ({in_list})
+            GROUP BY doc_id, dl, term
+        ),
+        bq_idf AS (
+            SELECT term,
+                   ln(1.0 + (n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5))
+                       AS idf
+            FROM bq_tf CROSS JOIN bq_stats
+            GROUP BY term, n_docs
+        ),
+        bq_queries (query_id, term) AS (VALUES {qvals}),
+        bq_scored AS (
+            SELECT query_id, doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   ROUND(SUM(
+                       idf * (tf * ({k1} + 1.0))
+                       / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))
+                   ), {round_dp}) AS score
+            FROM bq_tf
+            JOIN bq_idf USING (term)
+            JOIN bq_queries USING (term)
+            CROSS JOIN bq_stats
+            GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, n_terms, score, rk FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id
+            ) AS rk FROM bq_scored
+        ) WHERE rk <= {k}
+    """
+
+
 def rrf_fuse(
     rankings: dict[str, DataFrame],
     k0: int = 60,

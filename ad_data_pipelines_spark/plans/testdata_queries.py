@@ -5216,6 +5216,33 @@ def q_llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: batch retrieval eval set — overlapping term sets so tf/df sharing
+#: across queries is exercised
+_BM25_BATCH = [
+    (0, ["hash", "join"]),
+    (1, ["vector", "stream", "window"]),
+    (2, ["join", "table"]),
+]
+
+
+@register(
+    "llm_bm25_batch",
+    oracle=_ret.bm25_batch_topk_sql(_BM25_BATCH, k=10),
+    doc="Batch BM25: top-10 retrieval for THREE queries in one corpus "
+    "pass — the retrieval-evaluation / multi-domain-sweep shape. The "
+    "corpus tokenizes once for the union of all query terms; "
+    "tf/df/idf are term-global and shared across queries; the "
+    "per-query expansion joins the ≤(queries×terms)-row literal "
+    "frame broadcast on term, so the only corpus-scale exchange "
+    "carries (query_id, doc_id) partial scores; the cut is a window "
+    "partitioned by query_id. operators/retrieval.py:bm25_batch_topk.",
+)
+def q_llm_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ret.bm25_batch_topk(
+        t(spark, sf_dir, "documents"), _BM25_BATCH, k=10
+    )
+
+
 @register(
     "llm_doc_embedding",
     oracle=_cls.hashed_doc_embedding_sql(n_features=4096, dim=8),

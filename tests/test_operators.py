@@ -1055,6 +1055,62 @@ def test_hashed_doc_embedding_python_replay_and_guards(spark):
         classify.hashed_doc_embedding(docs, dim=0)
 
 
+def test_bm25_batch_matches_single_query_path(spark):
+    """A one-query batch reproduces the single-query bm25_scores +
+    rank_by result exactly (same scores, same ranks); n_terms counts
+    distinct matched terms; guards raise."""
+    import pytest
+
+    from ad_data_pipelines_spark.operators import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "banana banana cherry kiwi"),
+            (4, "kiwi kiwi"),
+        ],
+        "doc_id bigint, text string",
+    )
+    terms = ["apple", "banana"]
+    batch = {
+        (r.doc_id, r.rk): (r.score, r.n_terms)
+        for r in retrieval.bm25_batch_topk(
+            docs, [(7, terms)], k=3
+        ).collect()
+    }
+    single = {
+        r.doc_id: r.score
+        for r in retrieval.bm25_scores(docs, terms).collect()
+    }
+    ranks = {
+        r.doc_id: r.rank
+        for r in retrieval.rank_by(
+            spark.createDataFrame(
+                [(d, s) for d, s in single.items()],
+                "doc_id bigint, score double",
+            ),
+            "score",
+            k=3,
+        ).collect()
+    }
+    assert {(d, rk) for d, rk in ranks.items()} == set(
+        (d, rk) for (d, rk) in batch
+    )
+    for (d, rk), (score, n_terms) in batch.items():
+        assert score == single[d]
+    # doc 1 matched both terms, doc 3 one term set {banana}
+    n_by_doc = {d: nt for (d, _), (_, nt) in batch.items()}
+    assert n_by_doc[1] == 2 and n_by_doc[3] == 1
+
+    with pytest.raises(ValueError, match="non-empty"):
+        retrieval.bm25_batch_topk(docs, [])
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        retrieval.bm25_batch_topk(docs, [(1, ["apple"]), (1, ["kiwi"])])
+    with pytest.raises(ValueError, match="k must be positive"):
+        retrieval.bm25_batch_topk(docs, [(1, ["apple"])], k=0)
+
+
 def test_semantic_decontam_planted_geometry(spark):
     """Planted 2-d vectors: max-sim and flags are exact; eval members
     are excluded from the corpus side; sim ties pick the LOWEST
