@@ -1271,3 +1271,53 @@ def test_kmeans_fp_10x_linear_and_structure(spark):
     assert t10 <= 3.0 * 10 * max(t1, 2.0), (
         f"kmeans 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — super-linear"
     )
+
+
+def test_dsir_and_bm25_10x_linear_and_partitioned(spark):
+    """The round-14 retrieval/targeting family grows ~linearly in
+    docs: DSIR fit+score+Gumbel-select (model bounded by n_features,
+    selection a TakeOrdered) and batch BM25 (term-filtered explode,
+    broadcast stats/idf/query expansion, per-query window over
+    bounded candidates). No sort-merge join or Cartesian product
+    anywhere; the only SinglePartition exchange is the 1-row
+    totals scalar. (Over a range source Spark even elides the
+    per-doc score exchange — RangePartitioning(id) already satisfies
+    the doc_id grouping; a parquet source gets the ordinary
+    hash-partitioned aggregate, as the registry plan lint shows.)"""
+    import hashlib
+
+    from ad_data_pipelines_spark.operators import classify, retrieval, sampling
+
+    def run(n):
+        docs = _token_corpus(spark, n)
+        # ~10% of sources form the target domain
+        target = docs.filter(F.col("source") == "0")
+        raw = docs.filter(F.col("source") != "0")
+        t0 = time.perf_counter()
+        scored = classify.dsir_weights(raw, target, n_features=1024)
+        sel = sampling.gumbel_topk_sample(
+            scored, F.col("log_w"), k=50, key="doc_id"
+        )
+        assert sel.count() == 50
+        # query terms from the md5 vocabulary (present by construction,
+        # each in ~n/125 docs)
+        q = [
+            (0, [hashlib.md5(b"1").hexdigest(), hashlib.md5(b"2").hexdigest()]),
+            (1, [hashlib.md5(b"3").hexdigest()]),
+            (2, [hashlib.md5(b"2").hexdigest(), hashlib.md5(b"4").hexdigest()]),
+        ]
+        bm = retrieval.bm25_batch_topk(docs, q, k=20)
+        assert bm.count() == 60  # 3 queries x k
+        elapsed = time.perf_counter() - t0
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        return elapsed, plan
+
+    t1, _ = run(5_000)
+    t10, plan = run(50_000)
+    assert t10 <= 3.0 * 10 * max(t1, 2.0), (
+        f"DSIR/BM25 10x runtime {t10:.1f}s vs 1x {t1:.1f}s — "
+        "grows super-linearly"
+    )
+    final = plan.split("+- == Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final and "CartesianProduct" not in final
+    assert final.count("Exchange SinglePartition") <= 1, final
