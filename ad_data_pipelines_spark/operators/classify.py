@@ -382,34 +382,55 @@ def hashed_doc_embedding(
             "hashed_doc_embedding: n_features and dim must be positive "
             f"(got n_features={n_features}, dim={dim})"
         )
+    if dim > 64:
+        raise ValueError(
+            f"hashed_doc_embedding: dim={dim} > 64 — the projection is "
+            "one wide aggregate (dim sum columns per doc); very wide "
+            "sketches should shard across calls"
+        )
     spark = docs.sparkSession
     gb = hashed_gram_buckets(docs, n_features, text_col, fast=fast)
     counts = gb.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
-    signs = (
-        spark.range(n_features)
-        .select(F.col("id").alias("bucket"))
-        .crossJoin(spark.range(dim).select(F.col("id").alias("dim")))
-        .select(
-            "bucket",
-            "dim",
-            (
-                portable_hash64(
-                    F.concat_ws(
-                        ":", F.lit(str(seed)), F.col("bucket"), F.col("dim")
-                    ),
-                    fast=fast,
-                )
-                % 2
-                * 2
-                - 1
-            ).alias("sign"),
+
+    # the sign table is WIDE (bucket, s0..s{dim-1}), not long: joining
+    # a (bucket, dim, sign) long table would multiply the pre-combine
+    # aggregate input by dim (the kmeans-update posexplode lesson) —
+    # the wide join keeps the exchange at one row per (doc, bucket)
+    # and the per-dim sums combine map-side
+    def _sign(d: int):
+        return (
+            portable_hash64(
+                F.concat_ws(
+                    ":", F.lit(str(seed)), F.col("bucket"), F.lit(str(d))
+                ),
+                fast=fast,
+            )
+            % 2
+            * 2
+            - 1
+        ).alias(f"s{d}")
+
+    signs = spark.range(n_features).select(
+        F.col("id").alias("bucket"), *[_sign(d) for d in range(dim)]
+    )
+    wide = (
+        counts.join(F.broadcast(signs), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.col("cnt") * F.col(f"s{d}"))
+                .cast("bigint")
+                .alias(f"v{d}")
+                for d in range(dim)
+            ]
         )
     )
-    return (
-        counts.join(F.broadcast(signs), "bucket")
-        .groupBy("doc_id", "dim")
-        .agg(F.sum(F.col("cnt") * F.col("sign")).cast("bigint").alias("val"))
-    )
+    return wide.select(
+        "doc_id",
+        F.posexplode(F.array(*[F.col(f"v{d}") for d in range(dim)])).alias(
+            "dim", "val"
+        ),
+    ).select("doc_id", F.col("dim").cast("bigint").alias("dim"), "val")
 
 
 def hashed_doc_embedding_sql(
