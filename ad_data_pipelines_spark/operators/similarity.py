@@ -1213,6 +1213,68 @@ def semantic_decontam(
     )
 
 
+def semantic_decontam_ivf(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.35,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+    corpus_cells: DataFrame | None = None,
+) -> DataFrame:
+    """Cell-bounded semantic decontamination — the scale path when the
+    eval side is itself corpus-sized (a full decontamination list of
+    millions of embeddings) and cannot broadcast: corpus vectors keep
+    their (shared, materializable) nearest-cell assignment; each EVAL
+    vector probes its `nprobe` nearest cells; candidate pairs exist
+    only within a shared cell, so the comparison cost is
+    Σ_cell |corpus_cell|·|eval_probes_cell| instead of N×E — the
+    SemDeDup/IVF bound, with `nprobe` the recall knob. Returns the
+    same schema as `semantic_decontam` (vec_id, eval_id, max_sim,
+    flagged) but ONLY for corpus vectors that met ≥1 candidate;
+    absent rows are unflagged by construction. Every flag is true
+    (candidate sims are exact sims, so flagged_ivf ⊆ flagged_exact);
+    recall < 1 is possible — the registry agreement gate
+    (llm_semantic_decontam_ivf) prices exactly that, like every
+    approximate tier here.
+    """
+    if corpus_cells is None:
+        corpus_cells = ivf_cells(
+            corpus, centroids, "neighbor_id", "c_emb", 1, id_col
+        )
+    eval_cells = ivf_cells(
+        eval_set, centroids, "eval_id", "e_emb", nprobe, id_col
+    )
+    eval_ids = eval_set.select(F.col(id_col).alias("eval_id"))
+    cand = (
+        corpus_cells.join(
+            F.broadcast(eval_ids),
+            F.col("neighbor_id") == F.col("eval_id"),
+            "left_anti",
+        )
+        .join(eval_cells, "cell_id")
+        .select(
+            F.col("neighbor_id").alias("vec_id"),
+            "eval_id",
+            F.round(dot(F.col("c_emb"), F.col("e_emb")), round_dp).alias(
+                "sim"
+            ),
+        )
+    )
+    best = cand.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("eval_id")).alias("neg"))).alias(
+            "b"
+        )
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.neg")).cast("bigint").alias("eval_id"),
+        F.col("b.sim").alias("max_sim"),
+        (F.col("b.sim") >= threshold).alias("flagged"),
+    )
+
+
 def semantic_decontam_sql(
     eval_where: str = "vec_id < 10",
     threshold: float = 0.35,

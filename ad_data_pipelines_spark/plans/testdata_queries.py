@@ -5283,6 +5283,129 @@ def q_llm_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SD_DOT = (
+    "list_sum(list_transform(list_zip({a}.embedding, {b}.embedding), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+)
+
+
+@register(
+    "llm_semantic_decontam_ivf",
+    oracle=f"""
+        WITH sd_exact AS ({_sim.semantic_decontam_sql(
+            eval_where="vec_id < 10", threshold=0.35)}),
+        sdi_cent AS ({_KMEANS_CENT_SQL}),
+        sdi_ccells AS (
+            SELECT neighbor_id, cell_id FROM (
+                SELECT v.vec_id AS neighbor_id, sdi_cent.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ROUND({_SD_DOT.format(
+                               a='v', b='sdi_cent')}, 4) DESC,
+                                    sdi_cent.cell_id
+                       ) AS crk
+                FROM embeddings v CROSS JOIN sdi_cent
+            ) WHERE crk <= 1
+        ),
+        sdi_ecells AS (
+            SELECT eval_id, cell_id FROM (
+                SELECT v.vec_id AS eval_id, sdi_cent.cell_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY ROUND({_SD_DOT.format(
+                               a='v', b='sdi_cent')}, 4) DESC,
+                                    sdi_cent.cell_id
+                       ) AS crk
+                FROM embeddings v CROSS JOIN sdi_cent
+                WHERE v.vec_id < 10
+            ) WHERE crk <= 2
+        ),
+        sdi_best AS (
+            SELECT vec_id, sim AS max_sim FROM (
+                SELECT cc.neighbor_id AS vec_id,
+                       ROUND({_SD_DOT.format(a='c', b='e')}, 4) AS sim,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY cc.neighbor_id
+                           ORDER BY ROUND({_SD_DOT.format(
+                               a='c', b='e')}, 4) DESC, ec.eval_id
+                       ) AS rk
+                FROM sdi_ccells cc
+                JOIN sdi_ecells ec ON cc.cell_id = ec.cell_id
+                JOIN embeddings c ON c.vec_id = cc.neighbor_id
+                JOIN embeddings e ON e.vec_id = ec.eval_id
+                WHERE cc.neighbor_id >= 10
+            ) WHERE rk = 1
+        ),
+        sdi_u AS (
+            SELECT vec_id, 0 AS is_ivf FROM sd_exact WHERE flagged
+            UNION ALL
+            SELECT vec_id, 1 AS is_ivf FROM sdi_best
+            WHERE max_sim >= 0.35
+        ),
+        sdi_per AS (
+            SELECT vec_id, MAX(1 - is_ivf) AS in_exact,
+                   MAX(is_ivf) AS in_ivf
+            FROM sdi_u GROUP BY vec_id
+        )
+        SELECT CAST(SUM(in_exact) AS BIGINT) AS n_exact,
+               CAST(SUM(in_ivf) AS BIGINT) AS n_ivf,
+               CAST(SUM(in_exact * in_ivf) AS BIGINT) AS n_common,
+               ROUND(SUM(in_exact * in_ivf) * 1.0 / SUM(in_exact), 4)
+                   AS recall,
+               BOOL_AND(in_exact >= in_ivf) AS ivf_subset
+        FROM sdi_per
+    """,
+    doc="The agreement gate for cell-bounded semantic decontamination "
+    "— the scale path when the eval list is corpus-sized and cannot "
+    "broadcast: corpus vectors keep the shared trained-cell "
+    "assignment, eval vectors probe their 2 nearest cells, pairs "
+    "exist only within a shared cell (Σ|cell|·|probes| cost, never "
+    "N×E). Every IVF flag is true (candidate sims are exact sims — "
+    "ivf_subset must hold); recall prices the nprobe knob exactly "
+    "like the ANN recall gates. One verdict row: exact vs IVF flag "
+    "counts, overlap, recall, subset invariant. "
+    "operators/similarity.py:semantic_decontam_ivf.",
+)
+def q_llm_semantic_decontam_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < 10)
+    exact = _sim.semantic_decontam(emb, ev, threshold=0.35)
+    ivf = _sim.semantic_decontam_ivf(
+        emb,
+        ev,
+        _kmeans_cents_shared(spark, sf_dir),
+        threshold=0.35,
+        nprobe=2,
+        corpus_cells=_ivf_cells_shared(spark, sf_dir),
+    )
+    u = (
+        exact.filter(F.col("flagged"))
+        .select("vec_id", F.lit(0).alias("is_ivf"))
+        .unionByName(
+            ivf.filter(F.col("flagged")).select(
+                "vec_id", F.lit(1).alias("is_ivf")
+            )
+        )
+    )
+    per = u.groupBy("vec_id").agg(
+        F.max(1 - F.col("is_ivf")).alias("in_exact"),
+        F.max("is_ivf").alias("in_ivf"),
+    )
+    return per.agg(
+        F.sum("in_exact").cast("bigint").alias("n_exact"),
+        F.sum("in_ivf").cast("bigint").alias("n_ivf"),
+        F.sum(F.col("in_exact") * F.col("in_ivf"))
+        .cast("bigint")
+        .alias("n_common"),
+        F.round(
+            F.sum(F.col("in_exact") * F.col("in_ivf"))
+            / F.sum("in_exact"),
+            4,
+        ).alias("recall"),
+        F.min(F.col("in_exact") >= F.col("in_ivf")).alias("ivf_subset"),
+    )
+
+
 @register(
     "llm_selection_frontier",
     oracle="""

@@ -1140,6 +1140,50 @@ def test_semantic_decontam_planted_geometry(spark):
     assert got[13].eval_id == 0 and got[13].max_sim == 0.7071  # tie -> low id
 
 
+def test_semantic_decontam_ivf_subset_and_full_probe_equality(spark):
+    """IVF decontam flags are always a SUBSET of the exact flags
+    (candidate sims are exact sims); probing every cell
+    (nprobe = n_cells) makes the two paths identical on a planted
+    corpus."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [rng.gauss(0, 1) for _ in range(4)]
+        n = sum(x * x for x in v) ** 0.5
+        rows.append((i, [x / n for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    ev = emb.filter(F.col("vec_id") < 5)
+    cents = similarity.ivf_centroids(emb, n_cells=3)
+
+    exact_flags = {
+        r.vec_id
+        for r in similarity.semantic_decontam(emb, ev, threshold=0.5)
+        .filter(F.col("flagged"))
+        .collect()
+    }
+    ivf1 = {
+        r.vec_id
+        for r in similarity.semantic_decontam_ivf(
+            emb, ev, cents, threshold=0.5, nprobe=1
+        )
+        .filter(F.col("flagged"))
+        .collect()
+    }
+    assert ivf1 <= exact_flags  # never a false flag
+    full = {
+        r.vec_id
+        for r in similarity.semantic_decontam_ivf(
+            emb, ev, cents, threshold=0.5, nprobe=3
+        )
+        .filter(F.col("flagged"))
+        .collect()
+    }
+    assert full == exact_flags  # all cells probed -> exact
+    assert exact_flags  # the planted corpus actually flags something
+
+
 def test_mixture_balance_exact_counts_and_stability(spark):
     """Exactly min(target, |stratum|) rows per stratum, untargeted
     strata dropped; a stratum's pick is independent of OTHER strata's
