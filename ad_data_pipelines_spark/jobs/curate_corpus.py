@@ -345,14 +345,22 @@ def curate(
     def _canonize(frame: DataFrame) -> DataFrame:
         """Replace text with its normalized form (stage-1 transform,
         reusable on arbitrary doc subsets — the decontam stage applies
-        it to the full eval source independently of stages 1-3)."""
-        norm = _scrub.normalize_text(frame).select("doc_id", "norm_text")
+        it to the full eval source independently of stages 1-3).
+        MAP-ONLY (r14 opt): the normalized text is a pure function of
+        the row, so it is computed in place — the previous
+        normalize_text self-join by doc_id shuffled the whole text
+        payload on both sides for it (guide §8). Column order kept
+        bit-compatible with the old join output (doc_id first,
+        n_chars last)."""
+        out_cols = (
+            ["doc_id"]
+            + [c for c in frame.columns if c not in ("doc_id", "n_chars")]
+            + ["n_chars"]
+        )
         return (
-            frame.drop("n_chars")
-            .join(norm, "doc_id")
-            .withColumn("text", F.col("norm_text"))
-            .drop("norm_text")
+            frame.withColumn("text", _scrub.normalized_text_expr("text"))
             .withColumn("n_chars", F.length("text"))
+            .select(*out_cols)
         )
 
     # ---- 1+2. normalize + quality verdicts (doc-local signals) --------

@@ -201,7 +201,17 @@ def dsir_weights(
             f"(got n_features={n_features}, alpha={alpha})"
         )
     bt = hashed_gram_buckets(target_docs, n_features, text_col, fast=fast)
-    br = hashed_gram_buckets(raw_docs, n_features, text_col, fast=fast)
+    # the raw pool's gram frame feeds TWO plan branches — the model fit
+    # (via the tagged-union aggregate inside dsir_bucket_weights, which
+    # executes first as the broadcast-build job) and the scoring join —
+    # so persist it: the md5-portable gram hash over the whole raw pool
+    # is the dominant map cost and would otherwise run twice (r14 opt,
+    # the lsh_candidate_pairs internal-persist precedent; callers may
+    # unpersist after their action completes). Occurrence rows are two
+    # longs each — never text.
+    br = hashed_gram_buckets(
+        raw_docs, n_features, text_col, fast=fast
+    ).persist()
     weights = dsir_bucket_weights(br, bt, n_features, alpha)
     return (
         br.join(F.broadcast(weights), "bucket")

@@ -905,15 +905,23 @@ def connected_components(
     (doc_id, component) where component = min doc_id reachable — the
     canonical keeper of each duplicate cluster.
 
-    Hybrid execution, sized by the edge count (NOT the corpus size —
-    dup-pair edges are orders of magnitude fewer than documents):
+    Hybrid execution, sized by the DISTINCT edge count (NOT the corpus
+    size — dup-pair edges are orders of magnitude fewer than
+    documents):
 
-      * `≤ driver_threshold` edges → collect the pairs and run
+      * `≤ driver_threshold` distinct edges → collect the pairs and run
         union-find with path compression on the driver (microseconds
         per edge, zero Spark jobs). Dedup edge sets contract hard: even
         a 100 TB corpus's near-dup graph usually fits once it's been
         thresholded (n_eq filter) — the collect moves two longs per
-        edge, never text or signatures.
+        edge, never text or signatures. The path decision and the
+        collect are ONE pass (`limit(threshold+1).collect()` — if
+        everything fits under the limit, that IS the edge set): the
+        previous `count()`-then-`collect()` pair executed the whole
+        upstream pair chain twice for unpersisted inputs (measured on
+        llm_dedup_threshold's fresh 8×2-band chain at sf0.1), and an
+        over-threshold graph now early-exits the probe instead of
+        paying a full count before the distributed pass.
       * larger → `distributed_algo`:
           - 'star' (default): alternating large-star/small-star
             contraction (Kiveris et al., "Connected Components in
@@ -937,12 +945,16 @@ def connected_components(
     All paths produce identical min-root labelings.
     """
     pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    n_edges = pairs.count()
-    if n_edges <= driver_threshold:
+    # One action decides the path AND (in the common contracted case)
+    # delivers the edge set: CollectLimit stops growing once it has
+    # threshold+1 rows, so a big graph aborts the probe early while a
+    # small one never pays a separate count pass over the same chain.
+    head = pairs.distinct().limit(driver_threshold + 1).collect()
+    if len(head) <= driver_threshold:
         # Driver path never symmetrizes: union-find is orientation-
-        # agnostic, so collect the raw (deduped) pairs directly — one
-        # action on the input instead of union+persist+count+filter.
-        pair_rows = pairs.distinct().collect()
+        # agnostic, so the raw (deduped) pairs are the whole input —
+        # two longs per edge, never text or signatures.
+        pair_rows = head
         parent: dict = {}
 
         def find(x):

@@ -159,6 +159,8 @@ def pagerank(
     cut_input: bool = True,
     weight: str | None = None,
     reliable: bool = False,
+    nodes: DataFrame | None = None,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """(node, rank_fp): fixed-point PageRank over the directed edge
     list (self-loops dropped, duplicate edges collapsed). ``rank_fp``
@@ -232,7 +234,19 @@ def pagerank(
     directory — identical results (a cut never changes values, only
     lineage), but the cut state survives executor loss, which is the
     difference between a recoverable and a dead 100 TB run. See
-    `_cut`."""
+    `_cut`.
+
+    ``nodes`` / ``n_nodes`` extend the shared-artifact vouching
+    contract to the NODE side: a graph artifact's endpoint set (and
+    its count) are build-time properties, so a caller that
+    materialized them once may pass them in and skip the per-call
+    distinct-union pass (+ count action) entirely. ``nodes`` must be
+    a MATERIALIZED frame whose single column equals exactly the
+    distinct endpoints of the (surviving) edge list — the same
+    trust-by-construction rule as ``assume_normalized``; ``n_nodes``
+    must be its row count. Wrong values silently misrank (teleport
+    mass is split by ``n_nodes``), which the oracle gate would catch —
+    vouch only from artifact-build-time computation."""
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if iterations < 1:
@@ -337,13 +351,17 @@ def pagerank(
                 "int64 headroom — rank*w would WRAP in Spark but "
                 "ERROR in DuckDB; lower scale or re-scale weights"
             )
-    nodes = _cut(
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct(),
-        reliable,
-    )
-    n = nodes.count()
+    if nodes is None:
+        nodes = _cut(
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct(),
+            reliable,
+        )
+        n = nodes.count()
+    else:
+        nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
+        n = int(n_nodes) if n_nodes is not None else nodes.count()
     if n == 0:
         # the node set is the endpoints of SURVIVING edges — an input of
         # only self-loops/NULLs ranks nothing, it has no graph
@@ -1541,11 +1559,12 @@ def label_propagation(
             break
         for parity in (0, 1):
             # nodes whose label changed in the two half-steps since
-            # this parity last updated
-            touch = _cut(
-                changed_last.unionByName(changed_prev).distinct(),
-                reliable,
-            )
+            # this parity last updated. NOT cut (r14 opt): both inputs
+            # are one bounded step off checkpointed state, so the
+            # union+distinct re-runs at most twice (the count probe
+            # and the affected join) inside consumer jobs — cheaper
+            # than an eager localCheckpoint job per half-step.
+            touch = changed_last.unionByName(changed_prev).distinct()
             n_touch = touch.count()
             if n_touch == 0:
                 # joint fixpoint: no vote multiset can differ from the
@@ -1590,13 +1609,18 @@ def label_propagation(
                     labels.join(affected, "node", "left_anti")
                 )
             new_labels = _cut(new_labels, reliable)
-            changed_now = _cut(
+            # the changed set stays LAZY (r14 opt): one join+filter
+            # over two checkpointed label frames, re-run at most twice
+            # (as changed_last then changed_prev inside later touch
+            # unions) — dropping its per-half-step eager cut job
+            # halves the delta loop's materialization count together
+            # with the touch change above (labels bit-equal; A/B'd)
+            changed_now = (
                 new_labels.join(
                     labels.withColumnRenamed("label", "__old"), "node"
                 )
                 .filter(F.col("label") != F.col("__old"))
-                .select("node"),
-                reliable,
+                .select("node")
             )
             changed_prev, changed_last = changed_last, changed_now
             labels = new_labels
@@ -1738,6 +1762,8 @@ def hits(
     cut_input: bool = True,
     assume_normalized: bool = False,
     reliable: bool = False,
+    n_nodes: int | None = None,
+    n_src: int | None = None,
 ) -> DataFrame:
     """(node, side, score_fp): HITS hubs & authorities (Kleinberg,
     JACM 1999) over a DIRECTED edge list — the bipartite-flavored
@@ -1784,6 +1810,13 @@ def hits(
     as `pagerank`'s flag) and skips that whole prepass shuffle;
     ``cut_input=False`` additionally skips the input materialization
     when the edges are a filter over an already-checkpointed frame.
+    ``n_nodes`` / ``n_src`` vouch the distinct node count across both
+    sides and the distinct src count (the two guard inputs) as
+    artifact-build-time properties, skipping the per-call
+    posexplode + countDistinct pass — pagerank's ``nodes=`` contract:
+    compute them ONCE when the edge artifact is materialized, never
+    guess (both feed loud-failure guards only; a wrong vouch weakens
+    the guard, not the scores).
 
     Reference parity note: the reference system has no graph module —
     this extends the beyond-reference graph family (g1–g13).
@@ -1815,21 +1848,27 @@ def hits(
         )
     if cut_input:
         e = _cut(e, reliable)
-    # ONE pass over the edges for both guards: distinct src count
-    # (int64 headroom on the un-normalized first step) and distinct
-    # node count across BOTH sides (the degenerate-flooring guard) —
-    # posexplode tags the side, countDistinct ignores the when-NULLs.
-    _counts = (
-        e.select(F.posexplode(F.array("src", "dst")).alias("pos", "node"))
-        .agg(
-            F.countDistinct("node").alias("n_nodes"),
-            F.countDistinct(
-                F.when(F.col("pos") == 0, F.col("node"))
-            ).alias("n_src"),
+    if n_nodes is None or n_src is None:
+        # ONE pass over the edges for both guards: distinct src count
+        # (int64 headroom on the un-normalized first step) and distinct
+        # node count across BOTH sides (the degenerate-flooring guard)
+        # — posexplode tags the side, countDistinct ignores the
+        # when-NULLs. Skipped entirely when both are vouched.
+        _counts = (
+            e.select(
+                F.posexplode(F.array("src", "dst")).alias("pos", "node")
+            )
+            .agg(
+                F.countDistinct("node").alias("n_nodes"),
+                F.countDistinct(
+                    F.when(F.col("pos") == 0, F.col("node"))
+                ).alias("n_src"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
-    n_nodes, n_src = int(_counts["n_nodes"]), int(_counts["n_src"])
+        n_nodes, n_src = int(_counts["n_nodes"]), int(_counts["n_src"])
+    else:
+        n_nodes, n_src = int(n_nodes), int(n_src)
     if n_src == 0:
         spark = edges.sparkSession
         return spark.createDataFrame(

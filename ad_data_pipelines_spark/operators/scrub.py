@@ -197,6 +197,22 @@ def remove_boilerplate_sql(sep: str, max_df_frac: float) -> str:
 _CTRL_CLASS = r"[\x00-\x1f\x7f]"
 
 
+def normalized_text_expr(text_col: str = "text"):
+    """The `normalize_text` map algebra as a bare Column (lowercase,
+    control chars → space, whitespace runs collapsed, trimmed) — for
+    callers that replace the text IN PLACE with `withColumn` instead of
+    joining the (doc_id, norm_text) frame back on: a 1:1 self-join by
+    doc_id shuffles the whole text payload twice for a value that is a
+    pure function of the row (guide §8 — decide with small rows, and
+    here not even that: just compute in place)."""
+    c = F.col(text_col)
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), _CTRL_CLASS, " "), r"\s+", " "
+        )
+    )
+
+
 def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical text normalization — the step every corpus pipeline
     runs BEFORE hashing/dedup so that case and whitespace variants of
@@ -210,11 +226,7 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     that raw exact-hash dedup misses.
     """
     c = F.col(text_col)
-    norm = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(c), _CTRL_CLASS, " "), r"\s+", " "
-        )
-    )
+    norm = normalized_text_expr(text_col)
     return docs.select(
         "doc_id",
         norm.alias("norm_text"),

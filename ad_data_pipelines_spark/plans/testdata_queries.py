@@ -7537,7 +7537,49 @@ def _trade_edges_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         # metadata; pagerank's fast path asserts its scale against it,
         # so an over-scale consumer raises instead of wrapping int64
         _SHARED_CACHE[vkey] = validate_edge_weights(art, "w")
+        # node artifact + stats, computed ONCE at build (r14 opt): the
+        # artifact carries BOTH orientations, so its distinct src set
+        # IS the full endpoint set; customers are the even ids by
+        # construction. pagerank(nodes=, n_nodes=) and hits(n_nodes=,
+        # n_src=) consumers then skip their per-call distinct-union /
+        # countDistinct passes — the node set of a static graph is an
+        # artifact property, same vouching family as validate_edge_
+        # weights. Cost lands here, in the DECLARED shared-stage build.
+        nodes = (
+            _SHARED_CACHE[vkey]
+            .select(F.col("src").alias("node"))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_all, n_even = nodes.agg(
+            F.count("*"),
+            F.sum(F.when(F.col("node") % 2 == 0, 1).otherwise(0)),
+        ).first()
+        _SHARED_CACHE[
+            (spark.sparkContext.applicationId, sf_dir, "trade_edges:nodes")
+        ] = nodes
+        _SHARED_CACHE[
+            (spark.sparkContext.applicationId, sf_dir, "trade_edges:stats")
+        ] = {"n_nodes": int(n_all), "n_src_even": int(n_even)}
     return _SHARED_CACHE[vkey]
+
+
+def _trade_nodes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trade graph's vouched endpoint set (build-time artifact
+    property — see _trade_edges_shared)."""
+    _trade_edges_shared(spark, sf_dir)
+    return _SHARED_CACHE[
+        (spark.sparkContext.applicationId, sf_dir, "trade_edges:nodes")
+    ]
+
+
+def _trade_stats_shared(spark: SparkSession, sf_dir: str) -> dict:
+    """Vouched node counts of the trade graph (full node count + even/
+    customer count), computed once at artifact build."""
+    _trade_edges_shared(spark, sf_dir)
+    return _SHARED_CACHE[
+        (spark.sparkContext.applicationId, sf_dir, "trade_edges:stats")
+    ]
 
 
 @register(
@@ -7571,6 +7613,10 @@ def q_g1_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exercised rule in pagerank's docstring): one cut per 5
         # rounds, measured 1.4x faster, ranks identical
         checkpoint_every=5,
+        # node set + count are artifact build-time properties (r14
+        # opt): skips the per-call distinct-union pass + count action
+        nodes=_trade_nodes_shared(spark, sf_dir),
+        n_nodes=_trade_stats_shared(spark, sf_dir)["n_nodes"],
     )
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
@@ -7618,6 +7664,7 @@ def q_g1_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_g14_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _trade_edges_shared(spark, sf_dir).filter(F.col("src") % 2 == 0)
+    stats = _trade_stats_shared(spark, sf_dir)
     hs = _graph.hits(
         e.select("src", "dst"),
         iterations=6,
@@ -7626,6 +7673,19 @@ def q_g14_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # over the checkpointed RDD re-scans cheaply, so no input cut
         assume_normalized=True,
         cut_input=False,
+        # guard counts are artifact build-time properties (r14 opt):
+        # the c→s half's src set = the even (customer) ids, and its
+        # endpoint set = the FULL node set (every customer has an
+        # out-edge here, every supplier an in-edge — the artifact
+        # carries both orientations of every pair)
+        n_nodes=stats["n_nodes"],
+        n_src=stats["n_src_even"],
+        # checkpoint_every STAYS 1 (measured r14: 2 was tried and
+        # A/B'd SLOWER — 8.1/8.5 vs 6.8 s — because each iteration's
+        # two 1-row normalizer broadcasts re-execute their uncut
+        # upstream half-steps, so deeper segments grow quadratically
+        # in recompute; hits is unlike pagerank here, whose loop has
+        # no mid-iteration broadcast subtrees)
     )
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
@@ -7682,6 +7742,8 @@ def q_g2_ppr_trusted_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         assume_normalized=True,
         cut_input=False,  # the shared stage is a checkpointed RDD
         checkpoint_every=5,  # exercised on this plan shape (see g1)
+        nodes=_trade_nodes_shared(spark, sf_dir),  # vouched (see g1)
+        n_nodes=_trade_stats_shared(spark, sf_dir)["n_nodes"],
     )
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
@@ -7820,6 +7882,8 @@ def q_g4_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         assume_normalized=True,
         cut_input=False,  # the shared stage is a checkpointed RDD
         checkpoint_every=5,  # exercised on this plan shape (see g1)
+        nodes=_trade_nodes_shared(spark, sf_dir),  # vouched (see g1)
+        n_nodes=_trade_stats_shared(spark, sf_dir)["n_nodes"],
     )
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
