@@ -1800,9 +1800,16 @@ def hits(
 
     Scale shape (the `pagerank` loop idiom): per half-step ONE equi-
     join of the 2-long score state onto the edge list + ONE combinable
-    aggregate; the normalizer is a 1-row aggregate crossJoin-broadcast
-    back (never a driver collect); lineage cut per iteration
-    (`_cut` — ``reliable=True`` for cluster runs). Self-loops dropped,
+    aggregate, CUT (`_cut` — ``reliable=True`` for cluster runs)
+    BEFORE the 1-row normalizer crossJoin-broadcast (never a driver
+    collect): the normalizer total is a broadcast SUBTREE over the raw
+    state, so an uncut raw made every half-step's join + aggregate
+    execute twice — once in the broadcast build, once in the consuming
+    pass (r14 opt, measured ~1.7× on g14). The per-half-step cut also
+    truncates lineage, so ``checkpoint_every`` is accepted for
+    compatibility but IGNORED since r14 — the hub/auth frames are free
+    projections one broadcast join off materialized state.
+    Self-loops dropped,
     duplicate edges collapsed (a duplicate would double-count
     endorsement); NULL endpoints dropped.
     ``assume_normalized=True`` vouches the input is already distinct,
@@ -1902,6 +1909,16 @@ def hits(
         )
 
     def _normalize(raw: DataFrame) -> DataFrame:
+        # the raw state is CUT first (r14 opt): the 1-row normalizer
+        # total is a broadcast SUBTREE over raw, so an uncut raw made
+        # every half-step's edge join + aggregate execute twice — once
+        # inside the broadcast build, once in the consuming pass
+        # (measured on g14 at sf0.1: ~5.8-6.4 s → ~3.4 s median,
+        # scores identical). The cut also truncates lineage at every
+        # half-step, which is why the old per-iteration hub-state cut
+        # (checkpoint_every) is gone: the hub/auth frames are now free
+        # projections one broadcast join off materialized raw state.
+        raw = _cut(raw, reliable)
         total = raw.agg(F.sum("raw").alias("__t"))
         return (
             raw.crossJoin(F.broadcast(total))
@@ -1931,14 +1948,6 @@ def hits(
             .agg(F.sum("score_fp").alias("raw"))
         )
         hubs = _normalize(raw_h)
-        # cut ONLY the hub state: auths_k is never an input to a later
-        # round (h_k derives from it within the same iteration), so
-        # the returned auth frame's lineage is one half-step deep off
-        # the last cut hubs — cutting it too would double the eager
-        # materialization jobs for nothing (measured on g14 at sf0.1:
-        # 10.1 s → 6.7 s median, scores identical)
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            hubs = _cut(hubs, reliable)
     return hubs.select(
         "node", F.lit("hub").alias("side"), "score_fp"
     ).unionByName(

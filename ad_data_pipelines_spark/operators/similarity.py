@@ -357,6 +357,19 @@ def ivf_train_centroids(
     )
 
 
+def _dist_fp_sql(vec_col: str, c: list[int]) -> str:
+    """Squared-L2 distance of BIGINT vector column ``vec_col`` to the
+    literal centroid ``c``, as a SQL expression string — the exact
+    integer algebra of the old Column-object form (zip_with diff²,
+    aggregate-sum with 0L init), parsed server-side in one call
+    instead of ~4·dim py4j round-trips per centroid."""
+    arr = f"array({','.join(f'{int(x)}L' for x in c)})"
+    return (
+        f"aggregate(zip_with({vec_col}, {arr}, "
+        f"(a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    )
+
+
 def kmeans_fp(
     embeddings: DataFrame,
     n_cells: int = 4,
@@ -463,22 +476,19 @@ def kmeans_fp(
 
     def assigned() -> DataFrame:
         # per-row argmin over literal centroids: array_min of
-        # (dist, cell) structs — lexicographic, ties -> lowest cell
-        structs = []
-        for j, c in enumerate(cents):
-            arr = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
-            d = F.aggregate(
-                F.zip_with("v", arr, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            )
-            structs.append(
-                F.struct(
-                    d.alias("d"), F.lit(j).cast("bigint").alias("cell")
-                )
-            )
-        return vq.select(
-            "vid", "v", F.array_min(F.array(*structs))["cell"].alias("cell")
+        # (dist, cell) structs — lexicographic, ties -> lowest cell.
+        # The whole argmin is ONE parsed SQL string (r14 opt): the
+        # Column-object form built n_cells x dim literal Columns
+        # through py4j — measured 4-4.7 s of pure driver plan
+        # construction PER ITERATION at K=4, dim=64, vs ~0.1 s for a
+        # single server-side parse; the resulting expression tree (and
+        # therefore every integer result) is identical.
+        structs = ", ".join(
+            f"named_struct('d', {_dist_fp_sql('v', c)}, 'cell', {j}L)"
+            for j, c in enumerate(cents)
+        )
+        return vq.selectExpr(
+            "vid", "v", f"array_min(array({structs})).cell AS cell"
         )
 
     dim = len(cents[0])
@@ -495,7 +505,7 @@ def kmeans_fp(
             .agg(
                 F.count("*").alias("n"),
                 *[
-                    F.sum(F.element_at("v", i + 1)).alias(f"s{i}")
+                    F.expr(f"sum(element_at(v, {i + 1}))").alias(f"s{i}")
                     for i in range(dim)
                 ],
             )
@@ -573,19 +583,17 @@ def kcenter_seeds(
     chosen: list[list[int]] = [list(first[0].v)]
     picks: list[tuple[int, int, int]] = [(0, int(first[0].vid), 0)]
 
-    def dist_to(c: list[int]):
-        arr = F.array(*[F.lit(int(x)).cast("bigint") for x in c])
-        return F.aggregate(
-            F.zip_with("v", arr, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-
     chosen_ids = [int(first[0].vid)]
     for j in range(1, n_cells):
-        mind = F.least(*[dist_to(c) for c in chosen]) if len(
-            chosen
-        ) > 1 else dist_to(chosen[0])
+        # nearest-chosen-seed distance as ONE parsed SQL string (r14
+        # opt, the kmeans_fp assigned() rationale: the Column-object
+        # form paid ~4·dim py4j round-trips per chosen seed per pass
+        # in pure driver plan construction; the parsed tree and every
+        # integer result are identical)
+        dists = [_dist_fp_sql("v", c) for c in chosen]
+        mind = (
+            f"least({', '.join(dists)})" if len(dists) > 1 else dists[0]
+        )
         # farthest point = lexicographic min over (-min_dist, vid):
         # largest distance first, ties to the lowest id; the vector
         # rides along (unique (nd, vid) key, it never orders).
@@ -596,12 +604,9 @@ def kcenter_seeds(
         best_rows = (
             vq.filter(~F.col("vid").isin(chosen_ids))
             .select(
-                F.min(
-                    F.struct(
-                        (-mind).alias("nd"),
-                        F.col("vid").alias("vid"),
-                        F.col("v").alias("v"),
-                    )
+                F.expr(
+                    f"min(named_struct('nd', -({mind}), "
+                    f"'vid', vid, 'v', v))"
                 ).alias("m")
             )
             .collect()

@@ -606,21 +606,26 @@ def q_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem
         ) WHERE rn = 1
     """,
-    doc="W4/A16 keep-last-by-explicit-order (row_number desc == 1). "
-    "Reference: rank(ascending=False)==1, scripts/ads_stop_…py:62-65; "
-    "replaces order-dependent drop_duplicates(keep='first') "
-    "(SURVEY.md §4.4-6).",
+    doc="W4/A16 keep-last-by-explicit-order. Reference: "
+    "rank(ascending=False)==1, scripts/ads_stop_…py:62-65; replaces "
+    "order-dependent drop_duplicates(keep='first') (SURVEY.md §4.4-6). "
+    "Computed as ONE combinable max(struct) aggregate (r14 opt, the "
+    "label_propagation min_by lesson): keep-last over a UNIQUE order "
+    "key is an argmax, and the aggregate partial-aggregates map-side "
+    "where the row_number window form shuffles + sorts every row — "
+    "rows identical by construction (max over the unique "
+    "(l_shipdate, l_linenumber) pair = rank desc 1); the window form "
+    "of the operator remains covered by w1/w2/w3/w5/o7/a13.",
 )
 def q_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_orderkey").orderBy(
-        F.col("l_shipdate").desc(), F.col("l_linenumber").desc()
-    )
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.struct("l_shipdate", "l_linenumber")).alias("m"))
         .select(
-            "l_orderkey", "l_linenumber", F.to_date("l_shipdate").alias("ship_date")
+            "l_orderkey",
+            F.col("m.l_linenumber").alias("l_linenumber"),
+            F.to_date("m.l_shipdate").alias("ship_date"),
         )
     )
 
@@ -7680,12 +7685,12 @@ def q_g14_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         # carries both orientations of every pair)
         n_nodes=stats["n_nodes"],
         n_src=stats["n_src_even"],
-        # checkpoint_every STAYS 1 (measured r14: 2 was tried and
-        # A/B'd SLOWER — 8.1/8.5 vs 6.8 s — because each iteration's
-        # two 1-row normalizer broadcasts re-execute their uncut
-        # upstream half-steps, so deeper segments grow quadratically
-        # in recompute; hits is unlike pagerank here, whose loop has
-        # no mid-iteration broadcast subtrees)
+        # the r14 raw-state cut inside hits._normalize subsumes the
+        # old checkpoint cadence (raising checkpoint_every had been
+        # tried first and A/B'd SLOWER — 8.1/8.5 vs 6.8 s — because
+        # the normalizer broadcasts re-executed their uncut upstream
+        # half-steps; cutting the raw state instead removes that
+        # double execution outright)
     )
     label = F.concat(
         F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
