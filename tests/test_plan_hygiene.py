@@ -408,10 +408,11 @@ _SMJ_ALLOWED = {
     # checkpointed (node, label) frame small enough for AQE to
     # broadcast — the final sf0.1 plan is SMJ/SHJ-free
     "g4_weighted_pagerank",
-    "g14_hits_authorities",  # same family: the last half-step's
-    # (node, score) x edges equi-joins — both node-count-scaled,
-    # co-partitioned on the join key; earlier rounds' joins read
-    # checkpointed state and AQE broadcasts them
+    # g14_hits_authorities left this list in r14 (optimization round):
+    # hits now cuts the (node, raw) score state before each 1-row
+    # normalizer broadcast, so EVERY half-step's state joins probe a
+    # checkpointed node-count frame small enough for AQE to broadcast
+    # — the final sf0.1 plan is SMJ/SHJ-free, like g3's frontier mode
     "g6_cosupply_triangles",  # wedge/orientation self-joins, fact-fact
     "g7_coreness",
     "g9_neighborhood_anf",  # per-round sketch-state x edges join: the
