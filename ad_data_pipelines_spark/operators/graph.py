@@ -1251,9 +1251,12 @@ def sssp(
             # the next frontier: keys whose dist is NEW or improved.
             # Both sides are key-hashed aggregate/cut outputs, so the
             # diff join reuses the hash partitioning (no extra
-            # exchange); cut so the emptiness probe and the next
-            # round's relax don't recompute the chain.
-            changed = _cut(
+            # exchange). NOT cut (r14 opt): the diff is one bounded
+            # join off two checkpointed frames, the emptiness probe
+            # early-exits (limit-1) instead of materializing it, and
+            # the next round's relax computes it once inside its own
+            # job — one fewer eager localCheckpoint job per round.
+            changed = (
                 new_state.join(
                     state.withColumnRenamed("dist", "__old"),
                     keys,
@@ -1263,8 +1266,7 @@ def sssp(
                     F.col("__old").isNull()
                     | (F.col("dist") < F.col("__old"))
                 )
-                .select(*keys, "dist"),
-                reliable,
+                .select(*keys, "dist")
             )
             state = new_state
             if changed.isEmpty():
