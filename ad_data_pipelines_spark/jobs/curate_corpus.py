@@ -649,8 +649,15 @@ def curate(
         )
 
         target_pred = F.col("source") == dsir_target
+        # own the DSIR gram cache: every later action over `mixed`
+        # (count, parquet write, optional jsonl) re-executes the
+        # scoring chain, so the cache must live until the job's last
+        # action — unpersisted with the other stage caches below
+        dsir_gram_cache: list = []
         scored = _classify.dsir_weights(
-            deduped.filter(~target_pred), deduped.filter(target_pred)
+            deduped.filter(~target_pred),
+            deduped.filter(target_pred),
+            gram_cache=dsir_gram_cache,
         )
         stats["dsir_n_candidates"] = scored.count()
         sel = _sampling.gumbel_topk_sample(
@@ -698,6 +705,9 @@ def curate(
     quality_docs.unpersist()
     deduped.unpersist()
     comp.unpersist()
+    if budget is not None and dsir_target is not None:
+        for _cached in dsir_gram_cache:
+            _cached.unpersist()
     return stats
 
 

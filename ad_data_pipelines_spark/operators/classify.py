@@ -170,6 +170,7 @@ def dsir_weights(
     round_dp: int = 4,
     *,
     fast: bool = False,
+    gram_cache: list | None = None,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (DSIR, Xie et al.
     2023): fit two bag-of-hashed-ngram generative models — p̂ on the
@@ -206,12 +207,17 @@ def dsir_weights(
     # executes first as the broadcast-build job) and the scoring join —
     # so persist it: the md5-portable gram hash over the whole raw pool
     # is the dominant map cost and would otherwise run twice (r14 opt,
-    # the lsh_candidate_pairs internal-persist precedent; callers may
-    # unpersist after their action completes). Occurrence rows are two
-    # longs each — never text.
+    # the lsh_candidate_pairs internal-persist precedent). Occurrence
+    # rows are two longs each — never text. OWNERSHIP (r15, per the
+    # r14 advice): pass ``gram_cache=[]`` to receive the persisted
+    # frame and unpersist it once your last action over the result has
+    # run; without it the cache lives until session GC — acceptable
+    # for one-shot sessions, leaky for repeated calls in a long one.
     br = hashed_gram_buckets(
         raw_docs, n_features, text_col, fast=fast
     ).persist()
+    if gram_cache is not None:
+        gram_cache.append(br)
     weights = dsir_bucket_weights(br, bt, n_features, alpha)
     return (
         br.join(F.broadcast(weights), "bucket")

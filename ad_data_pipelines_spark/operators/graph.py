@@ -161,6 +161,7 @@ def pagerank(
     reliable: bool = False,
     nodes: DataFrame | None = None,
     n_nodes: int | None = None,
+    debug_vouch: bool = False,
 ) -> DataFrame:
     """(node, rank_fp): fixed-point PageRank over the directed edge
     list (self-loops dropped, duplicate edges collapsed). ``rank_fp``
@@ -246,7 +247,13 @@ def pagerank(
     trust-by-construction rule as ``assume_normalized``; ``n_nodes``
     must be its row count. Wrong values silently misrank (teleport
     mass is split by ``n_nodes``), which the oracle gate would catch —
-    vouch only from artifact-build-time computation."""
+    vouch only from artifact-build-time computation, and the edges
+    must be the UNFILTERED artifact the node set was built from (a
+    caller filtering the edge list the way g14 does must recompute).
+    ``debug_vouch=True`` re-verifies the vouch at call time (count
+    equality + endpoint containment, two extra actions) and raises
+    loudly on a mismatch — run it once when wiring a new consumer,
+    leave it off in production."""
     if not 0 < damping_pct < 100:
         raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
     if iterations < 1:
@@ -362,6 +369,30 @@ def pagerank(
     else:
         nodes = nodes.select(F.col(nodes.columns[0]).alias("node"))
         n = int(n_nodes) if n_nodes is not None else nodes.count()
+        if debug_vouch:
+            # opt-in loud-failure re-check of the vouching contract
+            # (r15, per the r14 advice): a wrong vouch otherwise
+            # silently misranks. Two bounded actions over cut frames.
+            actual = nodes.count()
+            if n != actual:
+                raise ValueError(
+                    f"vouched n_nodes ({n}) != nodes frame count "
+                    f"({actual}) — the vouch is stale or was computed "
+                    "on different edges"
+                )
+            stray = (
+                e.select(F.col("src").alias("node"))
+                .unionByName(e.select(F.col("dst").alias("node")))
+                .join(nodes, "node", "left_anti")
+                .limit(1)
+                .collect()
+            )
+            if stray:
+                raise ValueError(
+                    f"edge endpoint {stray[0][0]!r} is missing from "
+                    "the vouched nodes frame — the edges are not the "
+                    "unfiltered artifact the node set was built from"
+                )
     if n == 0:
         # the node set is the endpoints of SURVIVING edges — an input of
         # only self-loops/NULLs ranks nothing, it has no graph
@@ -515,7 +546,10 @@ def k_core(
     shuffles; the survivor state is one long per node, lineage cut
     per round. ``assume_normalized`` / ``cut_input`` / ``reliable`` as
     in `pagerank` (``od``/``w``/``ws`` columns, if present, are ignored
-    — degrees are recounted per round by construction)."""
+    — degrees are recounted per round by construction). Survivor sets
+    shrink monotonically, so an unchanged round is the fixpoint and
+    every remaining round the identity — a limit-1 anti-join probe
+    per round early-exits them (r15), identical output."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if rounds < 1:
@@ -547,7 +581,20 @@ def k_core(
             F.count("*").alias("deg")
         )
         deg = _cut(deg.filter(F.col("deg") >= k), reliable)
-        survivors = deg.select("node")
+        new_survivors = deg.select("node")
+        if i + 1 < rounds:
+            # fixpoint probe (r15): survivors only shrink, so an empty
+            # prev-minus-new difference makes every remaining round the
+            # identity (same survivor set => same degrees) — one
+            # limit-1 anti-join over the two cut frames decides.
+            dropped = survivors.join(
+                new_survivors, "node", "left_anti"
+            ).limit(1)
+            survivors = new_survivors
+            if not dropped.collect():
+                break
+        else:
+            survivors = new_survivors
     return deg
 
 
@@ -613,7 +660,12 @@ def coreness(
     one equi-join of the (node, c) state onto edges + one per-node
     window bounded by the node's DEGREE (never global) + one
     combinable max; state is two longs per node; lineage cut per
-    ``checkpoint_every`` rounds; ``reliable`` as in `pagerank`."""
+    ``checkpoint_every`` rounds; ``reliable`` as in `pagerank`. An
+    unchanged round is the fixpoint (the recurrence is a pure
+    function of the state), so a limit-1 probe per round early-exits
+    the remaining rounds — identical output, and on graphs that
+    converge in 1-2 rounds (the trade backbone does) the fixed round
+    budget stops costing anything (r15)."""
     if rounds < 1:
         raise ValueError(f"need >= 1 round, got {rounds}")
     if checkpoint_every < 1:
@@ -647,13 +699,32 @@ def coreness(
             c.select(F.col("node").alias("dst"), F.col("c").alias("cv")),
             "dst",
         ).select(F.col("src").alias("u"), "cv")
-        c = (
+        c_new = (
             nb.withColumn("rn", F.row_number().over(w).cast("bigint"))
             .groupBy(F.col("u").alias("node"))
             .agg(F.max(F.least("rn", "cv")).alias("c"))
         )
         if (i + 1) % checkpoint_every == 0 and i + 1 < rounds:
-            c = _cut(c, reliable)
+            c_new = _cut(c_new, reliable)
+        if i + 1 < rounds:
+            # fixpoint probe (r15): c_{i+1} is a pure function of c_i,
+            # so an unchanged round makes every remaining round the
+            # identity — one limit-1 join over the (cut or one bounded
+            # step off cut) states decides. The node set is invariant
+            # (every node keeps >= 1 edge by construction), so the
+            # inner join covers it.
+            changed = (
+                c_new.join(
+                    c.select("node", F.col("c").alias("c_prev")), "node"
+                )
+                .filter(F.col("c") != F.col("c_prev"))
+                .limit(1)
+            )
+            c = c_new
+            if not changed.collect():
+                break
+        else:
+            c = c_new
     return c.select("node", F.col("c").alias("coreness"))
 
 
@@ -874,28 +945,40 @@ def k_truss(
     cannot fake the triangle support of its edges.
 
     Peeling is iterative and FIXED-round (the oracle-replayability
-    contract shared with k_core): each round enumerates triangles
-    over the CURRENT surviving edge set via the degree-ordered
-    compact-forward scheme (`_oriented_triangles` — orientation by
-    the (degree, id) total order bounds wedge fan-out by O(√m), so a
-    hub cannot explode the per-round self-join), explodes each
-    triangle to its three canonical edges, counts per-edge support
-    with one combinable aggregate, and drops edges below k−2.
+    contract shared with k_core), with DELTA triangle maintenance
+    (r15): triangles are enumerated ONCE over the canonical edge set
+    via the degree-ordered compact-forward scheme
+    (`_oriented_triangles` — orientation by the (degree, id) total
+    order bounds wedge fan-out by O(√m)), then each round counts
+    per-edge support from the maintained triangle set (one
+    explode-to-3 union + combinable aggregate), drops edges below
+    k−2, and shrinks the triangle set by anti-joining the (typically
+    tiny) set of edges just removed — a triangle of the survivor
+    graph is exactly a previously-enumerated triangle none of whose
+    three edges was removed, so the maintained set stays equal to a
+    full re-enumeration round for round while the O(m^1.5) wedge
+    join runs exactly once. An empty removal set is the fixpoint;
+    the remaining rounds are identities and are skipped (one limit-1
+    probe per round over the already-materialized flag frame).
     Removal cascades (an edge losing its support can strip a
     neighbor's), so `rounds` must reach the fixpoint — on every test
     graph and the co-supply backbone the peeling is stable by round
     4 (tested rounds vs rounds+1); monotone edge removal guarantees
     convergence. Pure integer counting, deterministic at every step:
     Spark and the unrolled DuckDB twin (`k_truss_sql`, AS MATERIALIZED
-    CTEs — 3 per round) agree bit-for-bit.
+    CTEs — 3 per round, full per-round re-enumeration) agree
+    bit-for-bit.
 
-    Scale shape per round: one degree aggregate, two orientation
-    joins, one wedge self-join + one closing join (both keyed long
-    pairs), one explode-to-3 union + combinable count, one join-back
-    filter; the survivor edge set is lineage-cut every
-    ``checkpoint_every`` rounds (``reliable`` as in `pagerank`). Total
-    work per round is O(m^1.5) triangle enumeration — the best known
-    bound — shrinking as edges peel."""
+    Scale shape: ONE triangle enumeration (degree aggregate, two
+    orientation joins, wedge self-join + closing join — all keyed
+    long pairs); per round one explode-to-3 + combinable count, one
+    join-back filter over the cut edge set, and three anti-joins of
+    the triangle set against the just-removed edges (AQE broadcasts
+    them once peeling localizes). The survivor edge set and triangle
+    set are lineage-cut every round (``reliable`` as in `pagerank`);
+    ``checkpoint_every`` is accepted for signature compatibility but
+    ignored — the delta structure needs both per-round cuts anyway
+    (a DeprecationWarning fires on non-default values)."""
     if k < 3:
         raise ValueError(
             f"k must be >= 3 (k-2 triangles per edge; k={k} keeps "
@@ -907,36 +990,80 @@ def k_truss(
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
         )
+    if checkpoint_every != 1:
+        import warnings
+
+        warnings.warn(
+            "k_truss ignores checkpoint_every since the r15 delta "
+            "triangle maintenance: the survivor and triangle frames "
+            "are cut every round structurally",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     e = _canonical_edges(edges, src, dst, reliable)
+    tri_raw, _ = _oriented_triangles(e, reliable)
+    # (c, s, t) is rank-ordered, not id-ordered — canonicalize the
+    # three corner pairs ONCE; the frame is referenced 2-4× per round
+    tri = _cut(
+        tri_raw.select(
+            F.least("c", "s").alias("p1u"),
+            F.greatest("c", "s").alias("p1v"),
+            F.least("c", "t").alias("p2u"),
+            F.greatest("c", "t").alias("p2v"),
+            F.least("s", "t").alias("p3u"),
+            F.greatest("s", "t").alias("p3v"),
+        ),
+        reliable,
+    )
     for r in range(rounds):
-        tri, _ = _oriented_triangles(e, reliable)
-        # (c, s, t) is rank-ordered, not id-ordered — canonicalize each
-        # corner pair before counting support
         pairs = (
-            tri.select(
-                F.least("c", "s").alias("u"), F.greatest("c", "s").alias("v")
+            tri.select(F.col("p1u").alias("u"), F.col("p1v").alias("v"))
+            .unionByName(
+                tri.select(F.col("p2u").alias("u"), F.col("p2v").alias("v"))
             )
             .unionByName(
-                tri.select(
-                    F.least("c", "t").alias("u"),
-                    F.greatest("c", "t").alias("v"),
-                )
-            )
-            .unionByName(
-                tri.select(
-                    F.least("s", "t").alias("u"),
-                    F.greatest("s", "t").alias("v"),
-                )
+                tri.select(F.col("p3u").alias("u"), F.col("p3v").alias("v"))
             )
         )
         sup = pairs.groupBy("u", "v").agg(F.count("*").alias("support"))
-        e = (
-            e.join(sup, ["u", "v"], "left")
-            .filter(F.coalesce("support", F.lit(0)) >= k - 2)
-            .select("u", "v")
+        flagged = _cut(
+            e.join(sup, ["u", "v"], "left").select(
+                "u",
+                "v",
+                (F.coalesce("support", F.lit(0)) >= k - 2).alias("keep"),
+            ),
+            reliable,
         )
-        if (r + 1) % checkpoint_every == 0 or r == rounds - 1:
-            e = _cut(e, reliable)
+        e = flagged.filter("keep").select("u", "v")
+        if r == rounds - 1:
+            break
+        removed = flagged.filter("NOT keep").select("u", "v")
+        if not removed.limit(1).collect():
+            break  # fixpoint: every remaining round is the identity
+        tri = _cut(
+            tri.join(
+                removed.select(
+                    F.col("u").alias("p1u"), F.col("v").alias("p1v")
+                ),
+                ["p1u", "p1v"],
+                "left_anti",
+            )
+            .join(
+                removed.select(
+                    F.col("u").alias("p2u"), F.col("v").alias("p2v")
+                ),
+                ["p2u", "p2v"],
+                "left_anti",
+            )
+            .join(
+                removed.select(
+                    F.col("u").alias("p3u"), F.col("v").alias("p3v")
+                ),
+                ["p3u", "p3v"],
+                "left_anti",
+            ),
+            reliable,
+        )
     return e
 
 
@@ -1835,6 +1962,16 @@ def hits(
     if checkpoint_every < 1:
         raise ValueError(
             f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
+    if checkpoint_every != 1:
+        import warnings
+
+        warnings.warn(
+            "hits ignores checkpoint_every since the r14 raw-state "
+            "cut: the score state is cut every half-step structurally "
+            "(the knob is accepted for signature compatibility only)",
+            DeprecationWarning,
+            stacklevel=2,
         )
     if not 0 < int(scale) <= 10**9:
         # first-step raw sums reach n_src · scale; multiplied by scale

@@ -29,7 +29,7 @@ scored output (inner-join semantics, mirrored by the oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # the registry-wide tokenizer contract lives in ONE place — a split-
@@ -256,38 +256,84 @@ def perplexity_buckets(
     bucket report (lang, bucket, n_docs, mean_ll).
 
     Scale shape: scoring is `bigram_lm_score` (combinable counts,
-    keyed joins, text never shuffles); thresholds are ONE exact-
-    percentile aggregate per language broadcast back (production swaps
-    percentile → approx_percentile, the documented llm_quality_
-    quantile divergence); bucketing is a map-side CASE; the report is
-    a languages×3-row aggregate. No global window anywhere.
+    keyed joins, text never shuffles); thresholds are one per-language
+    rank selection broadcast back (production swaps the exact rank for
+    approx_percentile, the documented llm_quality_quantile
+    divergence); bucketing is a map-side CASE; the report is a
+    languages×3-row aggregate. No global window anywhere.
 
-    Determinism: avg_ll is already rounded to `round_dp`; thresholds
-    round the interpolated quantile to the same dp (the
-    llm_quality_quantile precedent), and buckets use >=-comparisons on
-    those rounded doubles — identical in both engines.
+    Determinism (r15 hardening — the r14 driver flagged a value-level
+    hash flip): every float-order-sensitive term is restated exactly.
+    Thresholds are RANK-EXACT — the k-th smallest already-rounded
+    avg_ll per language (k = floor((n-1)·q)+1, the lower anchor of the
+    interpolated percentile) — instead of rounding an interpolated
+    percentile whose float sum can flip a 4-dp boundary between
+    engines. mean_ll sums the 10^round_dp-scaled scores as exact
+    integers (order-insensitive) and rounds the integer mean half away
+    from zero, so no engine- or partition-order-dependent float sum
+    survives to the output.
     """
+    scale = 10**round_dp
     scored = bigram_lm_score(docs, k=k, round_dp=round_dp)
-    langd = scored.join(docs.select("doc_id", "lang"), "doc_id")
-    pct = langd.groupBy("lang").agg(
-        F.round(F.expr(f"percentile(avg_ll, {lo!r})"), round_dp).alias(
-            "p_lo"
+    langd = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "doc_id",
+        "avg_ll",
+        F.round(F.col("avg_ll") * scale).cast("bigint").alias("ll_s"),
+    )
+    w_rank = Window.partitionBy("lang").orderBy("avg_ll", "doc_id")
+    w_all = Window.partitionBy("lang")
+    ranked = langd.select(
+        "lang",
+        "avg_ll",
+        F.row_number().over(w_rank).alias("rn"),
+        (F.floor((F.count("*").over(w_all) - 1) * F.lit(lo)) + 1).alias(
+            "k_lo"
         ),
-        F.round(F.expr(f"percentile(avg_ll, {hi!r})"), round_dp).alias(
-            "p_hi"
+        (F.floor((F.count("*").over(w_all) - 1) * F.lit(hi)) + 1).alias(
+            "k_hi"
         ),
+    )
+    pct = (
+        ranked.filter(
+            (F.col("rn") == F.col("k_lo")) | (F.col("rn") == F.col("k_hi"))
+        )
+        .groupBy("lang")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.col("k_lo"), F.col("avg_ll"))
+            ).alias("p_lo"),
+            F.max(
+                F.when(F.col("rn") == F.col("k_hi"), F.col("avg_ll"))
+            ).alias("p_hi"),
+        )
     )
     bucketed = langd.join(F.broadcast(pct), "lang").select(
         "lang",
-        "avg_ll",
+        "ll_s",
         F.when(F.col("avg_ll") >= F.col("p_hi"), F.lit("head"))
         .when(F.col("avg_ll") >= F.col("p_lo"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
-    return bucketed.groupBy("lang", "bucket").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.round(F.sum("avg_ll") / F.count("*"), round_dp).alias("mean_ll"),
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("ll_s").alias("s"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            "n_docs",
+            (
+                F.expr(
+                    "CAST(SIGN(s) AS BIGINT)"
+                    " * ((2 * ABS(s) + n_docs) DIV (2 * n_docs))"
+                )
+                / F.lit(float(scale))
+            ).alias("mean_ll"),
+        )
     )
 
 
@@ -298,23 +344,45 @@ def perplexity_buckets_sql(
     round_dp: int = 4,
 ) -> str:
     """DuckDB twin of `perplexity_buckets` over the documents table
-    (quantile_cont == Spark's exact percentile, linear
-    interpolation)."""
+    (rank-exact thresholds on the already-rounded scores; mean_ll via
+    exact integer sums — the same order-insensitive restatement as the
+    Spark side)."""
+    scale = 10**round_dp
     return f"""
         WITH scored AS ({bigram_lm_score_sql(k=k, round_dp=round_dp)}),
         langd AS (
-            SELECT s.doc_id, s.avg_ll, d.lang
+            SELECT s.doc_id, s.avg_ll, d.lang,
+                   CAST(ROUND(s.avg_ll * {scale}) AS BIGINT) AS ll_s
             FROM scored s JOIN documents d USING (doc_id)
+        ),
+        ranked AS (
+            SELECT lang, avg_ll,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY avg_ll, doc_id
+                   ) AS rn,
+                   -- CAST AS DOUBLE: a bare float literal parses as
+                   -- DECIMAL in DuckDB and floors differently than
+                   -- Spark's IEEE double product (69 * 1/3 is exactly
+                   -- 23.0 in doubles, 22.99… in decimal)
+                   CAST(FLOOR((COUNT(*) OVER (PARTITION BY lang) - 1)
+                              * CAST({lo!r} AS DOUBLE)) AS BIGINT) + 1
+                       AS k_lo,
+                   CAST(FLOOR((COUNT(*) OVER (PARTITION BY lang) - 1)
+                              * CAST({hi!r} AS DOUBLE)) AS BIGINT) + 1
+                       AS k_hi
+            FROM langd
         ),
         pct AS (
             SELECT lang,
-                   ROUND(quantile_cont(avg_ll, {lo!r}), {round_dp}) AS p_lo,
-                   ROUND(quantile_cont(avg_ll, {hi!r}), {round_dp}) AS p_hi
-            FROM langd GROUP BY 1
+                   MAX(CASE WHEN rn = k_lo THEN avg_ll END) AS p_lo,
+                   MAX(CASE WHEN rn = k_hi THEN avg_ll END) AS p_hi
+            FROM ranked
+            WHERE rn = k_lo OR rn = k_hi
+            GROUP BY lang
         ),
         bucketed AS (
             SELECT l.lang,
-                   l.avg_ll,
+                   l.ll_s,
                    CASE WHEN l.avg_ll >= p.p_hi THEN 'head'
                         WHEN l.avg_ll >= p.p_lo THEN 'middle'
                         ELSE 'tail' END AS bucket
@@ -322,7 +390,9 @@ def perplexity_buckets_sql(
         )
         SELECT lang, bucket,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               ROUND(SUM(avg_ll) / COUNT(*), {round_dp}) AS mean_ll
+               CAST(SIGN(SUM(ll_s)) AS BIGINT)
+                 * ((2 * ABS(SUM(ll_s)) + COUNT(*)) // (2 * COUNT(*)))
+                 / {scale}.0 AS mean_ll
         FROM bucketed
         GROUP BY 1, 2
     """

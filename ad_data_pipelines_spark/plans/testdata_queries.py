@@ -611,9 +611,12 @@ def q_lead_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order-dependent drop_duplicates(keep='first') (SURVEY.md §4.4-6). "
     "Computed as ONE combinable max(struct) aggregate (r14 opt, the "
     "label_propagation min_by lesson): keep-last over a UNIQUE order "
-    "key is an argmax, and the aggregate partial-aggregates map-side "
-    "where the row_number window form shuffles + sorts every row — "
-    "rows identical by construction (max over the unique "
+    "key is an argmax. The actual win over the row_number window is "
+    "the removed double Sort — Spark 3.5+'s WindowGroupLimit already "
+    "kept <=1 row/key per map partition pre-shuffle, so shuffle "
+    "volume was comparable; the aggregate still partial-aggregates "
+    "map-side and needs no sort at all (r14 verdict correction). "
+    "Rows identical by construction (max over the unique "
     "(l_shipdate, l_linenumber) pair = rank desc 1); the window form "
     "of the operator remains covered by w1/w2/w3/w5/o7/a13.",
 )
@@ -1074,6 +1077,19 @@ def _simhash_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the banded-Hamming self-join runs ONCE per session: both
+    # llm_simhash_pairs and llm_candidate_agreement consume the same
+    # (doc_a, doc_b, hamming) candidate table (r15 — previously each
+    # re-ran the self-join + distinct over the shared signature table)
+    return _shared(
+        spark, sf_dir, "simhash_pairs",
+        lambda: _dedup.simhash_candidates(
+            _simhash_shared(spark, sf_dir), max_hamming=3
+        ),
+    )
+
+
 @register(
     "llm_simhash_pairs",
     oracle=_dedup.simhash_candidates_sql(max_hamming=3),
@@ -1085,9 +1101,7 @@ def _simhash_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table with llm_simhash. operators/dedup.py:simhash_candidates.",
 )
 def q_llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _dedup.simhash_candidates(
-        _simhash_shared(spark, sf_dir), max_hamming=3
-    )
+    return _simhash_pairs_shared(spark, sf_dir)
 
 
 @register(
@@ -4170,7 +4184,9 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     still dedups repeated runs), so the shared-build phase charges
     only genuinely shared work. Registry consumer counts (r9 audit;
     update when registering consumers): shingles 4, minhash_sigs 2,
-    lsh_pairs 3, dup_components 5 (+blast_radius), simhash 2, lsh_corpus_buckets 2,
+    lsh_pairs 3, dup_components 5 (+blast_radius), simhash 2,
+    simhash_pairs 2 (llm_simhash_pairs/llm_candidate_agreement — r15),
+    lsh_corpus_buckets 2,
     kmeans_corpus_cells 5 (llm_ann_ivf/llm_ivf_recall/
     llm_ivf_kmeans_recall/llm_semantic_dedup/llm_cluster_balanced_mix —
     the ONE trained cell table, r13 verdict unification),
@@ -4201,6 +4217,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": _lsh_pairs_shared,
         "dup_components": lambda s, d: _dup_components_shared(s, d, min_eq=8),
         "simhash": _simhash_shared,
+        "simhash_pairs": _simhash_pairs_shared,
         "lsh_corpus_buckets": _lsh_buckets_shared,
         "kmeans_corpus_cells": _ivf_cells_shared,
         "quality_features": _quality_features_shared,
@@ -4647,9 +4664,9 @@ def q_llm_candidate_agreement(
         .filter(F.col("n_eq") >= 8)
         .select("doc_a", "doc_b", F.lit(1).alias("m"), F.lit(0).alias("s"))
     )
-    sh = _dedup.simhash_candidates(
-        _simhash_shared(spark, sf_dir), max_hamming=3
-    ).select("doc_a", "doc_b", F.lit(0).alias("m"), F.lit(1).alias("s"))
+    sh = _simhash_pairs_shared(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(0).alias("m"), F.lit(1).alias("s")
+    )
     p = (
         mh.unionAll(sh)
         .groupBy("doc_a", "doc_b")
@@ -5060,7 +5077,11 @@ def _dsir_weights_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the src0 target domain — shared by llm_dsir_weights (the
     weight table itself) and llm_dsir_select (the Gumbel resample over
     it); the disk twin is the per-candidate weight column a curation
-    run materializes once and resamples from many times."""
+    run materializes once and resamples from many times. Gram-cache
+    ownership: the internal raw-gram persist is session-owned here
+    (deliberately NO gram_cache) — the shared stage itself is a
+    session-lived persist, and its consumers re-scan it across the
+    whole bench, so there is no earlier safe unpersist point."""
     docs = t(spark, sf_dir, "documents")
     return _shared(
         spark,
@@ -6537,11 +6558,12 @@ def q_llm_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact tercile thresholds (head = the most probable third CCNet "
     "keeps outright, tail = the improbable third to drop or "
     "down-weight), reported as (lang, bucket, n_docs, mean_ll). "
-    "Thresholds are ONE exact-percentile aggregate per language "
-    "broadcast back (production: approx_percentile, the documented "
-    "quantile divergence); bucketing is a map-side CASE over the "
-    "already-rounded scores; no global window anywhere. "
-    "operators/lm.py:perplexity_buckets.",
+    "Thresholds are RANK-EXACT — the k-th smallest already-rounded "
+    "avg_ll per language (production: approx_percentile, the "
+    "documented quantile divergence); bucketing is a map-side CASE "
+    "over the rounded scores; mean_ll is an exact integer sum of the "
+    "scaled scores, so no order-dependent float sum reaches the "
+    "output. operators/lm.py:perplexity_buckets.",
 )
 def q_llm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lm.perplexity_buckets(t(spark, sf_dir, "documents"), k=0.5)
@@ -8127,11 +8149,13 @@ def q_g6_cosupply_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neighbors spread thinner as the supplier pool grows) — the "
     "non-degenerate-at-every-SF rule picks k=3. Fixed 4 peeling "
     "rounds (fixpoint by round 3 at every test SF, probed "
-    "rounds-vs-rounds+1); per round one triangle enumeration over "
-    "the CURRENT survivors (degree-ordered compact-forward, "
-    "O(sqrt m) wedge fan-out), one combinable support count, one "
-    "join-back filter, lineage cut per round. Pure integer peeling — "
-    "bit-equal to the unrolled AS MATERIALIZED DuckDB twin. "
+    "rounds-vs-rounds+1); triangles are enumerated ONCE "
+    "(degree-ordered compact-forward, O(sqrt m) wedge fan-out) and "
+    "DELTA-maintained per round — support is one combinable count "
+    "over the surviving triangle set and the set shrinks by "
+    "anti-joining the just-removed edges, with a limit-1 fixpoint "
+    "early-exit. Pure integer peeling — bit-equal to the unrolled "
+    "AS MATERIALIZED DuckDB twin (full per-round re-enumeration). "
     "operators/graph.py:k_truss.",
 )
 def q_g8_truss_backbone(spark: SparkSession, sf_dir: str) -> DataFrame:

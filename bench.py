@@ -124,6 +124,52 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
 
+    # --- Drift-triggered partial rerun (r15 verdict #8) --------------
+    # Twice (r13, r14) the single ground-truth run was contaminated by
+    # a machine episode while canary_drift flagged it. When the drift
+    # leaves [0.8, 1.25], re-measure the slice the drift implicates —
+    # drift < 0.8 means the run STARTED slow (the alphabetical head +
+    # anything with a big same-plan spread was inflated), drift > 1.25
+    # means it ENDED slow (the tail) — and report BOTH readings.
+    # ADDITIONS ONLY: `queries`/`value` keep the original medians, the
+    # rerun lands under new keys, and the final stdout line stays
+    # byte-compatible in shape. SPARK_GRAFT_FORCE_RERUN=1 forces the
+    # path for simulation/testing.
+    DRIFT_LO, DRIFT_HI = 0.8, 1.25
+    rerun = None
+    drift_bad = canary_drift is not None and not (
+        DRIFT_LO <= canary_drift <= DRIFT_HI
+    )
+    if drift_bad or os.environ.get("SPARK_GRAFT_FORCE_RERUN") == "1":
+        names_sorted = sorted(timings)
+        third = max(1, len(names_sorted) // 3)
+        slice_names = (
+            names_sorted[:third]
+            if (canary_drift or 1.0) < DRIFT_LO
+            else names_sorted[-third:]
+        )
+        suspects = sorted(
+            n for n, s in spreads.items() if s >= 2.0
+        )
+        picked = list(dict.fromkeys([*slice_names, *suspects]))[:80]
+        rerun_timings = {n: _run_median(n) for n in picked}
+        canary_after = {c: _run_median(c) for c in CANARIES}
+        rerun = {
+            "trigger_drift": canary_drift,
+            "queries": rerun_timings,
+            # quietness certificate for the rerun window itself: the
+            # canaries measured right after it vs at bench start
+            "canary_after": canary_after,
+            "canary_after_drift": round(
+                statistics.median(
+                    canary_after[c] / canary_start[c]
+                    for c in CANARIES
+                    if canary_start[c] > 0
+                ),
+                4,
+            ),
+        }
+
     # Transit pipeline DAGs (the reference-parity surface): time ALL
     # NINE ads_* pipelines plus the dwd_bus_route DAG end-to-end over
     # sf-scale AFC legs / sales derived from `events` (the same
@@ -316,6 +362,8 @@ def main() -> None:
         "sf": sf,
         "runs_per_query": max(1, args.n),
     }
+    if rerun is not None:
+        full["drift_rerun"] = rerun
     # Full per-query record: one stdout line for humans plus a file the
     # judge can open, because the driver that captures BENCH_r{N}.json
     # keeps only the LAST 2000 chars of stdout and json.loads them —
@@ -350,6 +398,11 @@ def main() -> None:
         "runs_per_query": max(1, args.n),
         "full_detail": "BENCH_FULL.json",
     }
+    if rerun is not None:
+        # scalar breadcrumbs only — the per-query rerun medians live in
+        # BENCH_FULL.json under drift_rerun
+        compact["drift_rerun_n"] = len(rerun["queries"])
+        compact["drift_rerun_drift"] = rerun["canary_after_drift"]
     line = json.dumps(compact, separators=(",", ":"))
     while len(line) > 1900 and len(slowest) > 5:
         slowest.pop(next(reversed(slowest)))

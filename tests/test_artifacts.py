@@ -3,6 +3,7 @@ hits cost no build, version changes rebuild, crashed builds self-heal,
 and the on-disk artifacts match the in-session shared stages."""
 
 from __future__ import annotations
+import pytest
 
 import os
 
@@ -98,6 +99,7 @@ def test_marker_is_invisible_to_spark_and_duckdb(spark, duck, tmp_path):
     assert n == 50
 
 
+@pytest.mark.slow
 def test_shared_stage_artifacts_match_in_session_stages(spark, tmp_path):
     root = str(tmp_path / "corpus_artifacts")
     paths = materialize_shared_artifacts(spark, SF_SMALL, root)
@@ -125,6 +127,7 @@ def test_shared_stage_artifacts_match_in_session_stages(spark, tmp_path):
         assert os.path.getmtime(os.path.join(p, art.MARKER)) == m
 
 
+@pytest.mark.slow
 def test_shared_rev_bump_rebuilds(spark, tmp_path, monkeypatch):
     root = str(tmp_path / "corpus_artifacts")
     paths = materialize_shared_artifacts(spark, SF_SMALL, root)
@@ -159,6 +162,7 @@ def test_refresh_job_rebuilds_then_noops(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_search_consumes_lsh_bucket_artifact(spark, tmp_path):
     """An ANN search fed the ON-DISK bucket artifact returns exactly
     the session-stage result — the consumer-job side of the artifact

@@ -4,6 +4,8 @@ reruns."""
 
 from __future__ import annotations
 
+import pytest
+
 from ad_data_pipelines_spark.jobs.curate_corpus import curate
 from ad_data_pipelines_spark.plans import testdata_queries as tq
 from tests.conftest import SF_SMALL
@@ -82,6 +84,7 @@ def test_curate_jsonl_export_round_trips(spark, tmp_path):
     assert a == b and len(a) == stats["n_curated"]
 
 
+@pytest.mark.slow
 def test_curate_checkpoint_kill_resume(spark, tmp_path):
     """r12 verdict #1: stage-checkpointed runs survive a mid-run kill.
     Run 1 is killed right after the dedup stage's artifact+marker
@@ -236,6 +239,7 @@ def test_curate_dedup_threshold_and_blast_radius_stats(spark, tmp_path):
     assert "dedup_n_bands" not in default_stats
 
 
+@pytest.mark.slow
 def test_curate_exactsubstr_stage(spark, tmp_path):
     """With --exactsubstr-k, a boilerplate paragraph shared by
     otherwise-distinct docs survives in exactly ONE curated doc (the
@@ -340,6 +344,7 @@ def test_curate_exactsubstr_does_not_blind_decontam(spark, tmp_path):
     assert stats["decontam_n_direct"] >= 1
 
 
+@pytest.mark.slow
 def test_curate_classifier_stage(spark, tmp_path):
     """The model-filter stage trains on the seed source's vocabulary
     and drops off-distribution docs: a synthetic corpus with a
@@ -393,6 +398,7 @@ def test_curate_classifier_stage(spark, tmp_path):
     assert stats2 == stats
 
 
+@pytest.mark.slow
 def test_curate_dsir_targeting_stage(spark, tmp_path):
     """With dsir_target, stage 5 fills the budget by importance
     resampling toward the target source's vocabulary: target-like raw

@@ -94,6 +94,7 @@ def _run(spark, tmp_path, n: int) -> tuple[dict, dict, float, str]:
     return stats, stage, time.perf_counter() - t0, out
 
 
+@pytest.mark.slow
 def test_curate_corpus_10x_linear_and_accounted(spark, tmp_path):
     n_small, n_big = 1_500, 15_000
 

@@ -1719,19 +1719,22 @@ def test_perplexity_buckets_structure(spark):
     """Bucket report invariants on a two-language corpus: per language
     the counts cover all scoreable docs, head mean >= middle mean >=
     tail mean (buckets order by likelihood), and a language whose docs
-    all score identically lands entirely in 'head' (>= threshold)."""
+    all score identically lands entirely in 'head' (>= threshold).
+    Thresholds are rank-exact (k-th smallest rounded score), so the en
+    fixture keeps six DISTINCT scores — if the minimum tied the
+    rank-k_lo value the tail bucket would legitimately be empty."""
     from ad_data_pipelines_spark.operators import lm
 
     docs = spark.createDataFrame(
         [
-            # six 'en' docs with spread likelihoods (common vs rare
-            # transitions)
+            # six 'en' docs with spread, distinct likelihoods (common
+            # vs rare transitions)
             (1, "a b a b a b", "en"),
             (2, "a b a b", "en"),
             (3, "a b c d", "en"),
             (4, "c d c d", "en"),
             (5, "e f g h", "en"),
-            (6, "h g f e", "en"),
+            (6, "e f g h e f", "en"),
             # identical 'zz' docs -> one avg_ll value
             (7, "x y x y", "zz"),
             (8, "x y x y", "zz"),
@@ -2293,6 +2296,7 @@ def test_pq_topk_self_match_and_recall(spark):
     assert recall >= 0.15, f"PQ recall collapsed: {recall}"
 
 
+@pytest.mark.slow
 def test_pq_trained_codebooks_beat_seeded_recall(spark):
     """KMeans-trained per-subspace codebooks plug into the same
     encode/search algebra and must NOT lose to the seeded LCG books on
@@ -3810,6 +3814,7 @@ def test_hits_structure_determinism_and_guards(spark):
     ]
 
 
+@pytest.mark.slow
 def test_label_propagation_frontier_equals_full(spark):
     """frontier=True (delta half-steps + joint-fixpoint bail-out) is
     label-identical to the default full sweep: on a hub-skewed
@@ -3901,6 +3906,54 @@ def test_pagerank_assume_normalized_bit_equal(spark):
         )
     )
     assert base_s == fast_s
+
+
+def test_pagerank_node_vouch_debug_guard(spark):
+    """The nodes=/n_nodes= vouching contract's opt-in re-check
+    (debug_vouch=True): a correct vouch ranks bit-equal to the
+    self-computed node set; a stale n_nodes and a node frame missing
+    an edge endpoint both raise loudly instead of silently misranking
+    (teleport mass splits by n_nodes)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ad_data_pipelines_spark.operators import graph
+
+    raw = spark.createDataFrame(
+        [(i % 13, (i * 7) % 17 + 100) for i in range(150)],
+        "src bigint, dst bigint",
+    )
+    e = raw.distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    base = sorted(map(tuple, graph.pagerank(e, iterations=4).collect()))
+    vouched = sorted(
+        map(
+            tuple,
+            graph.pagerank(
+                e, iterations=4, nodes=nodes, n_nodes=n, debug_vouch=True
+            ).collect(),
+        )
+    )
+    assert base == vouched
+    with pytest.raises(ValueError, match="vouched n_nodes"):
+        graph.pagerank(
+            e, iterations=4, nodes=nodes, n_nodes=n + 1, debug_vouch=True
+        )
+    partial = nodes.filter(F.col("node") != 100).localCheckpoint()
+    with pytest.raises(ValueError, match="missing from"):
+        graph.pagerank(
+            e,
+            iterations=4,
+            nodes=partial,
+            n_nodes=partial.count(),
+            debug_vouch=True,
+        )
 
 
 # --------------------------------------------------------------------------
@@ -4232,6 +4285,7 @@ def test_reliable_guard_without_checkpoint_dir(spark):
     )
 
 
+@pytest.mark.slow
 def test_reliable_checkpoint_bit_equal(spark, tmp_path_factory):
     """reliable=True with a checkpoint dir set produces bit-identical
     results to the localCheckpoint path for pagerank,
@@ -4635,6 +4689,47 @@ def test_k_truss_known_graphs_twin_and_guards(spark):
         graph.k_truss(df, checkpoint_every=0)
 
 
+def test_k_truss_delta_maintenance_cascade(spark):
+    """The r15 delta triangle maintenance must match full per-round
+    re-enumeration (the DuckDB twin) on a MULTI-ROUND cascade — the
+    delta-specific risk is the maintained triangle set drifting from
+    the survivor graph's true triangles after removals. Triangle chain
+    (1,2,3),(2,3,4),(3,4,5),(4,5,6) + a disjoint K4: at k=4 the chain's
+    wing edges die in round 0, the shared edges (support from now-dead
+    triangles) die in round 1, the K4 survives every round. Checked
+    round by round against the unrolled twin, plus the pendant-chain
+    fixpoint early-exit (rounds=6 == rounds=2 once the peel stops)."""
+    import itertools
+
+    import duckdb
+
+    from ad_data_pipelines_spark.operators import graph
+
+    chain = [
+        (1, 2), (1, 3), (2, 3), (2, 4), (3, 4),
+        (3, 5), (4, 5), (4, 6), (5, 6),
+    ]
+    k4 = list(itertools.combinations([10, 11, 12, 13], 2))
+    edges = chain + k4
+    df = spark.createDataFrame(_undirected(edges), "src bigint, dst bigint")
+    vals = ", ".join(f"({a},{b})" for a, b in _undirected(edges))
+    esql = f"SELECT * FROM (VALUES {vals}) t(src, dst)"
+    for rounds in (1, 2, 6):
+        got = sorted(
+            map(tuple, graph.k_truss(df, k=4, rounds=rounds).collect())
+        )
+        want = sorted(
+            duckdb.connect()
+            .execute(graph.k_truss_sql(esql, k=4, rounds=rounds))
+            .fetchall()
+        )
+        assert got == want, f"rounds={rounds}"
+    # after the cascade only the K4 remains
+    assert sorted(
+        map(tuple, graph.k_truss(df, k=4, rounds=6).collect())
+    ) == sorted(k4)
+
+
 def test_recall_report_join_free_semantics(spark):
     """_recall_report (the join-free union+aggregate restatement of the
     r9 recall joins) matches the LEFT-JOIN formulation it replaced on
@@ -4930,6 +5025,7 @@ def test_leakage_safe_split_cluster_atomic(spark):
     assert straddles("doc_id") == 15  # the hole, demonstrated
 
 
+@pytest.mark.slow
 def test_sssp_per_seed_landmark_mode(spark):
     """per_seed=True (landmark mode): one (seed, node, dist) row per
     landmark × reached node. Closed forms on a weighted path, the

@@ -414,7 +414,11 @@ _SMJ_ALLOWED = {
     # checkpointed node-count frame small enough for AQE to broadcast
     # — the final sf0.1 plan is SMJ/SHJ-free, like g3's frontier mode
     "g6_cosupply_triangles",  # wedge/orientation self-joins, fact-fact
-    "g7_coreness",
+    # g7_coreness left this list in r15 (optimization round 2): the
+    # fixpoint early-exit returns one filter off a CUT state frame, so
+    # the final sf0.1 plan no longer carries the uncut odd-round tail
+    # whose state joins planned as SMJ — it is SMJ/SHJ-free now (the
+    # g3/g14 precedent)
     "g9_neighborhood_anf",  # per-round sketch-state x edges join: the
     # state is ~kB/node (HLL binaries), node-count-scaled on BOTH
     # sides — co-partitioned SMJ is the right 100 TB plan
@@ -535,6 +539,7 @@ def broadcast_fact_builds(final: str) -> list[str]:
     return bad
 
 
+@pytest.mark.slow
 def test_sf01_executed_plans_smj_shj_allowlist(spark):
     """Execute EVERY registry query at sf0.1 and fail on any
     SortMergeJoin / ShuffledHashJoin in the FINAL adaptive plan that

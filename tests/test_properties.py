@@ -164,6 +164,7 @@ edge_strategy = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_connected_components_paths_agree(spark, raw_edges):
     """Driver union-find and distributed label propagation must produce
     identical min-root labelings on arbitrary graphs (self-loops
@@ -967,6 +968,7 @@ _knn_pts = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_grid_knn_matches_brute_force(spark, lpts, rpts, cell):
     """grid_knn_join is exact for ANY cell size: every left point gets
     the brute-force nearest right point (ties → min id), whether the
@@ -1021,6 +1023,7 @@ merge_case_strategy = st.tuples(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_merge_plan_matches_reference_model(spark, case):
     """merge_plan (both join strategies) equals a sequential-replay
     reference model on arbitrary target/change combinations: latest
@@ -1083,6 +1086,7 @@ sssp_case = st.tuples(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_sssp_per_seed_matches_python_reference(spark, case):
     """Landmark-mode SSSP (full relax AND frontier delta) equals a
     sequential synchronous Bellman-Ford per seed, truncated at the
@@ -1153,6 +1157,7 @@ lp_case = st.tuples(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.slow
 def test_label_propagation_frontier_matches_full(spark, case):
     """frontier=True label propagation is label-identical to the
     default sweep on generated directed graphs (self-loops, duplicate

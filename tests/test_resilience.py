@@ -12,11 +12,14 @@ tests fails loudly instead of being silently retried.
 
 from __future__ import annotations
 
+import pytest
+
 import subprocess
 import sys
 import textwrap
 
 
+@pytest.mark.slow
 def test_transient_task_failure_retries_to_success(tmp_path):
     """A mapInPandas stage whose FIRST attempt per partition raises
     (transient fault: flaky network, OOM-killed container) must

@@ -9,6 +9,8 @@ groupBy totals.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ad_data_pipelines_spark.operators.sessionize import sessionize
@@ -825,6 +827,7 @@ def test_stream_stream_attribution_join_matches_batch(spark, tmp_path):
     assert all(pid != 105 for _, pid in got), "userless purchase leaked in"
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_emits_on_watermark_finality(
     spark, tmp_path
 ):
