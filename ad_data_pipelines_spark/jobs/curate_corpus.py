@@ -371,7 +371,13 @@ def curate(
         _mark("normalize_quality")
     else:
         _before = set(stats)
-        canon = _canonize(docs)
+        # materialize the normalized corpus ONCE (r15): the three
+        # quality signals and the verdict join each re-scan canon —
+        # 6 corpus parses measured at sf0.1, the normalize regex
+        # re-running per scan; the cut turns them into cache scans
+        # (localCheckpoint blocks are reclaimed by the context
+        # cleaner once the stage's frames go out of scope)
+        canon = _canonize(docs).localCheckpoint()
         verdicts = _ts.quality_verdicts(canon).filter(F.col("pass"))
         live = canon.join(verdicts.select("doc_id"), "doc_id").persist()
         stats["n_after_quality"] = live.count()

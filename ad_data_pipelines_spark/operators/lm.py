@@ -247,6 +247,7 @@ def perplexity_buckets(
     lo: float = 0.3333333333333333,
     hi: float = 0.6666666666666666,
     round_dp: int = 4,
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """CCNet-style head/middle/tail bucketing: score every doc's
     average bigram log-likelihood under the corpus LM, then split each
@@ -272,9 +273,16 @@ def perplexity_buckets(
     integers (order-insensitive) and rounds the integer mean half away
     from zero, so no engine- or partition-order-dependent float sum
     survives to the output.
+
+    ``scored`` injects a precomputed (typically persisted)
+    `bigram_lm_score` output shared with the standalone scoring query
+    — the `quality_verdicts(quality=…)` contract: at corpus scale the
+    LM scoring pass runs once per corpus generation, not once per
+    consumer.
     """
     scale = 10**round_dp
-    scored = bigram_lm_score(docs, k=k, round_dp=round_dp)
+    if scored is None:
+        scored = bigram_lm_score(docs, k=k, round_dp=round_dp)
     langd = scored.join(docs.select("doc_id", "lang"), "doc_id").select(
         "lang",
         "doc_id",

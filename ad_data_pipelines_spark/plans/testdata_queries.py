@@ -4205,7 +4205,8 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     skips the trainer's per-iteration collects, the frame itself is
     K rows), kcenter_seeds_4 2 (llm_kcenter_seeds + the trainer's
     seed pick), dsir_weights 2 (llm_dsir_weights/llm_dsir_select),
-    bm25_scores 2 (llm_bm25_topk/llm_hybrid_rrf).
+    bm25_scores 2 (llm_bm25_topk/llm_hybrid_rrf),
+    bigram_scores 2 (llm_bigram_lm/llm_ppl_buckets — r15).
     Dropped as single-consumer:
     nb_buckets (llm_nb_quality trains and scores off one memoized
     explode — reuse is WITHIN the query)."""
@@ -4235,6 +4236,7 @@ def _shared_stages_map() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l2_truth10": _l2_truth10_shared,
         "dsir_weights": _dsir_weights_shared,
         "bm25_scores": _bm25_scores_shared,
+        "bigram_scores": _bigram_scores_shared,
     }
 
 
@@ -6522,7 +6524,19 @@ def q_llm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "operators/lm.py:bigram_lm_score.",
 )
 def q_llm_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lm.bigram_lm_score(t(spark, sf_dir, "documents"), k=0.5)
+    return _bigram_scores_shared(spark, sf_dir)
+
+
+def _bigram_scores_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE corpus LM-scoring pass per session (train counts + score
+    # every doc) feeds the standalone score query AND the perplexity
+    # bucketing report (r15 — previously llm_ppl_buckets re-ran the
+    # whole pass); the disk twin is the per-doc quality-score column a
+    # curation run materializes once
+    return _shared(
+        spark, sf_dir, "bigram_scores",
+        lambda: _lm.bigram_lm_score(t(spark, sf_dir, "documents"), k=0.5),
+    )
 
 
 @register(
@@ -6566,7 +6580,11 @@ def q_llm_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     "output. operators/lm.py:perplexity_buckets.",
 )
 def q_llm_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lm.perplexity_buckets(t(spark, sf_dir, "documents"), k=0.5)
+    return _lm.perplexity_buckets(
+        t(spark, sf_dir, "documents"),
+        k=0.5,
+        scored=_bigram_scores_shared(spark, sf_dir),
+    )
 
 
 @register(
