@@ -371,13 +371,16 @@ def curate(
         _mark("normalize_quality")
     else:
         _before = set(stats)
-        # materialize the normalized corpus ONCE (r15): the three
-        # quality signals and the verdict join each re-scan canon —
-        # 6 corpus parses measured at sf0.1, the normalize regex
-        # re-running per scan; the cut turns them into cache scans
-        # (localCheckpoint blocks are reclaimed by the context
-        # cleaner once the stage's frames go out of scope)
-        canon = _canonize(docs).localCheckpoint()
+        # NEGATIVE RESULT (r15): materializing canon here
+        # (localCheckpoint) looked right — the three quality signals
+        # and the verdict join re-scan it, 6 corpus parses measured at
+        # sf0.1 — and won ~15% on the ISOLATED stage, but interleaved
+        # end-to-end job runs showed the DOWNSTREAM dedup stage 2-3×
+        # slower with the cut in place (d=6.3-10.6 s vs 2.4-3.0 s
+        # without, 5 samples each; the RDD-blocked lineage under the
+        # persisted quality_docs is the suspected mechanism). Do not
+        # re-add without A/B-ing the WHOLE job.
+        canon = _canonize(docs)
         verdicts = _ts.quality_verdicts(canon).filter(F.col("pass"))
         live = canon.join(verdicts.select("doc_id"), "doc_id").persist()
         stats["n_after_quality"] = live.count()
